@@ -1,0 +1,87 @@
+"""T1/T2/J1/J3 operator tests over the driver's embeddings table plus the
+reference's 2-row quick-start example (docs/examples/quick-start.cql)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.topk import ann_topk, knn_join
+from vector_store_spark.types import SpaceType
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _numpy_topk(rows, q, k, space):
+    X = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.asarray([r.vec_id for r in rows])
+    q = np.asarray(q, dtype=np.float64)
+    if space == SpaceType.COSINE:
+        d = 1 - X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    elif space == SpaceType.EUCLIDEAN:
+        d = ((X - q) ** 2).sum(axis=1)
+    else:
+        d = 1 - X @ q
+    order = np.lexsort((ids, d))
+    return list(ids[order[:k]])
+
+
+@pytest.mark.parametrize("space", [SpaceType.COSINE, SpaceType.EUCLIDEAN, SpaceType.DOT_PRODUCT])
+def test_ann_topk_matches_numpy(spark, embeddings, space):
+    rows = embeddings.collect()
+    q = list(np.asarray(rows[7].embedding, dtype=float))
+    got = ann_topk(embeddings, "embedding", q, 10, space=space, tie_break=["vec_id"]).collect()
+    assert [r.vec_id for r in got] == _numpy_topk(rows, q, 10, space)
+    # distances ascending ⇔ similarity descending (vs_index.rs:1751)
+    dists = [r.distance for r in got]
+    sims = [r.similarity for r in got]
+    assert dists == sorted(dists)
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_topk_filtered_is_topk_of_filtered_set(spark, embeddings):
+    rows = embeddings.collect()
+    q = list(np.asarray(rows[3].embedding, dtype=float))
+    pred = F.col("label") == 2
+    got = ann_topk(embeddings, "embedding", q, 5, predicate=pred, tie_break=["vec_id"]).collect()
+    assert all(r.label == 2 for r in got)
+    expect = _numpy_topk([r for r in rows if r.label == 2], q, 5, SpaceType.COSINE)
+    assert [r.vec_id for r in got] == expect
+
+
+def test_ann_topk_empty_filter(spark, embeddings):
+    q = [0.0] * 64
+    got = ann_topk(embeddings, "embedding", q, 5, predicate=F.col("label") == -1)
+    assert got.count() == 0  # empty index / nothing-matches (vs_index.rs:1893)
+
+
+def test_ann_topk_limit_validation(embeddings):
+    with pytest.raises(ValueError):
+        ann_topk(embeddings, "embedding", [0.0] * 64, 0)
+
+
+def test_quickstart_two_rows(spark):
+    # docs/examples/quick-start.cql:5-28 — ANN OF [0.12,0.34,0.56,0.78,0.91] LIMIT 1
+    df = spark.createDataFrame(
+        [
+            ("c1", "first comment", [0.1, 0.3, 0.5, 0.8, 0.9]),
+            ("c2", "other comment", [-0.9, 0.2, -0.4, 0.1, -0.7]),
+        ],
+        "id string, comment string, comment_vector array<float>",
+    )
+    got = ann_topk(df, "comment_vector", [0.12, 0.34, 0.56, 0.78, 0.91], 1).collect()
+    assert len(got) == 1 and got[0].id == "c1"
+
+
+def test_knn_join_matches_single_query_topk(spark, embeddings):
+    rows = embeddings.collect()
+    queries = [(f"q{i}", list(np.asarray(rows[i].embedding, dtype=float))) for i in range(3)]
+    got = knn_join(embeddings, "embedding", queries, k=4, id_cols=["vec_id"]).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for i in range(3):
+        expect = _numpy_topk(rows, queries[i][1], 4, SpaceType.COSINE)
+        assert by_q[f"q{i}"] == expect

@@ -1,0 +1,146 @@
+"""Top-k ANN operators (SURVEY.md §2.5 T1/T2, §2.3 J1/J3).
+
+The reference answers ``ORDER BY v ANN OF [...] LIMIT k`` with an HNSW beam
+search (vs_index/usearch.rs:203-248). The Spark-first equivalent is exact
+filtered top-k: ``WHERE pred ORDER BY dist LIMIT k``. Catalyst compiles that to
+``TakeOrderedAndProject`` — each partition keeps a k-row heap, only k rows per
+partition reach the driver merge, so it scales linearly with data and never
+shuffles the full table. Filtering happens *before* top-k, matching the
+reference's filtered-ANN guarantee (top-k OF the filtered set, usearch.rs:224-248),
+and predicates push down to the Parquet scan.
+
+For batches of query vectors, ``knn_join`` avoids a crossJoin blow-up: the query
+matrix is broadcast to every partition and scored with one float64 GEMM per Arrow
+batch (mapInPandas), keeping only per-batch top-k before a final global top-k —
+the classic brute-force-kNN-on-Spark pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_store_spark.functions.distance import distance_expr, similarity_expr, vector_lit
+from vector_store_spark.types import SpaceType
+
+
+def ann_topk(
+    df: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    k: int,
+    space: SpaceType = SpaceType.COSINE,
+    predicate: Column | None = None,
+    select_cols: Sequence[str] | None = None,
+    tie_break: Sequence[str] = (),
+    dist_col: str = "distance",
+    sim_col: str = "similarity",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k by distance to ``query``, ascending (T1/T2).
+
+    ``tie_break`` columns make the k-boundary deterministic (the reference's HNSW
+    is approximate so it has no such need; an exact engine must pin ties).
+    ``round_to`` rounds distance/similarity for cross-engine comparison.
+    """
+    if k <= 0:
+        raise ValueError("limit must be positive")  # lib.rs:499-505 (NonZero)
+    dims = len(query)
+    out = df
+    if predicate is not None:
+        out = out.where(predicate)
+    dist = distance_expr(space, F.col(vector_col), vector_lit(query))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    out = out.withColumn(dist_col, dist)
+    order = [F.col(dist_col).asc()] + [F.col(c).asc() for c in tie_break]
+    out = out.orderBy(*order).limit(k)
+    sim = similarity_expr(space, F.col(dist_col), dims=dims)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    out = out.withColumn(sim_col, sim)
+    if select_cols is not None:
+        out = out.select(*select_cols, dist_col, sim_col)
+    return out
+
+
+def knn_join(
+    items: DataFrame,
+    vector_col: str,
+    queries: "list[tuple]",
+    k: int,
+    space: SpaceType = SpaceType.COSINE,
+    id_cols: Sequence[str] = (),
+    query_id_col: str = "query_id",
+    dist_col: str = "distance",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batch kNN: for every (query_id, vector) in ``queries`` return the k nearest
+    items. ``queries`` is a small driver-side list [(qid, [floats...]), ...] —
+    it is broadcast (numpy matrix inside the UDF closure), never shuffled.
+
+    Plan shape: mapInPandas (per-batch GEMM + per-batch top-k, emitting ≤
+    n_queries·k rows per batch) → window top-k per query. The window input is at
+    most n_partitions · n_queries · k rows — tiny regardless of table size.
+    """
+    import numpy as np  # noqa: F401  (validated here, used in the UDF)
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qids = [q[0] for q in queries]
+    qmat = [list(map(float, q[1])) for q in queries]
+    dims = len(qmat[0])
+    if any(len(v) != dims for v in qmat):
+        raise ValueError("all query vectors must share dimensions")  # P9
+    if space == SpaceType.HAMMING:
+        raise NotImplementedError("use functions.quantize for packed hamming kNN")
+
+    id_cols = list(id_cols)
+    src = items.select(*id_cols, vector_col)
+    id_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema if f.name in id_cols)
+    out_schema = f"{query_id_col} string, {id_fields}, {dist_col} double"
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qmat, dtype=np.float64)  # (nq, d)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = 1.0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            dots = X @ Q.T  # (n, nq)
+            if space == SpaceType.COSINE:
+                xn = np.linalg.norm(X, axis=1)
+                xn[xn == 0.0] = 1.0
+                dist = 1.0 - dots / np.outer(xn, qn)
+            elif space == SpaceType.DOT_PRODUCT:
+                dist = 1.0 - dots
+            else:  # EUCLIDEAN (l2sq)
+                x2 = (X * X).sum(axis=1)
+                q2 = (Q * Q).sum(axis=1)
+                dist = x2[:, None] + q2[None, :] - 2.0 * dots
+            frames = []
+            kk = min(k, len(pdf))
+            for j, qid in enumerate(qids):
+                dj = dist[:, j]
+                top = np.argpartition(dj, kk - 1)[:kk] if kk < len(dj) else np.arange(len(dj))
+                f = pdf.iloc[top][id_cols].copy()
+                f.insert(0, query_id_col, str(qid))
+                f[dist_col] = dj[top]
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = src.mapInPandas(score, schema=out_schema)
+    if round_to is not None:
+        partial = partial.withColumn(dist_col, F.round(dist_col, round_to))
+    w = Window.partitionBy(query_id_col).orderBy(F.col(dist_col).asc(), *[F.col(c).asc() for c in id_cols])
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,144 @@
+"""ANN / top-k query registry entries (SURVEY.md §2.5 T1/T2, §2.3 J1/J3,
+§2.4 A1/A3).
+
+Each Spark query is an exact filtered top-k — ``WHERE pred ORDER BY dist LIMIT k``
+— which Catalyst executes as partition-local k-heaps (TakeOrderedAndProject):
+no full shuffle, predicate pushed to the scan, linear scale-out. The oracle SQL
+recomputes the same math in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.topk import ann_topk, knn_join
+from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
+from vector_store_spark.types import SpaceType
+
+DIMS = 64
+Q7 = det_query_vector(7, DIMS)
+Q13 = det_query_vector(13, DIMS)
+Q21 = det_query_vector(21, DIMS)
+
+_BASE = "(SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+
+def _cos_sql(qlit: str) -> str:
+    return (
+        f"1.0 - list_inner_product(e, {qlit}) / "
+        f"(sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({qlit}, {qlit})))"
+    )
+
+
+def _topk_sql(dist_sql: str, sim_sql: str, k: int, where: str = "") -> str:
+    return f"""
+WITH scored AS (
+  SELECT vec_id, label, round({dist_sql}, {ROUND}) AS distance
+  FROM {_BASE} {where}
+)
+SELECT vec_id, label, distance, round({sim_sql}, {ROUND}) AS similarity
+FROM scored
+ORDER BY distance, vec_id
+LIMIT {k}
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    _topk_sql(_cos_sql(sql_vec(Q7)), "(2.0 - distance) / 2.0", 10),
+    "T1: exact top-10 by cosine distance, default space (lib.rs:443)",
+)
+def ann_cosine_topk(spark, sf_dir):
+    return ann_topk(
+        load(spark, sf_dir, "embeddings"), "embedding", Q7, 10,
+        space=SpaceType.COSINE, tie_break=["vec_id"],
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+@register(
+    "ann_l2sq_topk",
+    _topk_sql(
+        f"list_inner_product(list_transform(list_zip(e, {sql_vec(Q13)}), x -> (x[1] - x[2])), "
+        f"list_transform(list_zip(e, {sql_vec(Q13)}), x -> (x[1] - x[2])))",
+        "1.0 / (1.0 + distance)",
+        10,
+    ),
+    "T1: top-10 by squared L2 (the reference's 'euclidean', usearch.rs:483)",
+)
+def ann_l2sq_topk(spark, sf_dir):
+    return ann_topk(
+        load(spark, sf_dir, "embeddings"), "embedding", Q13, 10,
+        space=SpaceType.EUCLIDEAN, tie_break=["vec_id"],
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+@register(
+    "ann_dot_topk",
+    _topk_sql(f"1.0 - list_inner_product(e, {sql_vec(Q21)})", "(2.0 - distance) / 2.0", 10),
+    "T1: top-10 by inner-product distance 1-<a,b> (USearch IP)",
+)
+def ann_dot_topk(spark, sf_dir):
+    return ann_topk(
+        load(spark, sf_dir, "embeddings"), "embedding", Q21, 10,
+        space=SpaceType.DOT_PRODUCT, tie_break=["vec_id"],
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+@register(
+    "ann_filtered_topk",
+    _topk_sql(_cos_sql(sql_vec(Q7)), "(2.0 - distance) / 2.0", 8, where="WHERE label IN (2, 5, 7)"),
+    "T2: filtered ANN — top-k OF the filtered set (usearch.rs:224-248)",
+)
+def ann_filtered_topk(spark, sf_dir):
+    return ann_topk(
+        load(spark, sf_dir, "embeddings"), "embedding", Q7, 8,
+        space=SpaceType.COSINE, predicate=F.col("label").isin(2, 5, 7),
+        tie_break=["vec_id"], select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+_KNN_QUERIES = [("q7", Q7), ("q13", Q13), ("q21", Q21)]
+
+
+@register(
+    "knn_batch",
+    f"""
+WITH queries(query_id, qv) AS (VALUES
+  {", ".join(f"('{name}', {sql_vec(vec)})" for name, vec in _KNN_QUERIES)}
+),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(1.0 - list_inner_product(b.e, q.qv) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(q.qv, q.qv))), {ROUND}) AS distance
+  FROM queries q CROSS JOIN base b
+)
+SELECT query_id, vec_id, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn FROM scored)
+WHERE rn <= 5
+""",
+    "J3: batch brute-force kNN join — broadcast query matrix, per-partition GEMM top-k",
+)
+def knn_batch(spark, sf_dir):
+    return knn_join(
+        load(spark, sf_dir, "embeddings"), "embedding",
+        [(n, v) for n, v in _KNN_QUERIES], k=5,
+        id_cols=["vec_id"], round_to=ROUND,
+    ).select("query_id", "vec_id", "distance")
+
+
+@register(
+    "agg_label_counts",
+    "SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label ORDER BY label",
+    "A1/A3: per-partition index size counters (usearch.rs:1020-1049, table/mod.rs:112-158)",
+)
+def agg_label_counts(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("label")
+    )
