@@ -1,0 +1,141 @@
+"""Engine facade: the rebuild of the reference's query lifecycle (SURVEY.md §3).
+
+The reference's HTTP surface (`POST /api/v1/indexes/{ks}/{idx}/ann`, `/bm25`) is
+re-expressed as a Python API over DataFrames: register indexes (metadata +
+source DataFrame), then `ann()` / `bm25()` run plan → validate → gate →
+partition-prune → residual filter → top-k → response pivot, exactly the stages
+of httproutes.rs:712-897 with Catalyst doing pruning/pushdown/top-k natively.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.topk import ann_topk
+from vector_store_spark.plans.planner import (
+    best_index,
+    check_allow_filtering,
+    consume_partition_restrictions,
+)
+from vector_store_spark.plans.restrictions import (
+    FilterError,
+    restrictions_to_column,
+    validate_filter,
+)
+from vector_store_spark.types import (
+    Filter,
+    IndexMetadata,
+    IndexState,
+    IndexStatus,
+    SpaceType,
+)
+
+
+@dataclass
+class AnnResponse:
+    """Column-oriented response shape (httpapi/src/lib.rs:376-381,
+    httproutes.rs:1237-1269): primary keys pivoted per column."""
+
+    primary_keys: dict[str, list[Any]]
+    distances: list[float]
+    similarity_scores: list[float]
+
+
+@dataclass
+class RegisteredIndex:
+    state: IndexState
+    df: DataFrame
+
+
+@dataclass
+class VectorStoreEngine:
+    """In-process catalog + query answerer."""
+
+    indexes: dict[str, RegisteredIndex] = field(default_factory=dict)
+
+    def register(
+        self,
+        df: DataFrame,
+        meta: IndexMetadata,
+        status: IndexStatus = IndexStatus.SERVING,
+    ) -> None:
+        if meta.dimensions is None:
+            raise ValueError("index metadata must declare dimensions")
+        self.indexes[meta.index] = RegisteredIndex(IndexState(meta, status), df)
+
+    def _routing_group(self, keyspace: str, table: str, target: str) -> list[RegisteredIndex]:
+        """R1 (indexes.rs:63-78): indexes over the same (ks, table, target
+        column) are interchangeable."""
+        return [
+            ri
+            for ri in self.indexes.values()
+            if ri.state.metadata.keyspace == keyspace
+            and ri.state.metadata.table == table
+            and ri.state.metadata.target_column == target
+        ]
+
+    def ann_df(
+        self,
+        keyspace: str,
+        table: str,
+        target_column: str,
+        vector: Sequence[float],
+        limit: int = 1,
+        flt: Filter | None = None,
+    ) -> tuple[DataFrame, IndexMetadata]:
+        """Plan + execute, returning the top-k DataFrame (for composition) and
+        the routed index metadata."""
+        flt = flt or Filter()
+        group = self._routing_group(keyspace, table, target_column)
+        states = [ri.state for ri in group]
+        state, score = best_index(states, flt)
+        ri = next(r for r in group if r.state is state)
+        meta = state.metadata
+
+        if len(vector) != meta.dimensions:
+            raise FilterError(
+                f"wrong vector dimensions: got {len(vector)}, index has {meta.dimensions}"
+            )  # P9, usearch.rs:1052-1065
+        check_allow_filtering(score, flt)
+
+        allowed = set(meta.primary_key_columns) | set(meta.filtering_columns)
+        validate_filter(ri.df.schema, flt, allowed)
+
+        consumed, residual = consume_partition_restrictions(meta, flt)
+        df = ri.df
+        # partition pruning: consumed Eq restrictions become a partition filter
+        # (Catalyst prunes partitions when df is partitioned parquet)
+        prune = restrictions_to_column(consumed, ri.df.schema)
+        if prune is not None:
+            df = df.where(prune)
+        predicate = restrictions_to_column(residual, ri.df.schema)
+        topk = ann_topk(
+            df,
+            meta.target_column,
+            list(vector),
+            limit,
+            space=meta.space_type,
+            predicate=predicate,
+            tie_break=list(meta.primary_key_columns),
+        )
+        return topk, meta
+
+    def ann(self, keyspace: str, table: str, target_column: str, vector: Sequence[float],
+            limit: int = 1, flt: Filter | None = None) -> AnnResponse:
+        """Full lifecycle returning the reference's column-pivoted response."""
+        topk, meta = self.ann_df(keyspace, table, target_column, vector, limit, flt)
+        rows = topk.collect()
+        pk_cols = list(meta.primary_key_columns)
+        return AnnResponse(
+            primary_keys={c: [r[c] for r in rows] for c in pk_cols},
+            distances=[r["distance"] for r in rows],
+            similarity_scores=[r["similarity"] for r in rows],
+        )
+
+    def count(self, index: str) -> int:
+        """A1: live row count of an index (usearch.rs:866-878)."""
+        return self.indexes[index].df.count()
