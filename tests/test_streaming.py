@@ -1,0 +1,100 @@
+"""Streaming CDC maintenance tests (S3–S5, W2/W3/W8): file-source micro-batches
+through foreachBatch into the bucket-partitioned LWW snapshot, with checkpoint
+resume and late/duplicate reconciliation."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.streaming.cdc import CdcSnapshotSink, merge_batch_into_snapshot
+
+SCHEMA = "op string, pk int, v double, f int, ts bigint, seq bigint"
+
+
+def write_events(dirpath, fname, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, fname), "w") as fh:
+        for op, pk, v, f, ts, seq in rows:
+            fh.write(json.dumps({"op": op, "pk": pk, "v": v, "f": f, "ts": ts, "seq": seq}) + "\n")
+
+
+def run_stream(spark, sink, src_dir, ckpt):
+    stream = spark.readStream.schema(SCHEMA).json(src_dir)
+    q = sink.start(stream, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return str(tmp_path / "src"), str(tmp_path / "snap"), str(tmp_path / "ckpt")
+
+
+def snapshot_dict(sink, target="v"):
+    return {r.pk: (r.v, r.f) for r in sink.live_view(target).collect()}
+
+
+def test_two_microbatches_with_late_and_duplicate_events(spark, dirs):
+    src, snap, ckpt = dirs
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["v", "f"], num_buckets=4)
+
+    # batch 1: bootstrap (the full-scan stand-in)
+    write_events(src, "b1.json", [
+        ("upsert", 1, 1.0, 10, 100, 1),
+        ("upsert", 2, 2.0, 20, 100, 2),
+        ("upsert", 3, 3.0, 30, 100, 3),
+    ])
+    run_stream(spark, sink, src, ckpt)
+    assert snapshot_dict(sink) == {1: (1.0, 10), 2: (2.0, 20), 3: (3.0, 30)}
+
+    # batch 2: newer update, duplicate of an old event (fine-reader replay),
+    # a late stale update, and a delete
+    write_events(src, "b2.json", [
+        ("upsert", 1, 1.5, 11, 200, 4),   # real update
+        ("upsert", 2, 2.0, 20, 100, 2),   # exact duplicate — idempotent
+        ("upsert", 3, 9.9, 99, 50, 5),    # late & stale — must NOT replace ts=100
+        ("delete", 2, None, None, 300, 6),
+    ])
+    run_stream(spark, sink, src, ckpt)
+    assert snapshot_dict(sink) == {1: (1.5, 11), 3: (3.0, 30)}
+
+    # tombstone is retained: a later replay of a stale upsert cannot resurrect
+    write_events(src, "b3.json", [("upsert", 2, 2.2, 22, 250, 7)])  # 250 < 300
+    run_stream(spark, sink, src, ckpt)
+    assert snapshot_dict(sink) == {1: (1.5, 11), 3: (3.0, 30)}
+
+    # but a genuinely newer write does re-insert
+    write_events(src, "b4.json", [("upsert", 2, 2.5, 25, 400, 8)])
+    run_stream(spark, sink, src, ckpt)
+    assert snapshot_dict(sink) == {1: (1.5, 11), 2: (2.5, 25), 3: (3.0, 30)}
+
+
+def test_checkpoint_resume_skips_processed_files(spark, dirs):
+    src, snap, ckpt = dirs
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["v", "f"], num_buckets=2)
+    write_events(src, "b1.json", [("upsert", 1, 1.0, 10, 100, 1)])
+    run_stream(spark, sink, src, ckpt)
+    # restarting with the same checkpoint must not reprocess b1 (W8);
+    # replay would be harmless (idempotent) but progress must advance
+    run_stream(spark, sink, src, ckpt)
+    assert snapshot_dict(sink) == {1: (1.0, 10)}
+
+
+def test_bucket_partition_layout(spark, dirs):
+    src, snap, ckpt = dirs
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["v", "f"], num_buckets=4)
+    write_events(src, "b1.json", [("upsert", i, float(i), i, 100, i) for i in range(20)])
+    run_stream(spark, sink, src, ckpt)
+    buckets = [d for d in os.listdir(snap) if d.startswith("_bucket=")]
+    assert len(buckets) >= 2  # physically partitioned by bucket
+
+
+def test_gc_tombstones(spark):
+    batch = spark.createDataFrame(
+        [("upsert", 1, 1.0, 100, 1), ("delete", 1, None, 200, 2), ("delete", 2, None, 150, 3)],
+        "op string, pk int, v double, ts bigint, seq bigint",
+    )
+    merged = merge_batch_into_snapshot(None, batch, ["pk"], ["v"], gc_tombstones_before=180)
+    rows = {r.pk: r.v for r in merged.collect()}
+    assert rows == {1: None}  # pk=2's tombstone (ts 150 < 180) collected; pk=1 kept
