@@ -1,0 +1,124 @@
+"""F6–F8/T3 FTS behaviors — the FIXTURES.md F7 matrix, pinned to the
+reference's validator (crates/validator/src/fts.rs:226-541)."""
+
+import math
+
+import pytest
+
+from vector_store_spark.operators.bm25 import Bm25Executor, bm25_search, build_fts_index
+from vector_store_spark.plans.fts_query import (
+    AndNode, NotNode, OrNode, PhraseNode, QueryParseError, TermNode, parse_query,
+)
+
+CORPUS = [
+    (1, "Spark makes fast queries fast"),
+    (2, "the slow query of doom"),
+    (3, "spark spark spark everywhere"),
+    (4, "an out-of-memory error in the executor"),
+    (5, "fast executor, slow driver"),
+    (6, "exact phrase matching is fun"),
+    (7, "matching phrase exact order differs"),
+    (8, "completely unrelated words here"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id int, body string")
+    return build_fts_index(docs, "doc_id", "body")
+
+
+def ids(df):
+    return [r.doc_id for r in df.collect()]
+
+
+# --- parser ---------------------------------------------------------------
+
+def test_parse_shapes():
+    assert parse_query("spark") == TermNode("spark")
+    assert parse_query("Spark AND fast") == AndNode(TermNode("spark"), TermNode("fast"))
+    assert parse_query('"exact phrase"') == PhraseNode(("exact", "phrase"))
+    q = parse_query("(spark OR slow) AND executor")
+    assert isinstance(q, AndNode) and isinstance(q.left, OrNode)
+    assert parse_query("spark NOT slow") == NotNode(TermNode("spark"), TermNode("slow"))
+
+
+def test_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse_query("")
+    with pytest.raises(QueryParseError):
+        parse_query("the of and")  # all stop-words
+    with pytest.raises(QueryParseError):
+        parse_query("(spark")
+
+
+def test_hyphenated_token_becomes_phrase():
+    assert parse_query("out-of-memory") == PhraseNode(("out", "memory"))
+
+
+# --- search behaviors (fts.rs golden behaviors) ----------------------------
+
+def test_single_term_and_case_insensitivity(index):
+    got = ids(bm25_search(index, "SPARK", 10))
+    assert set(got) == {1, 3}
+    # doc 3 has tf=3 and shorter length ⇒ ranks first
+    assert got[0] == 3
+
+
+def test_relevance_ordering_by_tf(index):
+    got = bm25_search(index, "fast", 10).collect()
+    assert [r.doc_id for r in got] == [1, 5]  # tf=2 beats tf=1
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_boolean_and_or_not(index):
+    assert set(ids(bm25_search(index, "fast AND slow", 10))) == {5}
+    assert set(ids(bm25_search(index, "fast OR slow", 10))) == {1, 2, 5}
+    assert set(ids(bm25_search(index, "fast AND NOT slow", 10))) == {1}
+    assert set(ids(bm25_search(index, "(exact OR unrelated) AND words", 10))) == {8}
+
+
+def test_bare_adjacency_is_or(index):
+    assert set(ids(bm25_search(index, "fast slow", 10))) == {1, 2, 5}
+
+
+def test_phrase_query(index):
+    assert ids(bm25_search(index, '"exact phrase"', 10)) == [6]  # not 7 (order differs)
+    assert ids(bm25_search(index, '"phrase exact"', 10)) == [7]
+
+
+def test_phrase_across_stopwords(index):
+    # "out-of-memory": stop-word 'of' removed by both analyzers ⇒ consecutive
+    assert ids(bm25_search(index, '"out of memory"', 10)) == [4]
+    assert ids(bm25_search(index, "out-of-memory", 10)) == [4]
+
+
+def test_stopwords_not_indexed(index):
+    with pytest.raises(QueryParseError):
+        parse_query("the")
+    # 'the' appears in docs 2 and 4 but is not in the postings
+    assert index.postings.where("term = 'the'").count() == 0
+
+
+def test_nonexistent_term_empty(index):
+    assert ids(bm25_search(index, "zzzzz", 10)) == []
+
+
+def test_limit_enforced(index):
+    assert len(ids(bm25_search(index, "spark OR fast OR slow OR words", 2))) == 2
+
+
+def test_bm25_score_formula(index):
+    # hand-check one score: term 'doom' appears only in doc 2
+    row = Bm25Executor(index)._term_scores("doom").collect()[0]
+    N, df, tf = index.n_docs, 1, 1
+    dl = index.doclens.where("doc_id = 2").first().dl
+    idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    tfn = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / index.avgdl))
+    assert row.score == pytest.approx(idf * tfn, rel=1e-12)
+
+
+def test_index_stats(index):
+    s = index.stats()
+    assert s["num_docs"] == 8 and s["avgdl"] > 0

@@ -1,0 +1,64 @@
+"""Text analysis chain (SURVEY.md §2.7 F6): SimpleTokenizer semantics —
+split on non-alphanumeric, lowercase, English stop-word removal — matching the
+reference's Tantivy pipeline (fts_index/tantivy.rs:162-183).
+
+All expressions are built-in Catalyst functions (split/filter/transform), no
+Python UDFs: tokenization runs inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The classic Lucene/Tantivy English stop-word list (public; Lucene
+# StandardAnalyzer / tantivy stopword filter default).
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will", "with",
+)
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _col(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(text: Column | str, remove_stopwords: bool = True) -> Column:
+    """lower → split on non-alphanumeric → drop empties [→ drop stopwords].
+    Returns array<string> preserving token order (positions = array index)."""
+    toks = F.split(F.lower(_col(text)), TOKEN_SPLIT_RE)
+    toks = F.filter(toks, lambda t: t != "")
+    if remove_stopwords:
+        stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+        toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+    return toks
+
+
+def tokenize_sql(text_expr: str, remove_stopwords: bool = True) -> str:
+    """The identical tokenizer as a DuckDB SQL expression (oracle parity)."""
+    base = f"list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    if remove_stopwords:
+        stop = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
+        return f"list_filter({base}, t -> NOT list_contains([{stop}], t))"
+    return base
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word-level n-grams ('shingles') as space-joined strings; empty array when
+    the document has fewer than n tokens. (NB Spark sequence(1,0) would yield a
+    *descending* [1,0] — guard short docs explicitly.)"""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])
+    )
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def word_ngrams_sql(toks: str, n: int) -> str:
+    """Same n-grams in DuckDB over an in-scope list column/alias ``toks``
+    (1-based indexing; range() end-exclusive)."""
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" if j else f"{toks}[i]" for j in range(n))
+    return f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {parts})"

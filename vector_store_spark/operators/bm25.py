@@ -1,0 +1,179 @@
+"""Full-text search: postings build + BM25 scoring + boolean/phrase query
+execution (SURVEY.md §2.7 F6–F8, §2.5 T3).
+
+Reference: fts_index/tantivy.rs — SimpleTokenizer→lowercase→stopwords analyzer
+(:162-183), QueryParser with terms/AND/OR/NOT/grouping/phrases (:237-246),
+TopDocs by BM25 score descending (:258-274). Scoring is Lucene-compatible BM25
+(k1=1.2, b=0.75; docs/dev/fts/full-text-prd-snapshot.md "BM25 Scoring … same as
+Apache Lucene"):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    score   = Σ_matching-clauses idf·tf_norm
+
+Phrase clauses follow Lucene PhraseQuery: tf = number of phrase occurrences
+(consecutive positions), idf = Σ idf of constituent terms.
+
+Spark-first layout: the "index" is two DataFrames —
+``postings(term, doc_id, tf, positions)`` (partitioned/bucketable by term: a
+query's term lookups are partition-pruned joins) and ``doclens(doc_id, dl)``.
+Corpus stats (N, avgdl, per-term df) are tiny aggregates; df joins broadcast.
+Everything is built-in expressions; no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_store_spark.functions.text import tokenize
+from vector_store_spark.plans.fts_query import (
+    AndNode, NotNode, OrNode, PhraseNode, QueryNode, TermNode, parse_query,
+)
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class FtsIndex:
+    """A built full-text index over (id_col, text_col)."""
+
+    postings: DataFrame  # term, doc_id, tf, positions array<int>
+    doclens: DataFrame   # doc_id, dl
+    n_docs: int
+    avgdl: float
+    id_col: str
+
+    def stats(self) -> dict:
+        """A2: num_docs + size stats (tantivy.rs:303-317)."""
+        return {"num_docs": self.n_docs, "avgdl": self.avgdl}
+
+
+def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
+    """Tokenize once, posexplode to (term, doc, position), aggregate postings.
+    One shuffle on (term, doc_id); postings stay partitioned by term."""
+    toks = docs.select(id_col, tokenize(text_col).alias("toks"))
+    doclens = toks.select(id_col, F.size("toks").alias("dl")).cache()
+    exploded = toks.select(id_col, F.posexplode("toks").alias("pos", "term"))
+    postings = (
+        exploded.groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumnRenamed(id_col, "doc_id")
+        .cache()
+    )
+    n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+    return FtsIndex(postings, doclens.withColumnRenamed(id_col, "doc_id"), int(n_docs), avgdl, id_col)
+
+
+def idf_expr(df_col: Column, n_docs: int) -> Column:
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def tf_norm_expr(tf_col: Column, dl_col: Column, avgdl: float) -> Column:
+    return (tf_col * (K1 + 1.0)) / (tf_col + F.lit(K1) * (1.0 - B + B * dl_col / F.lit(avgdl)))
+
+
+def _phrase_tf(positions_cols: list[Column]) -> Column:
+    """Count occurrences of the phrase: positions of term_i shifted by i must
+    all align. positions arrays are small; forall/array_contains is O(len²)
+    per row but rows are (doc, phrase-candidate) pairs only."""
+    first = positions_cols[0]
+    return F.size(
+        F.filter(
+            first,
+            lambda p: reduce(
+                lambda acc, ic: acc & F.array_contains(ic[1], p + F.lit(ic[0])),
+                enumerate(positions_cols[1:], start=1),
+                F.lit(True),
+            ),
+        )
+    )
+
+
+class Bm25Executor:
+    """Compile a parsed query AST into a (doc_id, score) DataFrame."""
+
+    def __init__(self, index: FtsIndex):
+        self.ix = index
+        # per-term document frequency — tiny, broadcast into term lookups
+        self.df_by_term = index.postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    def _term_scores(self, term: str) -> DataFrame:
+        p = self.ix.postings.where(F.col("term") == term)
+        p = p.join(F.broadcast(self.df_by_term.where(F.col("term") == term)), "term")
+        p = p.join(self.ix.doclens, "doc_id")
+        score = idf_expr(F.col("df").cast("double"), self.ix.n_docs) * tf_norm_expr(
+            F.col("tf").cast("double"), F.col("dl").cast("double"), self.ix.avgdl
+        )
+        return p.select("doc_id", score.alias("score"))
+
+    def _phrase_scores(self, terms: list[str]) -> DataFrame:
+        if len(terms) == 1:
+            return self._term_scores(terms[0])
+        # join per-term postings on doc_id, then count aligned positions
+        joined = None
+        for i, t in enumerate(terms):
+            p = self.ix.postings.where(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"pos{i}")
+            )
+            joined = p if joined is None else joined.join(p, "doc_id")
+        tf = _phrase_tf([F.col(f"pos{i}") for i in range(len(terms))])
+        cand = joined.withColumn("tf", tf.cast("double")).where(F.col("tf") > 0)
+        # Lucene PhraseQuery: idf = Σ term idfs; tf = phrase frequency
+        dfs = self.df_by_term.where(F.col("term").isin(terms))
+        sum_idf = dfs.agg(
+            F.sum(idf_expr(F.col("df").cast("double"), self.ix.n_docs))
+        ).first()[0]
+        if sum_idf is None:
+            return cand.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+        cand = cand.join(self.ix.doclens, "doc_id")
+        score = F.lit(float(sum_idf)) * tf_norm_expr(
+            F.col("tf"), F.col("dl").cast("double"), self.ix.avgdl
+        )
+        return cand.select("doc_id", score.alias("score"))
+
+    def execute(self, node: QueryNode) -> DataFrame:
+        """Returns (doc_id, score). Boolean scoring: sum of matching clause
+        scores (AND = all required; OR = any; NOT = exclusion, contributes 0)."""
+        if isinstance(node, TermNode):
+            return self._term_scores(node.term)
+        if isinstance(node, PhraseNode):
+            return self._phrase_scores(list(node.terms))
+        if isinstance(node, AndNode):
+            left = self.execute(node.left)
+            right = self.execute(node.right)
+            return (
+                left.alias("l")
+                .join(right.alias("r"), "doc_id")
+                .select("doc_id", (F.col("l.score") + F.col("r.score")).alias("score"))
+            )
+        if isinstance(node, OrNode):
+            left, right = self.execute(node.left), self.execute(node.right)
+            return (
+                left.unionByName(right)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        if isinstance(node, NotNode):
+            pos = self.execute(node.left)
+            neg = self.execute(node.right).select("doc_id")
+            return pos.join(neg, "doc_id", "left_anti")
+        raise TypeError(f"unknown node {node!r}")
+
+
+def bm25_search(
+    index: FtsIndex, query: str, k: int, tie_break_asc: bool = True, round_to: int | None = None
+) -> DataFrame:
+    """T3: parse → execute → ORDER BY score DESC LIMIT k (tantivy.rs:272-274).
+    Ties broken by doc_id for determinism (Tantivy breaks by internal doc id)."""
+    ast = parse_query(query)
+    scored = Bm25Executor(index).execute(ast)
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    order = [F.col("score").desc(), F.col("doc_id").asc() if tie_break_asc else F.col("doc_id").desc()]
+    return scored.orderBy(*order).limit(k)

@@ -1,0 +1,133 @@
+"""FTS / BM25 registry entries (SURVEY.md §2.7 F6–F8, §2.5 T3) over the
+driver's documents table, each paired with a full DuckDB re-derivation of the
+postings + Lucene-BM25 math.
+"""
+
+from __future__ import annotations
+
+from vector_store_spark.functions.text import tokenize, tokenize_sql
+from vector_store_spark.operators.bm25 import bm25_search, build_fts_index
+from vector_store_spark.registry import ROUND, load, register
+
+# Shared oracle CTEs: tokenizer → doclens → postings(+0-based positions) → stats
+_BASE_CTES = f"""
+toks AS (
+  SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents
+),
+doclens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+flat AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS pos FROM toks
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, list(pos ORDER BY pos) AS positions
+  FROM flat GROUP BY doc_id, term
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM doclens),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+term_scores AS (
+  SELECT p.term, p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         (p.tf * 2.2) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM postings p
+  JOIN dfreq d USING (term)
+  JOIN doclens dl USING (doc_id)
+  CROSS JOIN stats s
+)
+"""
+
+
+def _index(spark, sf_dir):
+    return build_fts_index(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "bm25_term",
+    f"""
+WITH {_BASE_CTES}
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM term_scores WHERE term = 'vector'
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "T3/F8: single-term BM25 top-k, Lucene-compatible scoring (tantivy.rs:272-274)",
+)
+def bm25_term(spark, sf_dir):
+    return bm25_search(_index(spark, sf_dir), "vector", 10, round_to=ROUND)
+
+
+@register(
+    "bm25_and",
+    f"""
+WITH {_BASE_CTES}
+SELECT a.doc_id, round(a.score + b.score + c.score, {ROUND}) AS score
+FROM (SELECT doc_id, score FROM term_scores WHERE term = 'table') a
+JOIN (SELECT doc_id, score FROM term_scores WHERE term = 'hash') b USING (doc_id)
+JOIN (SELECT doc_id, score FROM term_scores WHERE term = 'join') c USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "F7: boolean AND — intersection, sum of clause scores",
+)
+def bm25_and(spark, sf_dir):
+    return bm25_search(_index(spark, sf_dir), "table AND hash AND join", 10, round_to=ROUND)
+
+
+@register(
+    "bm25_or_not",
+    f"""
+WITH {_BASE_CTES}
+SELECT doc_id, round(sum(score), {ROUND}) AS score
+FROM term_scores
+WHERE term IN ('vector', 'batch')
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'slow')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "F7: (a OR b) AND NOT c — union-sum scoring with anti-join exclusion",
+)
+def bm25_or_not(spark, sf_dir):
+    return bm25_search(_index(spark, sf_dir), "(vector OR batch) AND NOT slow", 10, round_to=ROUND)
+
+
+@register(
+    "bm25_phrase",
+    f"""
+WITH {_BASE_CTES},
+cand AS (
+  SELECT a.doc_id,
+         len(list_filter(a.positions, p -> list_contains(b.positions, p + 1)))::DOUBLE AS tf
+  FROM (SELECT doc_id, positions FROM postings WHERE term = 'table') a
+  JOIN (SELECT doc_id, positions FROM postings WHERE term = 'hash') b USING (doc_id)
+),
+sum_idf AS (
+  SELECT sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS v
+  FROM dfreq d CROSS JOIN stats s WHERE d.term IN ('table', 'hash')
+)
+SELECT c.doc_id,
+       round(si.v * (c.tf * 2.2) / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), {ROUND}) AS score
+FROM cand c
+JOIN doclens dl USING (doc_id)
+CROSS JOIN stats s CROSS JOIN sum_idf si
+WHERE c.tf > 0
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    'F7: "exact phrase" — positional alignment, Lucene PhraseQuery scoring',
+)
+def bm25_phrase(spark, sf_dir):
+    return bm25_search(_index(spark, sf_dir), '"table hash"', 10, round_to=ROUND)
+
+
+@register(
+    "fts_stats",
+    f"""
+WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents)
+SELECT count(*) AS num_docs, round(avg(len(toks)), {ROUND}) AS avgdl
+FROM toks
+""",
+    "A2: FTS corpus stats (tantivy.rs:303-317)",
+)
+def fts_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(F.size(tokenize("text")).alias("dl")).agg(
+        F.count("*").alias("num_docs"), F.round(F.avg("dl"), ROUND).alias("avgdl")
+    )
