@@ -1,0 +1,101 @@
+"""Deterministic hashing primitives for dedup/fingerprinting, with DuckDB SQL
+twins for oracle parity.
+
+Everything is exact 64-bit integer arithmetic (no engine-specific hash
+functions): a polynomial rolling hash over characters (mod P = 2³¹−1, so
+``h·31 + c`` never overflows int64), and the classic universal-hash family
+``(a·x + b) mod P`` for MinHash. The same constants are emitted into oracle
+SQL, so Spark and DuckDB agree bit-for-bit.
+
+At 100 TB the polynomial hash stays the right tool: it is computed inside
+whole-stage codegen per token (no Python), and unlike xxhash64 it is portable
+across engines for validation. Swap in ``F.xxhash64`` via ``fast=True`` knobs
+when cross-engine checkability is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+POLY_MULT = 31
+
+
+def poly_hash(s: Column | str) -> Column:
+    """Polynomial rolling hash of a string: h = Σ h·31 + ascii(c) (mod 2³¹−1).
+    Runs as a Catalyst ``aggregate`` over the character array — JVM-side."""
+    col = F.col(s) if isinstance(s, str) else s
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_MULT + F.ascii(c)) % F.lit(P31),
+    )
+
+
+def poly_hash_sql(expr: str) -> str:
+    """The identical hash in DuckDB (list_reduce seeds with the first element,
+    so prepend a zero-char sentinel... simpler: fold via list_aggregate is not
+    ordered — use list_reduce over codes with explicit seed emulation)."""
+    # DuckDB list_reduce(list, lambda(acc, x)) uses the first element as seed;
+    # prepend 0 so the fold matches Spark's zero-seeded aggregate.
+    codes = f"list_prepend(CAST(0 AS BIGINT), list_transform(string_split({expr}, ''), c -> CAST(ord(c) AS BIGINT)))"
+    return f"list_reduce({codes}, (acc, c) -> (acc * {POLY_MULT} + c) % {P31})"
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family — same values
+    emitted into oracle SQL."""
+    return [((2 * j + 1) * 104_729 % P31, (j * 7_919 + 1) % P31) for j in range(num_hashes)]
+
+
+def minhash_expr(hash_set: Column, a: int, b: int) -> Column:
+    """min over the set of (a·x + b) mod P. ``hash_set`` is array<long> of
+    element hashes."""
+    return F.array_min(F.transform(hash_set, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P31)))
+
+
+def minhash_sql(hash_set_expr: str, a: int, b: int) -> str:
+    return f"list_min(list_transform({hash_set_expr}, x -> ({a} * x + {b}) % {P31}))"
+
+
+SIMHASH_BITS = 30  # poly_hash yields 31 usable bits; use 30 for clean banding
+
+
+def simhash_expr(token_hashes: Column) -> Column:
+    """SimHash over an array of element hashes (weights = occurrence counts are
+    implicit: duplicate tokens appear multiple times in the array). For each
+    bit i: sum ±1 over elements by bit value; simhash bit = 1 iff sum > 0."""
+    def vote(i: int):
+        # NB: a `i=i` default param would change the lambda's arity and break
+        # Spark's higher-order-function binding — close over i instead
+        return lambda acc, x: acc + F.when(F.shiftright(x, i) % 2 == 1, 1).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(token_hashes, F.lit(0).cast("long"), vote(i)) for i in range(SIMHASH_BITS)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sql(token_hashes_expr: str) -> str:
+    terms = []
+    for i in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({token_hashes_expr}, "
+            f"x -> CASE WHEN (x >> {i}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer hashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def hamming64_sql(a: str, b: str) -> str:
+    return f"bit_count(xor({a}, {b}))"

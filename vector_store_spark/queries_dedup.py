@@ -1,0 +1,160 @@
+"""Deduplication registry entries — each strategy as a correctness-gated query
+over the documents/embeddings tables, with the full pipeline (shingles →
+MinHash → LSH bands → verify) re-derived in oracle SQL.
+
+The synthetic corpus has planted near-duplicates (3-gram Jaccard ≈ 0.99,
+SimHash Hamming ≤ 2) but no byte-identical pairs, so exact dedup runs over a
+simulated re-ingestion (every 10th doc unioned back with shifted ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.functions.hashing import minhash_coeffs, minhash_sql, poly_hash_sql, simhash_sql
+from vector_store_spark.functions.text import tokenize_sql, word_ngrams_sql
+from vector_store_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from vector_store_spark.registry import ROUND, load, register
+
+_TOKS = f"SELECT doc_id AS id, {tokenize_sql('text')} AS toks FROM documents"
+_SETS = (
+    f"SELECT id, list_distinct(list_transform({word_ngrams_sql('toks', 3)}, "
+    f"g -> {poly_hash_sql('g')})) AS hs FROM ({_TOKS})"
+)
+
+
+@register(
+    "dedup_exact",
+    """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(doc_id) AS keep_id, count(*) AS group_size,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM all_docs
+GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+HAVING count(*) > 1
+""",
+    "Exact dedup: hash-groupBy on normalized content (re-ingestion scenario)",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    reingested = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    groups = exact_dedup(docs.unionByName(reingested), "doc_id", "text")
+    return groups.select(
+        "keep_id", "group_size",
+        F.concat_ws(",", F.col("member_ids")).alias("members"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH sets AS ({_SETS}),
+sets2 AS (SELECT id, hs, len(hs) AS sz FROM sets WHERE len(hs) > 0),
+inv AS (SELECT id, sz, unnest(hs) AS h FROM sets2),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS shared
+  FROM inv a JOIN inv b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), {ROUND}) AS jaccard
+FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8
+""",
+    "Exact n-gram Jaccard near-dup via inverted-index join (no cross join)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.withColumn("jaccard", F.round("jaccard", ROUND))
+
+
+_NH, _BANDS, _R = 12, 4, 3
+_COEFFS = minhash_coeffs(_NH)
+_SIG_SQL = "[" + ", ".join(minhash_sql("hs", a, b) for a, b in _COEFFS) + "]"
+_BUCKETS_SQL = ", ".join(
+    "(" + " || '_' || ".join(f"CAST(sig[{bi * _R + j + 1}] AS VARCHAR)" for j in range(_R)) + ")"
+    for bi in range(_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH sets AS ({_SETS}),
+sets2 AS (SELECT id, hs FROM sets WHERE len(hs) > 0),
+sig AS (SELECT id, hs, {_SIG_SQL} AS sig FROM sets2),
+bandrows AS (
+  SELECT id, unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band,
+         unnest([{_BUCKETS_SQL}]) AS bucket
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.hs, sb.hs)) /
+         (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
+  FROM cand JOIN sets2 sa ON sa.id = cand.id_a JOIN sets2 sb ON sb.id = cand.id_b
+)
+SELECT id_a, id_b, round(j, {ROUND}) AS jaccard FROM ver WHERE j >= 0.8
+""",
+    "MinHash+LSH: signature → banded buckets → candidate join → exact verify",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", ROUND))
+
+
+_TH_SQL = f"list_transform(toks, t -> {poly_hash_sql('t')})"
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH fp AS (SELECT id, {simhash_sql(_TH_SQL)} AS f FROM ({_TOKS}))
+SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.f, b.f)) <= 2
+""",
+    "SimHash near-dup: 30-bit fingerprint, banded blocking, Hamming ≤ 2 "
+    "(oracle = exhaustive pairs; banding with max_hamming < bands is lossless)",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=2, bands=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), {ROUND}) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v) /
+      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45
+""",
+    "Embedding-cosine near-dup pairs (exact verify stage)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return pairs.withColumn("cosine", F.round("cosine", ROUND))
