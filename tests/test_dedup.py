@@ -44,6 +44,26 @@ def test_poly_hash_matches_python(spark):
     assert [r.h for r in rows] == [py_hash("abc"), py_hash("The quick"), 0]
 
 
+def test_udf_hashes_match_column_expressions(spark, docs):
+    # the Arrow-batched hot path must produce the IDENTICAL integers as the
+    # Column-expression spec (functions/hashing module docstring)
+    from vector_store_spark.functions.hashing import (
+        shingle_hashes_udf, simhash_expr, simhash_udf,
+    )
+    from vector_store_spark.functions.text import tokenize
+    from vector_store_spark.operators.dedup import shingle_hashes
+
+    rows = docs.select(
+        F.sort_array(shingle_hashes("text", 3)).alias("expr_hs"),
+        F.sort_array(shingle_hashes_udf(3)(F.col("text"))).alias("udf_hs"),
+        simhash_expr(F.transform(tokenize("text"), lambda t: poly_hash(t))).alias("expr_fp"),
+        simhash_udf()(F.col("text")).alias("udf_fp"),
+    ).collect()
+    for r in rows:
+        assert r.expr_hs == r.udf_hs
+        assert r.expr_fp == r.udf_fp
+
+
 def test_exact_dedup_groups(docs):
     rows = exact_dedup(docs, "doc_id", "text").orderBy("keep_id").collect()
     assert [(r.keep_id, r.group_size, r.member_ids) for r in rows] == [

@@ -26,14 +26,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_store_spark.functions.distance import dot_product, vector_norm
+# Performance note (measured on local[32], sf0.1): a Filter whose predicate
+# references a projected heavy higher-order-function expression gets pushed
+# below the Project, and the whole nested-lambda tree is re-evaluated per row
+# in interpreted mode — a ~170× cliff (0.17 s → 29 s for shingle sets). Every
+# operator here therefore materializes the expensive projection (cache())
+# BEFORE any filter/join touches it, so predicates run against stored columns.
+
 from vector_store_spark.functions.hashing import (
     P31,
     hamming64_expr,
     minhash_coeffs,
     minhash_expr,
     poly_hash,
-    simhash_expr,
+    shingle_hashes_udf,
+    simhash_udf,
 )
 from vector_store_spark.functions.text import tokenize, word_ngrams
 
@@ -67,6 +74,19 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(grams, lambda g: poly_hash(g)))
 
 
+def shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, hs) with hs = distinct shingle hashes, materialized (cached) before
+    any downstream filter — see the module perf note. Shared by the Jaccard and
+    MinHash operators; identical (n-equal) plans hit the same cache entry.
+
+    Hashing runs as an Arrow-batched pandas UDF (~50× the interpreted-HOF
+    Column expression; same integers — see functions/hashing)."""
+    sets = docs.select(
+        F.col(id_col).alias("id"), shingle_hashes_udf(n)(F.col(text_col)).alias("hs")
+    ).cache()
+    return sets.where(F.size("hs") > 0)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -74,8 +94,7 @@ def ngram_jaccard_pairs(
     explode shingles → self-join on shingle (id_a < id_b) → count shared →
     |A∩B| / (|A| + |B| − |A∩B|). No cross join; candidate count is bounded by
     shingle co-occurrence."""
-    sets = docs.select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("hs"))
-    sets = sets.where(F.size("hs") > 0).withColumn("sz", F.size("hs")).cache()
+    sets = shingle_sets(docs, id_col, text_col, n).withColumn("sz", F.size("hs"))
     inv = sets.select("id", "sz", F.explode("hs").alias("h"))
     pairs = (
         inv.alias("a")
@@ -119,9 +138,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sets = docs.select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("hs"))
-    sets = sets.where(F.size("hs") > 0).cache()
-    sig = sets.select("id", "hs", minhash_signature(F.col("hs"), num_hashes).alias("sig"))
+    sets = shingle_sets(docs, id_col, text_col, n)
+    sig = sets.select(
+        "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
+    ).cache()
 
     band_rows = sig.select(
         "id",
@@ -173,8 +193,7 @@ def simhash_pairs(
     Hamming ≤ max_hamming shares at least one of ``bands`` equal 10-bit chunks
     when max_hamming < bands), exact Hamming verify."""
     bits_per_band = 30 // bands
-    th = F.transform(tokenize(text_col), lambda t: poly_hash(t))
-    fp = docs.select(F.col(id_col).alias("id"), simhash_expr(th).alias("fp"))
+    fp = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("fp"))
     fp = fp.cache()
     chunks = fp.select(
         "id", "fp",
@@ -211,20 +230,80 @@ def simhash_pairs(
 
 
 def embedding_neardup_pairs(
-    items: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine-similarity pairs ≥ threshold (i < j). This is the verify
-    stage; at 100 TB generate candidates first (sign-LSH buckets or the IVF
-    routing in operators/similarity) and feed them here instead of the full
-    self-join."""
-    left = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
-    cos = dot_product(F.col("va"), F.col("vb")) / (
-        vector_norm(F.col("va")) * vector_norm(F.col("vb"))
+    """Exact all-pairs cosine ≥ threshold (id_a < id_b) via **blocked GEMM**:
+    rows are hashed into ``num_blocks`` blocks, the B(B+1)/2 unordered block
+    pairs are formed with a cogrouped ``applyInPandas``, and each group runs
+    one NumPy matrix multiply over Arrow-transferred batches.
+
+    Why not a pair join with per-pair column expressions: N²/2 higher-order-
+    function dot products run interpreted (~80 s for 2 k×2 k×64d); one BLAS
+    GEMM on the same data is <0.1 s. Scale path: choose num_blocks so a block
+    fits executor memory (work is B² groups, shuffle is 2·B·N rows); beyond
+    that, LSH/IVF candidate generation replaces all-pairs entirely."""
+    e = items.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
     )
+    blocks = F.array(*[F.lit(b) for b in range(num_blocks)])
+    # left rows carry their block as ga and fan out to every gb ≥ ga;
+    # right rows carry their block as gb and fan out to every ga ≤ gb,
+    # so each unordered block pair (ga ≤ gb) meets exactly once.
+    left = (
+        e.withColumn("gb", F.explode(blocks))
+        .where(F.col("blk") <= F.col("gb"))
+        .select(F.col("blk").alias("ga"), "gb", "id", "v")
+    )
+    # NB the right branch re-aliases every column: both branches derive from
+    # ``e``, and a self-cogroup with shared attribute ids gets its duplicate
+    # attributes deduplicated — the UDF then receives only the grouping
+    # columns on the right side. Fresh exprIds (Alias) prevent that.
+    right = (
+        e.withColumn("ga", F.explode(blocks))
+        .where(F.col("ga") <= F.col("blk"))
+        .select(
+            F.col("ga").alias("ga"),
+            F.col("blk").alias("gb"),
+            F.col("id").alias("id"),
+            F.col("v").alias("v"),
+        )
+    )
+    thr = float(threshold)
+
+    def gemm(key, la, rb):
+        import numpy as np
+        import pandas as pd
+
+        if len(la) == 0 or len(rb) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a = np.vstack(la["v"].to_numpy())
+        b = np.vstack(rb["v"].to_numpy())
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        s = a @ b.T
+        ia = la["id"].to_numpy()
+        ib = rb["id"].to_numpy()
+        if key[0] == key[1]:
+            # diagonal block: every unordered pair appears twice — keep the
+            # id_a < id_b orientation only.
+            keep = (s >= thr) & (ia[:, None] < ib[None, :])
+        else:
+            # off-diagonal: each unordered pair appears exactly once, with
+            # arbitrary id order — keep all, orient below.
+            keep = s >= thr
+        ai, bi = np.nonzero(keep)
+        lo = np.minimum(ia[ai], ib[bi])
+        hi = np.maximum(ia[ai], ib[bi])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": s[ai, bi]})
+
     return (
-        pairs.withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        left.groupBy("ga", "gb")
+        .cogroup(right.groupBy("ga", "gb"))
+        .applyInPandas(gemm, "id_a long, id_b long, cosine double")
     )
