@@ -1,0 +1,79 @@
+"""Text-analysis operator tests: langid argmax/tie-break, quality-feature
+math on hand-computable docs, token-count estimators, fingerprint identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.textstats import (
+    fingerprints,
+    langid,
+    quality_features,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was flat"),
+            (2, "el perro corre por la calle y no se detiene"),
+            (3, "der Hund und die Katze sind nicht da"),
+            (4, "xyzzy plugh qwerty"),  # no profile words
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_langid(spark, docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", langid("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "und"
+    assert got[5] == "und"
+
+
+def test_langid_tie_break_name_asc(spark):
+    # "la" is in both es and fr profiles -> tie at 1 -> es wins (name asc)
+    df = spark.createDataFrame([(1, "la zzz")], ["doc_id", "text"])
+    assert df.select(langid("text").alias("l")).first().l == "es"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 ok")], ["doc_id", "text"])
+    r = quality_features(df, "doc_id", "text").first()
+    # chars=19: alpha=12, digits=2, punct(,!)=2
+    assert r.n_chars == 19.0
+    assert r.n_tokens == 4.0  # hello, world, 42, ok
+    assert abs(r.alpha_ratio - 12 / 19) < 1e-9
+    assert abs(r.digit_ratio - 2 / 19) < 1e-9
+    assert abs(r.punct_ratio - 2 / 19) < 1e-9
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_quality_empty_doc_guards(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    r = quality_features(df, "doc_id", "text").first()
+    assert r.n_tokens == 0.0 and r.alpha_ratio == 0.0 and r.stopword_ratio == 0.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "don't stop, 123 go!")], ["doc_id", "text"])
+    r = token_counts(df, "doc_id", "text").first()
+    assert r.ws_tokens == 4
+    # don ' t stop , 1 2 3 go !  (letters-runs, single digits, single symbols)
+    assert r.bpe_tokens == 10
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps!"), (2, "the quick BROWN fox jumps"), (3, "ab")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in fingerprints(df, "doc_id", "text", n=3).collect()}
+    # normalization makes 1 and 2 identical -> same content hash
+    assert rows[1].content_hash == rows[2].content_hash
+    assert rows[1].min_shingle_hash == rows[2].min_shingle_hash
+    assert rows[3].min_shingle_hash is None  # < n tokens -> no shingles

@@ -1,0 +1,154 @@
+"""Text-analysis operators for training-data pipelines: language-ID, quality
+scoring, token counting, and document fingerprinting.
+
+Everything except the rolling-hash fingerprint is built-in Catalyst
+expressions (regex, length arithmetic, array set ops) — JVM-side and
+codegen-friendly; the fingerprint reuses the Arrow-batched polynomial hash
+from functions/hashing (same integers as the oracle SQL).
+
+Scale notes: all four operators are embarrassingly parallel per-row maps with
+no shuffle; the per-source aggregations shuffle once on the group key. At
+100 TB they pipeline behind the parquet scan and the only cost is the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_store_spark.functions.text import ENGLISH_STOPWORDS, tokenize
+
+# Function-word profiles for the n-gram/stopword language-ID heuristic.
+# Small, public, high-frequency word lists per language; zh uses single
+# characters (its "words" after CJK segmentation-by-character).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "von", "zu", "den", "auf", "sich", "auch", "ich", "es", "sie"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+           "was", "on", "with", "as", "at", "by", "this", "are"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "es", "no", "por", "con", "para", "su", "se", "del"),
+    "fr": ("le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+           "que", "qui", "pour", "pas", "sur", "au", "ce", "il"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他", "这", "中",
+           "大", "来", "上", "国", "个", "到", "说", "们"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def langid_scores(text: Column | str) -> list[tuple[str, Column]]:
+    """Per-language score = # tokens (with multiplicity) found in the language
+    profile. Tokens keep stopwords (they ARE the signal here)."""
+    toks = tokenize(text, remove_stopwords=False)
+    out = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        profile = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+        out.append((lang, score))
+    return out
+
+
+def langid(text: Column | str) -> Column:
+    """Predicted language: argmax profile score, ties broken by language name
+    ascending; all-zero scores ⇒ 'und' (undetermined, BCP-47)."""
+    scores = langid_scores(text)
+    # struct comparison: (score, reversed-name) max ⇒ highest score, then
+    # lexicographically smallest language name.
+    best = F.greatest(*[
+        F.struct(s.alias("s"), F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("nk"),
+                 F.lit(lang).alias("lang"))
+        for lang, s in scores
+    ])
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality signals (the classic Gopher/C4-style rule inputs):
+
+    - n_chars, n_tokens, mean_token_len
+    - alpha_ratio: alphabetic chars / chars
+    - punct_ratio: non-alphanumeric-non-space chars / chars
+    - stopword_ratio: stopword tokens / tokens (English list)
+    - digit_ratio: digit chars / chars
+    - uniq_token_ratio: distinct tokens / tokens
+    and a composite [0,1] quality_score.
+    """
+    text = _col(text_col)
+    toks = tokenize(text_col, remove_stopwords=False)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    strip = lambda pat: n_chars - F.length(F.regexp_replace(text, pat, "")).cast("double")
+    alpha = strip("[a-zA-Z]")
+    digit = strip("[0-9]")
+    punct = strip("[^a-zA-Z0-9 ]")
+    stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    guard = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    feats = docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        guard(F.aggregate(F.transform(toks, lambda t: F.length(t).cast("double")),
+                          F.lit(0.0), lambda a, x: a + x), n_tokens).alias("mean_token_len"),
+        guard(alpha, n_chars).alias("alpha_ratio"),
+        guard(punct, n_chars).alias("punct_ratio"),
+        guard(digit, n_chars).alias("digit_ratio"),
+        guard(n_stop, n_tokens).alias("stopword_ratio"),
+        guard(n_uniq, n_tokens).alias("uniq_token_ratio"),
+    )
+    # composite: reward alpha-heavy, stopword-bearing, lexically diverse text
+    # of reasonable length; penalize punctuation soup. Clamped to [0,1].
+    score = (
+        0.3 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.25 * F.col("alpha_ratio")
+        + 0.2 * F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+        + 0.25 * F.col("uniq_token_ratio")
+        - 0.5 * F.col("punct_ratio")
+    )
+    return feats.withColumn(
+        "quality_score", F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+    )
+
+
+# BPE-ish pre-tokenization: word pieces OR single non-space symbols — the
+# GPT-2/tiktoken-style pretoken split, a good proxy for LLM token counts.
+BPE_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pretoken count per document (the two
+    standard 'how big is this corpus in tokens' estimators)."""
+    text = _col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(text, r"\s+"), lambda t: t != "")).alias("ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_PRETOKEN_RE)).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Document fingerprints: full-content rolling hash (exact-dup key) and
+    the min shingle hash (a 1-wide MinHash, the winnowing primitive)."""
+    from vector_store_spark.functions.hashing import shingle_hashes_udf
+    from vector_store_spark.operators.dedup import normalized_text
+
+    from pyspark.sql.types import LongType
+    import pandas as pd
+
+    from vector_store_spark.functions.hashing import _py_poly_hash
+
+    def content_hash(texts):
+        return pd.Series([_py_poly_hash(t or "") for t in texts], dtype="int64")
+
+    content_udf = F.pandas_udf(content_hash, LongType())
+    hs = shingle_hashes_udf(n)(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        content_udf(normalized_text(text_col)).alias("content_hash"),
+        F.array_min(hs).alias("min_shingle_hash"),
+    )

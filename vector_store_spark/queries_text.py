@@ -1,0 +1,151 @@
+"""Text-analysis registry entries: language-ID, quality scoring, token
+counting, fingerprinting — each over the documents table with a full DuckDB
+re-derivation as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.functions.hashing import P31, POLY_MULT, poly_hash_sql
+from vector_store_spark.functions.text import ENGLISH_STOPWORDS, tokenize_sql
+from vector_store_spark.operators.textstats import (
+    BPE_PRETOKEN_RE,
+    LANG_PROFILES,
+    fingerprints,
+    langid,
+    quality_features,
+    token_counts,
+)
+from vector_store_spark.registry import ROUND, load, register
+
+_TOKS_KEEP_STOP = tokenize_sql("text", remove_stopwords=False)
+
+
+def _profile_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return f"len(list_filter({_TOKS_KEEP_STOP}, t -> list_contains([{words}], t)))"
+
+
+_LANGS = sorted(LANG_PROFILES)
+_SCORES = ", ".join(f"{_profile_sql(lang)} AS s_{lang}" for lang in _LANGS)
+_MX = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+_PRED = (
+    "CASE WHEN " + _MX + " = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = {_MX} THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+
+@register(
+    "text_langid_dist",
+    f"""
+WITH scored AS (SELECT doc_id, {_SCORES} FROM documents),
+pred AS (SELECT doc_id, {_PRED} AS pred_lang FROM scored)
+SELECT pred_lang, count(*) AS n_docs FROM pred GROUP BY pred_lang
+""",
+    "Language-ID (function-word profile argmax, name-asc tie-break) distribution",
+)
+def text_langid_dist(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(langid("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_KEEP_STOP} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, n_chars,
+    CAST(len(toks) AS DOUBLE) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) ELSE 0.0 END AS mean_token_len,
+    CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n_chars ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars ELSE 0.0 END AS digit_ratio,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains([{_STOP_LIST}], t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS uniq_token_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(mean_token_len, {ROUND}) AS mean_token_len,
+       round(alpha_ratio, {ROUND}) AS alpha_ratio,
+       round(punct_ratio, {ROUND}) AS punct_ratio,
+       round(digit_ratio, {ROUND}) AS digit_ratio,
+       round(stopword_ratio, {ROUND}) AS stopword_ratio,
+       round(uniq_token_ratio, {ROUND}) AS uniq_token_ratio,
+       round(greatest(least(
+         0.3 * least(n_tokens / 50.0, 1.0) + 0.25 * alpha_ratio
+         + 0.2 * least(stopword_ratio * 4.0, 1.0) + 0.25 * uniq_token_ratio
+         - 0.5 * punct_ratio, 1.0), 0.0), {ROUND}) AS quality_score
+FROM f
+""",
+    "Per-document quality features + composite score (Gopher/C4-style signals)",
+)
+def text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(docs, "doc_id", "text")
+    ratio_cols = [c for c in feats.columns if c.endswith(("_ratio", "_len", "_score"))]
+    out = feats
+    for c in ratio_cols:
+        out = out.withColumn(c, F.round(c, ROUND))
+    return out
+
+
+@register(
+    "text_token_counts",
+    f"""
+SELECT source,
+       sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))) AS bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+""",
+    "Corpus token counting per source: whitespace + BPE-ish pretoken estimators",
+)
+def text_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    counts = token_counts(docs, "doc_id", "text")
+    return (
+        counts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = tokenize_sql("text")
+_GRAMS3 = (
+    "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+
+
+@register(
+    "text_fingerprint",
+    f"""
+WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, norm, {_GRAMS3} AS grams FROM t)
+SELECT doc_id,
+       {poly_hash_sql('norm')} AS content_hash,
+       list_min(list_transform(grams, g -> {poly_hash_sql('g')})) AS min_shingle_hash
+FROM g
+""",
+    "Document fingerprints: rolling content hash + min shingle hash (winnowing primitive)",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return fingerprints(docs, "doc_id", "text", n=3)
