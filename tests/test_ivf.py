@@ -1,0 +1,55 @@
+"""IVF ANN tests: assignment argmax + tie-break, probe ranking, nprobe=K
+equivalence with brute force (recall=1), recall monotonicity in nprobe."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.ivf import ivf_assign, ivf_centroids, ivf_probe, ivf_topk
+from vector_store_spark.operators.topk import ann_topk
+from vector_store_spark.registry import det_query_vector
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_assignment_is_nearest_centroid(spark):
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r.cluster for r in ivf_assign(df, "vec_id", "embedding", cents).collect()}
+    assert got[10] == 0 and got[11] == 1
+    assert got[12] == 0  # exact tie -> smallest cid
+
+
+def test_probe_ranking():
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])]
+    assert ivf_probe(cents, [1.0, 0.05], 2) == [0, 2]
+    assert ivf_probe(cents, [0.0, 1.0], 1) == [1]
+
+
+def test_nprobe_full_equals_brute_force(emb):
+    q = det_query_vector(7, 64)
+    brute = ann_topk(emb, "embedding", q, 10, tie_break=["vec_id"],
+                     select_cols=["vec_id"], round_to=9)
+    ivf = ivf_topk(emb, "vec_id", "embedding", q, 10,
+                   k_centroids=8, nprobe=8, select_cols=["vec_id"], round_to=9)
+    assert [r.vec_id for r in ivf.collect()] == [r.vec_id for r in brute.collect()]
+
+
+def test_recall_monotone_in_nprobe(emb):
+    q = det_query_vector(13, 64)
+    truth = {r.vec_id for r in
+             ann_topk(emb, "embedding", q, 10, tie_break=["vec_id"],
+                      select_cols=["vec_id"]).collect()}
+    recalls = []
+    for nprobe in (1, 4, 8):
+        got = {r.vec_id for r in
+               ivf_topk(emb, "vec_id", "embedding", q, 10, k_centroids=8,
+                        nprobe=nprobe, select_cols=["vec_id"]).collect()}
+        recalls.append(len(got & truth) / 10)
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # nprobe=K scans everything

@@ -1,0 +1,110 @@
+"""IVF (inverted-file) approximate nearest neighbor — the scale path beyond
+brute-force top-k (SURVEY.md §2.9: the strategy interface's 'ivf' engine;
+reference counterpart: the pluggable VsIndexFactory engines,
+crates/vector-store/src/vs_index/factory.rs:1-37).
+
+Structure:
+  build:  pick K centroids → assign every vector to its nearest centroid
+          (one Arrow-batched GEMM pass, no shuffle) → at scale, write the
+          index ``partitionBy("cluster")`` so probes prune parquet partitions.
+  search: rank centroids against the query (driver-side, K is metadata-sized),
+          take the top ``nprobe`` clusters, exact top-k over only those
+          clusters — Catalyst turns the cluster filter into partition pruning.
+
+Centroid choice here is deterministic (the K smallest ids) so the whole
+algorithm — assignment, probe, ranking — is reproducible in oracle SQL.
+At 100 TB you would swap in MLlib KMeans sampled centroids behind the same
+two functions; everything downstream is unchanged.
+
+Recall is governed by nprobe/K exactly as in FAISS-style IVF-Flat: the
+candidate set is the union of the nprobe nearest clusters, and the final
+ranking within candidates is exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from vector_store_spark.operators.topk import ann_topk
+from vector_store_spark.types import SpaceType
+
+
+def ivf_centroids(items: DataFrame, id_col: str, vec_col: str, k: int) -> list:
+    """Deterministic seed centroids: the K rows with smallest id. Returns
+    [(cid, vector)] sorted by cid — metadata-sized, safe to hold on the
+    driver (the same role as an ANN index's centroid table)."""
+    rows = (
+        items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(k)
+        .collect()
+    )
+    return [(r.cid, [float(x) for x in r.cv]) for r in rows]
+
+
+def ivf_assign(
+    items: DataFrame, id_col: str, vec_col: str, centroids: list
+) -> DataFrame:
+    """items + ``cluster`` column = argmax cosine(v, centroid), ties broken by
+    smallest cid. One numpy GEMM per Arrow batch; at scale this is a map-only
+    stage pipelined behind the scan."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def assign(vecs):
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        sims = (v @ cmat.T) / (np.linalg.norm(v, axis=1, keepdims=True) * cnorm[None, :])
+        # argmax returns the first (lowest index) max; centroids are sorted by
+        # cid, so ties resolve to the smallest cid — same as the oracle's
+        # ORDER BY sim DESC, cid.
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    assign_udf = F.pandas_udf(assign, LongType())
+    return items.withColumn("cluster", assign_udf(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_probe(centroids: list, query: list[float], nprobe: int) -> list[int]:
+    """The nprobe cluster ids nearest (cosine) to the query; sim DESC, cid ASC."""
+    qn = math.sqrt(sum(x * x for x in query))
+
+    def sim(cv):
+        dot = sum(x * y for x, y in zip(cv, query))
+        n = math.sqrt(sum(x * x for x in cv))
+        return dot / (n * qn) if n * qn else 0.0
+
+    ranked = sorted(((sim(cv), -cid) for cid, cv in centroids), reverse=True)
+    return [-ncid for _, ncid in ranked[:nprobe]]
+
+
+def ivf_topk(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    space: SpaceType = SpaceType.COSINE,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Build-and-search in one call (batch-engine shape: the 'index' is the
+    assigned DataFrame; a persisted deployment would write it partitioned by
+    cluster and reuse it across queries)."""
+    cents = ivf_centroids(items, id_col, vec_col, k_centroids)
+    assigned = ivf_assign(items, id_col, vec_col, cents)
+    probes = ivf_probe(cents, query, nprobe)
+    candidates = assigned.where(F.col("cluster").isin(probes))
+    return ann_topk(
+        candidates, vec_col, query, k,
+        space=space, tie_break=[id_col],
+        select_cols=select_cols or [id_col], round_to=round_to,
+    )

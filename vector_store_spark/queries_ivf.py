@@ -1,0 +1,82 @@
+"""IVF ANN registry entries: the build artifact (cluster assignment sizes) and
+the probe-search query, each re-derived in oracle SQL so the driver checks the
+*algorithm* (assignment argmax, probe ranking, candidate top-k), not just the
+output shape. Recall vs. brute force is a bench metric, not a correctness one.
+"""
+
+from __future__ import annotations
+
+from vector_store_spark.operators.ivf import ivf_assign, ivf_centroids, ivf_topk
+from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
+
+K_CENTROIDS = 16
+NPROBE = 4
+Q7 = det_query_vector(7, 64)
+
+# assignment CTEs shared by both oracles: centroids = K smallest vec_ids;
+# every vector goes to argmax cosine (ties -> smallest cid), exactly as
+# operators/ivf.ivf_assign computes with its ordered argmax.
+_ASG = f"""
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {K_CENTROIDS}),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(v, cv) /
+         (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "ivf_build_stats",
+    f"WITH {_ASG} SELECT cid AS cluster, count(*) AS n_vectors FROM asg GROUP BY cid",
+    "IVF build: per-cluster inverted-list sizes (assignment checked end-to-end)",
+)
+def ivf_build_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "vec_id", "embedding", K_CENTROIDS)
+    assigned = ivf_assign(emb, "vec_id", "embedding", cents)
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH {_ASG},
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "IVF-Flat ANN: probe nprobe nearest clusters, exact top-k within candidates",
+)
+def ann_ivf_topk(spark, sf_dir):
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", Q7, 10,
+        k_centroids=K_CENTROIDS, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )

@@ -72,6 +72,14 @@ def all_queries() -> dict[str, QuerySpec]:
         from vector_store_spark import queries_text  # noqa: F401
     except ImportError:
         pass
+    try:
+        from vector_store_spark import queries_ivf  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from vector_store_spark import queries_multimodal  # noqa: F401
+    except ImportError:
+        pass
     return dict(_REGISTRY)
 
 
