@@ -1,0 +1,80 @@
+"""Multimodal plumbing tests: container round-trip, poison-blob tolerance,
+resize math, frame fan-out shape, codec stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.multimodal import (
+    HEADER_LEN,
+    MAGIC,
+    decode_meta,
+    decode_real,
+    fake_dims,
+    frame_sample,
+    resize_plan,
+    synth_assets,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.createDataFrame(
+        [(0, "x" * 100), (1, "y" * 800), (2, "z" * 1000), (3, ""), (5, "v" * 300)],
+        ["doc_id", "text"],
+    )
+    return synth_assets(docs)
+
+
+def test_container_roundtrip(assets):
+    rows = {r.doc_id: r for r in decode_meta(assets).collect()}
+    assert rows[0].modality == "image" and rows[1].modality == "audio" and rows[2].modality == "video"
+    w, h = fake_dims(0)
+    assert (rows[0].width, rows[0].height) == (w, h)
+    assert rows[1].payload_bytes == 800
+    assert rows[1].duration_ms == 100.0  # 800 bytes @ 8kHz
+    assert rows[2].n_frames == 4  # ceil(1000/256)
+    assert all(r.valid for r in rows.values())
+
+
+def test_poison_blob_yields_invalid_not_exception(spark):
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"NOPE123456789")), (2, "image", bytearray(b"")),
+         (3, "image", None)],
+        "doc_id long, modality string, content binary",
+    )
+    rows = decode_meta(bad).collect()
+    assert [r.valid for r in rows] == [False, False, False]
+
+
+def test_resize_plan_math(spark):
+    decoded = spark.createDataFrame(
+        [(1, "image", 32, 48, 0, 0.0, 0, True),
+         (2, "image", 128, 96, 0, 0.0, 0, True),
+         (3, "video", 128, 96, 0, 0.0, 1, True)],
+        "doc_id long, modality string, width int, height int, "
+        "payload_bytes long, duration_ms double, n_frames int, valid boolean",
+    )
+    rows = {r.doc_id: r for r in resize_plan(decoded, box=64).collect()}
+    assert (rows[1].new_width, rows[1].new_height) == (32, 48)  # fits, unchanged
+    assert (rows[2].new_width, rows[2].new_height) == (64, 48)  # 128x96 -> 64x48
+    assert 3 not in rows  # non-image filtered
+
+
+def test_frame_sample_fanout(assets):
+    rows = frame_sample(assets, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: 1000 bytes -> 4 frames -> sampled 0, 2
+    idx = sorted(r.frame_idx for r in by_doc[2])
+    assert idx == [0, 2]
+    last = max(by_doc[2], key=lambda r: r.frame_idx)
+    assert last.byte_offset == HEADER_LEN + 2 * 256
+    assert last.frame_bytes == 256
+    # doc 5: 300 bytes -> 2 frames -> sampled 0 only; short tail frame exists at idx 1
+    assert sorted(r.frame_idx for r in by_doc[5]) == [0]
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(MAGIC + b"\0" * 20)

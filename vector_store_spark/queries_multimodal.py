@@ -1,0 +1,96 @@
+"""Multimodal registry entries. The Spark side round-trips real bytes —
+synthesize container blobs, mapInPandas-decode them, aggregate typed metadata;
+the oracle re-derives every value from doc_id/text alone. A PASS therefore
+proves the binary encode→decode plumbing, not just the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.multimodal import (
+    AUDIO_RATE,
+    FRAME_BYTES,
+    HEADER_LEN,
+    decode_meta,
+    frame_sample,
+    resize_plan,
+    synth_assets,
+)
+from vector_store_spark.registry import ROUND, load, register
+
+# oracle-side fake-container model (must mirror operators/multimodal exactly)
+_MODALITY = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+_W = "16 + doc_id % 48"
+_H = "16 + (doc_id * 7) % 48"
+_PAYLOAD = "length(text)"  # ASCII corpus: chars == utf-8 bytes
+
+
+@register(
+    "mm_catalog",
+    f"""
+WITH a AS (
+  SELECT doc_id, {_MODALITY} AS modality, {_PAYLOAD} AS payload FROM documents
+)
+SELECT modality,
+       count(*) AS n_assets,
+       sum(payload) AS total_payload_bytes,
+       sum(CASE WHEN modality = 'video' THEN CAST(ceil(payload / {FRAME_BYTES}.0) AS INT) ELSE 0 END) AS total_frames,
+       round(sum(CASE WHEN modality = 'audio' THEN payload * 1000.0 / {AUDIO_RATE} ELSE 0 END), {ROUND}) AS total_duration_ms
+FROM a GROUP BY modality
+""",
+    "Multimodal catalog: binary assets decoded (mapInPandas) -> typed metadata rollup",
+)
+def mm_catalog(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_meta(synth_assets(docs))
+    return (
+        decoded.where("valid")
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("payload_bytes").alias("total_payload_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+            F.round(F.sum("duration_ms"), ROUND).alias("total_duration_ms"),
+        )
+    )
+
+
+@register(
+    "mm_resize_plan",
+    f"""
+WITH img AS (
+  SELECT doc_id, {_W} AS w, {_H} AS h FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, w AS width, h AS height,
+       CASE WHEN greatest(w, h) <= 64 THEN w
+            ELSE CAST(floor(w * 64 / greatest(w, h)) AS INT) END AS new_width,
+       CASE WHEN greatest(w, h) <= 64 THEN h
+            ELSE CAST(floor(h * 64 / greatest(w, h)) AS INT) END AS new_height
+FROM img
+""",
+    "Image resize targets: decode header dims from bytes, aspect-fit into 64px box",
+)
+def mm_resize_plan(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return resize_plan(decode_meta(synth_assets(docs)), box=64)
+
+
+@register(
+    "mm_frame_sample",
+    f"""
+WITH v AS (
+  SELECT doc_id, {_PAYLOAD} AS n,
+         CAST(ceil({_PAYLOAD} / {FRAME_BYTES}.0) AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       {HEADER_LEN} + fi * {FRAME_BYTES} AS byte_offset,
+       CAST(least({FRAME_BYTES}, n - fi * {FRAME_BYTES}) AS INT) AS frame_bytes
+FROM v, unnest(range(0, n_frames, 4)) AS t(fi)
+""",
+    "Video frame sampling: 1-to-N mapInPandas fan-out, every 4th frame's byte extent",
+)
+def mm_frame_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return frame_sample(synth_assets(docs), every_n=4)
