@@ -1,0 +1,110 @@
+"""Quantization registry entries (reference: quantization index option +
+rescoring CQL option, crates/validator/src/quantization_and_rescoring.rs):
+
+- B1 sign binarization: Spark genuinely bit-packs (array<tinyint>, MSB-first)
+  and scores with popcount(xor); the oracle computes the same Hamming count
+  semantically over sign bits — a PASS proves the pack/popcount round-trip.
+- i8 + rescoring: candidates ranked by quantized dot product, then the
+  survivor set re-ranked at full precision (rescoring=true semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.functions.distance import cosine_distance, vector_lit
+from vector_store_spark.functions.quantize import (
+    b1_pack,
+    dequantize_i8,
+    hamming_packed,
+    quantize_i8,
+)
+from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
+
+DIMS = 64
+Q7 = det_query_vector(7, DIMS)
+Q13 = det_query_vector(13, DIMS)
+
+_SIGN_HAMMING = (
+    "list_sum(list_transform(list_zip(e, {q}), "
+    "p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END))"
+)
+
+
+@register(
+    "ann_hamming_b1_topk",
+    f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         CAST({_SIGN_HAMMING.format(q=sql_vec(Q7))} AS DOUBLE) AS distance
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+SELECT vec_id, label, distance,
+       round(1.0 - distance / {DIMS}, {ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "B1 quantization: sign bit-pack (MSB-first bytes) + popcount-XOR Hamming top-k",
+)
+def ann_hamming_b1_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qpacked = vector_lit(Q7)
+    packed = emb.select(
+        "vec_id", "label", b1_pack(F.col("embedding").cast("array<double>")).alias("pb")
+    )
+    out = packed.withColumn("distance", hamming_packed("pb", b1_pack(qpacked)))
+    return (
+        out.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id", "label", "distance",
+            F.round(F.lit(1.0) - F.col("distance") / DIMS, ROUND).alias("similarity"),
+        )
+    )
+
+
+_I8 = "list_transform(e, x -> greatest(-127, least(127, CAST(round(x * 127) AS INT))) / 127.0)"
+_CAND = 30
+
+
+@register(
+    "ann_i8_rescored_topk",
+    f"""
+WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT {_I8.replace("(e,", f"({sql_vec(Q13)},")} AS qi),
+quant AS (
+  SELECT vec_id, label, e,
+         1.0 - list_inner_product({_I8}, (SELECT qi FROM q)) AS qdist
+  FROM base
+),
+cand AS (
+  SELECT * FROM quant ORDER BY qdist, vec_id LIMIT {_CAND}
+)
+SELECT vec_id, label,
+       round(1.0 - list_inner_product(e, {sql_vec(Q13)}) /
+             (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({sql_vec(Q13)}, {sql_vec(Q13)}))), {ROUND}) AS distance
+FROM cand
+ORDER BY distance, vec_id LIMIT 10
+""",
+    "i8 quantization + rescoring: quantized-dot candidates, full-precision re-rank",
+)
+def ann_i8_rescored_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    qi8 = dequantize_i8(quantize_i8(vector_lit(Q13)))
+    vi8 = dequantize_i8(quantize_i8(e))
+    from vector_store_spark.functions.distance import dot_product
+
+    quant = emb.select(
+        "vec_id", "label", F.col("embedding"),
+        (F.lit(1.0) - dot_product(vi8, qi8)).alias("qdist"),
+    )
+    cand = quant.orderBy(F.col("qdist").asc(), F.col("vec_id").asc()).limit(_CAND)
+    rescored = cand.withColumn(
+        "distance",
+        F.round(cosine_distance(F.col("embedding").cast("array<double>"), vector_lit(Q13)), ROUND),
+    )
+    return (
+        rescored.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", "distance")
+    )

@@ -80,6 +80,10 @@ def all_queries() -> dict[str, QuerySpec]:
         from vector_store_spark import queries_multimodal  # noqa: F401
     except ImportError:
         pass
+    try:
+        from vector_store_spark import queries_quantize  # noqa: F401
+    except ImportError:
+        pass
     return dict(_REGISTRY)
 
 
