@@ -26,6 +26,17 @@ def docs(spark):
     )
 
 
+def test_tokens_udf_matches_tokenize_expr(spark, sf_dir):
+    from vector_store_spark.functions.text import tokenize, tokens_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select(
+        tokenize("text").alias("expr_toks"),
+        tokens_udf()(F.col("text")).alias("udf_toks"),
+    ).collect()
+    assert all(r.expr_toks == r.udf_toks for r in rows)
+
+
 def test_langid(spark, docs):
     got = {r.doc_id: r.lang for r in docs.select("doc_id", langid("text").alias("lang")).collect()}
     assert got[1] == "en"

@@ -46,6 +46,30 @@ def tokenize_sql(text_expr: str, remove_stopwords: bool = True) -> str:
     return base
 
 
+def tokens_udf(remove_stopwords: bool = True):
+    """Arrow-batched twin of ``tokenize`` (identical token streams, verified in
+    tests). Catalyst higher-order functions run interpreted (~ms/doc); use this
+    in build hot paths (FTS postings, shingles) where every doc is tokenized."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    import re
+
+    pat = re.compile(TOKEN_SPLIT_RE)
+    stop = set(ENGLISH_STOPWORDS) if remove_stopwords else ()
+
+    def batch(texts):
+        return pd.Series(
+            [
+                [t for t in pat.split((x or "").lower()) if t and t not in stop]
+                for x in texts
+            ]
+        )
+
+    return F.pandas_udf(batch, ArrayType(StringType()))
+
+
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Word-level n-grams ('shingles') as space-joined strings; empty array when
     the document has fewer than n tokens. (NB Spark sequence(1,0) would yield a

@@ -29,7 +29,6 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_store_spark.functions.text import tokenize
 from vector_store_spark.plans.fts_query import (
     AndNode, NotNode, OrNode, PhraseNode, QueryNode, TermNode, parse_query,
 )
@@ -47,6 +46,7 @@ class FtsIndex:
     n_docs: int
     avgdl: float
     id_col: str
+    df_by_term: DataFrame  # term, df — per-term document frequency (cached)
 
     def stats(self) -> dict:
         """A2: num_docs + size stats (tantivy.rs:303-317)."""
@@ -54,9 +54,12 @@ class FtsIndex:
 
 
 def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
-    """Tokenize once, posexplode to (term, doc, position), aggregate postings.
-    One shuffle on (term, doc_id); postings stay partitioned by term."""
-    toks = docs.select(id_col, tokenize(text_col).alias("toks"))
+    """Tokenize once (Arrow-batched), posexplode to (term, doc, position),
+    aggregate postings. One shuffle on (term, doc_id); postings stay
+    partitioned by term."""
+    from vector_store_spark.functions.text import tokens_udf
+
+    toks = docs.select(id_col, tokens_udf()(F.col(text_col)).alias("toks"))
     doclens = toks.select(id_col, F.size("toks").alias("dl")).cache()
     exploded = toks.select(id_col, F.posexplode("toks").alias("pos", "term"))
     postings = (
@@ -67,7 +70,11 @@ def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     )
     n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
-    return FtsIndex(postings, doclens.withColumnRenamed(id_col, "doc_id"), int(n_docs), avgdl, id_col)
+    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
+    return FtsIndex(
+        postings, doclens.withColumnRenamed(id_col, "doc_id"),
+        int(n_docs), avgdl, id_col, df_by_term,
+    )
 
 
 def idf_expr(df_col: Column, n_docs: int) -> Column:
@@ -100,8 +107,9 @@ class Bm25Executor:
 
     def __init__(self, index: FtsIndex):
         self.ix = index
-        # per-term document frequency — tiny, broadcast into term lookups
-        self.df_by_term = index.postings.groupBy("term").agg(F.count("*").alias("df"))
+        # per-term document frequency — tiny, cached at build, broadcast into
+        # term lookups
+        self.df_by_term = index.df_by_term
 
     def _term_scores(self, term: str) -> DataFrame:
         p = self.ix.postings.where(F.col("term") == term)
