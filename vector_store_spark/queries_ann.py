@@ -131,6 +131,28 @@ def knn_batch(spark, sf_dir):
 
 
 @register(
+    "alternator_ann_topk",
+    _topk_sql(_cos_sql(sql_vec(Q13)), "(2.0 - distance) / 2.0", 10),
+    "S6: Alternator ':attrs' map scan — 0x05-tagged BE-f32 blob decode, then ANN "
+    "(oracle scores the raw vectors: a PASS proves the encode->decode byte round-trip)",
+)
+def alternator_ann_topk(spark, sf_dir):
+    from vector_store_spark.functions.alternator import attrs_vector, encode_vector_udf
+
+    emb = load(spark, sf_dir, "embeddings")
+    attrs_tbl = emb.select(
+        "vec_id", "label",
+        F.create_map(F.lit("v"), encode_vector_udf()(F.col("embedding"))).alias("attrs"),
+    )
+    decoded = attrs_tbl.withColumn("embedding", attrs_vector("attrs", "v", dims=64))
+    return ann_topk(
+        decoded, "embedding", Q13, 10,
+        space=SpaceType.COSINE, tie_break=["vec_id"],
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+@register(
     "agg_label_counts",
     "SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label ORDER BY label",
     "A1/A3: per-partition index size counters (usearch.rs:1020-1049, table/mod.rs:112-158)",
