@@ -3,6 +3,21 @@ reference's 2-row quick-start example (docs/examples/quick-start.cql)."""
 
 import numpy as np
 import pytest
+
+
+def test_gemm_path_equals_expression_path(spark, sf_dir):
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.registry import det_query_vector
+    from vector_store_spark.types import SpaceType
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = det_query_vector(3, 64)
+    for space in (SpaceType.COSINE, SpaceType.EUCLIDEAN, SpaceType.DOT_PRODUCT):
+        a = ann_topk(emb, "embedding", q, 12, space=space, tie_break=["vec_id"],
+                     select_cols=["vec_id"], round_to=6, gemm=True).collect()
+        b = ann_topk(emb, "embedding", q, 12, space=space, tie_break=["vec_id"],
+                     select_cols=["vec_id"], round_to=6, gemm=False).collect()
+        assert [(r.vec_id, r.distance) for r in a] == [(r.vec_id, r.distance) for r in b], space
 from pyspark.sql import functions as F
 
 from vector_store_spark.operators.topk import ann_topk, knn_join
