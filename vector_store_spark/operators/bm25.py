@@ -112,9 +112,11 @@ class Bm25Executor:
         self.df_by_term = index.df_by_term
 
     def _term_scores(self, term: str) -> DataFrame:
+        # term-filtered postings are one inverted list — broadcast them against
+        # the (corpus-sized) doclens table instead of sort-merge-joining
         p = self.ix.postings.where(F.col("term") == term)
         p = p.join(F.broadcast(self.df_by_term.where(F.col("term") == term)), "term")
-        p = p.join(self.ix.doclens, "doc_id")
+        p = self.ix.doclens.join(F.broadcast(p), "doc_id")
         score = idf_expr(F.col("df").cast("double"), self.ix.n_docs) * tf_norm_expr(
             F.col("tf").cast("double"), F.col("dl").cast("double"), self.ix.avgdl
         )
@@ -129,7 +131,7 @@ class Bm25Executor:
             p = self.ix.postings.where(F.col("term") == t).select(
                 "doc_id", F.col("positions").alias(f"pos{i}")
             )
-            joined = p if joined is None else joined.join(p, "doc_id")
+            joined = p if joined is None else joined.join(F.broadcast(p), "doc_id")
         tf = _phrase_tf([F.col(f"pos{i}") for i in range(len(terms))])
         cand = joined.withColumn("tf", tf.cast("double")).where(F.col("tf") > 0)
         # Lucene PhraseQuery: idf = Σ term idfs; tf = phrase frequency
@@ -139,7 +141,7 @@ class Bm25Executor:
         ).first()[0]
         if sum_idf is None:
             return cand.select("doc_id", F.lit(0.0).alias("score")).limit(0)
-        cand = cand.join(self.ix.doclens, "doc_id")
+        cand = self.ix.doclens.join(F.broadcast(cand), "doc_id")
         score = F.lit(float(sum_idf)) * tf_norm_expr(
             F.col("tf"), F.col("dl").cast("double"), self.ix.avgdl
         )
@@ -157,7 +159,7 @@ class Bm25Executor:
             right = self.execute(node.right)
             return (
                 left.alias("l")
-                .join(right.alias("r"), "doc_id")
+                .join(F.broadcast(right.alias("r")), "doc_id")
                 .select("doc_id", (F.col("l.score") + F.col("r.score")).alias("score"))
             )
         if isinstance(node, OrNode):
@@ -170,7 +172,7 @@ class Bm25Executor:
         if isinstance(node, NotNode):
             pos = self.execute(node.left)
             neg = self.execute(node.right).select("doc_id")
-            return pos.join(neg, "doc_id", "left_anti")
+            return pos.join(F.broadcast(neg), "doc_id", "left_anti")
         raise TypeError(f"unknown node {node!r}")
 
 
