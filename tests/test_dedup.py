@@ -118,6 +118,22 @@ def test_simhash_blocking_is_lossless(spark, docs):
     assert {(r.id_a, r.id_b) for r in banded} == {(r.id_a, r.id_b) for r in brute}
 
 
+def test_embedding_neardup_lsh_finds_gemm_pairs(spark, sf_dir):
+    # LSH candidate gen + exact verify must surface the strong pairs the
+    # exhaustive blocked-GEMM path finds (near-identical vectors share all
+    # band buckets with overwhelming probability)
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           embedding_neardup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.45).collect()}
+    assert lsh <= exact  # precision 1 (exact verify)
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3  # S-curve recall at cos>=0.45 is partial
+
+
 def test_embedding_neardup(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],

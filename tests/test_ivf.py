@@ -40,6 +40,34 @@ def test_nprobe_full_equals_brute_force(emb):
     assert [r.vec_id for r in ivf.collect()] == [r.vec_id for r in brute.collect()]
 
 
+def test_lsh_bucket_match_and_recall(emb):
+    from vector_store_spark.operators.lsh import lsh_hyperplanes, lsh_topk
+    from vector_store_spark.registry import det_query_vector
+
+    q = det_query_vector(7, 64)
+    truth = {r.vec_id for r in
+             ann_topk(emb, "embedding", q, 10, tie_break=["vec_id"],
+                      select_cols=["vec_id"]).collect()}
+    got = lsh_topk(emb, "vec_id", "embedding", q, 10, num_bits=16, bands=4,
+                   select_cols=["vec_id"]).collect()
+    assert len(got) == 10
+    # LSH with 4 bands of 4 bits: near vectors collide with high probability;
+    # require non-trivial recall on the synthetic corpus (deterministic setup)
+    recall = len({r.vec_id for r in got} & truth) / 10
+    assert recall >= 0.5
+
+
+def test_lsh_query_is_own_nearest_candidate(spark):
+    from vector_store_spark.operators.lsh import lsh_topk
+
+    # a vector always shares all bands with itself -> always a candidate
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    target = rows[13][1]
+    got = lsh_topk(df, "vec_id", "embedding", target, 1, num_bits=8, bands=2)
+    assert got.first().vec_id in {i for i, v in rows if v == target}
+
+
 def test_recall_monotone_in_nprobe(emb):
     q = det_query_vector(13, 64)
     truth = {r.vec_id for r in

@@ -307,3 +307,63 @@ def embedding_neardup_pairs(
         .cogroup(right.groupBy("ga", "gb"))
         .applyInPandas(gemm, "id_a long, id_b long, cosine double")
     )
+
+
+def embedding_neardup_pairs_lsh(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Sign-LSH candidate generation for embedding near-dup at extreme scale:
+    bucket on random-hyperplane bands (operators/lsh), self-join per (band,
+    bucket), exact-cosine verify — the same candidate-join shape as the text
+    MinHash path, replacing the blocked all-pairs GEMM when even B² blocks is
+    too much. Recall follows the band S-curve; exact verify keeps precision 1."""
+    from vector_store_spark.operators.lsh import lsh_bucket_cols, lsh_hyperplanes
+
+    dims = len(items.select(vec_col).first()[0])
+    planes = lsh_hyperplanes(dims, num_bits)
+    e = items.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bucketed = e.select(
+        "id", "v", *lsh_bucket_cols(F.col("v"), planes, bands)
+    ).cache()
+    band_rows = bucketed.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cands = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = bucketed.select("id", "v")
+    pairs = (
+        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    )
+    from vector_store_spark.functions.distance import dot_product, vector_norm
+
+    cos = dot_product(F.col("va"), F.col("vb")) / (
+        vector_norm(F.col("va")) * vector_norm(F.col("vb"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,109 @@
+"""Sign-LSH (random hyperplane) approximate nearest neighbor — the third
+engine behind the strategy interface (SURVEY.md §2.9: exact / lsh / ivf,
+mirroring the reference's pluggable VsIndexFactory).
+
+Random-hyperplane LSH for cosine similarity (Charikar 2002): each of H
+hyperplanes contributes one sign bit; P(bit_a == bit_b) = 1 − θ(a,b)/π.
+Bits are grouped into B bands of R bits; vectors sharing any band bucket are
+candidates; candidates are re-ranked exactly.
+
+Hyperplanes here are deterministic (the same integer-arithmetic generator the
+query vectors use) so bucketing is reproducible in oracle SQL. Bucketing is
+one map-only pass (no shuffle); the search is a bucket equi-join —
+`partitionBy(band, bucket)` storage turns probes into partition pruning at
+scale, exactly like the text-side MinHash LSH.
+
+vs IVF: LSH needs no training pass (no centroid scan) and handles inserts
+append-only; IVF gives tighter candidate sets on clustered data. Both share
+the exact re-rank stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.topk import ann_topk
+from vector_store_spark.types import SpaceType
+
+
+def lsh_hyperplanes(dims: int, num_bits: int, seed: int = 97) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via exact integer arithmetic —
+    embeddable verbatim in both Spark code and oracle SQL."""
+    return [
+        [((((seed + h) * 31 + i * 37) % 97) - 48) / 48.0 for i in range(dims)]
+        for h in range(num_bits)
+    ]
+
+
+def sign_bits_expr(vec: Column, planes: list[list[float]]) -> list[Column]:
+    """One sign bit per hyperplane: 1 iff <v, p> > 0. Dot products are
+    sequential-sum Column expressions (bit-parity with the oracle)."""
+    bits = []
+    for p in planes:
+        dot = F.aggregate(
+            F.zip_with(
+                vec, F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def lsh_bucket_cols(vec: Column, planes: list[list[float]], bands: int) -> list[Column]:
+    """Band bucket keys: R sign bits folded into one integer per band."""
+    num_bits = len(planes)
+    if num_bits % bands:
+        raise ValueError("bands must divide num_bits")
+    r = num_bits // bands
+    bits = sign_bits_expr(vec, planes)
+    out = []
+    for b in range(bands):
+        acc = F.lit(0)
+        for j in range(r):
+            acc = acc * 2 + bits[b * r + j]
+        out.append(acc.alias(f"bucket_{b}"))
+    return out
+
+
+def lsh_topk(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    num_bits: int = 16,
+    bands: int = 4,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Candidates = rows sharing ≥1 band bucket with the query (computed
+    driver-side — the query's buckets are literals, so the candidate filter is
+    an OR of equality predicates that prunes partitions/row-groups), then
+    exact cosine top-k over candidates only."""
+    planes = lsh_hyperplanes(len(query), num_bits)
+    r = num_bits // bands
+
+    def py_buckets(v: list[float]) -> list[int]:
+        bits = [1 if sum(x * y for x, y in zip(v, p)) > 0 else 0 for p in planes]
+        return [
+            int("".join(map(str, bits[b * r : (b + 1) * r])), 2) for b in range(bands)
+        ]
+
+    qb = py_buckets(query)
+    bucketed = items.select(
+        "*", *lsh_bucket_cols(F.col(vec_col).cast("array<double>"), planes, bands)
+    )
+    cond = None
+    for b, qv in enumerate(qb):
+        c = F.col(f"bucket_{b}") == F.lit(qv)
+        cond = c if cond is None else (cond | c)
+    candidates = bucketed.where(cond).drop(*[f"bucket_{b}" for b in range(bands)])
+    return ann_topk(
+        candidates, vec_col, query, k,
+        space=SpaceType.COSINE, tie_break=[id_col],
+        select_cols=select_cols or [id_col], round_to=round_to,
+    )

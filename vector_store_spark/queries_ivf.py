@@ -1,12 +1,14 @@
-"""IVF ANN registry entries: the build artifact (cluster assignment sizes) and
-the probe-search query, each re-derived in oracle SQL so the driver checks the
-*algorithm* (assignment argmax, probe ranking, candidate top-k), not just the
-output shape. Recall vs. brute force is a bench metric, not a correctness one.
+"""Approximate-ANN strategy registry entries (IVF + sign-LSH): build
+artifacts and probe searches, each re-derived in oracle SQL so the driver
+checks the *algorithm* (assignment argmax, bucket folding, candidate top-k),
+not just the output shape. Recall vs. brute force is a bench metric, not a
+correctness one.
 """
 
 from __future__ import annotations
 
 from vector_store_spark.operators.ivf import ivf_assign, ivf_centroids, ivf_topk
+from vector_store_spark.operators.lsh import lsh_hyperplanes, lsh_topk
 from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
 
 K_CENTROIDS = 16
@@ -78,5 +80,57 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", Q7, 10,
         k_centroids=K_CENTROIDS, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+# --- sign-LSH (random hyperplane) strategy -------------------------------
+_BITS, _LSH_BANDS = 16, 4
+_R = _BITS // _LSH_BANDS
+_PLANES = lsh_hyperplanes(64, _BITS)
+
+
+def _py_buckets(v):
+    bits = [1 if sum(x * y for x, y in zip(v, p)) > 0 else 0 for p in _PLANES]
+    return [
+        int("".join(map(str, bits[b * _R : (b + 1) * _R])), 2) for b in range(_LSH_BANDS)
+    ]
+
+
+_QBUCKETS = _py_buckets(Q7)
+
+_BIT_SQL = [
+    f"(CASE WHEN list_inner_product(e, {sql_vec(p)}) > 0 THEN 1 ELSE 0 END)"
+    for p in _PLANES
+]
+_BUCKET_SQL = [
+    " + ".join(f"{_BIT_SQL[b * _R + j]} * {1 << (_R - 1 - j)}" for j in range(_R))
+    for b in range(_LSH_BANDS)
+]
+_CAND_COND = " OR ".join(
+    f"({_BUCKET_SQL[b]}) = {_QBUCKETS[b]}" for b in range(_LSH_BANDS)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (SELECT * FROM e WHERE {_CAND_COND}),
+scored AS (
+  SELECT vec_id, label,
+         round(1.0 - list_inner_product(e, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM cand
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "Sign-LSH ANN: random-hyperplane band buckets, bucket-match candidates, exact re-rank",
+)
+def ann_lsh_topk(spark, sf_dir):
+    return lsh_topk(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", Q7, 10,
+        num_bits=_BITS, bands=_LSH_BANDS,
         select_cols=["vec_id", "label"], round_to=ROUND,
     )
