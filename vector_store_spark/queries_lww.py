@@ -111,3 +111,55 @@ def events_hourly_rollup(spark, sf_dir):
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+@register(
+    "events_sessions",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, tus, value,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, tus, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       (max(tus) - min(tus)) / 1000000 AS duration_s,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_id
+""",
+    "Sessionization: 30-min-gap sessions per user (lag + running sum), per-session rollup",
+)
+def events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | ((F.col("tus") - F.lag("tus").over(w)) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_s").over(ws))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("tus") - F.min("tus")) / 1_000_000).alias("duration_s"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
