@@ -48,9 +48,65 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "extras": _extras(spark, sf_dir),
     }))
     spark.stop()
     return 0
+
+
+def _extras(spark, sf_dir: str) -> dict:
+    """BASELINE.md protocol metrics beyond per-query latency: recall@k for the
+    approximate strategies (vs exact top-k ground truth) and index-build
+    throughput (rows/s through the scan->merge->persist pipeline)."""
+    out: dict = {}
+    try:
+        from vector_store_spark.operators.ivf import ivf_topk
+        from vector_store_spark.operators.lsh import lsh_topk
+        from vector_store_spark.operators.topk import ann_topk
+        from vector_store_spark.registry import det_query_vector
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        n_rows = emb.count()
+        k = 10
+        recalls_ivf, recalls_lsh = [], []
+        for seed in (7, 13, 21, 33):
+            q = det_query_vector(seed, 64)
+            truth = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+            ).collect()}
+            ivf = {r.vec_id for r in ivf_topk(
+                emb, "vec_id", "embedding", q, k, k_centroids=16, nprobe=4,
+                select_cols=["vec_id"]
+            ).collect()}
+            lsh = {r.vec_id for r in lsh_topk(
+                emb, "vec_id", "embedding", q, k, num_bits=16, bands=4,
+                select_cols=["vec_id"]
+            ).collect()}
+            recalls_ivf.append(len(ivf & truth) / k)
+            recalls_lsh.append(len(lsh & truth) / k)
+        out["recall_at_10_ivf_nprobe4"] = round(sum(recalls_ivf) / len(recalls_ivf), 4)
+        out["recall_at_10_lsh_16b4band"] = round(sum(recalls_lsh) / len(recalls_lsh), 4)
+        out["recall_at_10_exact"] = 1.0
+    except Exception as ex:
+        print(f"bench extras (recall) error: {ex}", file=sys.stderr)
+
+    try:
+        import shutil
+        import tempfile
+
+        from vector_store_spark.sources.index_store import write_local_index
+
+        src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_rows = src.count()
+        tmp = tempfile.mkdtemp(prefix="bench_ix_")
+        t0 = time.perf_counter()
+        write_local_index(src, tmp, ["label"])
+        dt = time.perf_counter() - t0
+        out["index_build_rows_per_sec"] = round(n_rows / dt, 1)
+        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as ex:
+        print(f"bench extras (build) error: {ex}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":
