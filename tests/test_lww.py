@@ -119,3 +119,53 @@ def test_lww_latest(spark):
     )
     got = {r.pk: r.val for r in lww_latest(df, ["pk"], "ts", "seq", ["val"]).collect()}
     assert got == {1: "b", 2: "d"}  # ts 200 wins; seq 2 beats seq 3 on tie
+
+
+def test_sixteen_partition_layout_sweep(spark):
+    """Port of table/mod.rs:1426-1676: the same scripted event stream swept
+    through every partition-key layout (all 16 subsets of the key/filter
+    columns). Batch semantics: the merged snapshot is layout-invariant; only
+    the partition *assignment* of live rows changes, moved rows land in their
+    new partition, and emptied partitions vanish."""
+    from itertools import combinations
+
+    schema = "op string, pk int, c1 int, c2 int, v array<float>, f int, ts bigint, seq bigint"
+    rows = [
+        ("upsert", 1, 10, 100, [1.0], 7, 100, 1),
+        ("upsert", 1, 10, 100, [2.0], 8, 200, 2),   # replaces
+        ("upsert", 2, 20, 200, [3.0], 7, 100, 3),
+        ("delete", 2, 20, 200, None, None, 300, 4),  # row gone
+        ("upsert", 3, 30, 300, [4.0], 9, 100, 5),
+        ("upsert", 3, 30, 300, [4.5], 5, 150, 6),   # f moves 9 -> 5 (partition
+                                                     # move when f in layout)
+        ("upsert", 4, 40, 400, None, 6, 100, 7),     # null target: not indexed
+    ]
+    df = spark.createDataFrame(rows, schema)
+    merged = lww_merge(df, ["pk", "c1", "c2"], ["v", "f"], target_col="v")
+    live = {(r.pk, r.c1, r.c2): r for r in merged.collect()}
+    # layout-invariant merged snapshot
+    assert set(live) == {(1, 10, 100), (3, 30, 300)}
+    assert live[(1, 10, 100)].v == [2.0] and live[(1, 10, 100)].f == 8
+    assert live[(3, 30, 300)].f == 5
+
+    cols = ["pk", "c1", "c2", "f"]
+    layouts = [()] + [
+        c for n in range(1, 5) for c in combinations(cols, n)
+    ]
+    assert len(layouts) == 16
+    for layout in layouts:
+        if not layout:  # global index: one partition with every live row
+            parts = {(): 2}
+        else:
+            parts = {
+                tuple(r[c] for c in layout): r["cnt"]
+                for r in merged.groupBy(*layout).agg(F.count("*").alias("cnt")).collect()
+            }
+        # every partition has ≥1 live row (W4: emptied partitions vanish)
+        assert all(v >= 1 for v in parts.values()), layout
+        total = sum(parts.values())
+        assert total == 2, layout
+        if "f" in layout:
+            # pk=3's row must sit in its post-move partition (f=5, not f=9)
+            fi = layout.index("f")
+            assert all(key[fi] != 9 for key in parts), layout
