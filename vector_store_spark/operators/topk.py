@@ -65,9 +65,9 @@ def ann_topk(
         out = out.where(predicate)  # predicate still pushes to the scan
 
     if gemm and space != SpaceType.HAMMING:
-        passthrough = list(select_cols) if select_cols is not None else [
-            c for c in out.columns if c != vector_col
-        ]
+        # no select_cols: keep every column (incl. the vector), matching the
+        # expression path's output schema
+        passthrough = list(select_cols) if select_cols is not None else list(out.columns)
         for c in tie_break:
             if c not in passthrough:
                 passthrough.append(c)
@@ -161,7 +161,8 @@ def _gemm_topk(
             f[dist_col] = d[top]
             yield f
 
-    return src.select(*passthrough, vector_col).mapInPandas(score, schema=out_schema)
+    in_cols = passthrough if vector_col in passthrough else [*passthrough, vector_col]
+    return src.select(*in_cols).mapInPandas(score, schema=out_schema)
 
 
 def knn_join(
