@@ -1,0 +1,111 @@
+"""Star-schema analytics over the driver's TPC-H-ish tables — the biggest
+inputs in the bench (lineitem ≈ 600k rows at sf0.1). These exercise the join
+and aggregation shapes a 100 TB deployment lives on: dimension joins are
+broadcast (no fact-table shuffle for the join), date filters push to the
+parquet scan, aggregations run partial→final on the group keys, and top-n
+per group uses a single window over one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vector_store_spark.registry import ROUND, load, register
+
+
+@register(
+    "star_revenue_by_nation",
+    f"""
+SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND}) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND l.l_shipdate >= DATE '1995-01-01'
+GROUP BY n.n_name
+""",
+    "Star join: fact scanned once, every dimension broadcast, partial+final agg",
+)
+def star_revenue_by_nation(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1995-01-01")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # orders/customer are fact-sized relative to dims but still far smaller
+    # than lineitem; broadcast everything but the fact so lineitem never
+    # shuffles for the join
+    joined = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "star_top_parts_per_returnflag",
+    f"""
+WITH agg AS (
+  SELECT l_returnflag, l_partkey,
+         round(sum(l_quantity), {ROUND}) AS total_qty
+  FROM lineitem GROUP BY l_returnflag, l_partkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY total_qty DESC, l_partkey
+  ) AS rnk
+  FROM agg
+)
+SELECT l_returnflag, l_partkey, total_qty, rnk FROM ranked WHERE rnk <= 5
+""",
+    "Top-n per group: pre-aggregate then one window over the reduced set",
+)
+def star_top_parts_per_returnflag(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag", "l_partkey").agg(
+        F.round(F.sum("l_quantity"), ROUND).alias("total_qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("total_qty").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "star_order_priority_fulfillment",
+    f"""
+SELECT o.o_orderpriority AS priority,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       round(avg(o.o_totalprice), {ROUND}) AS avg_price
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o.o_orderpriority
+""",
+    "Semi-join (EXISTS) + distinct aggregation on the orders dimension",
+)
+def star_order_priority_fulfillment(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    matched = o.join(l.select("l_orderkey").distinct(),
+                     o.o_orderkey == F.col("l_orderkey"), "left_semi")
+    return matched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), ROUND).alias("avg_price"),
+    )

@@ -84,6 +84,10 @@ def all_queries() -> dict[str, QuerySpec]:
         from vector_store_spark import queries_quantize  # noqa: F401
     except ImportError:
         pass
+    try:
+        from vector_store_spark import queries_star  # noqa: F401
+    except ImportError:
+        pass
     return dict(_REGISTRY)
 
 
