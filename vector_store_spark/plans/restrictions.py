@@ -67,6 +67,24 @@ def _tuple_lit(values: Sequence[Any], columns: Sequence[str], schema: T.StructTy
     return F.struct(*fields)
 
 
+def _tuple_lex(r: Restriction, schema: T.StructType | None) -> Column:
+    """Lexicographic tuple range comparison with cql_cmp_tuple null semantics:
+    cmp(i) = strict_i OR (eq_i AND cmp(i+1)); base = False for strict ops,
+    True for inclusive ops. A null component yields NULL at its level, which
+    only escapes (excluding the row) if no earlier pair decided."""
+    strict = r.op in (RestrictionOp.LT_TUPLE, RestrictionOp.GT_TUPLE)
+    less = r.op in (RestrictionOp.LT_TUPLE, RestrictionOp.LTE_TUPLE)
+    pred: Column = F.lit(not strict)
+    for name, v in zip(reversed(r.columns), reversed(list(r.values))):
+        c = F.col(name)
+        lit = F.lit(v)
+        if schema is not None and name in schema.names:
+            lit = lit.cast(schema[name].dataType)
+        strict_cmp = (c < lit) if less else (c > lit)
+        pred = strict_cmp | ((c == lit) & pred)
+    return pred
+
+
 def restriction_to_column(r: Restriction, schema: T.StructType | None = None) -> Column:
     """Compile one restriction to a boolean Column."""
     op = r.op
@@ -101,14 +119,16 @@ def restriction_to_column(r: Restriction, schema: T.StructType | None = None) ->
         else:
             # tuple-IN = any rhs tuple fully equal (table/mod.rs:1234-1246)
             pred = functools.reduce(lambda a, b: a | b, [lhs == _tuple_lit(t, r.columns, schema) for t in tuples])
-    elif op == RestrictionOp.LT_TUPLE:
-        pred = lhs < _tuple_lit(r.values, r.columns, schema)
-    elif op == RestrictionOp.LTE_TUPLE:
-        pred = lhs <= _tuple_lit(r.values, r.columns, schema)
-    elif op == RestrictionOp.GT_TUPLE:
-        pred = lhs > _tuple_lit(r.values, r.columns, schema)
-    elif op == RestrictionOp.GTE_TUPLE:
-        pred = lhs >= _tuple_lit(r.values, r.columns, schema)
+    elif op in (RestrictionOp.LT_TUPLE, RestrictionOp.LTE_TUPLE,
+                RestrictionOp.GT_TUPLE, RestrictionOp.GTE_TUPLE):
+        # NOT a struct comparison: Spark struct ordering sorts null fields
+        # (nulls-first) whereas cql_cmp_tuple (table/mod.rs:1378-1391) walks
+        # pairs in order — the first non-equal pair decides, and a null hit
+        # before a decision makes the row incomparable (excluded). The
+        # explicit lexicographic expression below reproduces that exactly
+        # through SQL three-valued logic: null propagates to the top (row
+        # excluded) unless an earlier strict comparison already decided.
+        pred = _tuple_lex(r, schema)
     else:  # pragma: no cover
         raise FilterError(f"unknown op {op}")
     guards = [g for g in (_nan_guard(schema, c) for c in r.columns) if g is not None]

@@ -163,3 +163,26 @@ def events_sessions(spark, sf_dir):
         ((F.max("tus") - F.min("tus")) / 1_000_000).alias("duration_s"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+@register(
+    "events_props_extract",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+FROM events
+GROUP BY event_type
+""",
+    "Semi-structured props: JSON field extraction pushed through a rollup "
+    "(get_json_object stays JVM-side)",
+)
+def events_props_extract(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
