@@ -5,6 +5,51 @@ import math
 
 import pytest
 
+
+def test_incremental_crud_visibility(spark):
+    """validator fts.rs CRUD semantics: added docs become searchable, removed
+    docs disappear, updates replace — via incremental index maintenance."""
+    from vector_store_spark.operators.bm25 import (
+        bm25_search, build_fts_index, update_fts_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine fast"), (2, "slow disk engine")], ["doc_id", "text"]
+    )
+    ix = build_fts_index(docs, "doc_id", "text")
+    assert {r.doc_id for r in bm25_search(ix, "engine", 10).collect()} == {1, 2}
+
+    # add a doc; update doc 2; remove doc 1
+    ix2 = update_fts_index(
+        ix,
+        docs_added=spark.createDataFrame(
+            [(3, "engine of the future"), (2, "rewritten text only")],
+            ["doc_id", "text"],
+        ),
+        doc_ids_removed=[1],
+    )
+    assert {r.doc_id for r in bm25_search(ix2, "engine", 10).collect()} == {3}
+    assert {r.doc_id for r in bm25_search(ix2, "rewritten", 10).collect()} == {2}
+    assert ix2.n_docs == 2
+    # original index untouched (immutable snapshots)
+    assert {r.doc_id for r in bm25_search(ix, "engine", 10).collect()} == {1, 2}
+
+
+def test_empty_corpus_and_missing_term(spark):
+    from vector_store_spark.operators.bm25 import bm25_search, build_fts_index
+
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    ix = build_fts_index(docs, "doc_id", "text")
+    assert bm25_search(ix, "nonexistent", 10).collect() == []  # empty, no error
+
+
+def test_empty_index_ann_topk(spark):
+    # vs_index.rs:1893-1923: searching an empty index returns empty, not error
+    from vector_store_spark.operators.topk import ann_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ann_topk(empty, "embedding", [1.0, 0.0], 5, tie_break=["vec_id"]).collect() == []
+
 from vector_store_spark.operators.bm25 import Bm25Executor, bm25_search, build_fts_index
 from vector_store_spark.plans.fts_query import (
     AndNode, NotNode, OrNode, PhraseNode, QueryParseError, TermNode, parse_query,

@@ -77,6 +77,43 @@ def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     )
 
 
+def update_fts_index(
+    index: FtsIndex,
+    docs_added: DataFrame | None = None,
+    doc_ids_removed: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> FtsIndex:
+    """Incremental maintenance (the reference's CRUD visibility: added docs
+    searchable after the periodic commit, removed docs gone —
+    fts_index/tantivy.rs:383-443, validator fts.rs CRUD tests).
+
+    Re-tokenizes ONLY the added docs; removed/overwritten doc ids are
+    anti-joined out of the existing postings/doclens. Corpus stats (N, avgdl,
+    per-term df) are re-aggregated — they are metadata-sized. An upsert is
+    expressed as remove(id) + add(new doc). Work is O(changed docs +
+    stats), not O(corpus)."""
+    gone = set(doc_ids_removed or [])
+    if docs_added is not None:
+        gone |= {r[0] for r in docs_added.select(id_col).collect()}
+    postings, doclens = index.postings, index.doclens
+    if gone:
+        spark = postings.sparkSession
+        gone_df = F.broadcast(spark.createDataFrame([(g,) for g in gone], f"doc_id {postings.schema['doc_id'].dataType.simpleString()}"))
+        postings = postings.join(gone_df, "doc_id", "left_anti")
+        doclens = doclens.join(gone_df, "doc_id", "left_anti")
+    if docs_added is not None:
+        add = build_fts_index(docs_added, id_col, text_col)
+        postings = postings.unionByName(add.postings)
+        doclens = doclens.unionByName(add.doclens)
+    postings = postings.cache()
+    doclens = doclens.cache()
+    n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
+    return FtsIndex(postings, doclens, int(n_docs or 0), avgdl, index.id_col, df_by_term)
+
+
 def idf_expr(df_col: Column, n_docs: int) -> Column:
     return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
 
