@@ -43,6 +43,33 @@ def test_empty_corpus_and_missing_term(spark):
     assert bm25_search(ix, "nonexistent", 10).collect() == []  # empty, no error
 
 
+def test_fts_engine_lifecycle(spark):
+    """/bm25 endpoint lifecycle: 404 unknown, 503 while building (with
+    progress), results once Serving (httproutes.rs:975-1052)."""
+    from vector_store_spark.engine import FtsEngine
+    from vector_store_spark.operators.bm25 import build_fts_index
+    from vector_store_spark.plans.catalog import NotServingError
+    from vector_store_spark.types import IndexKind, IndexMetadata, IndexState, IndexStatus
+
+    docs = spark.createDataFrame([(1, "spark engine"), (2, "other text")],
+                                 ["doc_id", "text"])
+    ix = build_fts_index(docs, "doc_id", "text")
+    meta = IndexMetadata(
+        keyspace="ks", index="fts1", table="t", primary_key_columns=("doc_id",),
+        partition_key_count=1, target_column="text", kind=IndexKind.FTS,
+    )
+    eng = FtsEngine()
+    with pytest.raises(KeyError):
+        eng.bm25("nope", "spark")
+    eng.register("fts1", ix, IndexState(meta, IndexStatus.FULL_SCANNING, 37.0))
+    with pytest.raises(NotServingError) as ei:
+        eng.bm25("fts1", "spark")
+    assert ei.value.progress_pct == 37.0
+    eng.register("fts1", ix, IndexState(meta, IndexStatus.SERVING))
+    out = eng.bm25("fts1", "spark", limit=5)
+    assert out.primary_keys["doc_id"] == [1] and len(out.scores) == 1
+
+
 def test_empty_index_ann_topk(spark):
     # vs_index.rs:1893-1923: searching an empty index returns empty, not error
     from vector_store_spark.operators.topk import ann_topk

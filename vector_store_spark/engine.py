@@ -139,3 +139,46 @@ class VectorStoreEngine:
     def count(self, index: str) -> int:
         """A1: live row count of an index (usearch.rs:866-878)."""
         return self.indexes[index].df.count()
+
+
+@dataclass
+class Bm25Response:
+    """`/bm25` response shape (httpapi/src/lib.rs:473-478)."""
+
+    primary_keys: dict[str, list[Any]]
+    scores: list[float]
+
+
+@dataclass
+class FtsEngine:
+    """FTS half of the service: register built indexes, answer `/bm25` with
+    the reference's lifecycle (404 unknown, 503 building with progress,
+    top-k by score; httproutes.rs:955-1052). No routing groups, no filters —
+    FTS indexes are addressed directly, as in the reference."""
+
+    indexes: dict[str, "object"] = field(default_factory=dict)
+    states: dict[str, "object"] = field(default_factory=dict)
+
+    def register(self, name: str, index, state=None) -> None:
+        from vector_store_spark.types import IndexStatus
+
+        self.indexes[name] = index
+        self.states[name] = state  # None ⇒ Serving
+
+    def bm25(self, name: str, query: str, limit: int = 1) -> Bm25Response:
+        from vector_store_spark.operators.bm25 import bm25_search
+        from vector_store_spark.plans.catalog import NotServingError, check_index_serving
+
+        if name not in self.indexes:
+            raise KeyError(f"index not found: {name}")  # 404
+        state = self.states.get(name)
+        if state is not None:
+            check_index_serving(state)  # 503 INDEX_BUILDING{progress}
+        if limit <= 0:
+            raise FilterError("limit must be positive")
+        ix = self.indexes[name]
+        rows = bm25_search(ix, query, limit).collect()
+        return Bm25Response(
+            primary_keys={"doc_id": [r.doc_id for r in rows]},
+            scores=[r.score for r in rows],
+        )
