@@ -1,0 +1,61 @@
+"""End-to-end training-data curation: exact dedup → quality gate → language ID.
+
+Composes the dedup (operators/dedup.py) and text-analysis
+(operators/textstats.py) primitives into the single pass a large-scale
+pretraining pipeline runs over a raw corpus: drop exact duplicates (keep the
+lowest id per normalized content), compute Gopher/C4-style quality signals,
+keep documents inside a token-length band with a minimum composite quality
+score, and tag each kept document with its predicted language.
+
+Scale notes (100 TB posture):
+- Dedup is ONE aggregation: ``groupBy(normalized_text)`` +
+  ``min_by(struct(row), id)`` — partial aggregation collapses duplicates
+  map-side so only one row per (task, content) crosses the exchange; there is
+  no window (which would shuffle every row) and no self-join. The struct
+  buffer makes it a SortAggregate rather than HashAggregate — acceptable
+  because the partial combine dominates at scale.
+- Quality features + language ID are pure per-row projections (one scan,
+  whole-stage codegen); the quality filter runs before the aggregate so only
+  kept rows reach any downstream shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.dedup import normalized_text
+from vector_store_spark.operators.textstats import langid, quality_features
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: Sequence[str] = (),
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_quality: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Curated corpus: one row per kept document with quality features and
+    ``pred_lang``. Keeps the minimum-``id_col`` row per exact-duplicate group,
+    then documents with ``min_tokens <= n_tokens <= max_tokens`` and
+    ``round(quality_score, round_digits) >= min_quality``."""
+    row_cols = [id_col, *extra_cols, text_col]
+    uniq = (
+        docs.groupBy(normalized_text(text_col).alias("_norm"))
+        .agg(F.min_by(F.struct(*row_cols), F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )
+    feats = quality_features(
+        uniq, id_col, text_col, extra_cols=(*extra_cols, text_col)
+    ).withColumn("quality_score", F.round("quality_score", round_digits))
+    kept = feats.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+    return kept.withColumn("pred_lang", langid(text_col)).drop(text_col)

@@ -13,6 +13,8 @@ no shuffle; the per-source aggregations shuffle once on the group key. At
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,7 +67,9 @@ def langid(text: Column | str) -> Column:
     return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(
+    docs: DataFrame, id_col: str, text_col: str, extra_cols: Sequence[str] = ()
+) -> DataFrame:
     """Per-document quality signals (the classic Gopher/C4-style rule inputs):
 
     - n_chars, n_tokens, mean_token_len
@@ -91,6 +95,7 @@ def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     feats = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         guard(F.aggregate(F.transform(toks, lambda t: F.length(t).cast("double")),
