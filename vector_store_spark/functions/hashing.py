@@ -141,9 +141,12 @@ def shingle_hashes_udf(n: int):
     return F.pandas_udf(batch, ArrayType(LongType()))
 
 
-def simhash_udf():
-    """pandas UDF: text -> SimHash fingerprint (long) over token poly-hashes,
-    identical to simhash_expr(transform(tokenize(text), poly_hash))."""
+def simhash_udf(ngram: int = 1):
+    """pandas UDF: text -> SimHash fingerprint (long) over poly-hashes of
+    word n-gram features (``ngram=1`` = token features), identical to
+    simhash_expr over the same feature hashes. N-gram features (Manku et al.,
+    near-duplicate web crawl detection) keep fingerprints discriminative on
+    small vocabularies where unigram bit-votes saturate."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -154,7 +157,12 @@ def simhash_udf():
     def batch(texts):
         out = np.zeros(len(texts), dtype=np.int64)
         for row, text in enumerate(texts):
-            hs = [_py_poly_hash(t) for t in _py_tokens(text)]
+            toks = _py_tokens(text)
+            if ngram > 1:
+                feats = (" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1))
+            else:
+                feats = toks
+            hs = [_py_poly_hash(f) for f in feats]
             if hs:
                 bits = (np.asarray(hs, dtype=np.int64)[:, None] >> shifts) & 1
                 votes = (2 * bits - 1).sum(axis=0)

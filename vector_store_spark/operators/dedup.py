@@ -187,13 +187,17 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 3,
+    ngram: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 30-bit fingerprint over token hashes (duplicate
-    tokens vote with their multiplicity), banded blocking (a pair within
-    Hamming ≤ max_hamming shares at least one of ``bands`` equal 10-bit chunks
-    when max_hamming < bands), exact Hamming verify."""
+    """SimHash near-dup pairs: 30-bit fingerprint over word-n-gram feature
+    hashes (duplicate features vote with their multiplicity), banded blocking
+    (a pair within Hamming ≤ max_hamming shares at least one of ``bands``
+    equal 10-bit chunks when max_hamming < bands), exact Hamming verify.
+    ``ngram=3`` is the Manku-et-al. web-dedup feature choice — on small
+    vocabularies unigram features saturate the bit votes and everything
+    collides."""
     bits_per_band = 30 // bands
-    fp = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("fp"))
+    fp = docs.select(F.col(id_col).alias("id"), simhash_udf(ngram)(F.col(text_col)).alias("fp"))
     fp = fp.cache()
     chunks = fp.select(
         "id", "fp",

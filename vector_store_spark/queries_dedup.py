@@ -122,23 +122,26 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.withColumn("jaccard", F.round("jaccard", ROUND))
 
 
-_TH_SQL = f"list_transform(toks, t -> {poly_hash_sql('t')})"
+
+
+_GRAMS_SQL = f"SELECT id, {word_ngrams_sql('toks', 3)} AS grams FROM ({_TOKS})"
+_GH_SQL = f"list_transform(grams, g -> {poly_hash_sql('g')})"
 
 
 @register(
     "dedup_simhash",
     f"""
-WITH fp AS (SELECT id, {simhash_sql(_TH_SQL)} AS f FROM ({_TOKS}))
+WITH fp AS (SELECT id, {simhash_sql(_GH_SQL)} AS f FROM ({_GRAMS_SQL}))
 SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
 FROM fp a JOIN fp b ON a.id < b.id
 WHERE bit_count(xor(a.f, b.f)) <= 2
 """,
-    "SimHash near-dup: 30-bit fingerprint, banded blocking, Hamming ≤ 2 "
-    "(oracle = exhaustive pairs; banding with max_hamming < bands is lossless)",
+    "SimHash near-dup: 30-bit fingerprint over 3-gram features, banded blocking, "
+    "Hamming ≤ 2 (oracle = exhaustive pairs; banding with max_hamming < bands is lossless)",
 )
 def dedup_simhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=2, bands=3)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=2, bands=3, ngram=3)
 
 
 @register(

@@ -25,11 +25,24 @@ from pyspark.sql import functions as F
 
 
 def write_local_index(
-    df: DataFrame, path: str, partition_cols: Sequence[str], overwrite_dynamic: bool = True
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    overwrite_dynamic: bool = True,
+    cluster: bool = True,
 ) -> None:
     """Materialize a local index: parquet partitioned by the partition-key
     columns. ``overwrite_dynamic`` rewrites only partitions present in ``df``
-    (incremental maintenance; W4 partition lifecycle)."""
+    (incremental maintenance; W4 partition lifecycle).
+
+    ``cluster`` repartitions by the partition key before the write: without
+    it, every input task writes a file into every partition directory it
+    touches — N_tasks x N_partitions small files at scale. Clustered, each
+    directory gets one file and writes parallelize across distinct keys.
+    Disable for skewed keys where a single giant partition would serialize
+    the write (pre-repartition with a salt instead)."""
+    if cluster:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     writer = df.write.partitionBy(*partition_cols)
     if overwrite_dynamic:
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
