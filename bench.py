@@ -96,6 +96,62 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (recall) error: {ex}", file=sys.stderr)
 
     try:
+        from pyspark.sql import functions as F
+
+        from vector_store_spark.operators.topk import ann_topk
+        from vector_store_spark.registry import det_query_vector
+
+        # BASELINE.md protocol: top-k latency/QPS at k in {1,10,100},
+        # unfiltered and filtered (the reference's filtered-ANN path)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        emb.count()
+        reps = 3
+        for k in (1, 10, 100):
+            for filt in (False, True):
+                pred = (F.col("label") % 2 == 0) if filt else None
+                q = det_query_vector(11, 64)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    ann_topk(
+                        emb, "embedding", q, k, predicate=pred,
+                        tie_break=["vec_id"], select_cols=["vec_id"],
+                    ).collect()
+                lat = (time.perf_counter() - t0) / reps
+                tag = f"k{k}_" + ("filtered" if filt else "unfiltered")
+                out[f"topk_latency_sec_{tag}"] = round(lat, 4)
+                out[f"topk_qps_{tag}"] = round(1.0 / lat, 2)
+    except Exception as ex:
+        print(f"bench extras (topk latency) error: {ex}", file=sys.stderr)
+
+    try:
+        from vector_store_spark.operators.lsh import lsh_topk
+        from vector_store_spark.operators.topk import ann_topk
+        from vector_store_spark.registry import det_query_vector
+
+        # recall-vs-selectivity strata as in the reference harness
+        # (crates/benchmark build-buckets: [50,20,10,5,2,1,0.5,0.2,0.1]%)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        n_rows = emb.count()
+        k = 10
+        q = det_query_vector(19, 64)
+        buckets = {}
+        for pct in (50, 20, 10, 5, 2):
+            sub = emb.where((F.col("vec_id") % 1000) < pct * 10)
+            if sub.count() < k:
+                continue
+            truth = {r.vec_id for r in ann_topk(
+                sub, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+            ).collect()}
+            got = {r.vec_id for r in lsh_topk(
+                sub, "vec_id", "embedding", q, k, num_bits=16, bands=4,
+                select_cols=["vec_id"]
+            ).collect()}
+            buckets[f"{pct}pct"] = round(len(got & truth) / k, 4)
+        out["recall_at_10_lsh_by_selectivity"] = buckets
+    except Exception as ex:
+        print(f"bench extras (selectivity) error: {ex}", file=sys.stderr)
+
+    try:
         import shutil
         import tempfile
 

@@ -88,3 +88,22 @@ def test_fingerprints(spark):
     assert rows[1].content_hash == rows[2].content_hash
     assert rows[1].min_shingle_hash == rows[2].min_shingle_hash
     assert rows[3].min_shingle_hash is None  # < n tokens -> no shingles
+
+
+def test_langid_udf_matches_expr_on_corpus(spark, sf_dir):
+    from vector_store_spark.operators.textstats import langid_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = docs.select(
+        langid("text").alias("udf_lang"), langid_expr("text").alias("expr_lang")
+    )
+    assert both.where(F.col("udf_lang") != F.col("expr_lang")).count() == 0
+
+
+def test_quality_features_udf_matches_expr_on_corpus(spark, sf_dir):
+    from vector_store_spark.operators.textstats import quality_features_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hot = quality_features(docs, "doc_id", "text").orderBy("doc_id").collect()
+    spec = quality_features_expr(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert [tuple(r) for r in hot] == [tuple(r) for r in spec]  # bit-identical

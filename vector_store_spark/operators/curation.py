@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_store_spark.operators.dedup import normalized_text
-from vector_store_spark.operators.textstats import langid, quality_features
+from vector_store_spark.operators.textstats import quality_features
 
 
 def curate(
@@ -50,12 +50,13 @@ def curate(
         .agg(F.min_by(F.struct(*row_cols), F.col(id_col)).alias("_row"))
         .select("_row.*")
     )
+    # one fused Arrow pass computes token stats AND language ID (one
+    # tokenization, one Python boundary), then the filter is native
     feats = quality_features(
-        uniq, id_col, text_col, extra_cols=(*extra_cols, text_col)
+        uniq, id_col, text_col, extra_cols=extra_cols, include_lang=True
     ).withColumn("quality_score", F.round("quality_score", round_digits))
-    kept = feats.where(
+    return feats.where(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality_score") >= min_quality)
     )
-    return kept.withColumn("pred_lang", langid(text_col)).drop(text_col)
