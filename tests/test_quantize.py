@@ -74,3 +74,21 @@ def test_f16_bf16_roundtrip(spark):
     expbf = (f32.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32).astype(np.float64)
     assert r.b == expbf.tolist()
     assert r.h[2] == 1.5 and r.b[2] == 1.5  # exactly representable survives both
+
+
+def test_hamming_b1_udf_matches_expr(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.functions.quantize import b1_pack, hamming_b1_udf, hamming_packed
+    from vector_store_spark.functions.distance import vector_lit
+    from vector_store_spark.registry import det_query_vector
+
+    q = det_query_vector(7, 64)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    both = emb.select(
+        hamming_b1_udf(q)(F.col("embedding")).alias("udf_d"),
+        hamming_packed(
+            b1_pack(F.col("embedding").cast("array<double>")), b1_pack(vector_lit(q))
+        ).alias("expr_d"),
+    )
+    assert both.where(F.col("udf_d") != F.col("expr_d")).count() == 0

@@ -113,3 +113,25 @@ def hamming_packed(a: Column | str, b: Column | str) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("double")
+
+
+def hamming_b1_udf(query: list[float]):
+    """Arrow twin of ``hamming_packed(b1_pack(vec), b1_pack(query))``: NumPy
+    packbits + XOR + popcount per Arrow batch, computing the identical integer
+    distance as the b1_pack/hamming_packed Column expressions (the executable
+    spec, interpreted as CodegenFallback). Cross-validated in tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    qbits = np.packbits(np.asarray(query, dtype=np.float64) > 0)  # MSB-first
+    popcount = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+    def batch(vecs):
+        out = np.empty(len(vecs), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            vbits = np.packbits(np.asarray(v, dtype=np.float64) > 0)
+            out[i] = popcount[np.bitwise_xor(vbits, qbits)].sum()
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, DoubleType())

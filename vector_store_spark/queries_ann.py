@@ -164,3 +164,32 @@ def agg_label_counts(spark, sf_dir):
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("label")
     )
+
+
+Q29 = det_query_vector(29, DIMS)
+
+
+@register(
+    "ann_sql_topk",
+    _topk_sql(_cos_sql(sql_vec(Q29)), "(2.0 - distance) / 2.0", 10),
+    "The CQL `ORDER BY v ANN OF [...] LIMIT k` surface as pure Spark SQL over "
+    "the vs_* SQL UDF macros (sql.py) — inlined by the analyzer, still "
+    "TakeOrderedAndProject",
+)
+def ann_sql_topk(spark, sf_dir):
+    from vector_store_spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("vs_embeddings")
+    qsql = "array(" + ", ".join(repr(float(v)) + "D" for v in Q29) + ")"
+    return spark.sql(f"""
+        WITH scored AS (
+          SELECT vec_id, label,
+                 round(vs_cosine_distance(CAST(embedding AS ARRAY<DOUBLE>), {qsql}),
+                       {ROUND}) AS distance
+          FROM vs_embeddings
+        )
+        SELECT vec_id, label, distance,
+               round(vs_cosine_similarity(distance), {ROUND}) AS similarity
+        FROM scored ORDER BY distance, vec_id LIMIT 10
+    """)

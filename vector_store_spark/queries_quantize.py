@@ -16,6 +16,7 @@ from vector_store_spark.functions.distance import cosine_distance, vector_lit
 from vector_store_spark.functions.quantize import (
     b1_pack,
     dequantize_i8,
+    hamming_b1_udf,
     hamming_packed,
     quantize_i8,
 )
@@ -47,11 +48,9 @@ FROM scored ORDER BY distance, vec_id LIMIT 10
 )
 def ann_hamming_b1_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    qpacked = vector_lit(Q7)
-    packed = emb.select(
-        "vec_id", "label", b1_pack(F.col("embedding").cast("array<double>")).alias("pb")
+    out = emb.select(
+        "vec_id", "label", hamming_b1_udf(Q7)(F.col("embedding")).alias("distance")
     )
-    out = packed.withColumn("distance", hamming_packed("pb", b1_pack(qpacked)))
     return (
         out.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
