@@ -1,0 +1,37 @@
+"""Sampling/data-mixing operators: determinism and budget semantics."""
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.sampling import hash_sample, token_budget_take
+
+
+def test_hash_sample_is_deterministic_and_partition_independent(spark):
+    df1 = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    df8 = df1.repartition(8)
+    got1 = {r.doc_id for r in hash_sample(df1, "doc_id", 250).collect()}
+    got8 = {r.doc_id for r in hash_sample(df8, "doc_id", 250).collect()}
+    assert got1 == got8
+    assert 0.2 < len(got1) / 10_000 < 0.3  # ~25%
+    # different salt -> different (but still deterministic) sample
+    salted = {r.doc_id for r in hash_sample(df1, "doc_id", 250, salt=7).collect()}
+    assert salted != got1
+
+
+def test_hash_sample_is_narrow(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = hash_sample(df, "doc_id", 100)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter, no shuffle
+
+
+def test_token_budget_take(spark):
+    rows = [
+        # group a: weights 10,20,30 in quality order -> budget 30 keeps 10,20
+        ("a", 1, 10, 0.9), ("a", 2, 20, 0.8), ("a", 3, 30, 0.7),
+        # group b: first row overshoots alone -> still kept (predecessors=0)
+        ("b", 4, 100, 0.9), ("b", 5, 1, 0.8),
+    ]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "tok", "q"])
+    took = token_budget_take(df, "g", [F.desc("q"), F.asc("doc_id")], "tok", 30)
+    got = {(r.g, r.doc_id): r.running_total for r in took.collect()}
+    assert set(got) == {("a", 1), ("a", 2), ("b", 4)}
+    assert got[("a", 2)] == 30 and got[("b", 4)] == 100

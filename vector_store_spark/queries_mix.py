@@ -1,0 +1,71 @@
+"""Data-mixing registry entries: deterministic hash sampling and per-language
+token-budget selection over the curated corpus — the selection step that turns
+a curated pool into a training mix, oracle-gated end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.sampling import hash_bucket_sql, hash_sample, token_budget_take
+from vector_store_spark.queries_curation import _KEPT_CTES, _curated
+from vector_store_spark.registry import load, register
+
+_RATE = 250  # permille
+_BUDGET = 25_000  # tokens per language
+
+
+@register(
+    "mix_hash_sample",
+    f"""
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+WHERE {hash_bucket_sql("doc_id")} < {_RATE}
+GROUP BY source
+""",
+    "Deterministic ~25% Bernoulli sample (multiplicative hash on id): "
+    "reproducible under any partitioning, pure narrow filter",
+)
+def mix_hash_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", _RATE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@register(
+    "mix_token_budget",
+    _KEPT_CTES + f""", j AS (
+  SELECT k.doc_id, k.n_tokens, k.quality_score, p.pred_lang
+  FROM kept k JOIN pred p USING (doc_id)
+), r AS (
+  SELECT *, sum(CAST(n_tokens AS BIGINT)) OVER (
+    PARTITION BY pred_lang ORDER BY quality_score DESC, doc_id
+    ROWS UNBOUNDED PRECEDING
+  ) AS running_total
+  FROM j
+)
+SELECT pred_lang, count(*) AS n_docs,
+       sum(CAST(n_tokens AS BIGINT)) AS sum_tokens,
+       max(running_total) AS max_running
+FROM r
+WHERE running_total - CAST(n_tokens AS BIGINT) < {_BUDGET}
+GROUP BY pred_lang
+""",
+    f"Per-language token budget ({_BUDGET}): best-quality-first greedy take "
+    "via one running-sum window over the curated pool",
+)
+def mix_token_budget(spark, sf_dir):
+    cur = _curated(spark, sf_dir).withColumn("tok", F.col("n_tokens").cast("long"))
+    took = token_budget_take(
+        cur, "pred_lang",
+        [F.desc("quality_score"), F.asc("doc_id")],
+        "tok", _BUDGET,
+    )
+    return took.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.max("running_total").alias("max_running"),
+    )

@@ -92,6 +92,10 @@ def all_queries() -> dict[str, QuerySpec]:
         from vector_store_spark import queries_curation  # noqa: F401
     except ImportError:
         pass
+    try:
+        from vector_store_spark import queries_mix  # noqa: F401
+    except ImportError:
+        pass
     return dict(_REGISTRY)
 
 
