@@ -73,23 +73,29 @@ def _extras(spark, sf_dir: str) -> dict:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
         n_rows = emb.count()
         k = 10
-        recalls_ivf, recalls_lsh = [], []
+        recalls_ivf: dict[int, list] = {4: [], 8: [], 12: []}
+        recalls_lsh = []
         for seed in (7, 13, 21, 33):
             q = det_query_vector(seed, 64)
             truth = {r.vec_id for r in ann_topk(
                 emb, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
             ).collect()}
-            ivf = {r.vec_id for r in ivf_topk(
-                emb, "vec_id", "embedding", q, k, k_centroids=16, nprobe=4,
-                select_cols=["vec_id"]
-            ).collect()}
+            # recall-vs-nprobe curve: the IVF analogue of the reference's
+            # ef_search recall knob (BASELINE.md HNSW defaults)
+            for nprobe in recalls_ivf:
+                ivf = {r.vec_id for r in ivf_topk(
+                    emb, "vec_id", "embedding", q, k, k_centroids=16, nprobe=nprobe,
+                    select_cols=["vec_id"]
+                ).collect()}
+                recalls_ivf[nprobe].append(len(ivf & truth) / k)
             lsh = {r.vec_id for r in lsh_topk(
                 emb, "vec_id", "embedding", q, k, num_bits=16, bands=4,
                 select_cols=["vec_id"]
             ).collect()}
-            recalls_ivf.append(len(ivf & truth) / k)
             recalls_lsh.append(len(lsh & truth) / k)
-        out["recall_at_10_ivf_nprobe4"] = round(sum(recalls_ivf) / len(recalls_ivf), 4)
+        out["recall_at_10_ivf_by_nprobe"] = {
+            str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_ivf.items()
+        }
         out["recall_at_10_lsh_16b4band"] = round(sum(recalls_lsh) / len(recalls_lsh), 4)
         out["recall_at_10_exact"] = 1.0
     except Exception as ex:
