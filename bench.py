@@ -130,6 +130,24 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (topk latency) error: {ex}", file=sys.stderr)
 
     try:
+        from vector_store_spark.operators.topk import knn_join
+        from vector_store_spark.registry import det_query_vector
+
+        # Batch-ANN throughput: answer 256 queries in ONE job (per-batch GEMM
+        # + k-heap merge). This is where a scan engine beats per-request
+        # serving — the number to compare against the reference's QPS.
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        emb.count()
+        queries_ = [(i, det_query_vector(100 + i, 64)) for i in range(256)]
+        t0 = time.perf_counter()
+        n_out = knn_join(emb, "embedding", queries_, 10, id_cols=["vec_id"]).count()
+        dt = time.perf_counter() - t0
+        if n_out:
+            out["batch_knn_qps_256q_k10"] = round(len(queries_) / dt, 2)
+    except Exception as ex:
+        print(f"bench extras (batch knn) error: {ex}", file=sys.stderr)
+
+    try:
         from vector_store_spark.operators.lsh import lsh_topk
         from vector_store_spark.operators.topk import ann_topk
         from vector_store_spark.registry import det_query_vector
