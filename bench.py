@@ -98,6 +98,25 @@ def _extras(spark, sf_dir: str) -> dict:
         }
         out["recall_at_10_lsh_16b4band"] = round(sum(recalls_lsh) / len(recalls_lsh), 4)
         out["recall_at_10_exact"] = 1.0
+
+        from vector_store_spark.operators.pq import pq_topk
+        from vector_store_spark.types import SpaceType
+
+        recalls_pq: dict[int, list] = {16: [], 64: []}  # codebook size knob
+        for seed in (7, 13, 21, 33):
+            q = det_query_vector(seed, 64)
+            truth_l2 = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, space=SpaceType.EUCLIDEAN,
+                tie_break=["vec_id"], select_cols=["vec_id"],
+            ).collect()}
+            for k_codes in recalls_pq:
+                pq = {r.vec_id for r in pq_topk(
+                    emb, "vec_id", "embedding", q, k, m_sub=8, k_codes=k_codes
+                ).collect()}
+                recalls_pq[k_codes].append(len(pq & truth_l2) / k)
+        out["recall_at_10_pq_by_codes"] = {
+            str(kc): round(sum(rs) / len(rs), 4) for kc, rs in recalls_pq.items()
+        }
     except Exception as ex:
         print(f"bench extras (recall) error: {ex}", file=sys.stderr)
 

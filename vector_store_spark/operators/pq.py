@@ -1,0 +1,125 @@
+"""Product quantization (PQ) with asymmetric distance computation (ADC) —
+the memory-compression scale path for vector search (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011; the building block of
+IVF-PQ / FAISS-style indexes).
+
+At 100 TB the full-precision vectors don't fit hot storage: PQ splits each
+vector into M subspaces and stores one small code per subspace (here M bytes
+per vector instead of 4·dims), and ADC scores candidates against a per-query
+lookup table without ever decoding. The reference ships scalar quantization
+(F32..B1, usearch.rs:503-513); PQ is the vector-quantization counterpart at
+the next compression tier.
+
+Determinism contract (oracle-checkable, like operators/ivf.py): codebooks are
+the subvector slices of the K smallest-id rows — no random k-means — so the
+whole encode → LUT → ADC pipeline re-derives in SQL. Swap in sampled k-means
+codebooks behind the same interface for quality at scale.
+
+Plan shape: encode is one narrow Arrow pass (codebook broadcast in the UDF
+closure); search is scan → per-row LUT sum → TakeOrderedAndProject. No
+shuffle, no join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+
+def pq_codebook(items: DataFrame, id_col: str, vec_col: str, m_sub: int, k_codes: int) -> np.ndarray:
+    """Deterministic codebook: shape (m_sub, k_codes, dims/m_sub), entry
+    [s][j] = subvector s of the j-th smallest-id row (metadata-sized; lives
+    on the driver like IVF centroids)."""
+    rows = (
+        items.select(id_col, vec_col).orderBy(id_col).limit(k_codes).collect()
+    )
+    mat = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    dims = mat.shape[1]
+    if dims % m_sub:
+        raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")
+    d_sub = dims // m_sub
+    # (k, m, d_sub) -> (m, k, d_sub)
+    return mat.reshape(k_codes, m_sub, d_sub).transpose(1, 0, 2).copy()
+
+
+def pq_encode(items: DataFrame, vec_col: str, codebook: np.ndarray, code_col: str = "pq_code") -> DataFrame:
+    """items + ``code_col`` array<int> of length m_sub: per-subspace argmin
+    L2² to the codebook (first/lowest code wins ties, matching SQL
+    row_number ORDER BY dist, code)."""
+    m_sub, k_codes, d_sub = codebook.shape
+    cb = codebook  # broadcast via closure
+
+    def encode(vecs):
+        import pandas as pd
+
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64).reshape(m_sub, 1, d_sub)
+            # (m, k): L2² of each subvector against each code
+            d = ((x - cb) ** 2).sum(axis=2)
+            out.append(d.argmin(axis=1).astype("int32"))
+        return pd.Series(out)
+
+    udf = F.pandas_udf(encode, ArrayType(IntegerType()))
+    return items.withColumn(code_col, udf(F.col(vec_col)))
+
+
+def pq_adc_lut(codebook: np.ndarray, query: list[float]) -> np.ndarray:
+    """Per-query lookup table, shape (m_sub, k_codes): L2² of the query's
+    subvector s against code j. Computed once on the driver."""
+    m_sub, k_codes, d_sub = codebook.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m_sub, 1, d_sub)
+    return ((q - codebook) ** 2).sum(axis=2)
+
+
+def pq_adc_distance(code_col: Column | str, lut: np.ndarray) -> Column:
+    """ADC distance = Σ_s lut[s][code[s]] as an Arrow-batched expression
+    (the LUT is a closure constant; per row this is m_sub array lookups)."""
+    lut_c = lut
+
+    def adc(codes):
+        import pandas as pd
+
+        m = lut_c.shape[0]
+        rows = np.arange(m)
+        out = np.empty(len(codes), dtype=np.float64)
+        for i, c in enumerate(codes):
+            # left-to-right sum over subspaces (oracle list_sum order)
+            s = 0.0
+            for j in range(m):
+                s += lut_c[j, c[j]]
+            out[i] = s
+        return pd.Series(out)
+
+    udf = F.pandas_udf(adc, DoubleType())
+    return udf(F.col(code_col) if isinstance(code_col, str) else code_col)
+
+
+def pq_topk(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """End-to-end PQ search: codebook → encode → ADC top-k. Exactness is
+    governed by (m_sub, k_codes); recall vs brute force is a bench metric."""
+    cb = pq_codebook(items, id_col, vec_col, m_sub, k_codes)
+    encoded = pq_encode(items, vec_col, cb)
+    lut = pq_adc_lut(cb, query)
+    dist = pq_adc_distance("pq_code", lut)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    cols = select_cols or [id_col]
+    return (
+        encoded.withColumn("distance", dist)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(*cols, "distance")
+    )

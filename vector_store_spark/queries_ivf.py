@@ -72,7 +72,7 @@ cand AS (
   WHERE asg.cid IN (SELECT cid FROM probe)
 )
 SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
-FROM cand ORDER BY distance, vec_id LIMIT 10
+FROM cand ORDER BY distance, e.vec_id LIMIT 10
 """,
     "IVF-Flat ANN: probe nprobe nearest clusters, exact top-k within candidates",
 )
@@ -124,7 +124,7 @@ scored AS (
   FROM cand
 )
 SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
-FROM scored ORDER BY distance, vec_id LIMIT 10
+FROM scored ORDER BY distance, e.vec_id LIMIT 10
 """,
     "Sign-LSH ANN: random-hyperplane band buckets, bucket-match candidates, exact re-rank",
 )
@@ -132,5 +132,72 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", Q7, 10,
         num_bits=_BITS, bands=_LSH_BANDS,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py): deterministic codebook = subvector
+# slices of the K_CODES smallest-id rows; encode = per-subspace argmin L2sq
+# (ties -> lowest code); ADC = ordered sum of per-subspace LUT entries.
+# ---------------------------------------------------------------------------
+
+M_SUB, D_SUB, K_CODES = 8, 8, 16
+Q31 = det_query_vector(31, 64)
+
+_L2S = (
+    "list_inner_product(list_transform(list_zip({a}, {b}), p -> p[1] - p[2]), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] - p[2]))"
+)
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {K_CODES}
+),
+subs AS (SELECT unnest(range(0, {M_SUB})) AS s),
+cbsub AS (
+  SELECT s, j, cv[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS cvs
+  FROM cb CROSS JOIN subs
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+esub AS (
+  SELECT vec_id, s, v[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS vs
+  FROM e CROSS JOIN subs
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY {_L2S.format(a="vs", b="cvs")}, j) AS rn
+    FROM esub JOIN cbsub USING (s)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s, j,
+         {_L2S.format(a=f"({sql_vec(Q31)})[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}]", b="cvs")} AS qd
+  FROM cbsub
+),
+adc AS (
+  SELECT vec_id, round(list_sum(list(qd ORDER BY s)), {ROUND}) AS distance
+  FROM codes JOIN lut USING (s, j)
+  GROUP BY vec_id
+)
+SELECT e.vec_id, e.label, adc.distance
+FROM adc JOIN e ON e.vec_id = adc.vec_id
+ORDER BY distance, e.vec_id LIMIT 10
+""",
+    "PQ+ADC search (Jegou et al. 2011): 8x8 subspaces, 16 codes, asymmetric "
+    "LUT scoring over codes only -- the memory-compression scale path",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    from vector_store_spark.operators.pq import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, "vec_id", "embedding", Q31, 10,
+        m_sub=M_SUB, k_codes=K_CODES,
         select_cols=["vec_id", "label"], round_to=ROUND,
     )
