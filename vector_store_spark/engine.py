@@ -45,10 +45,17 @@ class AnnResponse:
     similarity_scores: list[float]
 
 
+#: §2.9 (vs_index/factory.rs:1-37): the engine-strategy axis. The reference
+#: selects USearch/DiskANN/OpenSearch per index; here the strategies are
+#: DataFrame programs sharing one query lifecycle.
+ANN_STRATEGIES = ("exact", "lsh", "ivf", "pq")
+
+
 @dataclass
 class RegisteredIndex:
     state: IndexState
     df: DataFrame
+    strategy: str = "exact"
 
 
 @dataclass
@@ -62,10 +69,13 @@ class VectorStoreEngine:
         df: DataFrame,
         meta: IndexMetadata,
         status: IndexStatus = IndexStatus.SERVING,
+        strategy: str = "exact",
     ) -> None:
         if meta.dimensions is None:
             raise ValueError("index metadata must declare dimensions")
-        self.indexes[meta.index] = RegisteredIndex(IndexState(meta, status), df)
+        if strategy not in ANN_STRATEGIES:
+            raise ValueError(f"unknown ANN strategy {strategy!r}; have {ANN_STRATEGIES}")
+        self.indexes[meta.index] = RegisteredIndex(IndexState(meta, status), df, strategy)
 
     def _routing_group(self, keyspace: str, table: str, target: str) -> list[RegisteredIndex]:
         """R1 (indexes.rs:63-78): indexes over the same (ks, table, target
@@ -113,16 +123,48 @@ class VectorStoreEngine:
         if prune is not None:
             df = df.where(prune)
         predicate = restrictions_to_column(residual, ri.df.schema)
-        topk = ann_topk(
-            df,
-            meta.target_column,
-            list(vector),
-            limit,
-            space=meta.space_type,
-            predicate=predicate,
-            tie_break=list(meta.primary_key_columns),
-        )
+        topk = self._strategy_topk(ri, df, meta, vector, limit, predicate)
         return topk, meta
+
+    def _strategy_topk(self, ri, df, meta, vector, limit, predicate) -> DataFrame:
+        """Dispatch over the strategy axis (§2.9). Approximate strategies
+        filter before candidate generation — same observable semantics as the
+        reference's predicate-inside-traversal (T2: top-k OF the filtered
+        set), since the candidate pool is drawn from filtered rows."""
+        if ri.strategy == "exact":
+            return ann_topk(
+                df, meta.target_column, list(vector), limit,
+                space=meta.space_type, predicate=predicate,
+                tie_break=list(meta.primary_key_columns),
+            )
+        if predicate is not None:
+            df = df.where(predicate)
+        id_col = meta.primary_key_columns[0]
+        select = list(meta.primary_key_columns)
+        if ri.strategy == "lsh":
+            if meta.space_type != SpaceType.COSINE:
+                raise FilterError("lsh strategy supports cosine only (hyperplane LSH)")
+            from vector_store_spark.operators.lsh import lsh_topk
+
+            return lsh_topk(df, id_col, meta.target_column, list(vector), limit,
+                            select_cols=select)
+        if ri.strategy == "ivf":
+            from vector_store_spark.operators.ivf import ivf_topk
+
+            return ivf_topk(df, id_col, meta.target_column, list(vector), limit,
+                            space=meta.space_type, select_cols=select)
+        if ri.strategy == "pq":
+            if meta.space_type != SpaceType.EUCLIDEAN:
+                raise FilterError("pq strategy scores l2sq (euclidean) only")
+            from vector_store_spark.operators.pq import pq_topk
+
+            topk = pq_topk(df, id_col, meta.target_column, list(vector), limit,
+                           select_cols=select)
+            # euclidean similarity mapping (similarity.rs:31)
+            return topk.withColumn(
+                "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
+            )
+        raise FilterError(f"unknown strategy {ri.strategy}")
 
     def ann(self, keyspace: str, table: str, target_column: str, vector: Sequence[float],
             limit: int = 1, flt: Filter | None = None) -> AnnResponse:
