@@ -96,6 +96,10 @@ def all_queries() -> dict[str, QuerySpec]:
         from vector_store_spark import queries_mix  # noqa: F401
     except ImportError:
         pass
+    try:
+        from vector_store_spark import queries_streaming  # noqa: F401
+    except ImportError:
+        pass
     return dict(_REGISTRY)
 
 
