@@ -72,7 +72,7 @@ cand AS (
   WHERE asg.cid IN (SELECT cid FROM probe)
 )
 SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
-FROM cand ORDER BY distance, e.vec_id LIMIT 10
+FROM cand ORDER BY distance, vec_id LIMIT 10
 """,
     "IVF-Flat ANN: probe nprobe nearest clusters, exact top-k within candidates",
 )
@@ -124,7 +124,7 @@ scored AS (
   FROM cand
 )
 SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
-FROM scored ORDER BY distance, e.vec_id LIMIT 10
+FROM scored ORDER BY distance, vec_id LIMIT 10
 """,
     "Sign-LSH ANN: random-hyperplane band buckets, bucket-match candidates, exact re-rank",
 )
