@@ -193,3 +193,43 @@ def ann_sql_topk(spark, sf_dir):
                round(vs_cosine_similarity(distance), {ROUND}) AS similarity
         FROM scored ORDER BY distance, vec_id LIMIT 10
     """)
+
+
+Q37 = det_query_vector(37, DIMS)
+
+
+@register(
+    "ann_topk_per_partition",
+    f"""
+WITH scored AS (
+  SELECT vec_id, label, round({_cos_sql(sql_vec(Q37))}, {ROUND}) AS distance
+  FROM {_BASE}
+),
+ranked AS (
+  SELECT vec_id, label, distance,
+         row_number() OVER (PARTITION BY label ORDER BY distance, vec_id) AS rn
+  FROM scored
+)
+SELECT label, vec_id, distance, rn AS rank
+FROM ranked WHERE rn <= 3
+""",
+    "Every local index answered in ONE query: top-3 per partition key via a "
+    "single window — the batch analogue of fanning out over all local "
+    "sub-indexes (lib.rs:677-680)",
+)
+def ann_topk_per_partition(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vector_store_spark.functions.distance import cosine_distance, vector_lit
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", "label",
+        F.round(cosine_distance("embedding", vector_lit(Q37)), ROUND).alias("distance"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("distance"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("label", "vec_id", "distance", "rank")
+    )
