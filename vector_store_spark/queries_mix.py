@@ -69,3 +69,33 @@ def mix_token_budget(spark, sf_dir):
         F.sum("tok").alias("sum_tokens"),
         F.max("running_total").alias("max_running"),
     )
+
+
+_SPLIT = f"""CASE WHEN {hash_bucket_sql("doc_id")} < 800 THEN 'train'
+             WHEN {hash_bucket_sql("doc_id")} < 900 THEN 'val'
+             ELSE 'test' END"""
+
+
+@register(
+    "mix_train_val_test",
+    f"""
+SELECT source, {_SPLIT} AS split, count(*) AS n_docs
+FROM documents
+GROUP BY source, {_SPLIT}
+""",
+    "Deterministic 80/10/10 train/val/test split from the same hash buckets: "
+    "a document never migrates between splits across runs or partitionings",
+)
+def mix_train_val_test(spark, sf_dir):
+    from vector_store_spark.operators.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
