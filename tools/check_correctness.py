@@ -33,6 +33,36 @@ def norm_cell(v):
     return str(v)
 
 
+def type_class(t: str) -> str:
+    """Coarse numeric-type family for Spark dtypes and Arrow type strings.
+
+    The driver's hash is type-sensitive across Arrow families (e.g. DuckDB
+    integer sum() -> HUGEINT -> decimal128(38,0) vs Spark int64 hashed
+    differently even with equal values), so the local gate must flag any
+    family divergence. int widths are treated as one family: both engines
+    surface them through pandas with identical reprs.
+    """
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("float", "double", "halffloat", "float16", "float32", "float64"):
+        return "float"
+    if t.startswith(("int", "uint", "bigint", "smallint", "tinyint", "hugeint")) or t in ("long", "short", "byte"):
+        return "int" if not t.startswith("hugeint") else "hugeint"
+    return "other"
+
+
+def type_problems(spark_dtypes, arrow_schema):
+    sd = {name: type_class(dt) for name, dt in spark_dtypes}
+    out = []
+    for field in arrow_schema:
+        dc = type_class(str(field.type))
+        sc = sd.get(field.name)
+        if sc is not None and sc != dc:
+            out.append(f"type {field.name}: spark={sc} oracle={dc} ({field.type})")
+    return out
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -72,7 +102,8 @@ def main(names=None):
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = res.fetch_arrow_table()
+            drows = [tuple(r.values()) for r in atbl.to_pylist()]
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             n_fail += 1
@@ -80,6 +111,7 @@ def main(names=None):
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {scols} vs {dcols}")
+        problems.extend(type_problems(sdf.dtypes, atbl.schema))
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not problems:

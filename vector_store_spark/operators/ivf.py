@@ -46,41 +46,88 @@ def ivf_centroids(items: DataFrame, id_col: str, vec_col: str, k: int) -> list:
     return [(r.cid, [float(x) for x in r.cv]) for r in rows]
 
 
+def ivf_centroids_trained(
+    items: DataFrame,
+    vec_col: str,
+    k: int,
+    space: SpaceType = SpaceType.COSINE,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list:
+    """Data-adaptive centroids via MLlib KMeans (distributed — the 100 TB
+    training path, matching the reference's data-adaptive index build,
+    crates/vector-store/src/vs_index/usearch.rs:74-92). ``space`` selects the
+    distanceMeasure (cosine → spherical k-means). Deterministic for a fixed
+    seed + input. Returns [(cid, vector)] with cid = 0..k-1, the same shape
+    as :func:`ivf_centroids`, so assignment/probe/search are unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    measure = "cosine" if space == SpaceType.COSINE else "euclidean"
+    train = items.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, distanceMeasure=measure, initMode="k-means||"
+    ).fit(train)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_assign(
-    items: DataFrame, id_col: str, vec_col: str, centroids: list
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    space: SpaceType = SpaceType.COSINE,
 ) -> DataFrame:
-    """items + ``cluster`` column = argmax cosine(v, centroid), ties broken by
-    smallest cid. One numpy GEMM per Arrow batch; at scale this is a map-only
-    stage pipelined behind the scan."""
+    """items + ``cluster`` column = nearest centroid (argmax cosine or argmin
+    L2², per ``space``), ties broken by smallest cid. One numpy GEMM per
+    Arrow batch; at scale this is a map-only stage pipelined behind the scan."""
     import numpy as np
     import pandas as pd
 
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
     cmat = np.array([v for _, v in centroids], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
+    c2 = (cmat * cmat).sum(axis=1)
+    use_cos = space == SpaceType.COSINE
 
     def assign(vecs):
         v = np.vstack(vecs.to_numpy()).astype(np.float64)
-        sims = (v @ cmat.T) / (np.linalg.norm(v, axis=1, keepdims=True) * cnorm[None, :])
+        if use_cos:
+            score = (v @ cmat.T) / (
+                np.linalg.norm(v, axis=1, keepdims=True) * cnorm[None, :]
+            )
+        else:
+            # negated L2² (constant ||v||² dropped) so argmax picks nearest
+            score = 2.0 * (v @ cmat.T) - c2[None, :]
         # argmax returns the first (lowest index) max; centroids are sorted by
         # cid, so ties resolve to the smallest cid — same as the oracle's
-        # ORDER BY sim DESC, cid.
-        return pd.Series(cids[np.argmax(sims, axis=1)])
+        # ORDER BY sim DESC, cid (cosine) / ORDER BY l2 ASC, cid (euclidean).
+        return pd.Series(cids[np.argmax(score, axis=1)])
 
     assign_udf = F.pandas_udf(assign, LongType())
     return items.withColumn("cluster", assign_udf(F.col(vec_col).cast("array<double>")))
 
 
-def ivf_probe(centroids: list, query: list[float], nprobe: int) -> list[int]:
-    """The nprobe cluster ids nearest (cosine) to the query; sim DESC, cid ASC."""
+def ivf_probe(
+    centroids: list,
+    query: list[float],
+    nprobe: int,
+    space: SpaceType = SpaceType.COSINE,
+) -> list[int]:
+    """The nprobe cluster ids nearest to the query (cosine: sim DESC, cid ASC;
+    euclidean: L2² ASC, cid ASC)."""
     qn = math.sqrt(sum(x * x for x in query))
 
-    def sim(cv):
-        dot = sum(x * y for x, y in zip(cv, query))
-        n = math.sqrt(sum(x * x for x in cv))
-        return dot / (n * qn) if n * qn else 0.0
+    def score(cv):
+        if space == SpaceType.COSINE:
+            dot = sum(x * y for x, y in zip(cv, query))
+            n = math.sqrt(sum(x * x for x in cv))
+            return dot / (n * qn) if n * qn else 0.0
+        return -sum((x - y) * (x - y) for x, y in zip(cv, query))
 
-    ranked = sorted(((sim(cv), -cid) for cid, cv in centroids), reverse=True)
+    ranked = sorted(((score(cv), -cid) for cid, cv in centroids), reverse=True)
     return [-ncid for _, ncid in ranked[:nprobe]]
 
 

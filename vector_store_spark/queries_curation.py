@@ -74,7 +74,7 @@ def _curated(spark, sf_dir):
     "curation_summary",
     _KEPT_CTES + f"""
 SELECT p.pred_lang, k.source, count(*) AS n_docs,
-       sum(CAST(k.n_tokens AS BIGINT)) AS sum_tokens,
+       CAST(sum(CAST(k.n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens,
        round(min(k.quality_score), {ROUND}) AS min_quality,
        round(max(k.quality_score), {ROUND}) AS max_quality
 FROM kept k JOIN pred p USING (doc_id)

@@ -128,8 +128,8 @@ marked AS (
 ),
 sess AS (
   SELECT user_id, tus, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -170,7 +170,7 @@ def events_sessions(spark, sf_dir):
     """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
 FROM events
 GROUP BY event_type

@@ -18,7 +18,7 @@ _BUDGET = 25_000  # tokens per language
 @register(
     "mix_hash_sample",
     f"""
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE {hash_bucket_sql("doc_id")} < {_RATE}
 GROUP BY source
@@ -41,14 +41,14 @@ def mix_hash_sample(spark, sf_dir):
   SELECT k.doc_id, k.n_tokens, k.quality_score, p.pred_lang
   FROM kept k JOIN pred p USING (doc_id)
 ), r AS (
-  SELECT *, sum(CAST(n_tokens AS BIGINT)) OVER (
+  SELECT *, CAST(sum(CAST(n_tokens AS BIGINT)) OVER (
     PARTITION BY pred_lang ORDER BY quality_score DESC, doc_id
     ROWS UNBOUNDED PRECEDING
-  ) AS running_total
+  ) AS BIGINT) AS running_total
   FROM j
 )
 SELECT pred_lang, count(*) AS n_docs,
-       sum(CAST(n_tokens AS BIGINT)) AS sum_tokens,
+       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens,
        max(running_total) AS max_running
 FROM r
 WHERE running_total - CAST(n_tokens AS BIGINT) < {_BUDGET}

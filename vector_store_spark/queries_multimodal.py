@@ -34,8 +34,8 @@ WITH a AS (
 )
 SELECT modality,
        count(*) AS n_assets,
-       sum(payload) AS total_payload_bytes,
-       sum(CASE WHEN modality = 'video' THEN CAST(ceil(payload / {FRAME_BYTES}.0) AS INT) ELSE 0 END) AS total_frames,
+       CAST(sum(payload) AS BIGINT) AS total_payload_bytes,
+       CAST(sum(CASE WHEN modality = 'video' THEN CAST(ceil(payload / {FRAME_BYTES}.0) AS INT) ELSE 0 END) AS BIGINT) AS total_frames,
        round(sum(CASE WHEN modality = 'audio' THEN payload * 1000.0 / {AUDIO_RATE} ELSE 0 END), {ROUND}) AS total_duration_ms
 FROM a GROUP BY modality
 """,

@@ -105,8 +105,8 @@ def text_quality(spark, sf_dir):
     "text_token_counts",
     f"""
 SELECT source,
-       sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))) AS bpe_tokens,
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))) AS BIGINT) AS bpe_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """,
