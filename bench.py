@@ -47,6 +47,11 @@ def main() -> int:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # lossless per-query record FIRST (its own compact line) so truncated log
+    # captures still carry every timing; the full protocol record follows as
+    # the final line.
+    print(json.dumps({"per_query_sec": timings}, separators=(",", ":")))
+    sys.stdout.flush()
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -117,6 +122,67 @@ def _extras(spark, sf_dir: str) -> dict:
         out["recall_at_10_pq_by_codes"] = {
             str(kc): round(sum(rs) / len(rs), 4) for kc, rs in recalls_pq.items()
         }
+
+        # trained (data-adaptive) builds — the recall-bearing index the
+        # reference's HNSW default corresponds to. Trained once, queried 4×.
+        from vector_store_spark.operators.ivf import ivf_centroids_trained, ivf_topk
+        from vector_store_spark.operators.pq import pq_codebook_trained, pq_topk
+
+        t0 = time.perf_counter()
+        cents = ivf_centroids_trained(emb, "embedding", 16, space=SpaceType.COSINE)
+        out["ivf_train_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        # 8 subspaces × 256 codes = the standard one-byte-per-code PQ config
+        cb_tr = pq_codebook_trained(emb, "vec_id", "embedding", 8, 256)
+        out["pq_train_sec"] = round(time.perf_counter() - t0, 4)
+
+        recalls_ivf_tr: dict[int, list] = {2: [], 4: [], 8: []}
+        recalls_ivf_tr_ma2: dict[int, list] = {2: [], 4: [], 8: []}
+        recalls_pq_tr: list = []
+        recalls_pq_tr_rescored: list = []
+        for seed in (7, 13, 21, 33):
+            q = det_query_vector(seed, 64)
+            truth = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+            ).collect()}
+            for nprobe in recalls_ivf_tr:
+                got = {r.vec_id for r in ivf_topk(
+                    emb, "vec_id", "embedding", q, k, nprobe=nprobe,
+                    centroids=cents, select_cols=["vec_id"],
+                ).collect()}
+                recalls_ivf_tr[nprobe].append(len(got & truth) / k)
+                # trained + FLANN-style 2× multiple assignment: the
+                # recall-bearing config (2× index storage)
+                got2 = {r.vec_id for r in ivf_topk(
+                    emb, "vec_id", "embedding", q, k, nprobe=nprobe,
+                    centroids=cents, n_assign=2, select_cols=["vec_id"],
+                ).collect()}
+                recalls_ivf_tr_ma2[nprobe].append(len(got2 & truth) / k)
+            truth_l2 = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, space=SpaceType.EUCLIDEAN,
+                tie_break=["vec_id"], select_cols=["vec_id"],
+            ).collect()}
+            pq_tr = {r.vec_id for r in pq_topk(
+                emb, "vec_id", "embedding", q, k, m_sub=8, codebook=cb_tr
+            ).collect()}
+            recalls_pq_tr.append(len(pq_tr & truth_l2) / k)
+            pq_rr = {r.vec_id for r in pq_topk(
+                emb, "vec_id", "embedding", q, k, m_sub=8, codebook=cb_tr, rescore=4
+            ).collect()}
+            recalls_pq_tr_rescored.append(len(pq_rr & truth_l2) / k)
+        out["recall_at_10_ivf_trained_by_nprobe"] = {
+            str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_ivf_tr.items()
+        }
+        out["recall_at_10_ivf_trained_ma2_by_nprobe"] = {
+            str(np_): round(sum(rs) / len(rs), 4)
+            for np_, rs in recalls_ivf_tr_ma2.items()
+        }
+        out["recall_at_10_pq_trained_8x256"] = round(
+            sum(recalls_pq_tr) / len(recalls_pq_tr), 4
+        )
+        out["recall_at_10_pq_trained_8x256_rescored_4x"] = round(
+            sum(recalls_pq_tr_rescored) / len(recalls_pq_tr_rescored), 4
+        )
     except Exception as ex:
         print(f"bench extras (recall) error: {ex}", file=sys.stderr)
 

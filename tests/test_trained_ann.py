@@ -1,0 +1,166 @@
+"""Trained (data-adaptive) ANN builds: MLlib-KMeans IVF centroids and
+sampled-Lloyd PQ codebooks — determinism under a pinned seed + fixed input,
+space threading, and the rescoring stage's exactness bound.
+
+Reference parity: the default engine trains its graph on the data
+(crates/vector-store/src/vs_index/usearch.rs:74-92); rescoring mirrors
+crates/validator/src/quantization_and_rescoring.rs:117-256.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.ivf import (
+    ivf_centroids_trained,
+    ivf_topk,
+)
+from vector_store_spark.operators.pq import (
+    pq_codebook_trained,
+    pq_encode,
+    pq_topk,
+)
+from vector_store_spark.operators.topk import ann_topk
+from vector_store_spark.registry import det_query_vector
+from vector_store_spark.types import SpaceType
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_trained_centroids_deterministic(emb):
+    a = ivf_centroids_trained(emb, "embedding", 8, seed=42)
+    b = ivf_centroids_trained(emb, "embedding", 8, seed=42)
+    assert [c for c, _ in a] == list(range(8))
+    assert len(a[0][1]) == 64
+    for (_, va), (_, vb) in zip(a, b):
+        assert va == vb  # pinned seed + same input (incl. partitioning) ⇒ identical
+
+
+def test_trained_centroids_reject_unsupported_space(emb):
+    with pytest.raises(ValueError):
+        ivf_centroids_trained(emb, "embedding", 4, space=SpaceType.HAMMING)
+
+
+def test_trained_ivf_full_probe_equals_brute_force(emb):
+    """With nprobe = K the candidate set is the whole table regardless of
+    where KMeans put the centroids — trained IVF must equal exact top-k."""
+    q = det_query_vector(7, 64)
+    cents = ivf_centroids_trained(emb, "embedding", 8, seed=42)
+    got = ivf_topk(
+        emb, "vec_id", "embedding", q, 10, nprobe=8, centroids=cents,
+        select_cols=["vec_id"], round_to=9,
+    )
+    brute = ann_topk(
+        emb, "embedding", q, 10, tie_break=["vec_id"], select_cols=["vec_id"],
+        round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
+
+
+def test_trained_ma2_ivf_recall_beats_untrained(emb):
+    """The recall-bearing config (trained centroids + 2× multiple assignment)
+    must beat the untrained single-assignment build at the same nprobe, and
+    clear a recall floor (deterministic setup, averaged over 4 queries)."""
+    hits_tr = hits_untr = 0
+    cents = ivf_centroids_trained(emb, "embedding", 16, seed=42)
+    for seed in (7, 13, 21, 33):
+        q = det_query_vector(seed, 64)
+        truth = {r.vec_id for r in ann_topk(
+            emb, "embedding", q, 10, tie_break=["vec_id"], select_cols=["vec_id"]
+        ).collect()}
+        tr = {r.vec_id for r in ivf_topk(
+            emb, "vec_id", "embedding", q, 10, nprobe=8, centroids=cents,
+            n_assign=2, select_cols=["vec_id"],
+        ).collect()}
+        untr = {r.vec_id for r in ivf_topk(
+            emb, "vec_id", "embedding", q, 10, k_centroids=16, nprobe=8,
+            select_cols=["vec_id"],
+        ).collect()}
+        hits_tr += len(tr & truth)
+        hits_untr += len(untr & truth)
+    assert hits_tr >= hits_untr
+    assert hits_tr / 40 >= 0.8  # recall@10 across 4 queries
+
+
+def test_multi_assign_no_duplicate_ids(emb):
+    """A vector whose two assigned clusters are both probed must appear once."""
+    q = det_query_vector(7, 64)
+    got = ivf_topk(
+        emb, "vec_id", "embedding", q, 20, k_centroids=8, nprobe=8,
+        n_assign=2, select_cols=["vec_id"],
+    ).collect()
+    ids = [r.vec_id for r in got]
+    assert len(ids) == len(set(ids)) == 20
+
+
+def test_euclidean_ivf_assignment_space_threaded(emb):
+    """engine.py passes meta.space_type; assignment/probe must follow it:
+    L2 IVF with full probe equals brute-force L2 ranking."""
+    q = det_query_vector(13, 64)
+    got = ivf_topk(
+        emb, "vec_id", "embedding", q, 10, k_centroids=8, nprobe=8,
+        space=SpaceType.EUCLIDEAN, select_cols=["vec_id"], round_to=9,
+    )
+    brute = ann_topk(
+        emb, "embedding", q, 10, space=SpaceType.EUCLIDEAN,
+        tie_break=["vec_id"], select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
+
+
+def test_trained_pq_codebook_deterministic_and_shaped(emb):
+    a = pq_codebook_trained(emb, "vec_id", "embedding", 8, 16, seed=42)
+    b = pq_codebook_trained(emb, "vec_id", "embedding", 8, 16, seed=42)
+    assert a.shape == (8, 16, 8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_trained_pq_encode_valid_codes(emb):
+    cb = pq_codebook_trained(emb, "vec_id", "embedding", 8, 16, seed=42)
+    enc = pq_encode(emb, "embedding", cb)
+    stats = enc.select(
+        F.min(F.array_min("pq_code")).alias("lo"),
+        F.max(F.array_max("pq_code")).alias("hi"),
+        F.min(F.size("pq_code")).alias("m"),
+    ).first()
+    assert stats.lo >= 0 and stats.hi < 16 and stats.m == 8
+
+
+def test_pq_rescore_saturates_to_exact(emb):
+    """rescore·k ≥ N ⇒ the rescoring stage re-ranks the whole table exactly:
+    trained-PQ + rescore must equal brute-force L2 top-k (emb is 500 rows;
+    rescore=50, k=10)."""
+    q = det_query_vector(21, 64)
+    cb = pq_codebook_trained(emb, "vec_id", "embedding", 8, 16, seed=42)
+    got = pq_topk(
+        emb, "vec_id", "embedding", q, 10, m_sub=8, codebook=cb, rescore=50,
+        round_to=9,
+    )
+    brute = ann_topk(
+        emb, "embedding", q, 10, space=SpaceType.EUCLIDEAN,
+        tie_break=["vec_id"], select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
+
+
+def test_trained_pq_recall_beats_untrained(emb):
+    hits_tr = hits_untr = 0
+    cb = pq_codebook_trained(emb, "vec_id", "embedding", 8, 16, seed=42)
+    for seed in (7, 13, 21, 33):
+        q = det_query_vector(seed, 64)
+        truth = {r.vec_id for r in ann_topk(
+            emb, "embedding", q, 10, space=SpaceType.EUCLIDEAN,
+            tie_break=["vec_id"], select_cols=["vec_id"],
+        ).collect()}
+        tr = {r.vec_id for r in pq_topk(
+            emb, "vec_id", "embedding", q, 10, m_sub=8, codebook=cb
+        ).collect()}
+        untr = {r.vec_id for r in pq_topk(
+            emb, "vec_id", "embedding", q, 10, m_sub=8, k_codes=16
+        ).collect()}
+        hits_tr += len(tr & truth)
+        hits_untr += len(untr & truth)
+    assert hits_tr >= hits_untr

@@ -11,10 +11,13 @@ Structure:
           take the top ``nprobe`` clusters, exact top-k over only those
           clusters — Catalyst turns the cluster filter into partition pruning.
 
-Centroid choice here is deterministic (the K smallest ids) so the whole
-algorithm — assignment, probe, ranking — is reproducible in oracle SQL.
-At 100 TB you would swap in MLlib KMeans sampled centroids behind the same
-two functions; everything downstream is unchanged.
+Two builds share the same assignment/probe/search machinery:
+- :func:`ivf_centroids` — deterministic (K smallest ids), so the whole
+  algorithm — assignment, probe, ranking — is reproducible in oracle SQL
+  (the correctness surface).
+- :func:`ivf_centroids_trained` — distributed MLlib KMeans (the 100 TB
+  recall-bearing build); combine with ``n_assign=2`` multiple assignment
+  for ≥0.9 recall@10 at nprobe ≤ K/2 on weakly-clustered data.
 
 Recall is governed by nprobe/K exactly as in FAISS-style IVF-Flat: the
 candidate set is the union of the nprobe nearest clusters, and the final
@@ -27,7 +30,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from vector_store_spark.operators.topk import ann_topk
 from vector_store_spark.types import SpaceType
@@ -63,10 +66,24 @@ def ivf_centroids_trained(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    measure = "cosine" if space == SpaceType.COSINE else "euclidean"
+    if space == SpaceType.COSINE:
+        measure = "cosine"
+    elif space == SpaceType.EUCLIDEAN:
+        measure = "euclidean"
+    else:
+        raise ValueError(f"trained centroids support cosine/euclidean, not {space}")
     train = items.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
+    if space == SpaceType.COSINE:
+        # MLlib cosine KMeans rejects zero-norm points; drop them (they can
+        # never be cosine-nearest anyway — distance.py maps them to d=1).
+        from pyspark.ml.functions import vector_to_array
+
+        norm_ok = F.aggregate(
+            vector_to_array("features"), F.lit(0.0), lambda a, x: a + x * x
+        ) > 0
+        train = train.where(norm_ok)
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, distanceMeasure=measure, initMode="k-means||"
     ).fit(train)
@@ -79,35 +96,64 @@ def ivf_assign(
     vec_col: str,
     centroids: list,
     space: SpaceType = SpaceType.COSINE,
+    n_assign: int = 1,
 ) -> DataFrame:
     """items + ``cluster`` column = nearest centroid (argmax cosine or argmin
     L2², per ``space``), ties broken by smallest cid. One numpy GEMM per
-    Arrow batch; at scale this is a map-only stage pipelined behind the scan."""
+    Arrow batch; at scale this is a map-only stage pipelined behind the scan.
+
+    ``n_assign > 1`` is FLANN-style *multiple assignment*: each vector is
+    replicated into its ``n_assign`` nearest clusters (one exploded row per
+    cluster), trading n× index storage for a large recall gain at the same
+    nprobe — the lever that lifts IVF recall on weakly-clustered data.
+    Consumers must de-duplicate ids when more than one assigned cluster is
+    probed (ivf_topk does)."""
     import numpy as np
     import pandas as pd
 
+    if space not in (SpaceType.COSINE, SpaceType.EUCLIDEAN, SpaceType.DOT_PRODUCT):
+        raise ValueError(f"ivf_assign: unsupported space {space}")
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
     cmat = np.array([v for _, v in centroids], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     c2 = (cmat * cmat).sum(axis=1)
-    use_cos = space == SpaceType.COSINE
+    na = min(n_assign, len(cids))
 
-    def assign(vecs):
+    def scores(vecs):
         v = np.vstack(vecs.to_numpy()).astype(np.float64)
-        if use_cos:
-            score = (v @ cmat.T) / (
+        if space == SpaceType.COSINE:
+            return (v @ cmat.T) / (
                 np.linalg.norm(v, axis=1, keepdims=True) * cnorm[None, :]
             )
-        else:
-            # negated L2² (constant ||v||² dropped) so argmax picks nearest
-            score = 2.0 * (v @ cmat.T) - c2[None, :]
-        # argmax returns the first (lowest index) max; centroids are sorted by
-        # cid, so ties resolve to the smallest cid — same as the oracle's
-        # ORDER BY sim DESC, cid (cosine) / ORDER BY l2 ASC, cid (euclidean).
-        return pd.Series(cids[np.argmax(score, axis=1)])
+        if space == SpaceType.DOT_PRODUCT:
+            return v @ cmat.T
+        # EUCLIDEAN: negated L2² (constant ||v||² dropped) so argmax = nearest
+        return 2.0 * (v @ cmat.T) - c2[None, :]
 
-    assign_udf = F.pandas_udf(assign, LongType())
-    return items.withColumn("cluster", assign_udf(F.col(vec_col).cast("array<double>")))
+    if na == 1:
+        def assign(vecs):
+            # argmax returns the first (lowest index) max; centroids are sorted
+            # by cid, so ties resolve to the smallest cid — same as the
+            # oracle's ORDER BY sim DESC, cid / ORDER BY l2 ASC, cid.
+            return pd.Series(cids[np.argmax(scores(vecs), axis=1)])
+
+        assign_udf = F.pandas_udf(assign, LongType())
+        return items.withColumn(
+            "cluster", assign_udf(F.col(vec_col).cast("array<double>"))
+        )
+
+    def assign_multi(vecs):
+        s = scores(vecs)
+        # stable top-na by (score desc, cid asc): argsort on -score is stable,
+        # so equal scores keep cid order
+        top = np.argsort(-s, axis=1, kind="stable")[:, :na]
+        return pd.Series(list(cids[top]))
+
+    multi_udf = F.pandas_udf(assign_multi, ArrayType(LongType()))
+    return items.withColumn(
+        "cluster",
+        F.explode(multi_udf(F.col(vec_col).cast("array<double>"))),
+    )
 
 
 def ivf_probe(
@@ -118,6 +164,8 @@ def ivf_probe(
 ) -> list[int]:
     """The nprobe cluster ids nearest to the query (cosine: sim DESC, cid ASC;
     euclidean: L2² ASC, cid ASC)."""
+    if space not in (SpaceType.COSINE, SpaceType.EUCLIDEAN, SpaceType.DOT_PRODUCT):
+        raise ValueError(f"ivf_probe: unsupported space {space}")
     qn = math.sqrt(sum(x * x for x in query))
 
     def score(cv):
@@ -125,6 +173,8 @@ def ivf_probe(
             dot = sum(x * y for x, y in zip(cv, query))
             n = math.sqrt(sum(x * x for x in cv))
             return dot / (n * qn) if n * qn else 0.0
+        if space == SpaceType.DOT_PRODUCT:
+            return sum(x * y for x, y in zip(cv, query))
         return -sum((x - y) * (x - y) for x, y in zip(cv, query))
 
     ranked = sorted(((score(cv), -cid) for cid, cv in centroids), reverse=True)
@@ -142,14 +192,25 @@ def ivf_topk(
     space: SpaceType = SpaceType.COSINE,
     select_cols: list[str] | None = None,
     round_to: int | None = None,
+    centroids: list | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Build-and-search in one call (batch-engine shape: the 'index' is the
     assigned DataFrame; a persisted deployment would write it partitioned by
-    cluster and reuse it across queries)."""
-    cents = ivf_centroids(items, id_col, vec_col, k_centroids)
-    assigned = ivf_assign(items, id_col, vec_col, cents)
-    probes = ivf_probe(cents, query, nprobe)
+    cluster and reuse it across queries). Assignment, probing and final
+    ranking all run in ``space``. ``centroids`` overrides the deterministic
+    smallest-id build — pass :func:`ivf_centroids_trained` output for the
+    data-adaptive (recall-bearing) index; ``n_assign > 1`` adds multiple
+    assignment (see :func:`ivf_assign`)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        items, id_col, vec_col, k_centroids
+    )
+    assigned = ivf_assign(items, id_col, vec_col, cents, space=space, n_assign=n_assign)
+    probes = ivf_probe(cents, query, nprobe, space=space)
     candidates = assigned.where(F.col("cluster").isin(probes))
+    if n_assign > 1:
+        # a vector replicated into two probed clusters must score once
+        candidates = candidates.dropDuplicates([id_col])
     return ann_topk(
         candidates, vec_col, query, k,
         space=space, tie_break=[id_col],

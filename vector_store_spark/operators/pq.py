@@ -44,6 +44,53 @@ def pq_codebook(items: DataFrame, id_col: str, vec_col: str, m_sub: int, k_codes
     return mat.reshape(k_codes, m_sub, d_sub).transpose(1, 0, 2).copy()
 
 
+def pq_codebook_trained(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    k_codes: int,
+    seed: int = 42,
+    n_iter: int = 25,
+    sample_rows: int = 16384,
+) -> np.ndarray:
+    """Data-adaptive codebook: per-subspace Lloyd k-means on a deterministic
+    sample (the FAISS training recipe — PQ codebooks are always trained on a
+    bounded sample, not the full corpus, so at 100 TB this is one narrow
+    sampled scan + a driver-side fit over ≤ ``sample_rows`` rows). Matches the
+    reference's data-adaptive index build (usearch.rs:74-92) at the PQ tier.
+
+    Deterministic for fixed (seed, input rows): the sample is the
+    ``sample_rows`` smallest-id rows (id order, not partition order) and the
+    k-means init is a seeded RNG choice among sample rows. Same return shape
+    as :func:`pq_codebook`, so encode/LUT/ADC are unchanged."""
+    rows = (
+        items.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    )
+    mat = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    dims = mat.shape[1]
+    if dims % m_sub:
+        raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")
+    d_sub = dims // m_sub
+    sub = mat.reshape(len(mat), m_sub, d_sub)
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m_sub):
+        X = sub[:, s, :]
+        # init: k distinct sample rows (seeded); Lloyd iterations to converge
+        init_idx = rng.choice(len(X), size=min(k_codes, len(X)), replace=False)
+        C = X[np.sort(init_idx)].copy()
+        for _ in range(n_iter):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(len(C)):
+                m = a == j
+                if m.any():
+                    C[j] = X[m].mean(axis=0)
+        books.append(C)
+    return np.stack(books)  # (m_sub, k_codes, d_sub)
+
+
 def pq_encode(items: DataFrame, vec_col: str, codebook: np.ndarray, code_col: str = "pq_code") -> DataFrame:
     """items + ``code_col`` array<int> of length m_sub: per-subspace argmin
     L2² to the codebook (first/lowest code wins ties, matching SQL
@@ -107,16 +154,47 @@ def pq_topk(
     k_codes: int = 16,
     select_cols: list[str] | None = None,
     round_to: int | None = None,
+    codebook: np.ndarray | None = None,
+    rescore: int = 0,
 ) -> DataFrame:
     """End-to-end PQ search: codebook → encode → ADC top-k. Exactness is
-    governed by (m_sub, k_codes); recall vs brute force is a bench metric."""
-    cb = pq_codebook(items, id_col, vec_col, m_sub, k_codes)
+    governed by (m_sub, k_codes); recall vs brute force is a bench metric.
+
+    ``codebook`` overrides the deterministic build (pass
+    :func:`pq_codebook_trained` output for the recall-bearing index).
+    ``rescore > 0`` adds the reference's rescoring stage
+    (quantization_and_rescoring.rs:117-256): take ``rescore·k`` ADC
+    candidates (TakeOrderedAndProject — per-partition heaps), then re-rank
+    that metadata-sized set by exact L2² over the original vectors."""
+    cb = codebook if codebook is not None else pq_codebook(
+        items, id_col, vec_col, m_sub, k_codes
+    )
     encoded = pq_encode(items, vec_col, cb)
     lut = pq_adc_lut(cb, query)
     dist = pq_adc_distance("pq_code", lut)
     if round_to is not None:
         dist = F.round(dist, round_to)
     cols = select_cols or [id_col]
+    if rescore > 0:
+        cand = (
+            encoded.withColumn("adc", dist)
+            .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+            .limit(rescore * k)
+        )
+        from vector_store_spark.functions.distance import distance_expr, vector_lit
+        from vector_store_spark.types import SpaceType
+
+        exact = distance_expr(
+            SpaceType.EUCLIDEAN, F.col(vec_col).cast("array<double>"), vector_lit(query)
+        )
+        if round_to is not None:
+            exact = F.round(exact, round_to)
+        return (
+            cand.withColumn("distance", exact)
+            .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(*cols, "distance")
+        )
     return (
         encoded.withColumn("distance", dist)
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
