@@ -183,6 +183,31 @@ def _extras(spark, sf_dir: str) -> dict:
         out["recall_at_10_pq_trained_8x256_rescored_4x"] = round(
             sum(recalls_pq_tr_rescored) / len(recalls_pq_tr_rescored), 4
         )
+
+        # IVF-PQ composition, trained + ma2 + rescore: the full memory-tier
+        # config (prune to nprobe clusters, ADC over codes, exact re-rank)
+        from vector_store_spark.operators.ivfpq import ivfpq_topk
+
+        cents_l2 = ivf_centroids_trained(
+            emb, "embedding", 16, space=SpaceType.EUCLIDEAN
+        )
+        recalls_ivfpq: dict[int, list] = {4: [], 8: []}
+        for seed in (7, 13, 21, 33):
+            q = det_query_vector(seed, 64)
+            truth_l2 = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, space=SpaceType.EUCLIDEAN,
+                tie_break=["vec_id"], select_cols=["vec_id"],
+            ).collect()}
+            for nprobe in recalls_ivfpq:
+                got = {r.vec_id for r in ivfpq_topk(
+                    emb, "vec_id", "embedding", q, k, nprobe=nprobe,
+                    centroids=cents_l2, codebook=cb_tr, n_assign=2, rescore=8,
+                    select_cols=["vec_id"],
+                ).collect()}
+                recalls_ivfpq[nprobe].append(len(got & truth_l2) / k)
+        out["recall_at_10_ivfpq_trained_ma2_rescored8x_by_nprobe"] = {
+            str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_ivfpq.items()
+        }
     except Exception as ex:
         print(f"bench extras (recall) error: {ex}", file=sys.stderr)
 

@@ -44,6 +44,33 @@ def test_pq_strategy_euclidean(emb):
         assert s == 1.0 / (1.0 + d)
 
 
+def test_ivfpq_strategy_euclidean(emb):
+    eng = VectorStoreEngine()
+    eng.register(emb, _meta(SpaceType.EUCLIDEAN), strategy="ivfpq")
+    out = eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5)
+    assert len(out.primary_keys["vec_id"]) == 5
+    assert out.distances == sorted(out.distances)
+    for d, s in zip(out.distances, out.similarity_scores):
+        assert s == 1.0 / (1.0 + d)
+
+
+def test_ivfpq_full_probe_full_rescore_is_exact(emb):
+    """nprobe=K and rescore·k ≥ N degrade IVF-PQ gracefully to exact L2."""
+    from vector_store_spark.operators.ivfpq import ivfpq_topk
+    from vector_store_spark.operators.topk import ann_topk
+
+    q = det_query_vector(31, 64)
+    got = ivfpq_topk(
+        emb, "vec_id", "embedding", q, 10, k_centroids=8, nprobe=8,
+        rescore=50, select_cols=["vec_id"], round_to=9,
+    )
+    brute = ann_topk(
+        emb, "embedding", q, 10, space=SpaceType.EUCLIDEAN,
+        tie_break=["vec_id"], select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
+
+
 def test_strategy_space_mismatch_rejected(emb):
     eng = VectorStoreEngine()
     eng.register(emb, _meta(SpaceType.EUCLIDEAN), strategy="lsh")

@@ -48,7 +48,7 @@ class AnnResponse:
 #: §2.9 (vs_index/factory.rs:1-37): the engine-strategy axis. The reference
 #: selects USearch/DiskANN/OpenSearch per index; here the strategies are
 #: DataFrame programs sharing one query lifecycle.
-ANN_STRATEGIES = ("exact", "lsh", "ivf", "pq")
+ANN_STRATEGIES = ("exact", "lsh", "ivf", "pq", "ivfpq")
 
 
 @dataclass
@@ -161,6 +161,16 @@ class VectorStoreEngine:
             topk = pq_topk(df, id_col, meta.target_column, list(vector), limit,
                            select_cols=select)
             # euclidean similarity mapping (similarity.rs:31)
+            return topk.withColumn(
+                "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
+            )
+        if ri.strategy == "ivfpq":
+            if meta.space_type != SpaceType.EUCLIDEAN:
+                raise FilterError("ivfpq strategy scores l2sq (euclidean) only")
+            from vector_store_spark.operators.ivfpq import ivfpq_topk
+
+            topk = ivfpq_topk(df, id_col, meta.target_column, list(vector), limit,
+                              select_cols=select)
             return topk.withColumn(
                 "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
             )
