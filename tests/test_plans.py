@@ -36,6 +36,16 @@ def test_no_unscalable_joins_anywhere(plans):
     assert not bad, f"unscalable join operators crept in: {bad}"
 
 
+def test_token_budget_has_no_whole_group_window(plans):
+    """Skew regression: mix_token_budget's running-sum window must partition
+    by (group, score-bucket), never the group alone — a per-group window is a
+    single-reducer sort on an English-dominated corpus."""
+    plan = plans["mix_token_budget"]
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "_tb_bucket" in line, f"whole-group window: {line.strip()[:160]}"
+
+
 def test_every_topk_query_uses_k_heaps(plans):
     topk_queries = [n for n in plans if n.startswith(("ann_", "filter_", "bm25_"))]
     topk_queries += ["local_partition_ann", "alternator_ann_topk", "curation_kept_topk"]

@@ -31,7 +31,43 @@ def test_token_budget_take(spark):
         ("b", 4, 100, 0.9), ("b", 5, 1, 0.8),
     ]
     df = spark.createDataFrame(rows, ["g", "doc_id", "tok", "q"])
-    took = token_budget_take(df, "g", [F.desc("q"), F.asc("doc_id")], "tok", 30)
+    took = token_budget_take(df, "g", "q", "doc_id", "tok", 30)
     got = {(r.g, r.doc_id): r.running_total for r in took.collect()}
     assert set(got) == {("a", 1), ("a", 2), ("b", 4)}
     assert got[("a", 2)] == 30 and got[("b", 4)] == 100
+
+
+def test_token_budget_histogram_matches_window_spec(spark):
+    """The scale path must be value-identical (kept set AND running totals)
+    to the single-window spec, including equal-score ties and edge buckets."""
+    import random
+
+    from vector_store_spark.operators.sampling import token_budget_take_window
+
+    rnd = random.Random(7)
+    rows = [
+        (f"g{i % 3}", i, rnd.randint(1, 50), round(rnd.random(), 2))
+        for i in range(500)
+    ]
+    # force score ties and out-of-range scores into the mix
+    rows += [("g0", 1000 + j, 10, 0.5) for j in range(20)]
+    rows += [("g1", 2000, 5, 1.5), ("g2", 3000, 5, -0.5)]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "tok", "q"])
+    fast = token_budget_take(df, "g", "q", "doc_id", "tok", 300, num_buckets=16)
+    spec = token_budget_take_window(
+        df, "g", [F.desc("q"), F.asc("doc_id")], "tok", 300
+    )
+    k = lambda r: (r.g, r.doc_id)
+    assert {k(r): r.running_total for r in fast.collect()} == \
+           {k(r): r.running_total for r in spec.collect()}
+
+
+def test_token_budget_window_is_per_bucket_not_per_group(spark):
+    """Skew guard: the running-sum window must partition by (group, bucket),
+    never by the group alone (single-reducer sort at scale)."""
+    df = spark.createDataFrame(
+        [("a", i, 10, i / 100.0) for i in range(100)], ["g", "doc_id", "tok", "q"]
+    )
+    out = token_budget_take(df, "g", "q", "doc_id", "tok", 100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_tb_bucket" in plan.split("Window")[1].split("\n")[0]

@@ -8,9 +8,22 @@ The two selection primitives a pretraining data pipeline runs after curation:
   Pure narrow filter: no shuffle, pushes to the scan.
 - ``token_budget_take``: per-group (language/source/domain) greedy selection
   of the best rows until a token budget is exhausted — how data mixes are
-  assembled ("50B tokens of code, 10B of math..."). One window (single
-  shuffle on the group key); the running sum is integer arithmetic, so
-  results are deterministic under any partitioning.
+  assembled ("50B tokens of code, 10B of math...").
+
+  Scale shape (the skew problem): a running-sum window partitioned by group
+  alone sends EVERY row of a language through one task — on an
+  English-dominated 100 TB corpus that is the classic single-reducer
+  scale-killer. ``token_budget_take`` therefore runs a histogram-threshold
+  two-pass: (1) aggregate per-(group, score-bucket) token mass — a normal
+  parallel hash aggregate; (2) driver-side, compute each bucket's
+  cumulative-before mass (KB-sized: groups × buckets); (3) broadcast-join the
+  per-bucket base back and drop whole buckets already past budget (a narrow
+  filter — rows past the threshold never reach a shuffle); (4) resolve exact
+  per-row running totals with a window partitioned by (group, bucket) — max
+  task size is one bucket, ~N/num_buckets, not N. Identical output (incl.
+  ``running_total``) to the single-window spec ``token_budget_take_window``,
+  cross-validated in tests; the running sum is integer arithmetic, so results
+  are deterministic under any partitioning.
 """
 
 from __future__ import annotations
@@ -19,6 +32,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 # Knuth multiplicative hashing constant (2^32 / phi); the modulus keeps the
 # product within 2^63 so the identical integer arithmetic runs on any engine
@@ -46,18 +60,17 @@ def hash_sample(
     return df.where(hash_bucket(id_col, 1000, salt) < rate_permille)
 
 
-def token_budget_take(
+def token_budget_take_window(
     df: DataFrame,
     group_col: str,
     order_cols: Sequence[Column | str],
     weight_col: str,
     budget: int,
 ) -> DataFrame:
-    """Greedy per-group selection: walk rows in ``order_cols`` order and keep
-    each row whose predecessors' total ``weight_col`` is still under
-    ``budget`` (a row may overshoot the budget; the next one stops). Adds
-    ``running_total`` (inclusive). Ordering must be total (include a unique
-    id) for deterministic results."""
+    """Single-window executable spec of the greedy take (NOT the scale path:
+    the window is partitioned by group alone, so one task sorts a whole
+    group). Kept as the semantics oracle ``token_budget_take`` is
+    cross-validated against; use it only for small/debug data."""
     w = (
         Window.partitionBy(group_col)
         .orderBy(*order_cols)
@@ -65,3 +78,78 @@ def token_budget_take(
     )
     out = df.withColumn("running_total", F.sum(weight_col).over(w))
     return out.where(F.col("running_total") - F.col(weight_col) < budget)
+
+
+def token_budget_take(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    num_buckets: int = 1024,
+    score_range: tuple[float, float] = (0.0, 1.0),
+) -> DataFrame:
+    """Greedy per-group selection, scale-safe: walk rows in
+    (``score_col`` DESC, ``id_col`` ASC) order and keep each row whose
+    predecessors' total ``weight_col`` is still under ``budget`` (a row may
+    overshoot; the next one stops). Adds ``running_total`` (inclusive).
+
+    Histogram-threshold two-pass (see module docstring): the score is
+    quantized into ``num_buckets`` monotone buckets over ``score_range``
+    (scores outside the range clamp into the edge buckets — ordering within
+    a bucket is still exact, by raw score). Equal scores share a bucket, so
+    bucket order + in-bucket (score DESC, id ASC) order == the global greedy
+    order; per-row running totals come out identical to the single-window
+    spec. Worst case (every row one score) degrades to one bucket = the old
+    single-task sort; real quality scores spread across buckets."""
+    lo, hi = float(score_range[0]), float(score_range[1])
+    span = (hi - lo) or 1.0
+    raw = F.floor(
+        (F.lit(hi) - F.col(score_col).cast("double")) / F.lit(span) * num_buckets
+    ).cast("long")
+    bucket = F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
+    tagged = df.withColumn("_tb_bucket", bucket)
+
+    # pass 1: per-(group, bucket) mass — parallel hash aggregate, KB-sized out
+    hist = (
+        tagged.groupBy(group_col, "_tb_bucket")
+        .agg(F.sum(weight_col).alias("_mass"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[group_col], []).append((r["_tb_bucket"], r["_mass"]))
+    # pass 2 (driver): cumulative-before per bucket; buckets whose base is
+    # already >= budget cannot contribute kept rows and are dropped entirely
+    base_rows = []
+    for g, lst in per_group.items():
+        lst.sort()
+        cum = 0
+        for b, m in lst:
+            if cum < budget:
+                base_rows.append((g, b, cum))
+            cum += m
+    gfield = df.schema[group_col]
+    base_schema = StructType([
+        StructField(group_col, gfield.dataType, gfield.nullable),
+        StructField("_tb_bucket", LongType(), False),
+        StructField("_tb_base", LongType(), False),
+    ])
+    base = df.sparkSession.createDataFrame(base_rows, base_schema)
+
+    # pass 3: narrow filter via broadcast inner join, then a window whose
+    # partitions are single buckets — max task size N/num_buckets
+    kept_buckets = tagged.join(F.broadcast(base), [group_col, "_tb_bucket"])
+    w = (
+        Window.partitionBy(group_col, "_tb_bucket")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = kept_buckets.withColumn(
+        "running_total", F.col("_tb_base") + F.sum(weight_col).over(w)
+    )
+    return (
+        out.where(F.col("running_total") - F.col(weight_col) < budget)
+        .drop("_tb_bucket", "_tb_base")
+    )

@@ -60,9 +60,7 @@ GROUP BY pred_lang
 def mix_token_budget(spark, sf_dir):
     cur = _curated(spark, sf_dir).withColumn("tok", F.col("n_tokens").cast("long"))
     took = token_budget_take(
-        cur, "pred_lang",
-        [F.desc("quality_score"), F.asc("doc_id")],
-        "tok", _BUDGET,
+        cur, "pred_lang", "quality_score", "doc_id", "tok", _BUDGET,
     )
     return took.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
