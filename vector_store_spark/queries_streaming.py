@@ -1,13 +1,18 @@
-"""Streaming registry entry (rows-only — Structured Streaming is not
-SQL-expressible for the DuckDB oracle, so the driver records the weaker
-count/schema check, as the contract allows for genuinely non-SQL ops).
+"""Streaming registry entry — oracle-gated: the pipeline's END STATE is
+deterministic (LWW idempotence — order of batches/partitions cannot change
+it), so the DuckDB oracle re-derives the same b1+b2 event history with plain
+window SQL (arg-max per key by (ts, seq), tombstones win, stale replays
+lose) and the driver hash-compares the final live snapshot. This upgrades
+the heart-of-the-system W3 algebra (reference table/mod.rs:697-1003) from a
+rows-only check to a value-checked one; what stays non-SQL-expressible is
+only the *mechanism* (micro-batches, checkpoint resume), which
+tests/test_streaming.py exercises.
 
 Drives the REAL pipeline end to end: CDC events derived deterministically
 from the documents table → file-source micro-batches → foreachBatch LWW merge
 into the bucket-partitioned snapshot (S3–S5, W3), across TWO stream starts
 sharing one checkpoint (W8 resume), with stale replays that must lose LWW and
-tombstones that must win. The result is the final live snapshot; LWW
-idempotence makes it deterministic regardless of batch/partition order.
+tombstones that must win.
 """
 
 from __future__ import annotations
@@ -28,12 +33,38 @@ def _await(q):
 
 
 @register(
-    "stream_cdc_snapshot",
-    None,
-    "S3-S5/W2/W3/W8 end-to-end: CDC micro-batches -> LWW snapshot across a "
-    "checkpoint resume; stale replays lose, tombstones win",
+    "stream_cdc_endstate",
+    """
+WITH base AS (
+  SELECT doc_id AS pk, CAST(n_chars AS DOUBLE) AS v,
+         CAST(doc_id % 10 AS INT) AS f
+  FROM documents WHERE doc_id < 1000
+),
+events AS (
+  SELECT 'upsert' AS op, pk, v, f, CAST(100 AS BIGINT) AS ts, pk AS seq FROM base
+  UNION ALL
+  SELECT 'upsert', pk, v + 1000.0, f, 200, pk FROM base WHERE pk % 5 = 0
+  UNION ALL
+  SELECT 'upsert', pk, -1.0, f, 50, pk FROM base WHERE pk % 7 = 0
+  UNION ALL
+  SELECT 'delete', pk, NULL, NULL, 300, pk + 1000000 FROM base WHERE pk % 11 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
 )
-def stream_cdc_snapshot(spark, sf_dir):
+SELECT pk, v, f FROM latest
+WHERE op <> 'delete' AND v IS NOT NULL
+ORDER BY pk
+""",
+    "S3-S5/W2/W3/W8 end-to-end, hash-checked: CDC micro-batches -> LWW "
+    "snapshot across a checkpoint resume; the deterministic end state is "
+    "re-derived by the oracle's LWW window SQL (stale replays lose, "
+    "tombstones win)",
+)
+def stream_cdc_endstate(spark, sf_dir):
     # deterministic subset: streaming fidelity (LWW/replay/tombstone/resume)
     # is row-count independent, and two stream starts already dominate cost
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars").where(
