@@ -8,12 +8,15 @@ keep documents inside a token-length band with a minimum composite quality
 score, and tag each kept document with its predicted language.
 
 Scale notes (100 TB posture):
-- Dedup is ONE aggregation: ``groupBy(normalized_text)`` +
+- Dedup is ONE aggregation: ``groupBy(content_fingerprint)`` +
   ``min_by(struct(row), id)`` — partial aggregation collapses duplicates
   map-side so only one row per (task, content) crosses the exchange; there is
-  no window (which would shuffle every row) and no self-join. The struct
-  buffer makes it a SortAggregate rather than HashAggregate — acceptable
-  because the partial combine dominates at scale.
+  no window (which would shuffle every row) and no self-join. The grouping
+  key is the 128-bit MD5 of the normalized text, so the key's shuffle bytes
+  are constant per row (the kept row's text still travels as the aggregation
+  value — it is the payload downstream stages need). The struct buffer makes
+  it a SortAggregate rather than HashAggregate — acceptable because the
+  partial combine dominates at scale.
 - Quality features + language ID are pure per-row projections (one scan,
   whole-stage codegen); the quality filter runs before the aggregate so only
   kept rows reach any downstream shuffle.
@@ -26,7 +29,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_store_spark.operators.dedup import normalized_text
+from vector_store_spark.operators.dedup import content_fingerprint
 from vector_store_spark.operators.textstats import quality_features
 
 
@@ -46,7 +49,7 @@ def curate(
     ``round(quality_score, round_digits) >= min_quality``."""
     row_cols = [id_col, *extra_cols, text_col]
     uniq = (
-        docs.groupBy(normalized_text(text_col).alias("_norm"))
+        docs.groupBy(content_fingerprint(text_col).alias("_fp"))
         .agg(F.min_by(F.struct(*row_cols), F.col(id_col)).alias("_row"))
         .select("_row.*")
     )

@@ -52,19 +52,32 @@ def normalized_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
+def content_fingerprint(text: Column | str) -> Column:
+    """128-bit fingerprint of the normalized content (JVM-side MD5). The
+    dedup grouping key: shuffle bytes are 32 hex chars per row regardless of
+    document length; at 128 bits an accidental collision over even 10^12
+    documents is ~10^-14 — the standard content-addressing tradeoff."""
+    return F.md5(normalized_text(text).cast("binary"))
+
+
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups after normalization: one row per duplicated
-    content with the keeper (min id), group size, and member ids."""
-    norm = docs.select(F.col(id_col), normalized_text(text_col).alias("norm"))
+    content with the keeper (min id), group size, and member ids.
+
+    Groups by the 128-bit content fingerprint, not the text itself: the
+    shuffle carries (fingerprint, id) pairs only, so shuffle volume is
+    independent of document length (the full normalized text never leaves
+    the map side)."""
+    keyed = docs.select(F.col(id_col), content_fingerprint(text_col).alias("fp"))
     return (
-        norm.groupBy("norm")
+        keyed.groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("group_size"),
             F.sort_array(F.collect_list(id_col)).alias("member_ids"),
         )
         .where(F.col("group_size") > 1)
-        .drop("norm")
+        .drop("fp")
     )
 
 
