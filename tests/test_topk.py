@@ -100,3 +100,31 @@ def test_knn_join_matches_single_query_topk(spark, embeddings):
     for i in range(3):
         expect = _numpy_topk(rows, queries[i][1], 4, SpaceType.COSINE)
         assert by_q[f"q{i}"] == expect
+
+
+def test_knn_join_hamming_matches_single_query_udf(spark, embeddings):
+    """Packed-B1 XOR-popcount batch path vs the single-query Arrow twin
+    (hamming_b1_udf): identical integer distances and ordering."""
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.functions.quantize import hamming_b1_udf
+    from vector_store_spark.registry import det_query_vector
+
+    queries = [("a", det_query_vector(7, 64)), ("b", det_query_vector(13, 64))]
+    got = knn_join(
+        embeddings, "embedding", queries, k=5,
+        space=SpaceType.HAMMING, id_cols=["vec_id"],
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.distance))
+    for qid, qv in queries:
+        single = (
+            embeddings.select(
+                "vec_id", hamming_b1_udf(qv)(F.col("embedding")).alias("distance")
+            )
+            .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+            .limit(5)
+            .collect()
+        )
+        assert by_q[qid] == [(r.vec_id, r.distance) for r in single]

@@ -193,8 +193,6 @@ def knn_join(
     dims = len(qmat[0])
     if any(len(v) != dims for v in qmat):
         raise ValueError("all query vectors must share dimensions")  # P9
-    if space == SpaceType.HAMMING:
-        raise NotImplementedError("use functions.quantize for packed hamming kNN")
 
     id_cols = list(id_cols)
     src = items.select(*id_cols, vector_col)
@@ -208,21 +206,35 @@ def knn_join(
         Q = np.asarray(qmat, dtype=np.float64)  # (nq, d)
         qn = np.linalg.norm(Q, axis=1)
         qn[qn == 0.0] = 1.0
+        if space == SpaceType.HAMMING:
+            # sign-binarize + MSB-first pack once per task (usearch.rs:480-487
+            # treats Hamming as first-class over B1-packed vectors); scoring is
+            # XOR + popcount-LUT over packed bytes — 8 dims per byte op
+            Qb = np.packbits(Q > 0, axis=1)  # (nq, d/8)
+            popcount = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None], axis=1
+            ).sum(axis=1).astype(np.float64)
         for pdf in batches:
             if pdf.empty:
                 continue
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
-            dots = X @ Q.T  # (n, nq)
-            if space == SpaceType.COSINE:
-                xn = np.linalg.norm(X, axis=1)
-                xn[xn == 0.0] = 1.0
-                dist = 1.0 - dots / np.outer(xn, qn)
-            elif space == SpaceType.DOT_PRODUCT:
-                dist = 1.0 - dots
-            else:  # EUCLIDEAN (l2sq)
-                x2 = (X * X).sum(axis=1)
-                q2 = (Q * Q).sum(axis=1)
-                dist = x2[:, None] + q2[None, :] - 2.0 * dots
+            if space == SpaceType.HAMMING:
+                Xb = np.packbits(X > 0, axis=1)  # (n, d/8)
+                dist = popcount[
+                    np.bitwise_xor(Xb[:, None, :], Qb[None, :, :])
+                ].sum(axis=2)  # (n, nq)
+            else:
+                dots = X @ Q.T  # (n, nq)
+                if space == SpaceType.COSINE:
+                    xn = np.linalg.norm(X, axis=1)
+                    xn[xn == 0.0] = 1.0
+                    dist = 1.0 - dots / np.outer(xn, qn)
+                elif space == SpaceType.DOT_PRODUCT:
+                    dist = 1.0 - dots
+                else:  # EUCLIDEAN (l2sq)
+                    x2 = (X * X).sum(axis=1)
+                    q2 = (Q * Q).sum(axis=1)
+                    dist = x2[:, None] + q2[None, :] - 2.0 * dots
             frames = []
             kk = min(k, len(pdf))
             for j, qid in enumerate(qids):

@@ -61,6 +61,37 @@ def ann_hamming_b1_topk(spark, sf_dir):
     )
 
 
+@register(
+    "knn_batch_hamming",
+    f"""
+WITH queries(query_id, qv) AS (VALUES
+  ('q7', {sql_vec(Q7)}), ('q13', {sql_vec(Q13)})
+),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(list_sum(list_transform(list_zip(b.e, q.qv),
+              p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END)) AS DOUBLE) AS distance
+  FROM queries q CROSS JOIN base b
+)
+SELECT query_id, vec_id, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn FROM scored)
+WHERE rn <= 5
+""",
+    "J3 in Hamming space: batch kNN over sign-binarized vectors — packed-B1 "
+    "XOR + popcount-LUT per Arrow batch (usearch.rs:480-487 first-class Hamming)",
+)
+def knn_batch_hamming(spark, sf_dir):
+    from vector_store_spark.operators.topk import knn_join
+    from vector_store_spark.types import SpaceType
+
+    return knn_join(
+        load(spark, sf_dir, "embeddings"), "embedding",
+        [("q7", Q7), ("q13", Q13)], k=5,
+        space=SpaceType.HAMMING, id_cols=["vec_id"],
+    ).select("query_id", "vec_id", "distance")
+
+
 _I8 = "list_transform(e, x -> greatest(-127, least(127, CAST(round(x * 127) AS INT))) / 127.0)"
 _CAND = 30
 
