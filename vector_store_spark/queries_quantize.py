@@ -138,3 +138,114 @@ def ann_i8_rescored_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# f16 / bf16 + rescoring, mirroring the i8 entry (validator
+# quantization_and_rescoring.rs:117-256 covers all scalar kinds). The oracle
+# re-derives the IEEE round-trips in pure SQL, bit-exactly:
+#   f16  = round-half-even of the f32 value at ulp 2^(e-10), e clamped to
+#          >= -14 (subnormal range);
+#   bf16 = truncation of the f32 value at ulp 2^(e-7) (bit-mask semantics).
+# Both formulas were validated value-for-value against numpy's
+# float16/bf16 round-trips over every embedding element and query literal.
+# ---------------------------------------------------------------------------
+
+Q17 = det_query_vector(17, DIMS)
+Q23 = det_query_vector(23, DIMS)
+
+
+def _f16_sql(x: str) -> str:
+    y = f"CAST(CAST({x} AS FLOAT) AS DOUBLE)"
+    ulp = f"power(2.0, greatest(floor(log2(abs({y}))), -14) - 10)"
+    sc = f"(abs({y}) / {ulp})"
+    fl = f"floor({sc})"
+    return (
+        f"CASE WHEN {y} = 0 THEN 0.0 ELSE sign({y}) * ({fl} + "
+        f"CASE WHEN {sc} - {fl} > 0.5 THEN 1 "
+        f"WHEN {sc} - {fl} = 0.5 THEN CAST({fl} AS BIGINT) % 2 "
+        f"ELSE 0 END) * {ulp} END"
+    )
+
+
+def _bf16_sql(x: str) -> str:
+    y = f"CAST(CAST({x} AS FLOAT) AS DOUBLE)"
+    ulp = f"power(2.0, floor(log2(abs({y}))) - 7)"
+    return (
+        f"CASE WHEN {y} = 0 THEN 0.0 "
+        f"ELSE sign({y}) * floor(abs({y}) / {ulp}) * {ulp} END"
+    )
+
+
+def _np_f16(vals):
+    import numpy as np
+
+    return [float(v) for v in
+            np.asarray(vals, dtype=np.float32).astype(np.float16).astype(np.float64)]
+
+
+def _np_bf16(vals):
+    import numpy as np
+
+    f32 = np.asarray(vals, dtype=np.float32)
+    return [float(v) for v in
+            (f32.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32).astype(np.float64)]
+
+
+def _rescored_entry(name, q, quant_udf_factory, quant_sql, q_quant):
+    oracle = f"""
+WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+quant AS (
+  SELECT vec_id, label, e,
+         1.0 - list_inner_product(list_transform(e, x -> {quant_sql('x')}),
+                                  {sql_vec(q_quant)}) AS qdist
+  FROM base
+),
+cand AS (
+  SELECT * FROM quant ORDER BY qdist, vec_id LIMIT {_CAND}
+)
+SELECT vec_id, label,
+       round(1.0 - list_inner_product(e, {sql_vec(q)}) /
+             (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({sql_vec(q)}, {sql_vec(q)}))), {ROUND}) AS distance
+FROM cand
+ORDER BY distance, vec_id LIMIT 10
+"""
+
+    def fn(spark, sf_dir):
+        from vector_store_spark.functions.distance import dot_product
+
+        emb = load(spark, sf_dir, "embeddings")
+        qv = quant_udf_factory()(F.col("embedding").cast("array<double>"))
+        quant = emb.select(
+            "vec_id", "label", F.col("embedding"),
+            (F.lit(1.0) - dot_product(qv, vector_lit(q_quant))).alias("qdist"),
+        )
+        cand = quant.orderBy(F.col("qdist").asc(), F.col("vec_id").asc()).limit(_CAND)
+        rescored = cand.withColumn(
+            "distance",
+            F.round(cosine_distance(F.col("embedding").cast("array<double>"), vector_lit(q)), ROUND),
+        )
+        return (
+            rescored.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id", "label", "distance")
+        )
+
+    fn.__name__ = name
+    kind = name.split("_")[1]
+    register(
+        name, oracle,
+        f"{kind} quantization + rescoring: quantized-dot candidates (oracle "
+        f"re-derives the IEEE {kind} round-trip in SQL), full-precision re-rank",
+    )(fn)
+    return fn
+
+
+from vector_store_spark.functions.quantize import quantize_bf16_udf, quantize_f16_udf  # noqa: E402
+
+ann_f16_rescored_topk = _rescored_entry(
+    "ann_f16_rescored_topk", Q17, quantize_f16_udf, _f16_sql, _np_f16(Q17)
+)
+ann_bf16_rescored_topk = _rescored_entry(
+    "ann_bf16_rescored_topk", Q23, quantize_bf16_udf, _bf16_sql, _np_bf16(Q23)
+)
