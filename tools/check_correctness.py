@@ -103,7 +103,12 @@ def main(names=None):
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             atbl = res.fetch_arrow_table()
-            drows = [tuple(r.values()) for r in atbl.to_pylist()]
+            if len(set(dcols)) != len(dcols):
+                raise ValueError(f"oracle emits duplicate column names: {dcols}")
+            # build rows from column arrays (a dict-per-row would silently
+            # drop duplicate-named columns and misalign against dcols)
+            dcol_arrays = [atbl.column(i).to_pylist() for i in range(atbl.num_columns)]
+            drows = list(zip(*dcol_arrays)) if dcol_arrays else []
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             n_fail += 1

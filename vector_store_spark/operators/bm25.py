@@ -171,15 +171,23 @@ class Bm25Executor:
             joined = p if joined is None else joined.join(F.broadcast(p), "doc_id")
         tf = _phrase_tf([F.col(f"pos{i}") for i in range(len(terms))])
         cand = joined.withColumn("tf", tf.cast("double")).where(F.col("tf") > 0)
-        # Lucene PhraseQuery: idf = Σ term idfs; tf = phrase frequency
+        # Lucene PhraseQuery: idf = Σ term idfs; tf = phrase frequency.
+        # Σidf stays IN the plan as a broadcast one-row aggregate (constant-key
+        # equi-join → BroadcastHashJoin), not a driver-side .first(): no extra
+        # action, and the phrase executor composes lazily like every other node.
         dfs = self.df_by_term.where(F.col("term").isin(terms))
+        # the key must be computed from a column (x*0+1), not a literal:
+        # a foldable key degrades the equi-join to BroadcastNestedLoopJoin
         sum_idf = dfs.agg(
-            F.sum(idf_expr(F.col("df").cast("double"), self.ix.n_docs))
-        ).first()[0]
-        if sum_idf is None:
-            return cand.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+            F.sum(idf_expr(F.col("df").cast("double"), self.ix.n_docs)).alias("_sum_idf")
+        ).where(F.col("_sum_idf").isNotNull()).withColumn(
+            "_k", (F.col("_sum_idf") * 0 + 1).cast("int")
+        )
         cand = self.ix.doclens.join(F.broadcast(cand), "doc_id")
-        score = F.lit(float(sum_idf)) * tf_norm_expr(
+        cand = cand.withColumn("_k", (F.col("tf") * 0 + 1).cast("int")).join(
+            F.broadcast(sum_idf), "_k"
+        )
+        score = F.col("_sum_idf") * tf_norm_expr(
             F.col("tf"), F.col("dl").cast("double"), self.ix.avgdl
         )
         return cand.select("doc_id", score.alias("score"))

@@ -333,15 +333,20 @@ def embedding_neardup_pairs_lsh(
     threshold: float = 0.95,
     num_bits: int = 16,
     bands: int = 4,
+    dims: int | None = None,
 ) -> DataFrame:
     """Sign-LSH candidate generation for embedding near-dup at extreme scale:
     bucket on random-hyperplane bands (operators/lsh), self-join per (band,
     bucket), exact-cosine verify — the same candidate-join shape as the text
     MinHash path, replacing the blocked all-pairs GEMM when even B² blocks is
-    too much. Recall follows the band S-curve; exact verify keeps precision 1."""
+    too much. Recall follows the band S-curve; exact verify keeps precision 1.
+
+    Pass ``dims`` (index metadata always knows it) to keep the plan fully
+    lazy; None falls back to peeking at one row."""
     from vector_store_spark.operators.lsh import lsh_bucket_cols, lsh_hyperplanes
 
-    dims = len(items.select(vec_col).first()[0])
+    if dims is None:
+        dims = len(items.select(vec_col).first()[0])
     planes = lsh_hyperplanes(dims, num_bits)
     e = items.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
