@@ -77,11 +77,13 @@ def pq_codebook_trained(
     books = []
     for s in range(m_sub):
         X = sub[:, s, :]
+        x2 = (X * X).sum(axis=1)
         # init: k distinct sample rows (seeded); Lloyd iterations to converge
         init_idx = rng.choice(len(X), size=min(k_codes, len(X)), replace=False)
         C = X[np.sort(init_idx)].copy()
         for _ in range(n_iter):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin L2² via the GEMM expansion (||x||² constant per row)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
             a = d2.argmin(axis=1)
             for j in range(len(C)):
                 m = a == j

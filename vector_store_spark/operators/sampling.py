@@ -109,7 +109,11 @@ def token_budget_take(
         (F.lit(hi) - F.col(score_col).cast("double")) / F.lit(span) * num_buckets
     ).cast("long")
     bucket = F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
-    tagged = df.withColumn("_tb_bucket", bucket)
+    # the histogram pass and the selection pass both read the input; cache it
+    # so a derived input (e.g. a curation pipeline) is not computed twice.
+    # (Reading a raw parquet scan twice would be fine; recomputing an upstream
+    # pipeline is not.)
+    tagged = df.withColumn("_tb_bucket", bucket).cache()
 
     # pass 1: per-(group, bucket) mass — parallel hash aggregate, KB-sized out
     hist = (
