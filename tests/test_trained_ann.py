@@ -164,3 +164,53 @@ def test_trained_pq_recall_beats_untrained(emb):
         hits_tr += len(tr & truth)
         hits_untr += len(untr & truth)
     assert hits_tr >= hits_untr
+
+
+def test_persisted_ivf_round_trip_and_pruning(spark, emb, tmp_path):
+    """Build (trained + ma2) -> partitionBy(cluster) parquet -> search: same
+    results as the in-memory path, and the probe scan carries cluster
+    PartitionFilters (only nprobe directories are read)."""
+    from vector_store_spark.operators.ivf import (
+        ivf_build,
+        ivf_search,
+    )
+    from vector_store_spark.sources.index_store import prune_report
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "ivf_ix")
+    cents = ivf_build(
+        emb, "vec_id", "embedding", path, k_centroids=8,
+        trained=True, n_assign=2,
+    )
+    got = ivf_search(
+        spark, path, "vec_id", "embedding", q, 10, nprobe=4,
+        select_cols=["vec_id"], round_to=9,
+    )
+    mem = ivf_topk(
+        emb, "vec_id", "embedding", q, 10, nprobe=4, centroids=cents,
+        n_assign=2, select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+    rep = prune_report(spark.read.parquet(path).where(F.col("cluster").isin([0, 1])))
+    assert any("cluster" in p for p in rep["partition_filters"])
+
+
+def test_engine_serves_trained_ivf_via_strategy_opts(spark, emb):
+    from vector_store_spark.engine import VectorStoreEngine
+    from vector_store_spark.types import IndexKind, IndexMetadata
+
+    cents = ivf_centroids_trained(emb, "embedding", 8, seed=42)
+    meta = IndexMetadata(
+        keyspace="ks", index="ix_tr", table="t",
+        primary_key_columns=("vec_id",), partition_key_count=1,
+        target_column="embedding", dimensions=64, kind=IndexKind.VECTOR,
+        space_type=SpaceType.COSINE,
+    )
+    eng = VectorStoreEngine()
+    eng.register(
+        emb, meta, strategy="ivf",
+        strategy_opts={"centroids": cents, "nprobe": 8, "n_assign": 2},
+    )
+    out = eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5)
+    assert len(out.primary_keys["vec_id"]) == 5
+    assert out.distances == sorted(out.distances)

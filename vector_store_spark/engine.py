@@ -56,6 +56,10 @@ class RegisteredIndex:
     state: IndexState
     df: DataFrame
     strategy: str = "exact"
+    #: build artifacts forwarded to the strategy (the data-adaptive index):
+    #: ivf: centroids / nprobe / n_assign; pq: codebook / m_sub / k_codes /
+    #: rescore; ivfpq: any of those; lsh: num_bits / bands
+    strategy_opts: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -70,12 +74,15 @@ class VectorStoreEngine:
         meta: IndexMetadata,
         status: IndexStatus = IndexStatus.SERVING,
         strategy: str = "exact",
+        strategy_opts: dict | None = None,
     ) -> None:
         if meta.dimensions is None:
             raise ValueError("index metadata must declare dimensions")
         if strategy not in ANN_STRATEGIES:
             raise ValueError(f"unknown ANN strategy {strategy!r}; have {ANN_STRATEGIES}")
-        self.indexes[meta.index] = RegisteredIndex(IndexState(meta, status), df, strategy)
+        self.indexes[meta.index] = RegisteredIndex(
+            IndexState(meta, status), df, strategy, dict(strategy_opts or {})
+        )
 
     def _routing_group(self, keyspace: str, table: str, target: str) -> list[RegisteredIndex]:
         """R1 (indexes.rs:63-78): indexes over the same (ks, table, target
@@ -141,25 +148,26 @@ class VectorStoreEngine:
             df = df.where(predicate)
         id_col = meta.primary_key_columns[0]
         select = list(meta.primary_key_columns)
+        opts = ri.strategy_opts
         if ri.strategy == "lsh":
             if meta.space_type != SpaceType.COSINE:
                 raise FilterError("lsh strategy supports cosine only (hyperplane LSH)")
             from vector_store_spark.operators.lsh import lsh_topk
 
             return lsh_topk(df, id_col, meta.target_column, list(vector), limit,
-                            select_cols=select)
+                            select_cols=select, **opts)
         if ri.strategy == "ivf":
             from vector_store_spark.operators.ivf import ivf_topk
 
             return ivf_topk(df, id_col, meta.target_column, list(vector), limit,
-                            space=meta.space_type, select_cols=select)
+                            space=meta.space_type, select_cols=select, **opts)
         if ri.strategy == "pq":
             if meta.space_type != SpaceType.EUCLIDEAN:
                 raise FilterError("pq strategy scores l2sq (euclidean) only")
             from vector_store_spark.operators.pq import pq_topk
 
             topk = pq_topk(df, id_col, meta.target_column, list(vector), limit,
-                           select_cols=select)
+                           select_cols=select, **opts)
             # euclidean similarity mapping (similarity.rs:31)
             return topk.withColumn(
                 "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
@@ -170,7 +178,7 @@ class VectorStoreEngine:
             from vector_store_spark.operators.ivfpq import ivfpq_topk
 
             topk = ivfpq_topk(df, id_col, meta.target_column, list(vector), limit,
-                              select_cols=select)
+                              select_cols=select, **opts)
             return topk.withColumn(
                 "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
             )

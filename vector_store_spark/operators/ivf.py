@@ -181,6 +181,79 @@ def ivf_probe(
     return [-ncid for _, ncid in ranked[:nprobe]]
 
 
+def ivf_build(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    k_centroids: int = 16,
+    space: SpaceType = SpaceType.COSINE,
+    trained: bool = False,
+    n_assign: int = 1,
+    seed: int = 42,
+) -> list:
+    """Build-and-persist: assign (optionally trained centroids, optionally
+    multiple assignment) and write the index ``partitionBy("cluster")`` — the
+    serving layout where a probe becomes Catalyst partition pruning (only the
+    nprobe cluster directories are read; the reference's per-partition
+    sub-index routing, lib.rs:677-680, at the IVF tier). Centroids + build
+    metadata go to a ``_ivf_meta.json`` sidecar (underscore-prefixed files
+    are invisible to the parquet reader). Returns the centroids."""
+    import json
+    import os
+
+    from vector_store_spark.sources.index_store import write_local_index
+
+    if trained:
+        cents = ivf_centroids_trained(items, vec_col, k_centroids, space=space, seed=seed)
+    else:
+        cents = ivf_centroids(items, id_col, vec_col, k_centroids)
+    assigned = ivf_assign(items, id_col, vec_col, cents, space=space, n_assign=n_assign)
+    write_local_index(assigned, path, ["cluster"])
+    meta = {
+        "space": space.value,
+        "n_assign": n_assign,
+        "k_centroids": k_centroids,
+        "centroids": [[cid, list(map(float, cv))] for cid, cv in cents],
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return cents
+
+
+def ivf_search(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    nprobe: int = 4,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query a persisted IVF index: probe against the sidecar centroids
+    (driver-side, metadata-sized), scan ONLY the probed cluster directories
+    (partition pruning — assert with sources.index_store.prune_report), exact
+    re-rank within candidates."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    space = SpaceType(meta["space"])
+    cents = [(cid, cv) for cid, cv in meta["centroids"]]
+    probes = ivf_probe(cents, query, nprobe, space=space)
+    candidates = spark.read.parquet(path).where(F.col("cluster").isin(probes))
+    if meta["n_assign"] > 1:
+        candidates = candidates.dropDuplicates([id_col])
+    return ann_topk(
+        candidates, vec_col, query, k,
+        space=space, tie_break=[id_col],
+        select_cols=select_cols or [id_col], round_to=round_to,
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     id_col: str,

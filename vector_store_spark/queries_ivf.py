@@ -84,6 +84,50 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_persisted_topk",
+    # identical result contract to ann_ivf_topk: the persisted round-trip
+    # (build -> partitionBy(cluster) parquet -> probe-pruned scan) must not
+    # change a single value
+    f"""
+WITH {_ASG},
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "Persisted IVF serving path: build -> partitionBy(cluster) parquet with a "
+    "centroid sidecar -> probe reads ONLY the nprobe cluster directories "
+    "(Catalyst partition pruning) -> exact re-rank",
+)
+def ann_ivf_persisted_topk(spark, sf_dir):
+    import tempfile
+
+    from vector_store_spark.operators.ivf import ivf_build, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_ix_")
+    ivf_build(emb, "vec_id", "embedding", path, k_centroids=K_CENTROIDS)
+    return ivf_search(
+        spark, path, "vec_id", "embedding", Q7, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
 # --- sign-LSH (random hyperplane) strategy -------------------------------
 _BITS, _LSH_BANDS = 16, 4
 _R = _BITS // _LSH_BANDS
