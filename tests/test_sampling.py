@@ -71,3 +71,25 @@ def test_token_budget_window_is_per_bucket_not_per_group(spark):
     out = token_budget_take(df, "g", "q", "doc_id", "tok", 100)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_tb_bucket" in plan.split("Window")[1].split("\n")[0]
+
+
+def test_cap_per_group_deterministic_and_partition_independent(spark):
+    from vector_store_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", i, i * 3) for i in range(400)], ["src", "doc_id", "w"]
+    )
+    got1 = {(r.src, r.doc_id) for r in cap_per_group(df, "src", "doc_id", 25).collect()}
+    got8 = {(r.src, r.doc_id) for r in
+            cap_per_group(df.repartition(8), "src", "doc_id", 25).collect()}
+    assert got1 == got8
+    from collections import Counter
+
+    per = Counter(s for s, _ in got1)
+    assert all(v == 25 for v in per.values())
+    # schema untouched (helper columns dropped)
+    assert cap_per_group(df, "src", "doc_id", 25).columns == df.columns
+    # different salt -> different (still capped) selection
+    salted = {(r.src, r.doc_id) for r in
+              cap_per_group(df, "src", "doc_id", 25, salt=7).collect()}
+    assert salted != got1

@@ -107,3 +107,24 @@ def test_quality_features_udf_matches_expr_on_corpus(spark, sf_dir):
     hot = quality_features(docs, "doc_id", "text").orderBy("doc_id").collect()
     spec = quality_features_expr(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert [tuple(r) for r in hot] == [tuple(r) for r in spec]  # bit-identical
+
+
+def test_repetition_features_known_values(spark):
+    from vector_store_spark.operators.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # grams: 'a b'x3, 'b a'x2 -> top 3/5, dup 5/5
+            (2, "w x y z"),          # all distinct -> top 1/3, dup 0
+            (3, "solo"),             # < 2 tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_features(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    assert got[1].distinct_token_ratio == round(2 / 6, 6)
+    assert got[1].top_2gram_frac == 0.6
+    assert got[1].dup_2gram_frac == 1.0
+    assert got[2].distinct_token_ratio == 1.0
+    assert got[2].top_2gram_frac == round(1 / 3, 6)
+    assert got[2].dup_2gram_frac == 0.0

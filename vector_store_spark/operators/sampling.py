@@ -60,6 +60,29 @@ def hash_sample(
     return df.where(hash_bucket(id_col, 1000, salt) < rate_permille)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: int = 0,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic per-group row cap in pseudorandom (hash) order — domain
+    balancing: "at most N documents per source". A thin reuse of the
+    histogram-threshold machinery with weight = 1 and score = a hash of the
+    id mapped into [0, 1): the kept set is the ``cap`` hash-first rows of
+    each group, reproducible under any partitioning, with no whole-group
+    window. Drops the helper columns; adds nothing to the schema."""
+    score = hash_bucket(id_col, 100_000, salt).cast("double") / F.lit(100_000.0)
+    tagged = df.withColumn("_cap_score", score).withColumn("_cap_w", F.lit(1).cast("long"))
+    out = token_budget_take(
+        tagged, group_col, "_cap_score", id_col, "_cap_w", cap,
+        num_buckets=num_buckets,
+    )
+    return out.drop("_cap_score", "_cap_w", "running_total")
+
+
 def token_budget_take_window(
     df: DataFrame,
     group_col: str,

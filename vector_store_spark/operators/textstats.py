@@ -291,3 +291,70 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
         content_udf(normalized_text(text_col)).alias("content_hash"),
         F.array_min(hs).alias("min_shingle_hash"),
     )
+
+
+def repetition_udf():
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitious
+    documents are low-quality), one Arrow-batched pass per doc:
+
+    - ``distinct_token_ratio``: |set(tokens)| / |tokens|
+    - ``top_2gram_frac``: occurrences of the most frequent 2-gram / all 2-grams
+    - ``dup_2gram_frac``: fraction of 2-gram occurrences whose gram appears
+      more than once (the "duplicate n-gram fraction" filter)
+
+    Tokenization matches functions.text.tokenize(remove_stopwords=False)
+    exactly (oracle parity). Docs with < 2 tokens yield nulls."""
+    import re
+
+    import pandas as pd
+
+    from vector_store_spark.functions.text import TOKEN_SPLIT_RE
+
+    pat = re.compile(TOKEN_SPLIT_RE)
+
+    def batch(texts):
+        from collections import Counter
+
+        rows = []
+        for x in texts:
+            toks = [t for t in pat.split((x or "").lower()) if t]
+            if len(toks) < 2:
+                rows.append((None, None, None))
+                continue
+            grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            counts = Counter(grams)
+            n_g = len(grams)
+            rows.append((
+                len(set(toks)) / len(toks),
+                max(counts.values()) / n_g,
+                sum(c for c in counts.values() if c > 1) / n_g,
+            ))
+        return pd.DataFrame(
+            rows, columns=["distinct_token_ratio", "top_2gram_frac", "dup_2gram_frac"]
+        )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return F.pandas_udf(
+        batch,
+        StructType([
+            StructField("distinct_token_ratio", DoubleType()),
+            StructField("top_2gram_frac", DoubleType()),
+            StructField("dup_2gram_frac", DoubleType()),
+        ]),
+    )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str, text_col: str, round_digits: int = 6
+) -> DataFrame:
+    """(id, distinct_token_ratio, top_2gram_frac, dup_2gram_frac) for docs
+    with ≥ 2 tokens — a narrow per-row map (no shuffle); filter on these to
+    drop repetitious documents before any aggregation."""
+    rep = docs.select(
+        F.col(id_col), repetition_udf()(F.col(text_col)).alias("_rep")
+    ).select(id_col, "_rep.*")
+    out = rep.where(F.col("distinct_token_ratio").isNotNull())
+    for c in ("distinct_token_ratio", "top_2gram_frac", "dup_2gram_frac"):
+        out = out.withColumn(c, F.round(F.col(c), round_digits))
+    return out

@@ -97,3 +97,34 @@ def mix_train_val_test(spark, sf_dir):
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_CAP = 20
+
+
+@register(
+    "mix_source_cap",
+    f"""
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source
+    ORDER BY {hash_bucket_sql("doc_id", 100000)} DESC, doc_id
+  ) AS rn
+  FROM documents
+)
+WHERE rn <= {_CAP}
+GROUP BY source
+""",
+    f"Per-source cap ({_CAP} docs, pseudorandom hash order): domain balancing "
+    "via the histogram-threshold machinery - no whole-group window, "
+    "reproducible under any partitioning",
+)
+def mix_source_cap(spark, sf_dir):
+    from vector_store_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", _CAP)
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )

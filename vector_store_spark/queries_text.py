@@ -149,3 +149,32 @@ FROM g
 def text_fingerprint(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return fingerprints(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "text_repetition",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_KEEP_STOP} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), {ROUND}) AS distinct_token_ratio,
+       round(CAST(list_max(list_transform(list_distinct(grams),
+             x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / len(grams), {ROUND}) AS top_2gram_frac,
+       round(CAST(list_sum(list_transform(grams,
+             x -> CASE WHEN len(list_filter(grams, y -> y = x)) > 1 THEN 1 ELSE 0 END)) AS DOUBLE) / len(grams), {ROUND}) AS dup_2gram_frac
+FROM g
+""",
+    "Gopher repetition filters: distinct-token ratio, top-2gram mass, "
+    "duplicate-2gram fraction per document (one Arrow pass, no shuffle)",
+)
+def text_repetition(spark, sf_dir):
+    from vector_store_spark.operators.textstats import repetition_features
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_features(docs, "doc_id", "text", round_digits=ROUND)
