@@ -1,0 +1,79 @@
+"""Temporal-join registry entries over the events table: as-of join (each
+error event → the user's latest preceding click) and an interval join (clicks
+within the 10 minutes before each error), both oracle-gated — DuckDB's native
+ASOF JOIN / range-predicate join re-derive what the bucketed Spark plans
+compute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.temporal import asof_join, range_join_bucketed
+from vector_store_spark.registry import load_events, register
+
+_WINDOW_US = 600 * 1_000_000  # 10 minutes
+
+
+@register(
+    "events_asof_error_click",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS click_event_id, r.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+    "As-of join: each error event paired with the user's latest at-or-before "
+    "click (union-tag + running last_value window - one shuffle, no join node)",
+)
+def events_asof_error_click(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(errors, clicks, ["user_id"], "ts", ["event_id"], suffix="_r")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("ts_r").alias("click_ts"),
+    )
+
+
+@register(
+    "events_range_join_counts",
+    f"""
+SELECT l.event_id, count(r.event_id) AS n_clicks_10m
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) >= epoch_us(l.ts) - {_WINDOW_US}
+ AND epoch_us(r.ts) <= epoch_us(l.ts)
+GROUP BY l.event_id
+""",
+    "Interval join via time-bucket blocking: clicks in the 10 minutes before "
+    "each error - equi-join on (user, bucket) + exact range filter, no "
+    "nested loop",
+)
+def events_range_join_counts(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = range_join_bucketed(
+        errors, clicks, ["user_id"], "ts",
+        lower_us=-_WINDOW_US, upper_us=0, right_cols=["event_id"], suffix="_r",
+        broadcast_right=True,  # one event-type slice: metadata-sized
+        how="left_outer",      # zero-count errors survive; aggregate per id
+    )
+    return joined.groupBy("event_id").agg(
+        F.sum(F.when(F.col("event_id_r").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks_10m")
+    )

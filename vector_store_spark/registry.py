@@ -100,6 +100,10 @@ def all_queries() -> dict[str, QuerySpec]:
         from vector_store_spark import queries_streaming  # noqa: F401
     except ImportError:
         pass
+    try:
+        from vector_store_spark import queries_temporal  # noqa: F401
+    except ImportError:
+        pass
     return dict(_REGISTRY)
 
 
