@@ -128,3 +128,31 @@ def test_repetition_features_known_values(spark):
     assert got[2].distinct_token_ratio == 1.0
     assert got[2].top_2gram_frac == round(1 / 3, 6)
     assert got[2].dup_2gram_frac == 0.0
+
+
+def test_chunk_documents_windows(spark):
+    from vector_store_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(df, "doc_id", "text", 4, 1).collect()}
+    # doc 1: 10 tokens, step 3 -> starts 0,3,6,9
+    assert {(d, c) for d, c in got if d == 1} == {(1, 0), (1, 1), (1, 2), (1, 3)}
+    assert got[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert got[(1, 1)].chunk_text == "t3 t4 t5 t6"   # 1-token overlap
+    assert got[(1, 3)].chunk_text == "t9" and got[(1, 3)].n_chunk_tokens == 1
+    assert got[(2, 0)].n_chunk_tokens == 2           # short doc: one chunk
+    assert not any(d == 3 for d, _ in got)           # empty doc: no chunks
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from vector_store_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, 4)

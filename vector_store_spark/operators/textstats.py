@@ -358,3 +358,49 @@ def repetition_features(
     for c in ("distinct_token_ratio", "top_2gram_frac", "dup_2gram_frac"):
         out = out.withColumn(c, F.round(F.col(c), round_digits))
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the
+    context-window chunking step every embedding/pretraining pipeline runs
+    before encoding. Emits (id, chunk_id, chunk_start, n_chunk_tokens,
+    chunk_text); windows advance by ``chunk_tokens - overlap``; the final
+    window may be short; empty docs produce no chunks.
+
+    Pure Catalyst: tokenize once, explode an index sequence, slice — a
+    narrow per-row flatMap (no shuffle, no Python)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokenize(text_col, remove_stopwords=False)
+    n = F.size(toks)
+    # chunk starts: 0, step, 2*step, ... < n
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / step) + 1
+    ).cast("int")
+    out = (
+        docs.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                    n_chunks.alias("_nc"))
+        .where(F.col("_nc") > 0)
+        .select(
+            id_col, "_toks", "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+    )
+    start = F.col("chunk_id") * step
+    out = out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), start + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )
+    return out

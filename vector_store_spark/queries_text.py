@@ -178,3 +178,34 @@ def text_repetition(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return repetition_features(docs, "doc_id", "text", round_digits=ROUND)
+
+
+_CHUNK, _OVERLAP = 32, 8
+_STEP = _CHUNK - _OVERLAP
+
+
+@register(
+    "text_chunking",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_KEEP_STOP} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, CAST(floor((len(toks) - 1) / {_STEP}) AS BIGINT) + 1)) AS chunk_id
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {_STEP} AS BIGINT) AS chunk_start,
+       CAST(least({_CHUNK}, n - chunk_id * {_STEP}) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {_STEP} + 1 : chunk_id * {_STEP} + {_CHUNK}], ' ') AS chunk_text
+FROM c
+""",
+    f"Context-window chunking ({_CHUNK}-token windows, {_OVERLAP} overlap): "
+    "tokenize once, explode index sequence, slice - narrow flatMap, no shuffle",
+)
+def text_chunking(spark, sf_dir):
+    from vector_store_spark.operators.textstats import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", _CHUNK, _OVERLAP)
