@@ -208,6 +208,34 @@ def _extras(spark, sf_dir: str) -> dict:
         out["recall_at_10_ivfpq_trained_ma2_rescored8x_by_nprobe"] = {
             str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_ivfpq.items()
         }
+
+        # residual IVFADC (codes encode v - centroid): same budget, finer
+        # quantization — compare against the flat composition above
+        from vector_store_spark.operators.ivfpq import (
+            ivfpq_residual_codebook_trained,
+            ivfpq_residual_topk,
+        )
+
+        cb_res = ivfpq_residual_codebook_trained(
+            emb, "vec_id", "embedding", cents_l2, 8, 256
+        )
+        recalls_res: dict[int, list] = {4: [], 8: []}
+        for seed in (7, 13, 21, 33):
+            q = det_query_vector(seed, 64)
+            truth_l2 = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, space=SpaceType.EUCLIDEAN,
+                tie_break=["vec_id"], select_cols=["vec_id"],
+            ).collect()}
+            for nprobe in recalls_res:
+                got = {r.vec_id for r in ivfpq_residual_topk(
+                    emb, "vec_id", "embedding", q, k, nprobe=nprobe,
+                    centroids=cents_l2, codebook=cb_res, n_assign=2, rescore=8,
+                    select_cols=["vec_id"],
+                ).collect()}
+                recalls_res[nprobe].append(len(got & truth_l2) / k)
+        out["recall_at_10_ivfpq_residual_trained_ma2_rescored8x_by_nprobe"] = {
+            str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_res.items()
+        }
     except Exception as ex:
         print(f"bench extras (recall) error: {ex}", file=sys.stderr)
 

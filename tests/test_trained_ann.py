@@ -214,3 +214,35 @@ def test_engine_serves_trained_ivf_via_strategy_opts(spark, emb):
     out = eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5)
     assert len(out.primary_keys["vec_id"]) == 5
     assert out.distances == sorted(out.distances)
+
+
+def test_ivfpq_residual_full_probe_full_rescore_is_exact(emb):
+    from vector_store_spark.operators.ivfpq import ivfpq_residual_topk
+
+    q = det_query_vector(31, 64)
+    got = ivfpq_residual_topk(
+        emb, "vec_id", "embedding", q, 10, k_centroids=8, nprobe=8,
+        rescore=50, select_cols=["vec_id"], round_to=9,
+    )
+    brute = ann_topk(
+        emb, "embedding", q, 10, space=SpaceType.EUCLIDEAN,
+        tie_break=["vec_id"], select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
+
+
+def test_residual_codebooks_deterministic(emb):
+    from vector_store_spark.operators.ivf import ivf_centroids
+    from vector_store_spark.operators.ivfpq import (
+        ivfpq_residual_codebook,
+        ivfpq_residual_codebook_trained,
+    )
+
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    a = ivfpq_residual_codebook(emb, "vec_id", "embedding", cents, 8, 16)
+    b = ivfpq_residual_codebook(emb, "vec_id", "embedding", cents, 8, 16)
+    np.testing.assert_array_equal(a, b)
+    ta = ivfpq_residual_codebook_trained(emb, "vec_id", "embedding", cents, 8, 16, seed=1)
+    tb = ivfpq_residual_codebook_trained(emb, "vec_id", "embedding", cents, 8, 16, seed=1)
+    assert ta.shape == (8, 16, 8)
+    np.testing.assert_array_equal(ta, tb)

@@ -98,3 +98,191 @@ def ivfpq_topk(
         .limit(k)
         .select(*cols, "distance")
     )
+
+
+def residual_expr_udf(centroids: list):
+    """(cluster, vector) -> vector - centroid[cluster], Arrow-batched.
+    Float64 elementwise subtraction — bit-identical to the oracle's
+    ``list_transform(list_zip(v, cv), p -> p[1] - p[2])``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cmap = {cid: np.asarray(cv, dtype=np.float64) for cid, cv in centroids}
+
+    def batch(clusters, vecs):
+        return pd.Series([
+            (np.asarray(v, dtype=np.float64) - cmap[c]).tolist()
+            for c, v in zip(clusters, vecs)
+        ])
+
+    return F.pandas_udf(batch, ArrayType(DoubleType()))
+
+
+def ivfpq_residual_codebook(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    m_sub: int,
+    k_codes: int,
+) -> np.ndarray:
+    """Deterministic residual codebook: the subvector slices of the K
+    smallest-id rows' residuals (vector − its nearest centroid, L2).
+    Assignment of the sample happens driver-side (numpy) with the same
+    argmin-L2 / smallest-cid tie-break as ivf_assign."""
+    rows = (
+        items.select(id_col, vec_col).orderBy(id_col).limit(k_codes).collect()
+    )
+    mat = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=1)
+    score = 2.0 * (mat @ cmat.T) - c2[None, :]  # argmax = nearest (ties: first)
+    assign = np.argmax(score, axis=1)
+    res = mat - cmat[assign]
+    dims = res.shape[1]
+    if dims % m_sub:
+        raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")
+    d_sub = dims // m_sub
+    return res.reshape(k_codes, m_sub, d_sub).transpose(1, 0, 2).copy()
+
+
+def _adc_by_cluster_udf(luts: dict):
+    """(cluster, code) -> Σ_s lut[cluster][s, code[s]] (per-cluster LUTs:
+    the residual-ADC scoring of IVFADC). Left-to-right sum over subspaces
+    (oracle list_sum order)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def batch(clusters, codes):
+        out = []
+        for c, code in zip(clusters, codes):
+            lut = luts[c]
+            s = 0.0
+            for j in range(lut.shape[0]):
+                s += lut[j, code[j]]
+            out.append(s)
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(batch, DoubleType())
+
+
+def ivfpq_residual_topk(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+    centroids: list | None = None,
+    codebook: np.ndarray | None = None,
+    n_assign: int = 1,
+    rescore: int = 0,
+) -> DataFrame:
+    """Textbook IVFADC (Jégou et al. 2011 §IV): PQ codes are trained on and
+    encode *residuals* v − centroid(v), and the query builds one LUT per
+    probed cluster from its own residual q − centroid_c. Residuals
+    concentrate around the origin, so the same code budget quantizes much
+    finer than flat PQ — this is why real systems compose IVF and PQ this
+    way. Same plan shape as :func:`ivfpq_topk` plus one narrow residual map."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        items, id_col, vec_col, k_centroids
+    )
+    cb = codebook if codebook is not None else ivfpq_residual_codebook(
+        items, id_col, vec_col, cents, m_sub, k_codes
+    )
+    assigned = ivf_assign(
+        items, id_col, vec_col, cents, space=SpaceType.EUCLIDEAN, n_assign=n_assign
+    )
+    probes = ivf_probe(cents, query, nprobe, space=SpaceType.EUCLIDEAN)
+    cand = assigned.where(F.col("cluster").isin(probes))
+    if n_assign > 1:
+        cand = cand.dropDuplicates([id_col])
+    cand = cand.withColumn(
+        "_res",
+        residual_expr_udf(cents)(F.col("cluster"), F.col(vec_col).cast("array<double>")),
+    )
+    encoded = pq_encode(cand, "_res", cb)
+
+    q = np.asarray(query, dtype=np.float64)
+    cmap = {cid: np.asarray(cv, dtype=np.float64) for cid, cv in cents}
+    luts = {c: pq_adc_lut(cb, (q - cmap[c]).tolist()) for c in probes}
+    dist = _adc_by_cluster_udf(luts)(F.col("cluster"), F.col("pq_code"))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    cols = select_cols or [id_col]
+    if rescore > 0:
+        shortlist = (
+            encoded.withColumn("adc", dist)
+            .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+            .limit(rescore * k)
+        )
+        from vector_store_spark.functions.distance import distance_expr, vector_lit
+
+        exact = distance_expr(
+            SpaceType.EUCLIDEAN, F.col(vec_col).cast("array<double>"), vector_lit(query)
+        )
+        if round_to is not None:
+            exact = F.round(exact, round_to)
+        return (
+            shortlist.withColumn("distance", exact)
+            .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(*cols, "distance")
+        )
+    return (
+        encoded.withColumn("distance", dist)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(*cols, "distance")
+    )
+
+
+def ivfpq_residual_codebook_trained(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    m_sub: int,
+    k_codes: int,
+    seed: int = 42,
+    n_iter: int = 25,
+    sample_rows: int = 16384,
+) -> np.ndarray:
+    """Data-adaptive residual codebook: per-subspace Lloyd k-means over the
+    residuals of a deterministic sample (same train-on-sample recipe as
+    pq_codebook_trained, applied to v − centroid(v))."""
+    rows = (
+        items.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    )
+    mat = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=1)
+    assign = np.argmax(2.0 * (mat @ cmat.T) - c2[None, :], axis=1)
+    res = mat - cmat[assign]
+    dims = res.shape[1]
+    if dims % m_sub:
+        raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")
+    d_sub = dims // m_sub
+    sub = res.reshape(len(res), m_sub, d_sub)
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m_sub):
+        X = sub[:, s, :]
+        init_idx = rng.choice(len(X), size=min(k_codes, len(X)), replace=False)
+        C = X[np.sort(init_idx)].copy()
+        for _ in range(n_iter):
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            a = d2.argmin(axis=1)
+            for j in range(len(C)):
+                m = a == j
+                if m.any():
+                    C[j] = X[m].mean(axis=0)
+        books.append(C)
+    return np.stack(books)

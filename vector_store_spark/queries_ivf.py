@@ -330,3 +330,98 @@ def ann_ivfpq_topk(spark, sf_dir):
         k_centroids=K_CENTROIDS, nprobe=NPROBE, m_sub=M_SUB, k_codes=K_CODES,
         select_cols=["vec_id", "label"], round_to=ROUND,
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (IVFADC, Jegou et al. 2011 SIV): codes encode residuals
+# v - centroid(v); the query builds one LUT per probed cluster from its own
+# residual. The oracle re-derives residuals, the residual codebook, encoding
+# and per-cluster ADC entirely in SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {K_CENTROIDS}
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+l2 AS (
+  SELECT e.vec_id, c.cid, {_L2S.format(a="v", b="cv")} AS d
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM l2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY {_L2S.format(a="cv", b=sql_vec(Q31))}, cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+res AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS rv
+  FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN c ON c.cid = a.cid
+),
+cbres AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv
+  FROM res
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {K_CODES})
+),
+subs AS (SELECT unnest(range(0, {M_SUB})) AS s),
+cbsub AS (
+  SELECT s, j, rv[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS cvs
+  FROM cbres CROSS JOIN subs
+),
+cand AS (SELECT vec_id, cid FROM asg WHERE cid IN (SELECT cid FROM probe)),
+esub AS (
+  SELECT r.vec_id, s, rv[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS vs
+  FROM res r JOIN cand USING (vec_id) CROSS JOIN subs
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY {_L2S.format(a="vs", b="cvs")}, j) AS rn
+    FROM esub JOIN cbsub USING (s)
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT cid, list_transform(list_zip({sql_vec(Q31)}, cv), p -> p[1] - p[2]) AS qr
+  FROM c WHERE cid IN (SELECT cid FROM probe)
+),
+lut AS (
+  SELECT q.cid, cb.s, cb.j,
+         {_L2S.format(a=f"qr[cb.s * {D_SUB} + 1 : cb.s * {D_SUB} + {D_SUB}]", b="cvs")} AS qd
+  FROM qres q CROSS JOIN cbsub cb
+),
+adc AS (
+  SELECT codes.vec_id, round(list_sum(list(qd ORDER BY codes.s)), {ROUND}) AS distance
+  FROM codes
+  JOIN cand USING (vec_id)
+  JOIN lut ON lut.cid = cand.cid AND lut.s = codes.s AND lut.j = codes.j
+  GROUP BY codes.vec_id
+)
+SELECT e.vec_id, e.label, adc.distance
+FROM adc JOIN e ON e.vec_id = adc.vec_id
+ORDER BY distance, e.vec_id LIMIT 10
+""",
+    "Residual IVF-PQ (IVFADC): PQ codes encode v - centroid(v), query LUT "
+    "per probed cluster from q - centroid_c -- finer quantization at the "
+    "same code budget, the composition real systems ship",
+)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    from vector_store_spark.operators.ivfpq import ivfpq_residual_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb, "vec_id", "embedding", Q31, 10,
+        k_centroids=K_CENTROIDS, nprobe=NPROBE, m_sub=M_SUB, k_codes=K_CODES,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
