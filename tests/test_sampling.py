@@ -1,5 +1,6 @@
 """Sampling/data-mixing operators: determinism and budget semantics."""
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vector_store_spark.operators.sampling import hash_sample, token_budget_take
@@ -93,3 +94,40 @@ def test_cap_per_group_deterministic_and_partition_independent(spark):
     salted = {(r.src, r.doc_id) for r in
               cap_per_group(df, "src", "doc_id", 25, salt=7).collect()}
     assert salted != got1
+
+
+def test_global_prefix_offsets_match_window(spark):
+    from vector_store_spark.operators.sampling import global_prefix_offsets
+
+    df = spark.createDataFrame(
+        [(i * 7 % 1000, (i % 13) + 1) for i in range(500)], ["doc_id", "w"]
+    ).dropDuplicates(["doc_id"])
+    got = {r.doc_id: r.offset for r in
+           global_prefix_offsets(df, "doc_id", "w", bucket_size=50).collect()}
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spec = {r.doc_id: r.off for r in df.withColumn(
+        "off", F.sum("w").over(w) - F.col("w")
+    ).collect()}
+    assert got == spec
+    # plan guard: the prefix-scan window partitions by the id-range bucket
+    plan = global_prefix_offsets(df, "doc_id", "w", bucket_size=50) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "_ps_bucket" in line
+
+
+def test_pack_sequences_boundaries(spark):
+    from vector_store_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 4), (3, 8), (4, 2)], ["doc_id", "w"]
+    )
+    got = {r.doc_id: (r.offset, r.seq_id, r.seq_end_id, r.spans_boundary)
+           for r in pack_sequences(df, "doc_id", "w", 8, bucket_size=2).collect()}
+    # stream: doc1 [0,5) doc2 [5,9) doc3 [9,17) doc4 [17,19); seq_len 8
+    assert got[1] == (0, 0, 0, False)
+    assert got[2] == (5, 0, 1, True)    # crosses the 8-token cut
+    assert got[3] == (9, 1, 2, True)    # crosses the 16-token cut
+    assert got[4] == (17, 2, 2, False)

@@ -180,3 +180,67 @@ def token_budget_take(
         out.where(F.col("running_total") - F.col(weight_col) < budget)
         .drop("_tb_bucket", "_tb_base")
     )
+
+
+def global_prefix_offsets(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Exclusive global prefix sum of ``weight_col`` in ``id_col`` order —
+    the distributed scan, without a whole-table window: (1) per-id-range
+    bucket sums (parallel aggregate, KB-sized result), (2) driver-side
+    cumulative base per bucket, (3) broadcast the base back and resolve
+    within-bucket offsets with a window partitioned by bucket (max task =
+    one id-range). Adds ``offset`` (exclusive prefix). Requires integer ids;
+    ordering is strictly by id."""
+    bucket = F.floor(F.col(id_col) / bucket_size).cast("long")
+    tagged = df.withColumn("_ps_bucket", bucket)
+    hist = (
+        tagged.groupBy("_ps_bucket").agg(F.sum(weight_col).alias("_mass")).collect()
+    )
+    base_rows, cum = [], 0
+    for b, m in sorted((r["_ps_bucket"], r["_mass"]) for r in hist):
+        base_rows.append((b, cum))
+        cum += m
+    base = df.sparkSession.createDataFrame(
+        base_rows,
+        StructType([
+            StructField("_ps_bucket", LongType(), False),
+            StructField("_ps_base", LongType(), False),
+        ]),
+    )
+    w = (
+        Window.partitionBy("_ps_bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.join(F.broadcast(base), "_ps_bucket").withColumn(
+        "offset",
+        (F.col("_ps_base") + F.sum(weight_col).over(w) - F.col(weight_col)).cast("long"),
+    )
+    return out.drop("_ps_bucket", "_ps_base")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seq_len: int,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing index (the GPT-style packing: docs
+    concatenated in deterministic id order, the token stream cut into
+    ``seq_len`` windows). Emits per doc: ``offset`` (global token offset),
+    ``seq_id`` (sequence containing the doc's first token), ``seq_end_id``
+    (sequence containing its last), ``spans_boundary`` (doc crosses a cut).
+    Built on :func:`global_prefix_offsets` — no whole-table window."""
+    out = global_prefix_offsets(df, id_col, weight_col, bucket_size)
+    start = F.col("offset")
+    end = F.col("offset") + F.col(weight_col) - 1
+    return (
+        out.withColumn("seq_id", F.floor(start / seq_len).cast("long"))
+        .withColumn("seq_end_id", F.floor(end / seq_len).cast("long"))
+        .withColumn("spans_boundary", F.col("seq_end_id") != F.col("seq_id"))
+    )

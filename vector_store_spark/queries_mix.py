@@ -128,3 +128,43 @@ def mix_source_cap(spark, sf_dir):
     return capped.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )
+
+
+_SEQ_LEN = 2048
+
+
+@register(
+    "mix_pack_sequences",
+    f"""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS off
+  FROM documents
+),
+p AS (
+  SELECT doc_id, off,
+         CAST(floor(off / {_SEQ_LEN}) AS BIGINT) AS seq_id,
+         CAST(floor((off + n_chars - 1) / {_SEQ_LEN}) AS BIGINT) AS seq_end_id
+  FROM o
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(seq_end_id) + 1 AS BIGINT) AS n_sequences,
+       CAST(sum(CASE WHEN seq_end_id <> seq_id THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       CAST(max(off) AS BIGINT) AS last_offset
+FROM p
+""",
+    f"Concat-and-chunk sequence packing ({_SEQ_LEN}-token windows): global "
+    "token offsets via distributed prefix-scan (per-id-range bucket sums -> "
+    "driver cumsum -> per-bucket windows), never a whole-table window",
+)
+def mix_pack_sequences(spark, sf_dir):
+    from vector_store_spark.operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences(docs, "doc_id", "n_chars", _SEQ_LEN, bucket_size=100)
+    return packed.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.max("seq_end_id") + 1).cast("long").alias("n_sequences"),
+        F.sum(F.when(F.col("spans_boundary"), 1).otherwise(0)).cast("long").alias("n_boundary_docs"),
+        F.max("offset").cast("long").alias("last_offset"),
+    )
