@@ -209,3 +209,30 @@ def text_chunking(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", _CHUNK, _OVERLAP)
+
+
+@register(
+    "text_length_profile",
+    f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       round(quantile_cont(n_chars, 0.5), {ROUND}) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), {ROUND}) AS p95_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+""",
+    "Corpus profiling: per-source doc-length distribution (count/min/p50/p95/"
+    "max; exact interpolated percentiles - swap in approx_percentile for the "
+    "sketch-based 100 TB variant, same query shape)",
+)
+def text_length_profile(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.round(F.percentile("n_chars", 0.5), ROUND).alias("p50_chars"),
+        F.round(F.percentile("n_chars", 0.95), ROUND).alias("p95_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
