@@ -112,6 +112,7 @@ def token_budget_take(
     budget: int,
     num_buckets: int = 1024,
     score_range: tuple[float, float] = (0.0, 1.0),
+    cache_input: bool = False,
 ) -> DataFrame:
     """Greedy per-group selection, scale-safe: walk rows in
     (``score_col`` DESC, ``id_col`` ASC) order and keep each row whose
@@ -132,11 +133,15 @@ def token_budget_take(
         (F.lit(hi) - F.col(score_col).cast("double")) / F.lit(span) * num_buckets
     ).cast("long")
     bucket = F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
-    # the histogram pass and the selection pass both read the input; cache it
-    # so a derived input (e.g. a curation pipeline) is not computed twice.
-    # (Reading a raw parquet scan twice would be fine; recomputing an upstream
-    # pipeline is not.)
-    tagged = df.withColumn("_tb_bucket", bucket).cache()
+    # Both passes read the input. By default rely on Catalyst column pruning
+    # (the histogram pass reads only group/score/weight — project the input
+    # narrow before calling for best effect); pass cache_input=True only when
+    # the upstream pipeline is expensive AND already narrow — caching a wide
+    # row forces materializing every column and can cost more than the
+    # recompute it saves.
+    tagged = df.withColumn("_tb_bucket", bucket)
+    if cache_input:
+        tagged = tagged.cache()
 
     # pass 1: per-(group, bucket) mass — parallel hash aggregate, KB-sized out
     hist = (

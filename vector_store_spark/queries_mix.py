@@ -58,7 +58,14 @@ GROUP BY pred_lang
     "via one running-sum window over the curated pool",
 )
 def mix_token_budget(spark, sf_dir):
-    cur = _curated(spark, sf_dir).withColumn("tok", F.col("n_tokens").cast("long"))
+    # narrow projection BEFORE the two-pass operator: its internal cache then
+    # materializes 4 columns, not the full curated row (text included), and
+    # both passes stay column-pruned
+    cur = (
+        _curated(spark, sf_dir)
+        .withColumn("tok", F.col("n_tokens").cast("long"))
+        .select("doc_id", "pred_lang", "quality_score", "tok")
+    )
     took = token_budget_take(
         cur, "pred_lang", "quality_score", "doc_id", "tok", _BUDGET,
     )
