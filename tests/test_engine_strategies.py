@@ -44,9 +44,10 @@ def test_pq_strategy_euclidean(emb):
         assert s == 1.0 / (1.0 + d)
 
 
-def test_ivfpq_strategy_euclidean(emb):
+@pytest.mark.parametrize("strategy", ["ivfpq", "ivfpq_residual"])
+def test_ivfpq_strategies_euclidean(emb, strategy):
     eng = VectorStoreEngine()
-    eng.register(emb, _meta(SpaceType.EUCLIDEAN), strategy="ivfpq")
+    eng.register(emb, _meta(SpaceType.EUCLIDEAN), strategy=strategy)
     out = eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5)
     assert len(out.primary_keys["vec_id"]) == 5
     assert out.distances == sorted(out.distances)

@@ -246,3 +246,24 @@ def test_residual_codebooks_deterministic(emb):
     tb = ivfpq_residual_codebook_trained(emb, "vec_id", "embedding", cents, 8, 16, seed=1)
     assert ta.shape == (8, 16, 8)
     np.testing.assert_array_equal(ta, tb)
+
+
+def test_ivf_knn_join_matches_per_query_ivf_topk(emb):
+    """Each query's batched result must equal its single-query IVF search
+    (same centroids, same nprobe)."""
+    from vector_store_spark.operators.ivf import ivf_knn_join
+
+    queries = [("a", det_query_vector(7, 64)), ("b", det_query_vector(13, 64))]
+    got = ivf_knn_join(
+        emb, "vec_id", "embedding", queries, 5,
+        k_centroids=8, nprobe=3, round_to=9,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.distance))
+    for qid, qv in queries:
+        single = ivf_topk(
+            emb, "vec_id", "embedding", qv, 5, k_centroids=8, nprobe=3,
+            select_cols=["vec_id"], round_to=9,
+        ).collect()
+        assert by_q[qid] == [(r.vec_id, r.distance) for r in single]

@@ -48,7 +48,7 @@ class AnnResponse:
 #: §2.9 (vs_index/factory.rs:1-37): the engine-strategy axis. The reference
 #: selects USearch/DiskANN/OpenSearch per index; here the strategies are
 #: DataFrame programs sharing one query lifecycle.
-ANN_STRATEGIES = ("exact", "lsh", "ivf", "pq", "ivfpq")
+ANN_STRATEGIES = ("exact", "lsh", "ivf", "pq", "ivfpq", "ivfpq_residual")
 
 
 @dataclass
@@ -172,13 +172,17 @@ class VectorStoreEngine:
             return topk.withColumn(
                 "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
             )
-        if ri.strategy == "ivfpq":
+        if ri.strategy in ("ivfpq", "ivfpq_residual"):
             if meta.space_type != SpaceType.EUCLIDEAN:
-                raise FilterError("ivfpq strategy scores l2sq (euclidean) only")
-            from vector_store_spark.operators.ivfpq import ivfpq_topk
+                raise FilterError(f"{ri.strategy} strategy scores l2sq (euclidean) only")
+            from vector_store_spark.operators.ivfpq import (
+                ivfpq_residual_topk,
+                ivfpq_topk,
+            )
 
-            topk = ivfpq_topk(df, id_col, meta.target_column, list(vector), limit,
-                              select_cols=select, **opts)
+            fn = ivfpq_residual_topk if ri.strategy == "ivfpq_residual" else ivfpq_topk
+            topk = fn(df, id_col, meta.target_column, list(vector), limit,
+                      select_cols=select, **opts)
             return topk.withColumn(
                 "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
             )

@@ -289,3 +289,106 @@ def ivf_topk(
         space=space, tie_break=[id_col],
         select_cols=select_cols or [id_col], round_to=round_to,
     )
+
+
+def ivf_knn_join(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list,
+    k: int,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    space: SpaceType = SpaceType.COSINE,
+    centroids: list | None = None,
+    n_assign: int = 1,
+    query_id_col: str = "query_id",
+    dist_col: str = "distance",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batch kNN through IVF pruning: one scan answers every query, but each
+    query only scores rows in its own nprobe clusters. The scan is filtered
+    to the UNION of all probed clusters (partition pruning on a persisted
+    index); inside each Arrow batch one GEMM scores all queries and a
+    per-query cluster mask (+inf) hides rows outside that query's probe set.
+    Emits ≤ n_queries·k rows per batch into the global per-query top-k window
+    — the pruned version of operators.topk.knn_join, and the batch shape a
+    1000-executor scan engine actually runs."""
+    import numpy as np
+    import pandas as pd
+
+    if space not in (SpaceType.COSINE, SpaceType.EUCLIDEAN, SpaceType.DOT_PRODUCT):
+        raise ValueError(f"ivf_knn_join: unsupported space {space}")
+    cents = centroids if centroids is not None else ivf_centroids(
+        items, id_col, vec_col, k_centroids
+    )
+    qids = [q[0] for q in queries]
+    qmat = [list(map(float, q[1])) for q in queries]
+    probes = {qid: set(ivf_probe(cents, qv, nprobe, space=space))
+              for qid, qv in zip(qids, qmat)}
+    union_clusters = sorted(set().union(*probes.values()))
+
+    assigned = ivf_assign(items, id_col, vec_col, cents, space=space, n_assign=n_assign)
+    cand = assigned.where(F.col("cluster").isin(union_clusters))
+    if n_assign > 1:
+        cand = cand.dropDuplicates([id_col])
+    src = cand.select(id_col, "cluster", vec_col)
+    id_t = src.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} string, {id_col} {id_t}, {dist_col} double"
+
+    def score(batches):
+        Q = np.asarray(qmat, dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = 1.0
+        # (n_queries, n_clusters_union) membership mask
+        cl_index = {c: i for i, c in enumerate(union_clusters)}
+        allow = np.zeros((len(qids), len(union_clusters)), dtype=bool)
+        for j, qid in enumerate(qids):
+            for c in probes[qid]:
+                allow[j, cl_index[c]] = True
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cl = np.asarray([cl_index[c] for c in pdf["cluster"]])
+            dots = X @ Q.T
+            if space == SpaceType.COSINE:
+                xn = np.linalg.norm(X, axis=1)
+                xn[xn == 0.0] = 1.0
+                dist = 1.0 - dots / np.outer(xn, qn)
+            elif space == SpaceType.DOT_PRODUCT:
+                dist = 1.0 - dots
+            else:
+                x2 = (X * X).sum(axis=1)
+                q2 = (Q * Q).sum(axis=1)
+                dist = x2[:, None] + q2[None, :] - 2.0 * dots
+            # mask rows outside each query's probe set
+            dist = np.where(allow[:, cl].T, dist, np.inf)
+            frames = []
+            for j, qid in enumerate(qids):
+                dj = dist[:, j]
+                ok = np.nonzero(np.isfinite(dj))[0]
+                if not len(ok):
+                    continue
+                kk = min(k, len(ok))
+                top = ok[np.argpartition(dj[ok], kk - 1)[:kk]] if kk < len(ok) else ok
+                f = pdf.iloc[top][[id_col]].copy()
+                f.insert(0, query_id_col, str(qid))
+                f[dist_col] = dj[top]
+                frames.append(f)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = src.mapInPandas(score, schema=out_schema)
+    if round_to is not None:
+        partial = partial.withColumn(dist_col, F.round(dist_col, round_to))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -425,3 +425,54 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
         k_centroids=K_CENTROIDS, nprobe=NPROBE, m_sub=M_SUB, k_codes=K_CODES,
         select_cols=["vec_id", "label"], round_to=ROUND,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched kNN through IVF pruning: one scan, every query scores only its own
+# nprobe clusters (the pruned counterpart of knn_batch).
+# ---------------------------------------------------------------------------
+
+_IVF_KNN_QUERIES = [("q7", Q7), ("q13", det_query_vector(13, 64))]
+_QVALS = ", ".join(f"('{n}', {sql_vec(v)})" for n, v in _IVF_KNN_QUERIES)
+
+
+@register(
+    "knn_batch_ivf",
+    f"""
+WITH {_ASG},
+queries(query_id, qv) AS (VALUES {_QVALS}),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid, row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_inner_product(cv, qv) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv))) DESC,
+        cid
+    ) AS rn FROM queries q CROSS JOIN c
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(1.0 - list_inner_product(v, qv) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), {ROUND}) AS distance
+  FROM queries q
+  JOIN probe p ON p.query_id = q.query_id
+  JOIN asg ON asg.cid = p.cid
+  JOIN e ON e.vec_id = asg.vec_id
+)
+SELECT query_id, vec_id, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn FROM scored)
+WHERE rn <= 5
+""",
+    "Batched kNN through IVF pruning: one scan answers all queries, each "
+    "scoring only its own nprobe clusters (per-query cluster mask inside the "
+    "batch GEMM) -- the pruned counterpart of knn_batch",
+)
+def knn_batch_ivf(spark, sf_dir):
+    from vector_store_spark.operators.ivf import ivf_knn_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_knn_join(
+        emb, "vec_id", "embedding", _IVF_KNN_QUERIES, 5,
+        k_centroids=K_CENTROIDS, nprobe=NPROBE, round_to=ROUND,
+    )
