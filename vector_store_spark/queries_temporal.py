@@ -77,3 +77,45 @@ def events_range_join_counts(spark, sf_dir):
         .cast("long")
         .alias("n_clicks_10m")
     )
+
+
+@register(
+    "events_type_stats_salted",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+    "Heavy-hitter aggregation via explicit two-phase salting: 5 dominant "
+    "event types x 32 salts bound per-reducer volume; distinct-users runs "
+    "per (type, salt, user) then merges - no single-reducer key",
+)
+def events_type_stats_salted(spark, sf_dir):
+    from vector_store_spark.operators.skew import salted_agg
+
+    ev = load_events(spark, sf_dir)
+    # count-distinct decomposes by salting on the DISTINCT column itself:
+    # (type, user-salt) partials hold distinct user sets disjointly
+    partial = salted_agg(
+        ev,
+        ["event_type"],
+        phase1=[
+            F.count("*").alias("_n"),
+            F.countDistinct("user_id").alias("_nu"),
+            F.min("event_id").alias("_mn"),
+            F.max("event_id").alias("_mx"),
+        ],
+        phase2=[
+            F.sum("_n").cast("long").alias("n_events"),
+            F.sum("_nu").cast("long").alias("n_users"),
+            F.min("_mn").cast("long").alias("min_event_id"),
+            F.max("_mx").cast("long").alias("max_event_id"),
+        ],
+        salt_buckets=32,
+        salt_expr=F.pmod(F.col("user_id"), F.lit(32)),
+    )
+    return partial
