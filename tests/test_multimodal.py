@@ -78,3 +78,23 @@ def test_frame_sample_fanout(assets):
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(MAGIC + b"\0" * 20)
+
+
+def test_patch_grid_counts_and_edges(spark):
+    from vector_store_spark.operators.multimodal import patch_grid
+
+    decoded = spark.createDataFrame(
+        [(1, "image", 17, 9, True), (2, "image", 8, 8, True),
+         (3, "video", 64, 64, True), (4, "image", 0, 0, False)],
+        "doc_id long, modality string, width int, height int, valid boolean",
+    )
+    got = patch_grid(decoded, patch=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 17x9 with 8px patches -> 3x2 grid; edge patches clip to 1px wide / 1px tall
+    assert len(by_doc[1]) == 6
+    edge = {(r.px, r.py): (r.patch_w, r.patch_h) for r in by_doc[1]}
+    assert edge[(0, 0)] == (8, 8) and edge[(2, 0)] == (1, 8) and edge[(2, 1)] == (1, 1)
+    assert len(by_doc[2]) == 1 and by_doc[2][0].patch_w == 8
+    assert 3 not in by_doc and 4 not in by_doc  # non-image / invalid dropped

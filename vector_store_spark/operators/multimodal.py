@@ -172,3 +172,31 @@ def frame_sample(assets: DataFrame, every_n: int = 4) -> DataFrame:
     return assets.mapInPandas(
         sample, "doc_id long, frame_idx int, byte_offset long, frame_bytes int"
     )
+
+
+def patch_grid(decoded: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch planning: one row per (doc, patch) with grid coords and
+    actual patch extent (edge patches clip) — the tokenization step of an
+    image encoder, as metadata (the pixel gather is the stubbed codec).
+    Pure-Catalyst 1→N fan-out (explode over an index sequence), no shuffle."""
+    w, h = F.col("width"), F.col("height")
+    n_px = F.ceil(w / patch).cast("int")
+    n_py = F.ceil(h / patch).cast("int")
+    imgs = (
+        decoded.where((F.col("modality") == "image") & F.col("valid"))
+        .select("doc_id", "width", "height", n_px.alias("_npx"), n_py.alias("_npy"))
+    )
+    out = imgs.select(
+        "doc_id", "width", "height", "_npx",
+        F.explode(F.sequence(F.lit(0), F.col("_npx") * F.col("_npy") - 1)).alias("patch_id"),
+    )
+    px = F.col("patch_id") % F.col("_npx")
+    py = (F.col("patch_id") / F.col("_npx")).cast("int")
+    return out.select(
+        "doc_id",
+        F.col("patch_id").cast("long").alias("patch_id"),
+        px.cast("long").alias("px"),
+        py.cast("long").alias("py"),
+        F.least(F.lit(patch), F.col("width") - px * patch).cast("long").alias("patch_w"),
+        F.least(F.lit(patch), F.col("height") - py * patch).cast("long").alias("patch_h"),
+    )

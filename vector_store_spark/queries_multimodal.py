@@ -94,3 +94,41 @@ FROM v, unnest(range(0, n_frames, 4)) AS t(fi)
 def mm_frame_sample(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return frame_sample(synth_assets(docs), every_n=4)
+
+
+_PATCH = 8
+
+
+@register(
+    "mm_patch_grid",
+    f"""
+WITH a AS (
+  SELECT doc_id, CAST({_W} AS INT) AS w, CAST({_H} AS INT) AS h
+  FROM documents WHERE ({_MODALITY}) = 'image'
+),
+g AS (
+  SELECT doc_id, w, h,
+         CAST(ceil(w / {_PATCH}.0) AS INT) AS npx,
+         CAST(ceil(h / {_PATCH}.0) AS INT) AS npy
+  FROM a
+),
+p AS (
+  SELECT doc_id, w, h, npx, unnest(range(0, npx * npy)) AS patch_id FROM g
+)
+SELECT doc_id,
+       CAST(patch_id AS BIGINT) AS patch_id,
+       CAST(patch_id % npx AS BIGINT) AS px,
+       CAST(patch_id // npx AS BIGINT) AS py,
+       CAST(least({_PATCH}, w - (patch_id % npx) * {_PATCH}) AS BIGINT) AS patch_w,
+       CAST(least({_PATCH}, h - (patch_id // npx) * {_PATCH}) AS BIGINT) AS patch_h
+FROM p
+""",
+    "ViT-style patch grid over decoded image dims: 1->N explode per patch "
+    "with clipped edge extents (the image-tokenization plan, no shuffle)",
+)
+def mm_patch_grid(spark, sf_dir):
+    from vector_store_spark.operators.multimodal import patch_grid
+
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_meta(synth_assets(docs))
+    return patch_grid(decoded, patch=_PATCH)

@@ -236,3 +236,23 @@ def text_length_profile(spark, sf_dir):
         F.round(F.percentile("n_chars", 0.95), ROUND).alias("p95_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+WITH scored AS (SELECT doc_id, lang, {_SCORES} FROM documents),
+pred AS (SELECT doc_id, lang, {_PRED} AS pred_lang FROM scored)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+""",
+    "Language-ID confusion matrix vs the ground-truth lang column: the "
+    "evaluation a pipeline runs before trusting a classifier gate",
+)
+def text_langid_confusion(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
