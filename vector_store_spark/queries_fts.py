@@ -142,3 +142,38 @@ def fts_stats(spark, sf_dir):
     return ix.doclens.agg(
         F.count("*").alias("num_docs"), F.round(F.avg("dl"), ROUND).alias("avgdl")
     )
+
+
+# Incremental CRUD (tantivy.rs:383-443): base build on doc_id < 400, then
+# remove ids < 50 and add ids 400..449; the oracle re-derives BM25 over the
+# equivalent FINAL doc set, so a PASS proves the anti-join + union + stats
+# re-aggregation maintenance path yields exactly a clean rebuild.
+_FINAL_SET = "(SELECT * FROM documents WHERE doc_id >= 50 AND doc_id < 450)"
+_INC_CTES = _BASE_CTES.replace("FROM documents", f"FROM {_FINAL_SET}")
+
+
+@register(
+    "bm25_incremental_term",
+    f"""
+WITH {_INC_CTES}
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM term_scores WHERE term = 'vector'
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "FTS incremental CRUD: base build -> remove 50 docs + add 50 docs via "
+    "anti-join/union maintenance -> query; hash-equal to a clean rebuild "
+    "over the final doc set (tantivy.rs:383-443 visibility semantics)",
+)
+def bm25_incremental_term(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.bm25 import update_fts_index
+
+    docs = load(spark, sf_dir, "documents")
+    base = build_fts_index(docs.where(F.col("doc_id") < 400), "doc_id", "text")
+    updated = update_fts_index(
+        base,
+        docs_added=docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)),
+        doc_ids_removed=list(range(50)),
+    )
+    return bm25_search(updated, "vector", 10, round_to=ROUND)
