@@ -233,3 +233,31 @@ def ann_topk_per_partition(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("label", "vec_id", "distance", "rank")
     )
+
+
+@register(
+    "alternator_json_ann_topk",
+    _topk_sql(_cos_sql(sql_vec(Q21)), "(2.0 - distance) / 2.0", 10),
+    "S6 second wire tag: 0x04 DynamoDB-JSON list-of-numbers codec - encode ->"
+    " ':attrs' map -> decode -> ANN (a PASS proves the JSON number round-trip)",
+)
+def alternator_json_ann_topk(spark, sf_dir):
+    from vector_store_spark.functions.alternator import (
+        TAG_DYNAMO_JSON,
+        attrs_vector,
+        encode_vector_udf,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    attrs_tbl = emb.select(
+        "vec_id", "label",
+        F.create_map(
+            F.lit("v"), encode_vector_udf(TAG_DYNAMO_JSON)(F.col("embedding"))
+        ).alias("attrs"),
+    )
+    decoded = attrs_tbl.withColumn("embedding", attrs_vector("attrs", "v", dims=64))
+    return ann_topk(
+        decoded, "embedding", Q21, 10,
+        space=SpaceType.COSINE, tie_break=["vec_id"],
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )

@@ -109,3 +109,30 @@ def star_order_priority_fulfillment(spark, sf_dir):
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.round(F.avg("o_totalprice"), ROUND).alias("avg_price"),
     )
+
+
+@register(
+    "star_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(CAST(sum(l_quantity) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    "TPC-H Q1-style pricing summary (integer-exact subset: quantities are "
+    "integral, so sums/averages are order-independent): one hash aggregate "
+    "with map-side partial combine",
+)
+def star_pricing_summary(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count("*").cast("long").alias("count_order"),
+        F.round(
+            F.sum("l_quantity").cast("long") / F.count("*").cast("double"), 6
+        ).alias("avg_qty"),
+    )
