@@ -109,3 +109,45 @@ def stream_cdc_endstate(spark, sf_dir):
     _await(sink.start(stream2, checkpoint_dir=ckpt))
 
     return sink.live_view("v").orderBy("pk")
+
+
+@register(
+    "stream_events_hourly_endstate",
+    """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE event_id < 5000
+GROUP BY 1, 2
+""",
+    "Structured Streaming windowed aggregation, hash-checked: file-source "
+    "micro-batches -> watermarked 1h tumbling windows -> complete-mode end "
+    "state == the batch GROUP BY (epoch-aligned windows = date_trunc)",
+)
+def stream_events_hourly_endstate(spark, sf_dir):
+    from vector_store_spark.registry import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("event_id") < 5000).select(
+        "event_id", "ts", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="evstream_")
+    src = os.path.join(root, "src")
+    ev.withColumn("ts_us", F.unix_micros("ts")).drop("ts").write.json(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts_us long")
+        .json(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count()
+    name = "evh_" + os.path.basename(root).replace("evstream_", "")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    _await(q)
+    return spark.table(name).select(
+        F.col("w.start").alias("hour_start"),
+        "event_type",
+        F.col("count").cast("long").alias("n_events"),
+    )
