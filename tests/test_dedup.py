@@ -142,3 +142,20 @@ def test_embedding_neardup(spark):
     rows = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.95).collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
     assert rows[0].cosine > 0.999
+
+
+def test_connected_components_multi_hop(spark):
+    from vector_store_spark.operators.dedup import dedup_connected_components
+
+    # chain 1-2-3-4 (diameter 3) + pair 10-11 + triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r.group_id: (r.group_size, r.member_ids) for r in
+           dedup_connected_components(pairs).collect()}
+    assert got == {
+        1: (4, [1, 2, 3, 4]),
+        10: (2, [10, 11]),
+        20: (3, [20, 21, 22]),
+    }

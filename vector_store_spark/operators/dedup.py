@@ -389,3 +389,62 @@ def embedding_neardup_pairs_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dedup_connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: connected components by min-label
+    propagation — the step real dedup pipelines run between pair generation
+    and the keep-set ("keep the smallest id of each component").
+
+    Iterative joins over the PAIR GRAPH (candidate pairs, orders of magnitude
+    smaller than the corpus), each iteration ``localCheckpoint``-materialized
+    to keep lineage flat; converges in O(component diameter) iterations
+    (near-dup components are shallow) and stops early when no label moves.
+    Deterministic: the fixed point is min-id-per-component regardless of
+    join/partition order.
+
+    Returns (group_id = min member id, group_size, member_ids sorted)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("group_id"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+    )

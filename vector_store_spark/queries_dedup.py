@@ -161,3 +161,57 @@ def dedup_embedding_cosine(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
     return pairs.withColumn("cosine", F.round("cosine", ROUND))
+
+
+@register(
+    "dedup_groups_minhash",
+    # WITH RECURSIVE: transitive closure over the verified near-dup pairs,
+    # then min-reachable-id = component label (what the Spark side's
+    # min-label propagation converges to)
+    f"""
+WITH RECURSIVE sets AS ({_SETS}),
+sets2 AS (SELECT id, hs FROM sets WHERE len(hs) > 0),
+sig AS (SELECT id, hs, {_SIG_SQL} AS sig FROM sets2),
+bandrows AS (
+  SELECT id, unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band,
+         unnest([{_BUCKETS_SQL}]) AS bucket
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sets2 sa ON sa.id = cand.id_a JOIN sets2 sb ON sb.id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs)) /
+        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION SELECT id_b, id_a FROM ver
+),
+reach AS (
+  SELECT src, src AS dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src)
+SELECT group_id,
+       CAST(count(*) AS BIGINT) AS group_size,
+       list(id ORDER BY id) AS member_ids
+FROM labels GROUP BY group_id
+""",
+    "Near-dup GROUPS: connected components over verified MinHash pairs "
+    "(min-label propagation / recursive-closure oracle) - the step between "
+    "pair generation and the keep-one-per-group decision",
+)
+def dedup_groups_minhash(spark, sf_dir):
+    from vector_store_spark.operators.dedup import dedup_connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
+    )
+    return dedup_connected_components(pairs)
