@@ -256,3 +256,38 @@ def text_langid_confusion(spark, sf_dir):
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+@register(
+    "text_top_terms",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_KEEP_STOP} AS toks FROM documents),
+flat AS (SELECT doc_id, unnest(toks) AS term FROM t),
+counts AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM flat GROUP BY term
+)
+SELECT term, n_occurrences, n_docs
+FROM counts ORDER BY n_occurrences DESC, term LIMIT 25
+""",
+    "Vocabulary head (Zipf top-25 by occurrences, tie-break by term): "
+    "explode -> count per term -> TakeOrderedAndProject",
+)
+def text_top_terms(spark, sf_dir):
+    from vector_store_spark.functions.text import tokens_udf
+
+    docs = load(spark, sf_dir, "documents")
+    flat = docs.select(
+        "doc_id", F.explode(tokens_udf(remove_stopwords=False)(F.col("text"))).alias("term")
+    )
+    counts = flat.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(25)
+        .select("term", "n_occurrences", "n_docs")
+    )
