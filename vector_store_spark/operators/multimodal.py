@@ -200,3 +200,32 @@ def patch_grid(decoded: DataFrame, patch: int = 8) -> DataFrame:
         F.least(F.lit(patch), F.col("width") - px * patch).cast("long").alias("patch_w"),
         F.least(F.lit(patch), F.col("height") - py * patch).cast("long").alias("patch_h"),
     )
+
+
+def audio_windows(decoded: DataFrame, window_ms: int = 250, hop_ms: int = 125) -> DataFrame:
+    """Audio segmentation plan: fixed-duration windows with hop (the
+    spectrogram/ASR framing step), from decoded metadata — 1→N explode per
+    window with clipped end extents, no shuffle. Sample math uses the fake
+    container's 1-byte samples at AUDIO_RATE."""
+    if not 0 < hop_ms <= window_ms:
+        raise ValueError("need 0 < hop_ms <= window_ms")
+    dur = F.col("duration_ms")
+    n_win = F.when(dur <= 0, F.lit(0)).otherwise(
+        F.floor((dur - 1) / hop_ms) + 1
+    ).cast("int")
+    auds = (
+        decoded.where((F.col("modality") == "audio") & F.col("valid"))
+        .select("doc_id", dur.alias("_dur"), n_win.alias("_nw"))
+        .where(F.col("_nw") > 0)
+    )
+    out = auds.select(
+        "doc_id", "_dur",
+        F.explode(F.sequence(F.lit(0), F.col("_nw") - 1)).alias("window_id"),
+    )
+    start = F.col("window_id") * hop_ms
+    return out.select(
+        "doc_id",
+        F.col("window_id").cast("long").alias("window_id"),
+        start.cast("double").alias("start_ms"),
+        F.round(F.least(F.lit(float(window_ms)), F.col("_dur") - start), 6).alias("win_ms"),
+    )

@@ -132,3 +132,34 @@ def mm_patch_grid(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     decoded = decode_meta(synth_assets(docs))
     return patch_grid(decoded, patch=_PATCH)
+
+
+_WIN_MS, _HOP_MS = 250, 125
+
+
+@register(
+    "mm_audio_windows",
+    f"""
+WITH a AS (
+  SELECT doc_id, {_PAYLOAD} * 1000.0 / {AUDIO_RATE} AS dur
+  FROM documents WHERE ({_MODALITY}) = 'audio' AND {_PAYLOAD} > 0
+),
+w AS (
+  SELECT doc_id, dur,
+         unnest(range(0, CAST(floor((dur - 1) / {_HOP_MS}) AS BIGINT) + 1)) AS window_id
+  FROM a
+)
+SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+       CAST(window_id * {_HOP_MS} AS DOUBLE) AS start_ms,
+       round(least({_WIN_MS}.0, dur - window_id * {_HOP_MS}), 6) AS win_ms
+FROM w
+""",
+    "Audio segmentation plan: 250ms windows / 125ms hop from decoded "
+    "duration metadata (the ASR/spectrogram framing step), 1->N explode",
+)
+def mm_audio_windows(spark, sf_dir):
+    from vector_store_spark.operators.multimodal import audio_windows
+
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_meta(synth_assets(docs))
+    return audio_windows(decoded, window_ms=_WIN_MS, hop_ms=_HOP_MS)

@@ -151,3 +151,38 @@ def stream_events_hourly_endstate(spark, sf_dir):
         "event_type",
         F.col("count").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "stream_dedup_endstate",
+    """
+SELECT CAST(doc_id % 10 AS INT) AS f, CAST(count(*) AS BIGINT) AS n_keys
+FROM documents WHERE doc_id < 2000
+GROUP BY 1
+""",
+    "Streaming exact dedup, hash-checked: the source replays every key three "
+    "times across two files; stateful dropDuplicates emits each key once, so "
+    "the end state equals DISTINCT over the underlying key set",
+)
+def stream_dedup_endstate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+    root = tempfile.mkdtemp(prefix="dedupstream_")
+    src = os.path.join(root, "src")
+    base = docs.select(F.col("doc_id").alias("pk"))
+    # replay each key 3x across two source files (at-least-once delivery)
+    base.union(base).write.mode("append").json(os.path.join(src, "b1"))
+    base.write.mode("append").json(os.path.join(src, "b2"))
+
+    stream = spark.readStream.schema("pk long").json(os.path.join(src, "*"))
+    deduped = stream.dropDuplicates(["pk"])
+    name = "dd_" + os.path.basename(root).replace("dedupstream_", "")
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    _await(q)
+    return spark.table(name).select(
+        (F.col("pk") % 10).cast("int").alias("f")
+    ).groupBy("f").agg(F.count("*").cast("long").alias("n_keys"))

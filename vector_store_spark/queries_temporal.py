@@ -119,3 +119,25 @@ def events_type_stats_salted(spark, sf_dir):
         salt_expr=F.pmod(F.col("user_id"), F.lit(32)),
     )
     return partial
+
+
+@register(
+    "events_value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value,
+       round(quantile_cont(value, 0.99), 6) AS p99_value
+FROM events
+GROUP BY event_type
+""",
+    "Per-type event-value distribution (exact interpolated p50/p90/p99; "
+    "approx_percentile is the sketch variant at scale)",
+)
+def events_value_percentiles(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50_value"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99_value"),
+    )
