@@ -261,3 +261,35 @@ def alternator_json_ann_topk(spark, sf_dir):
         space=SpaceType.COSINE, tie_break=["vec_id"],
         select_cols=["vec_id", "label"], round_to=ROUND,
     )
+
+
+@register(
+    "emb_norm_profile",
+    f"""
+WITH e AS (
+  SELECT label, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(min(nrm), {ROUND}) AS min_norm,
+       round(max(nrm), {ROUND}) AS max_norm,
+       round(quantile_cont(nrm, 0.5), {ROUND}) AS p50_norm
+FROM e GROUP BY label
+""",
+    "Embedding hygiene profile: per-label vector-norm distribution "
+    "(count/min/p50/max) - the sanity scan before index build",
+)
+def emb_norm_profile(spark, sf_dir):
+    from vector_store_spark.functions.distance import vector_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", vector_norm(F.col("embedding").cast("array<double>")).alias("nrm")
+    )
+    return e.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.min("nrm"), ROUND).alias("min_norm"),
+        F.round(F.max("nrm"), ROUND).alias("max_norm"),
+        F.round(F.percentile("nrm", 0.5), ROUND).alias("p50_norm"),
+    )
