@@ -81,3 +81,16 @@ def test_recall_monotone_in_nprobe(emb):
         recalls.append(len(got & truth) / 10)
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0  # nprobe=K scans everything
+
+
+def test_ivf_assign_expr_matches_arrow_twin(emb):
+    from vector_store_spark.operators.ivf import ivf_assign_expr
+    from vector_store_spark.types import SpaceType
+
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    for space in (SpaceType.COSINE, SpaceType.EUCLIDEAN, SpaceType.DOT_PRODUCT):
+        arrow = {r.vec_id: r.cluster for r in
+                 ivf_assign(emb, "vec_id", "embedding", cents, space=space).collect()}
+        expr = {r.vec_id: r.cluster for r in
+                ivf_assign_expr(emb, "vec_id", "embedding", cents, space=space).collect()}
+        assert arrow == expr, f"space={space}"

@@ -392,3 +392,39 @@ def ivf_knn_join(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_assign_expr(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    space: SpaceType = SpaceType.COSINE,
+) -> DataFrame:
+    """Column-expression twin of :func:`ivf_assign` (single assignment): the
+    executable spec, computing the identical argmax with Catalyst
+    higher-order functions (sequential-sum dot products — the bit-order the
+    oracle SQL uses). Interpreted (~µs/element), so the Arrow GEMM path is
+    the hot path; this one exists for cross-validation and for environments
+    without Python workers."""
+    if space not in (SpaceType.COSINE, SpaceType.EUCLIDEAN, SpaceType.DOT_PRODUCT):
+        raise ValueError(f"ivf_assign_expr: unsupported space {space}")
+    from vector_store_spark.functions.distance import dot_product, vector_lit, vector_norm
+
+    v = F.col(vec_col).cast("array<double>")
+    scored = []
+    for cid, cv in centroids:
+        lit = vector_lit([float(x) for x in cv])
+        if space == SpaceType.COSINE:
+            s = dot_product(v, lit) / (vector_norm(v) * vector_norm(lit))
+        elif space == SpaceType.DOT_PRODUCT:
+            s = dot_product(v, lit)
+        else:
+            s = 2.0 * dot_product(v, lit) - F.lit(
+                float(sum(x * x for x in cv))
+            )
+        # greatest() keeps the FIRST maximal struct; encode -cid so ties
+        # resolve to the smallest cid, matching the numpy argmax twin
+        scored.append(F.struct(s.alias("s"), F.lit(-int(cid)).alias("nc")))
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return items.withColumn("cluster", (-best["nc"]).cast("long"))
