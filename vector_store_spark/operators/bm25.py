@@ -89,17 +89,24 @@ def update_fts_index(
     fts_index/tantivy.rs:383-443, validator fts.rs CRUD tests).
 
     Re-tokenizes ONLY the added docs; removed/overwritten doc ids are
-    anti-joined out of the existing postings/doclens. Corpus stats (N, avgdl,
-    per-term df) are re-aggregated — they are metadata-sized. An upsert is
-    expressed as remove(id) + add(new doc). Work is O(changed docs +
-    stats), not O(corpus)."""
-    gone = set(doc_ids_removed or [])
-    if docs_added is not None:
-        gone |= {r[0] for r in docs_added.select(id_col).collect()}
+    anti-joined out of the existing postings/doclens — the overwritten set
+    comes straight from ``docs_added`` as a DataFrame (no driver-side
+    collect of ids). Corpus stats (N, avgdl, per-term df) are re-aggregated —
+    they are metadata-sized. An upsert is expressed as remove(id) + add(new
+    doc). Work is O(changed docs + stats), not O(corpus)."""
     postings, doclens = index.postings, index.doclens
-    if gone:
+    id_type = postings.schema["doc_id"].dataType.simpleString()
+    gone_df = None
+    if doc_ids_removed:
         spark = postings.sparkSession
-        gone_df = F.broadcast(spark.createDataFrame([(g,) for g in gone], f"doc_id {postings.schema['doc_id'].dataType.simpleString()}"))
+        gone_df = spark.createDataFrame(
+            [(g,) for g in doc_ids_removed], f"doc_id {id_type}"
+        )
+    if docs_added is not None:
+        added_ids = docs_added.select(F.col(id_col).alias("doc_id"))
+        gone_df = added_ids if gone_df is None else gone_df.unionByName(added_ids)
+    if gone_df is not None:
+        gone_df = F.broadcast(gone_df.distinct())
         postings = postings.join(gone_df, "doc_id", "left_anti")
         doclens = doclens.join(gone_df, "doc_id", "left_anti")
     if docs_added is not None:
