@@ -215,3 +215,71 @@ def dedup_groups_minhash(spark, sf_dir):
         docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
     )
     return dedup_connected_components(pairs)
+
+
+@register(
+    "dedup_drop_list",
+    # keep-one-per-component: drop everything that is not its component's
+    # min id; report the removal volume per source
+    f"""
+WITH RECURSIVE sets AS ({_SETS}),
+sets2 AS (SELECT id, hs FROM sets WHERE len(hs) > 0),
+sig AS (SELECT id, hs, {_SIG_SQL} AS sig FROM sets2),
+bandrows AS (
+  SELECT id, unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band,
+         unnest([{_BUCKETS_SQL}]) AS bucket
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sets2 sa ON sa.id = cand.id_a JOIN sets2 sb ON sb.id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs)) /
+        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION SELECT id_b, id_a FROM ver
+),
+reach AS (
+  SELECT src, src AS dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src),
+drops AS (SELECT id FROM labels WHERE id <> group_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_dropped,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_dropped
+FROM drops JOIN documents d ON d.doc_id = drops.id
+GROUP BY d.source
+""",
+    "The dedup keep-set decision: drop every non-minimum member of each "
+    "near-dup component; removal volume per source (broadcast join of the "
+    "tiny drop list against the corpus)",
+)
+def dedup_drop_list(spark, sf_dir):
+    from vector_store_spark.operators.dedup import dedup_connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
+    )
+    groups = dedup_connected_components(pairs)
+    drops = (
+        groups.select(F.explode("member_ids").alias("doc_id"), "group_id")
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drops), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_dropped"),
+            F.sum("n_chars").cast("long").alias("chars_dropped"),
+        )
+    )
