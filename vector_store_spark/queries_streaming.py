@@ -186,3 +186,88 @@ def stream_dedup_endstate(spark, sf_dir):
     return spark.table(name).select(
         (F.col("pk") % 10).cast("int").alias("f")
     ).groupBy("f").agg(F.count("*").cast("long").alias("n_keys"))
+
+
+_ANN_SCHEMA = "op string, pk bigint, emb array<double>, lbl int, ts bigint, seq bigint"
+
+
+def _cdc_ann_oracle():
+    from vector_store_spark.registry import ROUND, det_query_vector, sql_vec
+
+    q = sql_vec(det_query_vector(7, 64))
+    # final vector per pk after b1+b2: pk%5==0 -> negated (ts=200 update),
+    # pk%11==0 -> deleted (ts=300), stale replays (ts=50) lose
+    return f"""
+WITH base AS (
+  SELECT vec_id AS pk, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 1000
+),
+final AS (
+  SELECT pk,
+         CASE WHEN pk % 5 = 0 THEN list_transform(emb, x -> -x) ELSE emb END AS emb
+  FROM base WHERE pk % 11 <> 0
+),
+scored AS (
+  SELECT pk,
+         round(1.0 - list_inner_product(emb, {q}) /
+               (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product({q}, {q}))), {ROUND}) AS distance
+  FROM final
+)
+SELECT pk, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY distance, pk LIMIT 10
+"""
+
+
+@register(
+    "stream_cdc_ann_topk",
+    _cdc_ann_oracle(),
+    "The reference's core loop as ONE hash-checked query: CDC events carry "
+    "embedding vectors -> LWW snapshot maintenance (updates replace, stale "
+    "replays lose, tombstones win) -> exact ANN top-k served from the live "
+    "view; the oracle re-derives the end-state vectors and re-scores them",
+)
+def stream_cdc_ann_topk(spark, sf_dir):
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.registry import ROUND, det_query_vector
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    root = tempfile.mkdtemp(prefix="cdc_ann_")
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    os.makedirs(src)
+
+    base = emb.select(
+        F.lit("upsert").alias("op"),
+        F.col("vec_id").alias("pk"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col("label").cast("int").alias("lbl"),
+        F.lit(100).cast("bigint").alias("ts"),
+        F.col("vec_id").alias("seq"),
+    )
+    base.write.mode("append").json(os.path.join(src, "b1"))
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["emb", "lbl"], num_buckets=8)
+    stream = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream, checkpoint_dir=ckpt))
+
+    updates = base.where(F.col("pk") % 5 == 0).withColumn(
+        "emb", F.transform(F.col("emb"), lambda x: -x)
+    ).withColumn("ts", F.lit(200).cast("bigint"))
+    stale = base.where(F.col("pk") % 7 == 0).withColumn(
+        "emb", F.transform(F.col("emb"), lambda x: x * 0.0)
+    ).withColumn("ts", F.lit(50).cast("bigint"))
+    deletes = base.where(F.col("pk") % 11 == 0).select(
+        F.lit("delete").alias("op"), "pk",
+        F.lit(None).cast("array<double>").alias("emb"),
+        F.lit(None).cast("int").alias("lbl"),
+        F.lit(300).cast("bigint").alias("ts"), (F.col("pk") + 1_000_000).alias("seq"),
+    )
+    updates.unionByName(stale).unionByName(deletes).write.mode("append").json(
+        os.path.join(src, "b2")
+    )
+    stream2 = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream2, checkpoint_dir=ckpt))
+
+    live = sink.live_view("emb")
+    return ann_topk(
+        live, "emb", det_query_vector(7, 64), 10,
+        tie_break=["pk"], select_cols=["pk"], round_to=ROUND,
+    )
