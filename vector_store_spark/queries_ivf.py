@@ -476,3 +476,62 @@ def knn_batch_ivf(spark, sf_dir):
         emb, "vec_id", "embedding", _IVF_KNN_QUERIES, 5,
         k_centroids=K_CENTROIDS, nprobe=NPROBE, round_to=ROUND,
     )
+
+
+# T2 through the approximate strategy: the filter applies BEFORE candidate
+# generation (engine.py filters df, then the strategy builds/probes on the
+# filtered set) — top-k OF the filtered set, reference usearch.rs:224-248.
+_FILT = "label IN (2, 5, 7)"
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    f"""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE {_FILT} ORDER BY vec_id LIMIT {K_CENTROIDS}),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE {_FILT}),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(v, cv) /
+         (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "T2 through the approximate strategy: filter BEFORE candidate generation "
+    "(build + probe on the filtered set) - top-k OF the filtered set, "
+    "matching the engine's predicate-then-strategy dispatch",
+)
+def ann_ivf_filtered_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("label").isin(2, 5, 7))
+    return ivf_topk(
+        emb, "vec_id", "embedding", Q7, 10,
+        k_centroids=K_CENTROIDS, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
