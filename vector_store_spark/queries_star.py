@@ -136,3 +136,31 @@ def star_pricing_summary(spark, sf_dir):
             F.sum("l_quantity").cast("long") / F.count("*").cast("double"), 6
         ).alias("avg_qty"),
     )
+
+
+@register(
+    "star_orders_monthly",
+    """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       round(min(o_totalprice), 6) AS min_price,
+       round(max(o_totalprice), 6) AS max_price
+FROM orders
+GROUP BY 1, 2
+""",
+    "Monthly order rollup by status (count, distinct customers, order-"
+    "independent min/max price bounds): one hash aggregate over the fact "
+    "table, partial-combined map-side",
+)
+def star_orders_monthly(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("order_month"),
+        "o_orderstatus",
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
