@@ -194,3 +194,29 @@ def test_bm25_score_formula(index):
 def test_index_stats(index):
     s = index.stats()
     assert s["num_docs"] == 8 and s["avgdl"] > 0
+
+
+def test_persisted_fts_prunes_term_bucket(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.bm25 import (
+        build_fts_index,
+        persisted_term_postings,
+        read_fts_index,
+        write_fts_index,
+    )
+    from vector_store_spark.sources.index_store import prune_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix = build_fts_index(docs, "doc_id", "text")
+    path = str(tmp_path / "fts_ix")
+    write_fts_index(ix, path)
+    p = persisted_term_postings(spark, path, "table")
+    rep = prune_report(p)
+    assert any("term_bucket" in f for f in rep["partition_filters"])
+    # round-trip: loaded index equals in-memory postings for the term
+    mem = {r.doc_id: r.tf for r in ix.postings.where(F.col("term") == "table").collect()}
+    got = {r.doc_id: r.tf for r in p.collect()}
+    assert got == mem and len(got) > 0
+    loaded = read_fts_index(spark, path)
+    assert loaded.n_docs == ix.n_docs and abs(loaded.avgdl - ix.avgdl) < 1e-12

@@ -239,3 +239,52 @@ def bm25_search(
         scored = scored.withColumn("score", F.round("score", round_to))
     order = [F.col("score").desc(), F.col("doc_id").asc() if tie_break_asc else F.col("doc_id").desc()]
     return scored.orderBy(*order).limit(k)
+
+
+def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
+    """Persist the index in the serving layout: postings parquet partitioned
+    by a term hash bucket (a term lookup prunes to ONE directory — the
+    inverted-list locality Tantivy gets from its term dictionary), plus
+    doclens alongside. Stats are re-aggregated on load (metadata-sized)."""
+    import os
+
+    from vector_store_spark.sources.index_store import write_local_index
+
+    postings = index.postings.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+    write_local_index(postings, os.path.join(path, "postings"), ["term_bucket"])
+    index.doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+
+
+def read_fts_index(spark, path: str, num_buckets: int = 32) -> FtsIndex:
+    """Load a persisted index. Term lookups against ``postings`` carry the
+    ``term_bucket`` column, so callers filtering on (term_bucket, term) get
+    partition pruning; Bm25Executor's term filter composes with it."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
+    return FtsIndex(
+        postings.drop("term_bucket"), doclens, int(n_docs), avgdl, "doc_id", df_by_term
+    )
+
+
+def persisted_term_postings(spark, path: str, term: str, num_buckets: int = 32):
+    """The pruned single-term lookup: filter (term_bucket, term) so the scan
+    reads one directory. Returns the matching postings DataFrame."""
+    import pyspark.sql.functions as SF
+
+    bucket = None
+    # compute the bucket JVM-side for an exact xxhash64 match
+    one = spark.range(1).select(
+        SF.pmod(SF.xxhash64(SF.lit(term)), SF.lit(num_buckets)).cast("int").alias("b")
+    ).first()
+    bucket = one.b
+    postings = spark.read.parquet(f"{path}/postings")
+    return postings.where(
+        (SF.col("term_bucket") == bucket) & (SF.col("term") == term)
+    )

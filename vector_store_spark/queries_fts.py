@@ -177,3 +177,51 @@ def bm25_incremental_term(spark, sf_dir):
         doc_ids_removed=list(range(50)),
     )
     return bm25_search(updated, "vector", 10, round_to=ROUND)
+
+
+@register(
+    "bm25_persisted_term",
+    f"""
+WITH {_BASE_CTES}
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM term_scores WHERE term = 'vector'
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "Persisted FTS serving path: postings written partitionBy(term_bucket) "
+    "-> a term lookup prunes to ONE directory (PartitionFilters) -> BM25 "
+    "scored from the pruned inverted list; hash-equal to the in-memory index",
+)
+def bm25_persisted_term(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.bm25 import (
+        idf_expr,
+        persisted_term_postings,
+        read_fts_index,
+        tf_norm_expr,
+        write_fts_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="fts_ix_")
+    write_fts_index(_index(spark, sf_dir), path)
+    ix = read_fts_index(spark, path)  # doclens + metadata-sized stats
+    p = persisted_term_postings(spark, path, "vector")
+    # df for the term as a broadcast one-row aggregate (non-foldable key so
+    # the equi-join plans as BroadcastHashJoin, as in the phrase executor)
+    dfq = p.agg(F.count("*").cast("double").alias("_df")).withColumn(
+        "_k", (F.col("_df") * 0 + 1).cast("int")
+    )
+    pk = p.withColumn("_k", (F.col("tf") * 0 + 1).cast("int")).join(
+        F.broadcast(dfq), "_k"
+    )
+    j = ix.doclens.join(F.broadcast(pk), "doc_id")
+    score = idf_expr(F.col("_df"), ix.n_docs) * tf_norm_expr(
+        F.col("tf").cast("double"), F.col("dl").cast("double"), ix.avgdl
+    )
+    return (
+        j.select("doc_id", F.round(score, ROUND).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
