@@ -91,3 +91,34 @@ def test_range_join_left_outer_zero_fill(spark):
         F.sum(F.when(F.col("rid_r").isNotNull(), 1).otherwise(0)).alias("n")
     ).collect()}
     assert counts == {1: 1, 2: 0}  # lid=2 survives with zero matches
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent oracle: pandas.merge_asof (direction='backward',
+    allow_exact_matches=True) over randomized keyed timelines."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(11)
+    lrows = [(i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=rnd.randint(0, 5000)))
+             for i in range(300)]
+    rrows = [(1000 + i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=rnd.randint(0, 5000)))
+             for i in range(300)]
+    # merge_asof needs unique (key, ts) on the right for a deterministic pick
+    seen = set()
+    rrows = [r for r in rrows if (r[1], r[2]) not in seen and not seen.add((r[1], r[2]))]
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k long, ts timestamp")
+
+    got = {r.lid: r.rid_r for r in
+           asof_join(left, right, ["k"], "ts", ["rid"], suffix="_r").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["rid", "k", "ts"]).sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    expect = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == expect
