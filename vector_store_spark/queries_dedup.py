@@ -200,7 +200,7 @@ reach AS (
 labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src)
 SELECT group_id,
        CAST(count(*) AS BIGINT) AS group_size,
-       list(id ORDER BY id) AS member_ids
+       array_to_string(list(id ORDER BY id), ',') AS member_ids
 FROM labels GROUP BY group_id
 """,
     "Near-dup GROUPS: connected components over verified MinHash pairs "
@@ -214,7 +214,10 @@ def dedup_groups_minhash(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
     )
-    return dedup_connected_components(pairs)
+    groups = dedup_connected_components(pairs)
+    # String-encode the member list: the driver's value hasher operates on
+    # pandas cells and cannot hash array-typed values.
+    return groups.withColumn("member_ids", F.concat_ws(",", F.col("member_ids")))
 
 
 @register(
