@@ -49,61 +49,31 @@ def register(name: str, oracle: Optional[str], description: str = ""):
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    # import for side effects: each module registers its queries
-    from vector_store_spark import queries_ann  # noqa: F401
+    """Import every queries_* module for its registration side effects.
 
-    try:
-        from vector_store_spark import queries_filtering  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_lww  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_fts  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_dedup  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_text  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_ivf  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_multimodal  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_quantize  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_star  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_curation  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_mix  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_streaming  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vector_store_spark import queries_temporal  # noqa: F401
-    except ImportError:
-        pass
+    Imports fail LOUDLY: a broken module must surface as an error, not
+    silently shrink the driver-visible query surface by a whole family.
+    All failures are collected so one broken module doesn't mask another.
+    """
+    import importlib
+
+    modules = [
+        "queries_ann", "queries_filtering", "queries_lww", "queries_fts",
+        "queries_dedup", "queries_text", "queries_ivf", "queries_multimodal",
+        "queries_quantize", "queries_star", "queries_curation", "queries_mix",
+        "queries_streaming", "queries_temporal",
+    ]
+    errors = []
+    for mod in modules:
+        try:
+            importlib.import_module(f"vector_store_spark.{mod}")
+        except Exception as ex:  # noqa: BLE001 - collect, then raise below
+            errors.append(f"{mod}: {type(ex).__name__}: {ex}")
+    if errors:
+        raise ImportError(
+            "query module(s) failed to import (registry would silently lose "
+            "their queries): " + "; ".join(errors)
+        )
     return dict(_REGISTRY)
 
 
