@@ -2,10 +2,17 @@
 asserted over EVERY registry query (planned at sf0.001; planning is cheap and
 identical in shape at any SF).
 
-- No SortMergeJoin: every join in the suite broadcasts a metadata-sized side
-  (inverted lists, candidate sets, dimensions) or avoids the join entirely.
-- No CartesianProduct / BroadcastNestedLoopJoin: dedup candidate generation
-  is inverted-index / LSH-band / chunk-blocked, never all-pairs.
+Per-query join policy (not one global rule):
+- CartesianProduct / BroadcastNestedLoopJoin banned EVERYWHERE: dedup
+  candidate generation is inverted-index / LSH-band / chunk-blocked, never
+  all-pairs.
+- Broadcast joins are only for dimension-classed sides (constant or
+  metadata-sized: nation/region, centroids, per-query-term rows, candidate
+  sets). Fact-fact equi-joins use shuffle-hash (or a bucketed co-located
+  SortMergeJoin, which plans with zero Exchange/Sort — see
+  tests/test_bucketed.py).
+- SortMergeJoin is otherwise banned: an un-bucketed SMJ means an unplanned
+  full shuffle+sort of both sides.
 - Every ann_*/top-k query plans as TakeOrderedAndProject (partition-local
   k-heaps, no global sort).
 
@@ -16,7 +23,11 @@ import pytest
 
 from vector_store_spark.registry import all_queries
 
-_FORBIDDEN = ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
+_BANNED_EVERYWHERE = ("CartesianProduct", "BroadcastNestedLoopJoin")
+# Queries allowed to plan SortMergeJoin — ONLY for bucketed co-located joins
+# (bucket-to-bucket, no Exchange under the join). Empty today; a query goes
+# here only with a companion no-Exchange assertion like test_bucketed.py's.
+_BUCKETED_SMJ_OK: frozenset = frozenset()
 
 
 @pytest.fixture(scope="module")
@@ -28,12 +39,33 @@ def plans(spark, sf_dir):
 
 
 def test_no_unscalable_joins_anywhere(plans):
-    bad = {
-        name: [m for m in _FORBIDDEN if m in plan]
-        for name, plan in plans.items()
-        if any(m in plan for m in _FORBIDDEN)
-    }
+    bad = {}
+    for name, plan in plans.items():
+        hits = [m for m in _BANNED_EVERYWHERE if m in plan]
+        if "SortMergeJoin" in plan and name not in _BUCKETED_SMJ_OK:
+            hits.append("SortMergeJoin (un-bucketed)")
+        if hits:
+            bad[name] = hits
     assert not bad, f"unscalable join operators crept in: {bad}"
+
+
+def test_star_fact_fact_joins_never_broadcast(plans):
+    """100 TB posture for the star queries: orders/customer/lineitem-derived
+    sides grow linearly with SF and must never be broadcast. The only
+    broadcasts allowed are the constant-size dimensions (nation, region)."""
+    plan = plans["star_revenue_by_nation"]
+    assert plan.count("ShuffledHashJoin") >= 2, (
+        "lineitem-orders and orders-customer must be shuffle-hash joins"
+    )
+    assert plan.count("BroadcastHashJoin") == 2, (
+        "exactly nation+region may broadcast in star_revenue_by_nation"
+    )
+
+    plan = plans["star_order_priority_fulfillment"]
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastExchange" not in plan, (
+        "the fact-derived semi-join side must not be broadcast"
+    )
 
 
 def test_token_budget_has_no_whole_group_window(plans):

@@ -27,7 +27,9 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA' AND l.l_shipdate >= DATE '1995-01-01'
 GROUP BY n.n_name
 """,
-    "Star join: fact scanned once, every dimension broadcast, partial+final agg",
+    "Star join: fact-fact edges (lineitem-orders, -customer) are shuffle-hash "
+    "joins on their keys — both sides grow linearly with SF, so neither may "
+    "be broadcast; true dimensions (nation, region) stay broadcast",
 )
 def star_revenue_by_nation(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1995-01-01")
@@ -35,12 +37,15 @@ def star_revenue_by_nation(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    # orders/customer are fact-sized relative to dims but still far smaller
-    # than lineitem; broadcast everything but the fact so lineitem never
-    # shuffles for the join
+    # orders and customer are FACT-classed (row count scales with SF): at the
+    # 100 TB target a broadcast of either is an executor OOM. Shuffle-hash on
+    # the equi-key keeps cost O(data/partitions) per executor with no sort;
+    # a deployment would bucket lineitem+orders on orderkey (write_bucketed,
+    # sources/bucketed.py) to drop even that shuffle. nation/region are
+    # constant-size dimensions — broadcast is right for them at any SF.
     joined = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
+        .join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -103,7 +108,11 @@ GROUP BY o.o_orderpriority
 def star_order_priority_fulfillment(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    matched = o.join(l.select("l_orderkey").distinct(),
+    # The semi-join side is fact-derived (distinct orderkeys of ~25% of
+    # lineitem — linear in SF), so it must NOT be broadcast: shuffle-hash
+    # semi-join on the key. The distinct itself is partial-aggregated
+    # map-side before its shuffle.
+    matched = o.join(l.select("l_orderkey").distinct().hint("SHUFFLE_HASH"),
                      o.o_orderkey == F.col("l_orderkey"), "left_semi")
     return matched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.countDistinct("o_orderkey").alias("n_orders"),

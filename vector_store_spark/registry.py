@@ -82,11 +82,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader rejects by
-    default and DuckDB silently truncates to µs. Read nanos as long and truncate
-    to µs so both engines see identical timestamps."""
+    """Load events.parquet, normalizing ``ts`` to a µs-precision timestamp
+    whatever the on-disk physical type is.
+
+    Generators have shipped this file both as TIMESTAMP(NANOS) (which Spark's
+    reader rejects by default and DuckDB silently truncates to µs) and as plain
+    timestamp[us]. With ``nanosAsLong`` set the nanos case surfaces as BIGINT
+    and needs an explicit ns→µs truncation to match DuckDB; the µs case already
+    arrives as a timestamp and must pass through untouched. Branch on the
+    post-read dtype so either vintage of testdata works."""
     from pyspark.sql import functions as F
 
+    # Must be set before the read for the TIMESTAMP(NANOS) case; harmless no-op
+    # when the file stores µs timestamps. Session tz pinned to UTC so the
+    # NTZ→LTZ normalization below is value-preserving on any host.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":  # TIMESTAMP(NANOS) read as raw longs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Downstream operators (unix_micros, windowing) expect TIMESTAMP_LTZ,
+        # which is what both historical branches produced.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
