@@ -78,6 +78,34 @@ def test_token_budget_has_no_whole_group_window(plans):
             assert "_tb_bucket" in line, f"whole-group window: {line.strip()[:160]}"
 
 
+def test_bm25_never_broadcasts_posting_lists(plans):
+    """A term's inverted list is O(df(term)) — corpus-scaled for common terms
+    — so every postings⋈doclens / clause⋈clause scoring join must be a
+    co-partitioned shuffle-hash join. The only broadcasts allowed are
+    metadata-sized: the per-query-term df rows and the one-row Σidf aggregate
+    (both one BroadcastHashJoin per query term / per phrase)."""
+    max_broadcasts = {
+        # number of query terms (df-row joins) + phrase Σidf one-row joins
+        "bm25_term": 1,
+        "bm25_and": 3,
+        "bm25_or_not": 3,
+        "bm25_phrase": 1,
+        # 1 df row + the update_fts_index maintenance lineage: changed-doc-id
+        # broadcasts into the postings/doclens removal anti-joins — all
+        # O(changed docs), which IS metadata-sized for incremental CRUD
+        "bm25_incremental_term": 5,
+        "bm25_persisted_term": 1,
+    }
+    for name, allowed in max_broadcasts.items():
+        plan = plans[name]
+        assert plan.count("ShuffledHashJoin") >= 1, f"{name}: scoring join not SHJ"
+        got = plan.count("BroadcastHashJoin")
+        assert got <= allowed, (
+            f"{name}: {got} broadcast joins (> {allowed} metadata-sized ones) "
+            "— a posting list or clause result is being broadcast"
+        )
+
+
 def test_every_topk_query_uses_k_heaps(plans):
     topk_queries = [n for n in plans if n.startswith(("ann_", "filter_", "bm25_"))]
     topk_queries += ["local_partition_ann", "alternator_ann_topk", "curation_kept_topk"]

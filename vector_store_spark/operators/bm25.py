@@ -15,10 +15,15 @@ Phrase clauses follow Lucene PhraseQuery: tf = number of phrase occurrences
 (consecutive positions), idf = Σ idf of constituent terms.
 
 Spark-first layout: the "index" is two DataFrames —
-``postings(term, doc_id, tf, positions)`` (partitioned/bucketable by term: a
-query's term lookups are partition-pruned joins) and ``doclens(doc_id, dl)``.
-Corpus stats (N, avgdl, per-term df) are tiny aggregates; df joins broadcast.
-Everything is built-in expressions; no Python in the scan path.
+``postings(term, doc_id, tf, positions)`` and ``doclens(doc_id, dl)`` — both
+hash-partitioned on ``doc_id`` at build time (the in-memory twin of doc_id
+bucketing; the persisted layout additionally term-bucket-partitions postings
+for pruned term lookups). Every scoring join (postings⋈doclens, AND/NOT
+clause⋈clause, phrase per-term chains) is a co-partitioned shuffle-hash join:
+a term's inverted list is O(df(term)) ≈ O(corpus) for common terms, so it is
+NEVER broadcast — only metadata-sized sides (per-query-term df rows, the
+one-row Σidf aggregate) are. Corpus stats (N, avgdl, per-term df) are tiny
+aggregates. Everything is built-in expressions; no Python in the scan path.
 """
 
 from __future__ import annotations
@@ -53,28 +58,35 @@ class FtsIndex:
         return {"num_docs": self.n_docs, "avgdl": self.avgdl}
 
 
+def _copartition(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-partition on the scoring-join key with an EXPLICIT partition count
+    (an un-numbered repartition is AQE-coalescible, and two caches coalesced to
+    different counts would put the Exchange back under every join)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(key))
+
+
 def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     """Tokenize once (Arrow-batched), posexplode to (term, doc, position),
-    aggregate postings. One shuffle on (term, doc_id); postings stay
-    partitioned by term."""
+    aggregate postings. Both postings and doclens are cached hash-partitioned
+    on doc_id, so every downstream scoring join is exchange-free on both sides
+    (term filters and projections preserve the partitioning)."""
     from vector_store_spark.functions.text import tokens_udf
 
     toks = docs.select(id_col, tokens_udf()(F.col(text_col)).alias("toks"))
-    doclens = toks.select(id_col, F.size("toks").alias("dl")).cache()
+    doclens = _copartition(
+        toks.select(F.col(id_col).alias("doc_id"), F.size("toks").alias("dl"))
+    ).cache()
     exploded = toks.select(id_col, F.posexplode("toks").alias("pos", "term"))
-    postings = (
+    postings = _copartition(
         exploded.groupBy("term", id_col)
         .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("positions"))
         .withColumnRenamed(id_col, "doc_id")
-        .cache()
-    )
+    ).cache()
     n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
     df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
-    return FtsIndex(
-        postings, doclens.withColumnRenamed(id_col, "doc_id"),
-        int(n_docs), avgdl, id_col, df_by_term,
-    )
+    return FtsIndex(postings, doclens, int(n_docs), avgdl, id_col, df_by_term)
 
 
 def update_fts_index(
@@ -113,8 +125,10 @@ def update_fts_index(
         add = build_fts_index(docs_added, id_col, text_col)
         postings = postings.unionByName(add.postings)
         doclens = doclens.unionByName(add.doclens)
-    postings = postings.cache()
-    doclens = doclens.cache()
+    # union/anti-join drop the build-time doc_id partitioning; restore it so
+    # the updated index serves exchange-free joins like a fresh build
+    postings = _copartition(postings).cache()
+    doclens = _copartition(doclens).cache()
     n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
     df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
@@ -156,11 +170,13 @@ class Bm25Executor:
         self.df_by_term = index.df_by_term
 
     def _term_scores(self, term: str) -> DataFrame:
-        # term-filtered postings are one inverted list — broadcast them against
-        # the (corpus-sized) doclens table instead of sort-merge-joining
+        # A term's inverted list is O(df(term)) — corpus-scaled for common
+        # terms — so it must NOT be broadcast. Both postings and doclens are
+        # cached hash-partitioned on doc_id, so this shuffle-hash join plans
+        # with zero Exchange; only the ONE df row for the term broadcasts.
         p = self.ix.postings.where(F.col("term") == term)
         p = p.join(F.broadcast(self.df_by_term.where(F.col("term") == term)), "term")
-        p = self.ix.doclens.join(F.broadcast(p), "doc_id")
+        p = self.ix.doclens.join(p.hint("SHUFFLE_HASH"), "doc_id")
         score = idf_expr(F.col("df").cast("double"), self.ix.n_docs) * tf_norm_expr(
             F.col("tf").cast("double"), F.col("dl").cast("double"), self.ix.avgdl
         )
@@ -169,13 +185,14 @@ class Bm25Executor:
     def _phrase_scores(self, terms: list[str]) -> DataFrame:
         if len(terms) == 1:
             return self._term_scores(terms[0])
-        # join per-term postings on doc_id, then count aligned positions
+        # join per-term postings on doc_id, then count aligned positions —
+        # co-partitioned SHJ chain (every per-term list is corpus-scaled)
         joined = None
         for i, t in enumerate(terms):
             p = self.ix.postings.where(F.col("term") == t).select(
                 "doc_id", F.col("positions").alias(f"pos{i}")
             )
-            joined = p if joined is None else joined.join(F.broadcast(p), "doc_id")
+            joined = p if joined is None else joined.join(p.hint("SHUFFLE_HASH"), "doc_id")
         tf = _phrase_tf([F.col(f"pos{i}") for i in range(len(terms))])
         cand = joined.withColumn("tf", tf.cast("double")).where(F.col("tf") > 0)
         # Lucene PhraseQuery: idf = Σ term idfs; tf = phrase frequency.
@@ -190,7 +207,7 @@ class Bm25Executor:
         ).where(F.col("_sum_idf").isNotNull()).withColumn(
             "_k", (F.col("_sum_idf") * 0 + 1).cast("int")
         )
-        cand = self.ix.doclens.join(F.broadcast(cand), "doc_id")
+        cand = self.ix.doclens.join(cand.hint("SHUFFLE_HASH"), "doc_id")
         cand = cand.withColumn("_k", (F.col("tf") * 0 + 1).cast("int")).join(
             F.broadcast(sum_idf), "_k"
         )
@@ -207,11 +224,13 @@ class Bm25Executor:
         if isinstance(node, PhraseNode):
             return self._phrase_scores(list(node.terms))
         if isinstance(node, AndNode):
+            # clause results are corpus-scaled (a clause can match most of the
+            # corpus) and inherit doc_id partitioning — co-partitioned SHJ
             left = self.execute(node.left)
             right = self.execute(node.right)
             return (
                 left.alias("l")
-                .join(F.broadcast(right.alias("r")), "doc_id")
+                .join(right.alias("r").hint("SHUFFLE_HASH"), "doc_id")
                 .select("doc_id", (F.col("l.score") + F.col("r.score")).alias("score"))
             )
         if isinstance(node, OrNode):
@@ -224,7 +243,7 @@ class Bm25Executor:
         if isinstance(node, NotNode):
             pos = self.execute(node.left)
             neg = self.execute(node.right).select("doc_id")
-            return pos.join(F.broadcast(neg), "doc_id", "left_anti")
+            return pos.join(neg.hint("SHUFFLE_HASH"), "doc_id", "left_anti")
         raise TypeError(f"unknown node {node!r}")
 
 
@@ -241,11 +260,22 @@ def bm25_search(
     return scored.orderBy(*order).limit(k)
 
 
+def _doclens_table(path: str) -> str:
+    """Deterministic catalog name for a persisted index's bucketed doclens."""
+    import hashlib
+
+    return "fts_doclens_" + hashlib.md5(path.encode()).hexdigest()[:12]
+
+
 def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
     """Persist the index in the serving layout: postings parquet partitioned
     by a term hash bucket (a term lookup prunes to ONE directory — the
-    inverted-list locality Tantivy gets from its term dictionary), plus
-    doclens alongside. Stats are re-aggregated on load (metadata-sized)."""
+    inverted-list locality Tantivy gets from its term dictionary), and doclens
+    as a table BUCKETED on doc_id: the serving-time scoring join then
+    exchanges ONLY the pruned inverted list, never the corpus-sized doclens —
+    the disk-postings posture of the reference (tantivy.rs keeps postings and
+    per-doc norms on disk; queries touch only the looked-up terms). Stats are
+    re-aggregated on load (metadata-sized)."""
     import os
 
     from vector_store_spark.sources.index_store import write_local_index
@@ -254,17 +284,35 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
     write_local_index(postings, os.path.join(path, "postings"), ["term_bucket"])
-    index.doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    spark = index.doclens.sparkSession
+    tbl = _doclens_table(path)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        index.doclens.repartition(num_buckets, F.col("doc_id"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", os.path.join(path, "doclens_bucketed"))
+        .saveAsTable(tbl)
+    )
 
 
 def read_fts_index(spark, path: str, num_buckets: int = 32) -> FtsIndex:
     """Load a persisted index. Term lookups against ``postings`` carry the
     ``term_bucket`` column, so callers filtering on (term_bucket, term) get
-    partition pruning; Bm25Executor's term filter composes with it."""
+    partition pruning; Bm25Executor's term filter composes with it. doclens
+    comes back as the bucketed table (scans report HashPartitioning(doc_id),
+    so scoring joins add no exchange on the corpus side); pre-bucketing
+    layouts fall back to the plain parquet directory."""
     import os
 
     postings = spark.read.parquet(os.path.join(path, "postings"))
-    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    tbl = _doclens_table(path)
+    if spark.catalog.tableExists(tbl):
+        doclens = spark.table(tbl)
+    else:
+        doclens = spark.read.parquet(os.path.join(path, "doclens"))
     n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
     df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()

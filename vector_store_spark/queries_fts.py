@@ -216,7 +216,9 @@ def bm25_persisted_term(spark, sf_dir):
     pk = p.withColumn("_k", (F.col("tf") * 0 + 1).cast("int")).join(
         F.broadcast(dfq), "_k"
     )
-    j = ix.doclens.join(F.broadcast(pk), "doc_id")
+    # the pruned inverted list is the ONLY exchanged side: doclens is read
+    # from its doc_id-bucketed table, so the corpus side joins exchange-free
+    j = ix.doclens.join(pk.hint("SHUFFLE_HASH"), "doc_id")
     score = idf_expr(F.col("_df"), ix.n_docs) * tf_norm_expr(
         F.col("tf").cast("double"), F.col("dl").cast("double"), ix.avgdl
     )
