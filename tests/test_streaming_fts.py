@@ -1,0 +1,101 @@
+"""FtsStreamSink behavior: commit visibility, LWW, tombstone persistence.
+
+The hash-checked end-state equivalence with a clean rebuild lives in the
+``stream_fts_endstate`` registry entry; these tests pin the per-batch algebra
+edges, including the one the registry query cannot order: a STALE upsert
+arriving in a LATER batch than the delete must not resurrect the doc.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.bm25 import bm25_search
+from vector_store_spark.streaming.fts import FtsStreamSink
+
+SCHEMA = "op string, doc_id bigint, text string, ts bigint, seq bigint"
+
+
+def _run_batches(spark, batches):
+    root = tempfile.mkdtemp(prefix="fts_sink_t_")
+    src, ix, ckpt = (os.path.join(root, d) for d in ("src", "ix", "ckpt"))
+    os.makedirs(src)
+    sink = FtsStreamSink(spark, ix, num_buckets=4)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").json(
+            os.path.join(src, f"b{i}")
+        )
+        q = sink.start(
+            spark.readStream.schema(SCHEMA).json(os.path.join(src, "*")),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(300)
+    return sink
+
+
+def _served_docs(sink):
+    ix = sink.serving_index()
+    return {r[0] for r in ix.doclens.select("doc_id").collect()}, ix
+
+
+def test_add_update_delete_visibility(spark):
+    sink = _run_batches(
+        spark,
+        [
+            [("upsert", 1, "alpha beta", 100, 1), ("upsert", 2, "beta gamma", 100, 2)],
+            [("upsert", 1, "delta delta beta", 200, 3), ("delete", 2, None, 300, 4)],
+        ],
+    )
+    docs, ix = _served_docs(sink)
+    assert docs == {1}
+    hits = {r["doc_id"] for r in bm25_search(ix, "delta", 5).collect()}
+    assert hits == {1}
+    # old text of doc 1 is gone from the postings
+    assert bm25_search(ix, "alpha", 5).count() == 0
+
+
+def test_stale_upsert_after_delete_does_not_resurrect(spark):
+    sink = _run_batches(
+        spark,
+        [
+            [("upsert", 7, "alpha", 100, 1)],
+            [("delete", 7, None, 300, 2)],
+            # late replay of the ORIGINAL upsert (ts=100 < tombstone ts=300)
+            [("upsert", 7, "alpha", 100, 1)],
+        ],
+    )
+    docs, ix = _served_docs(sink)
+    assert docs == set()
+    assert bm25_search(ix, "alpha", 5).count() == 0
+
+
+def test_untouched_buckets_not_rewritten(spark):
+    """A batch must rewrite only the buckets its doc ids hash into."""
+    sink = _run_batches(spark, [[("upsert", i, f"word{i} shared", 100, i) for i in range(16)]])
+    before = {
+        d: os.path.getmtime(os.path.join(sink.doclens_dir, d))
+        for d in os.listdir(sink.doclens_dir)
+        if d.startswith("_bucket=")
+    }
+    assert len(before) > 1
+    # touch exactly one doc in a follow-up batch
+    root = os.path.dirname(sink.postings_dir)
+    src = os.path.join(os.path.dirname(root), "src2")
+    spark.createDataFrame([("upsert", 0, "rewritten", 200, 99)], SCHEMA).write.json(src)
+    q = sink.start(
+        spark.readStream.schema(SCHEMA).json(src),
+        checkpoint_dir=os.path.join(os.path.dirname(root), "ckpt2"),
+    )
+    q.awaitTermination(300)
+    bucket0 = sink.spark.createDataFrame([(0,)], "doc_id bigint").select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("b")
+    ).first().b
+    after = {
+        d: os.path.getmtime(os.path.join(sink.doclens_dir, d))
+        for d in os.listdir(sink.doclens_dir)
+        if d.startswith("_bucket=")
+    }
+    changed = {d for d in before if after[d] != before[d]}
+    assert changed == {f"_bucket={bucket0}"}

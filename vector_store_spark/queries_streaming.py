@@ -188,6 +188,77 @@ def stream_dedup_endstate(spark, sf_dir):
     ).groupBy("f").agg(F.count("*").cast("long").alias("n_keys"))
 
 
+def _fts_endstate_oracle():
+    from vector_store_spark.queries_fts import _BASE_CTES
+    from vector_store_spark.registry import ROUND
+
+    final_set = "(SELECT * FROM documents WHERE doc_id >= 50 AND doc_id < 450)"
+    ctes = _BASE_CTES.replace("FROM documents", f"FROM {final_set}")
+    return f"""
+WITH {ctes}
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM term_scores WHERE term = 'vector'
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "stream_fts_endstate",
+    _fts_endstate_oracle(),
+    "Streaming FTS maintenance (tantivy.rs:129-130, 383-443), hash-checked: "
+    "doc CDC micro-batches -> bucket-partitioned postings/doclens store via "
+    "foreachBatch (adds tokenized, deletes tombstoned, stale replays lose "
+    "LWW) across a checkpoint resume; the served BM25 top-k equals a clean "
+    "rebuild over the final doc set",
+)
+def stream_fts_endstate(spark, sf_dir):
+    from vector_store_spark.operators.bm25 import bm25_search
+    from vector_store_spark.registry import ROUND
+    from vector_store_spark.streaming.fts import FtsStreamSink
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="fts_stream_")
+    src, ix_dir, ckpt = (os.path.join(root, d) for d in ("src", "ix", "ckpt"))
+    os.makedirs(src)
+    schema = "op string, doc_id bigint, text string, ts bigint, seq bigint"
+
+    base = docs.where(F.col("doc_id") < 400).select(
+        F.lit("upsert").alias("op"), "doc_id", "text",
+        F.lit(100).cast("bigint").alias("ts"), F.col("doc_id").alias("seq"),
+    )
+    # batch 1: bootstrap build of the store
+    base.write.mode("append").json(os.path.join(src, "b1"))
+    sink = FtsStreamSink(spark, ix_dir, num_buckets=8)
+    stream = spark.readStream.schema(schema).json(os.path.join(src, "*"))
+    _await(sink.start(stream, checkpoint_dir=ckpt))
+
+    # batch 2: adds (ts=200), deletes (ts=300), stale text rewrites (ts=50,
+    # must LOSE LWW and leave the original text in the index)
+    adds = docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)).select(
+        F.lit("upsert").alias("op"), "doc_id", "text",
+        F.lit(200).cast("bigint").alias("ts"), F.col("doc_id").alias("seq"),
+    )
+    deletes = docs.where(F.col("doc_id") < 50).select(
+        F.lit("delete").alias("op"), "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(300).cast("bigint").alias("ts"),
+        (F.col("doc_id") + 1_000_000).alias("seq"),
+    )
+    stale = docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 400)).select(
+        F.lit("upsert").alias("op"), "doc_id",
+        F.lit("stale vector vector vector text").alias("text"),
+        F.lit(50).cast("bigint").alias("ts"), F.col("doc_id").alias("seq"),
+    )
+    adds.unionByName(deletes).unionByName(stale).write.mode("append").json(
+        os.path.join(src, "b2")
+    )
+    # second start, same checkpoint: only b2 is processed (W8 resume)
+    stream2 = spark.readStream.schema(schema).json(os.path.join(src, "*"))
+    _await(sink.start(stream2, checkpoint_dir=ckpt))
+
+    return bm25_search(sink.serving_index(), "vector", 10, round_to=ROUND)
+
+
 _ANN_SCHEMA = "op string, pk bigint, emb array<double>, lbl int, ts bigint, seq bigint"
 
 

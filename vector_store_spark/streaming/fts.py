@@ -1,0 +1,200 @@
+"""Continuous FTS maintenance: document CDC stream → postings/doclens store.
+
+Reference: fts_index/tantivy.rs — the CDC pump applies per-document add/
+remove operations into the index writer, and a periodic commit (3 s or 10 k
+docs, tantivy.rs:129-130) makes them visible to reopened searchers
+(:383-443). The Spark twin is a ``foreachBatch`` sink (the micro-batch
+trigger IS the commit cadence, W6) maintaining a doc-bucket-partitioned
+postings + doclens store:
+
+- Layout mirrors streaming/cdc.py's ``CdcSnapshotSink``: both directories are
+  parquet partitioned by ``_bucket = pmod(xxhash64(doc_id), num_buckets)``; a
+  micro-batch reads and rewrites ONLY the buckets its doc ids hash into
+  (partition pruning + dynamic partition overwrite), so per-commit work is
+  O(batch × store/num_buckets), never O(corpus).
+- Doc-level LWW with tombstones: doclens rows carry (ts, seq); the winner per
+  doc across {stored state} ∪ {batch events} is the max (ts, seq). Stale
+  replays lose, deletes persist as tombstones (dl NULL) so a late stale
+  upsert cannot resurrect a deleted doc — the same algebra the vector
+  snapshot uses (table/mod.rs:697-1003 analogue).
+- Only NEW winning upserts are tokenized (Arrow-batched); surviving docs keep
+  their stored postings untouched.
+
+Visibility/serving: ``serving_index()`` re-reads the store into an
+``FtsIndex`` — the reopened-searcher step. End-state equivalence with a clean
+rebuild is hash-checked by the ``stream_fts_endstate`` registry entry.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+SNAPSHOT_SEQ = -1  # stored rows win equal-timestamp ties over new events
+
+
+def _bucket_expr(id_col: str, num_buckets: int):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).cast("int")
+
+
+class FtsStreamSink:
+    """foreachBatch sink maintaining a bucket-partitioned FTS store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        num_buckets: int = 8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        ts_col: str = "ts",
+        seq_col: str = "seq",
+        op_col: str = "op",
+    ):
+        self.spark = spark
+        self.postings_dir = os.path.join(index_dir, "postings")
+        self.doclens_dir = os.path.join(index_dir, "doclens")
+        self.num_buckets = num_buckets
+        self.id_col, self.text_col = id_col, text_col
+        self.ts_col, self.seq_col, self.op_col = ts_col, seq_col, op_col
+
+    def _exists(self, d: str) -> bool:
+        return os.path.isdir(d) and any(
+            e.startswith(f"{BUCKET_COL}=") for e in os.listdir(d)
+        )
+
+    def _read(self, d: str, buckets: list[int]) -> Optional[DataFrame]:
+        if not self._exists(d):
+            return None
+        return self.spark.read.parquet(d).where(F.col(BUCKET_COL).isin(buckets))
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        ts, seq, op, did = self.ts_col, self.seq_col, self.op_col, self.id_col
+        # latest event per doc WITHIN the batch (micro-batches are unordered)
+        w = Window.partitionBy(did).orderBy(F.col(ts).desc(), F.col(seq).desc())
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn(BUCKET_COL, _bucket_expr(did, self.num_buckets))
+        )
+        latest = latest.cache()
+        affected = [r[0] for r in latest.select(BUCKET_COL).distinct().collect()]
+        if not affected:
+            latest.unpersist()
+            return
+
+        # ---- doc-level LWW across {stored doclens} ∪ {batch} --------------
+        stored = self._read(self.doclens_dir, affected)
+        cand = latest.select(
+            F.col(did).alias("doc_id"), F.col(ts).alias("_ts"),
+            F.col(seq).alias("_seq"), F.col(op).alias("_op"),
+            F.col(self.text_col).alias("_text"),
+        )
+        if stored is not None:
+            stored_ev = stored.select(
+                "doc_id", F.col("ts").alias("_ts"),
+                F.lit(SNAPSHOT_SEQ).cast("long").alias("_seq"),
+                F.when(F.col("dl").isNull(), F.lit("delete"))
+                .otherwise(F.lit("stored")).alias("_op"),
+                F.lit(None).cast("string").alias("_text"),
+            )
+            cand = cand.unionByName(stored_ev)
+        winner = cand.groupBy("doc_id").agg(
+            F.max_by(
+                F.struct("_ts", "_seq", "_op", "_text"),
+                F.struct(F.col("_ts"), F.col("_seq")),
+            ).alias("w")
+        ).select("doc_id", "w.*")
+        winner = winner.cache()
+
+        # ---- postings: keep survivors, tokenize new winning upserts -------
+        from vector_store_spark.functions.text import tokens_udf
+
+        new_docs = winner.where(F.col("_op") == "upsert").select(
+            "doc_id", F.col("_text").alias("_t"), "_ts"
+        )
+        toks = new_docs.select(
+            "doc_id", "_ts", tokens_udf()(F.col("_t")).alias("toks")
+        )
+        new_doclens = toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.col("_ts").alias("ts")
+        )
+        new_postings = (
+            toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+            .groupBy("term", "doc_id")
+            .agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
+        survivors = winner.where(F.col("_op") == "stored").select("doc_id")
+        old_postings = self._read(self.postings_dir, affected)
+        if old_postings is not None:
+            kept = old_postings.drop(BUCKET_COL).join(
+                F.broadcast(survivors), "doc_id", "left_semi"
+            )
+            new_postings = new_postings.unionByName(kept)
+        if stored is not None:
+            # ONLY stored-winners keep their row: a delete-winner's old live
+            # row must not survive next to its tombstone (it would inflate
+            # n_docs and resurrect the doc in doclens)
+            kept_dl = stored.drop(BUCKET_COL).join(
+                F.broadcast(survivors), "doc_id", "left_semi"
+            )
+            new_doclens = new_doclens.unionByName(kept_dl)
+        tombstones = winner.where(F.col("_op") == "delete").select(
+            "doc_id", F.lit(None).cast("int").alias("dl"), F.col("_ts").alias("ts")
+        )
+        new_doclens = new_doclens.unionByName(tombstones)
+
+        # ---- rewrite ONLY the affected buckets ----------------------------
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for df, d in ((new_postings, self.postings_dir), (new_doclens, self.doclens_dir)):
+            (
+                df.withColumn(BUCKET_COL, _bucket_expr("doc_id", self.num_buckets))
+                .repartition(max(1, len(affected)), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(d)
+            )
+        winner.unpersist()
+        latest.unpersist()
+
+    def start(self, stream: DataFrame, checkpoint_dir: str,
+              trigger_available_now: bool = True, processing_time: str | None = None):
+        """Attach the sink. The trigger interval is the commit cadence (W6,
+        tantivy.rs:129-130); checkpoint_dir is reader progress (W8)."""
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def serving_index(self):
+        """Reopen the store as a queryable FtsIndex (the committed-searcher
+        step): live docs only, stats re-aggregated (metadata-sized), both
+        sides co-partitioned on doc_id like a fresh build."""
+        from vector_store_spark.operators.bm25 import FtsIndex, _copartition
+
+        doclens = (
+            self.spark.read.parquet(self.doclens_dir)
+            .where(F.col("dl").isNotNull())
+            .select("doc_id", "dl")
+        )
+        postings = self.spark.read.parquet(self.postings_dir).drop(BUCKET_COL)
+        doclens = _copartition(doclens).cache()
+        postings = _copartition(postings).cache()
+        n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
+        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+        df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
+        return FtsIndex(postings, doclens, int(n_docs or 0), avgdl, "doc_id", df_by_term)
