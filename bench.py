@@ -329,8 +329,78 @@ def _extras(spark, sf_dir: str) -> dict:
             ).collect()}
             buckets[f"{pct}pct"] = round(len(got & truth) / k, 4)
         out["recall_at_10_lsh_by_selectivity"] = buckets
+
+        # the same strata for the trained memory-tier strategies (the
+        # reference strata recall by filter selectivity for its engine;
+        # crates/benchmark/src/main.rs:44-48 build-buckets) — each bucket gets
+        # its own trained build, as in the reference harness
+        from vector_store_spark.operators.ivf import ivf_centroids_trained, ivf_topk
+        from vector_store_spark.operators.pq import pq_codebook_trained, pq_topk
+        from vector_store_spark.types import SpaceType
+
+        ivf_buckets, pq_buckets = {}, {}
+        for pct in (50, 20, 10, 5, 2):
+            sub = emb.where((F.col("vec_id") % 1000) < pct * 10).cache()
+            if sub.count() < k:
+                sub.unpersist()
+                continue
+            truth = {r.vec_id for r in ann_topk(
+                sub, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+            ).collect()}
+            cents_b = ivf_centroids_trained(sub, "embedding", 16, space=SpaceType.COSINE)
+            got_ivf = {r.vec_id for r in ivf_topk(
+                sub, "vec_id", "embedding", q, k, nprobe=8,
+                centroids=cents_b, n_assign=2, select_cols=["vec_id"],
+            ).collect()}
+            ivf_buckets[f"{pct}pct"] = round(len(got_ivf & truth) / k, 4)
+            truth_l2 = {r.vec_id for r in ann_topk(
+                sub, "embedding", q, k, space=SpaceType.EUCLIDEAN,
+                tie_break=["vec_id"], select_cols=["vec_id"],
+            ).collect()}
+            cb_b = pq_codebook_trained(sub, "vec_id", "embedding", 8, 256)
+            got_pq = {r.vec_id for r in pq_topk(
+                sub, "vec_id", "embedding", q, k, m_sub=8, codebook=cb_b, rescore=4
+            ).collect()}
+            pq_buckets[f"{pct}pct"] = round(len(got_pq & truth_l2) / k, 4)
+            sub.unpersist()
+        out["recall_at_10_ivf_trained_ma2_np8_by_selectivity"] = ivf_buckets
+        out["recall_at_10_pq_trained_8x256_rescored4x_by_selectivity"] = pq_buckets
     except Exception as ex:
         print(f"bench extras (selectivity) error: {ex}", file=sys.stderr)
+
+    try:
+        from vector_store_spark.operators.scalar_ann import scalar_quantized_topk
+        from vector_store_spark.operators.topk import ann_topk
+        from vector_store_spark.registry import det_query_vector
+
+        # rescore lift per scalar kind (quantization_and_rescoring.rs):
+        # recall@10 of the quantized-only ranking vs quantized+rescore
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        k = 10
+        lift: dict = {}
+        for kind in ("i8", "f16", "bf16"):
+            plain, rescored = [], []
+            for seed in (7, 13, 21, 33):
+                q = det_query_vector(seed, 64)
+                truth = {r.vec_id for r in ann_topk(
+                    emb, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+                ).collect()}
+                got0 = {r.vec_id for r in scalar_quantized_topk(
+                    emb, "vec_id", "embedding", q, k, kind=kind, rescore=False
+                ).collect()}
+                got1 = {r.vec_id for r in scalar_quantized_topk(
+                    emb, "vec_id", "embedding", q, k, kind=kind,
+                    rescore=True, n_candidates=3 * k,
+                ).collect()}
+                plain.append(len(got0 & truth) / k)
+                rescored.append(len(got1 & truth) / k)
+            lift[kind] = {
+                "plain": round(sum(plain) / len(plain), 4),
+                "rescored_3x": round(sum(rescored) / len(rescored), 4),
+            }
+        out["recall_at_10_scalar_quantized_rescore_lift"] = lift
+    except Exception as ex:
+        print(f"bench extras (scalar rescore) error: {ex}", file=sys.stderr)
 
     try:
         import shutil

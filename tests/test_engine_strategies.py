@@ -72,6 +72,52 @@ def test_ivfpq_full_probe_full_rescore_is_exact(emb):
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
 
 
+@pytest.mark.parametrize("kind", ["i8", "f16", "bf16"])
+def test_scalar_quantized_strategies_serve_topk(emb, kind):
+    """quantization_and_rescoring.rs:117-256: each scalar kind serves the
+    lifecycle; rescore=True re-ranks candidates at full precision."""
+    eng = VectorStoreEngine()
+    eng.register(emb, _meta(), strategy=kind, strategy_opts={"rescore": True})
+    out = eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5)
+    assert len(out.primary_keys["vec_id"]) == 5
+    assert out.distances == sorted(out.distances)
+    assert out.similarity_scores == sorted(out.similarity_scores, reverse=True)
+
+
+@pytest.mark.parametrize("kind", ["i8", "f16", "bf16"])
+def test_scalar_rescore_matches_exact_on_top1(emb, kind):
+    """With a wide candidate pool, rescored scalar quantization recovers the
+    exact nearest neighbor (the rescoring=true contract: quantized recall,
+    full-precision values)."""
+    from vector_store_spark.operators.topk import ann_topk
+
+    q = det_query_vector(7, 64)
+    eng = VectorStoreEngine()
+    eng.register(
+        emb, _meta(), strategy=kind,
+        strategy_opts={"rescore": True, "n_candidates": 100},
+    )
+    got = eng.ann("ks", "t", "embedding", q, 1)
+    brute = ann_topk(
+        emb, "embedding", q, 1, space=SpaceType.COSINE,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()
+    assert got.primary_keys["vec_id"][0] == brute[0].vec_id
+
+
+def test_scalar_no_rescore_returns_quantized_distances(emb):
+    """rescore=False: the quantized distances ARE the result (cheaper,
+    approximate), so f16 values differ from the exact ones in general but
+    stay sorted and domain-valid."""
+    eng = VectorStoreEngine()
+    eng.register(emb, _meta(), strategy="i8", strategy_opts={"rescore": False})
+    out = eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5)
+    assert len(out.distances) == 5
+    assert out.distances == sorted(out.distances)
+    for d in out.distances:
+        assert 0.0 <= d <= 2.0
+
+
 def test_strategy_space_mismatch_rejected(emb):
     eng = VectorStoreEngine()
     eng.register(emb, _meta(SpaceType.EUCLIDEAN), strategy="lsh")

@@ -47,8 +47,12 @@ class AnnResponse:
 
 #: §2.9 (vs_index/factory.rs:1-37): the engine-strategy axis. The reference
 #: selects USearch/DiskANN/OpenSearch per index; here the strategies are
-#: DataFrame programs sharing one query lifecycle.
-ANN_STRATEGIES = ("exact", "lsh", "ivf", "pq", "ivfpq", "ivfpq_residual")
+#: DataFrame programs sharing one query lifecycle. The scalar kinds (i8/f16/
+#: bf16) are the quantization index option served engine-level with the
+#: per-query ``rescore`` strategy_opt (quantization_and_rescoring.rs:117-256).
+ANN_STRATEGIES = (
+    "exact", "lsh", "ivf", "pq", "ivfpq", "ivfpq_residual", "i8", "f16", "bf16",
+)
 
 
 @dataclass
@@ -149,6 +153,13 @@ class VectorStoreEngine:
         id_col = meta.primary_key_columns[0]
         select = list(meta.primary_key_columns)
         opts = ri.strategy_opts
+        if ri.strategy in ("i8", "f16", "bf16"):
+            from vector_store_spark.operators.scalar_ann import scalar_quantized_topk
+
+            return scalar_quantized_topk(
+                df, id_col, meta.target_column, list(vector), limit,
+                kind=ri.strategy, space=meta.space_type, select_cols=select, **opts,
+            )
         if ri.strategy == "lsh":
             if meta.space_type != SpaceType.COSINE:
                 raise FilterError("lsh strategy supports cosine only (hyperplane LSH)")
