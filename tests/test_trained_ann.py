@@ -195,6 +195,29 @@ def test_persisted_ivf_round_trip_and_pruning(spark, emb, tmp_path):
     assert any("cluster" in p for p in rep["partition_filters"])
 
 
+def test_persisted_lsh_round_trip_and_pruning(spark, emb, tmp_path):
+    """Build -> partitionBy(band, bucket) parquet -> search: same results as
+    the in-memory lsh_topk path, and the probe scan carries band/bucket
+    PartitionFilters (only the matching directories are read)."""
+    from vector_store_spark.operators.lsh import lsh_build, lsh_search, lsh_topk
+    from vector_store_spark.sources.index_store import prune_report
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "lsh_ix")
+    lsh_build(emb, "vec_id", "embedding", path, num_bits=16, bands=4)
+    got = lsh_search(
+        spark, path, "vec_id", "embedding", q, 10,
+        select_cols=["vec_id"], round_to=9,
+    )
+    mem = lsh_topk(
+        emb, "vec_id", "embedding", q, 10, num_bits=16, bands=4,
+        select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+    rep = prune_report(got)
+    assert any("band" in p and "bucket" in p for p in rep["partition_filters"])
+
+
 def test_engine_serves_trained_ivf_via_strategy_opts(spark, emb):
     from vector_store_spark.engine import VectorStoreEngine
     from vector_store_spark.types import IndexKind, IndexMetadata

@@ -69,6 +69,85 @@ def lsh_bucket_cols(vec: Column, planes: list[list[float]], bands: int) -> list[
     return out
 
 
+def lsh_query_buckets(query: list[float], planes: list[list[float]], bands: int) -> list[int]:
+    """Driver-side band buckets for a query vector (exact integer/float twin
+    of the Column expressions — metadata-sized work)."""
+    r = len(planes) // bands
+    bits = [1 if sum(x * y for x, y in zip(query, p)) > 0 else 0 for p in planes]
+    return [
+        int("".join(map(str, bits[b * r : (b + 1) * r])), 2) for b in range(bands)
+    ]
+
+
+def lsh_build(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    num_bits: int = 16,
+    bands: int = 4,
+    seed: int = 97,
+) -> None:
+    """Build-and-persist the LSH serving layout: every vector is written once
+    per band under ``partitionBy(band, bucket)`` (bands× storage — the classic
+    LSH trade for O(1) probes), so a query probe becomes Catalyst partition
+    pruning down to ≤ bands directories instead of a full-scan bucket
+    recompute. Symmetric with ivf_build's cluster layout; hyperplane metadata
+    goes to a ``_lsh_meta.json`` sidecar."""
+    import json
+    import os
+
+    from vector_store_spark.sources.index_store import write_local_index
+
+    dims = items.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("d")
+    ).first().d
+    planes = lsh_hyperplanes(dims, num_bits, seed)
+    buckets = [c for c in lsh_bucket_cols(F.col(vec_col).cast("array<double>"), planes, bands)]
+    banded = items.select(
+        "*", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+    write_local_index(banded, path, ["band", "bucket"])
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump({"dims": dims, "num_bits": num_bits, "bands": bands, "seed": seed}, f)
+
+
+def lsh_search(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query a persisted LSH index: compute the query's band buckets
+    driver-side (metadata-sized), scan ONLY the matching (band, bucket)
+    directories (partition pruning — assert with
+    sources.index_store.prune_report), dedupe candidates that share several
+    bands, exact cosine re-rank. Same candidate semantics as lsh_topk."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    planes = lsh_hyperplanes(meta["dims"], meta["num_bits"], meta["seed"])
+    qb = lsh_query_buckets(query, planes, meta["bands"])
+    cond = None
+    for b, qv in enumerate(qb):
+        c = (F.col("band") == b) & (F.col("bucket") == qv)
+        cond = c if cond is None else (cond | c)
+    candidates = (
+        spark.read.parquet(path).where(cond).dropDuplicates([id_col])
+    )
+    return ann_topk(
+        candidates, vec_col, query, k,
+        space=SpaceType.COSINE, tie_break=[id_col],
+        select_cols=select_cols or [id_col], round_to=round_to,
+    )
+
+
 def lsh_topk(
     items: DataFrame,
     id_col: str,
@@ -85,15 +164,7 @@ def lsh_topk(
     an OR of equality predicates that prunes partitions/row-groups), then
     exact cosine top-k over candidates only."""
     planes = lsh_hyperplanes(len(query), num_bits)
-    r = num_bits // bands
-
-    def py_buckets(v: list[float]) -> list[int]:
-        bits = [1 if sum(x * y for x, y in zip(v, p)) > 0 else 0 for p in planes]
-        return [
-            int("".join(map(str, bits[b * r : (b + 1) * r])), 2) for b in range(bands)
-        ]
-
-    qb = py_buckets(query)
+    qb = lsh_query_buckets(query, planes, bands)
     bucketed = items.select(
         "*", *lsh_bucket_cols(F.col(vec_col).cast("array<double>"), planes, bands)
     )

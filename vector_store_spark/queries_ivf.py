@@ -180,6 +180,41 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_lsh_persisted_topk",
+    # identical result contract to ann_lsh_topk: the persisted round-trip
+    # (build -> partitionBy(band, bucket) parquet -> probe-pruned scan ->
+    # cross-band dedupe) must not change a single value
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (SELECT * FROM e WHERE {_CAND_COND}),
+scored AS (
+  SELECT vec_id, label,
+         round(1.0 - list_inner_product(e, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM cand
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "Persisted LSH serving path: build -> partitionBy(band, bucket) parquet "
+    "-> a probe reads ONLY the matching band/bucket directories (Catalyst "
+    "partition pruning, like the IVF cluster layout) -> exact re-rank",
+)
+def ann_lsh_persisted_topk(spark, sf_dir):
+    import tempfile
+
+    from vector_store_spark.operators.lsh import lsh_build, lsh_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="lsh_ix_")
+    lsh_build(emb, "vec_id", "embedding", path, num_bits=_BITS, bands=_LSH_BANDS)
+    return lsh_search(
+        spark, path, "vec_id", "embedding", Q7, 10,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (operators/pq.py): deterministic codebook = subvector
 # slices of the K_CODES smallest-id rows; encode = per-subspace argmin L2sq
