@@ -90,21 +90,25 @@ def main(names=None):
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            # The driver's value hasher runs on pandas cells and dies on
-            # array/map/struct values ("unhashable type: 'list'") — fail
-            # locally first so complex output columns never reach the driver.
-            complex_cols = [
-                f"{n2}:{t}" for n2, t in sdf.dtypes
-                if t.startswith(("array", "map", "struct"))
-            ]
-            if complex_cols:
-                raise TypeError(
-                    "complex output columns (driver hasher can't hash them): "
-                    + ", ".join(complex_cols)
-                )
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        # The driver's value hasher runs on pandas cells and dies on
+        # array/map/struct values ("unhashable type: 'list'") — fail locally
+        # first so complex output columns never reach the driver. A local
+        # policy check, NOT a Spark failure; only the hashed (oracled) path
+        # is affected — rows-only queries never reach the driver's hasher.
+        complex_cols = [
+            f"{n2}:{t}" for n2, t in sdf.dtypes
+            if t.startswith(("array", "map", "struct"))
+        ]
+        if complex_cols and name in oracles:
+            print(
+                f"FAIL  {name}: complex output columns (driver hasher can't "
+                "hash them): " + ", ".join(complex_cols)
+            )
             n_fail += 1
             continue
         if name not in oracles:
