@@ -195,6 +195,39 @@ def test_persisted_ivf_round_trip_and_pruning(spark, emb, tmp_path):
     assert any("cluster" in p for p in rep["partition_filters"])
 
 
+def test_local_ivf_sub_indexes_round_trip_and_pruning(spark, emb, tmp_path):
+    """One IVF sub-index per partition (lib.rs:677-680 analogue): searching a
+    partition equals running IVF over that partition alone with its own
+    centroids, and BOTH the partition Eq and the cluster probe reach the scan
+    as PartitionFilters."""
+    from vector_store_spark.operators.ivf import (
+        ivf_build_local,
+        ivf_centroids,
+        ivf_search_local,
+        ivf_topk,
+    )
+    from vector_store_spark.sources.index_store import prune_report
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "ivf_local_ix")
+    parts = ivf_build_local(emb, "label", "vec_id", "embedding", path, k_centroids=4)
+    assert len(parts) > 1  # genuinely multiple sub-indexes
+    got = ivf_search_local(
+        spark, path, 3, "vec_id", "embedding", q, 10, nprobe=2,
+        select_cols=["vec_id"], round_to=9,
+    )
+    sub = emb.where(F.col("label") == 3)
+    mem = ivf_topk(
+        sub, "vec_id", "embedding", q, 10, nprobe=2,
+        centroids=ivf_centroids(sub, "vec_id", "embedding", 4),
+        select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+    rep = prune_report(got)
+    joined = " ".join(rep["partition_filters"])
+    assert "label" in joined and "cluster" in joined
+
+
 def test_persisted_lsh_round_trip_and_pruning(spark, emb, tmp_path):
     """Build -> partitionBy(band, bucket) parquet -> search: same results as
     the in-memory lsh_topk path, and the probe scan carries band/bucket

@@ -221,6 +221,128 @@ def ivf_build(
     return cents
 
 
+def ivf_build_local(
+    items: DataFrame,
+    part_col: str,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    k_centroids: int = 8,
+    space: SpaceType = SpaceType.COSINE,
+) -> dict:
+    """Per-partition IVF sub-indexes — the reference's one-sub-index-per-
+    partition LOCAL layout (lib.rs:677-680; usearch.rs:815-864 builds a
+    USearch index per partition) at the IVF tier.
+
+    Deterministic per-partition centroids (the K smallest ids WITHIN each
+    partition — reproducible in oracle SQL), assignment of every row against
+    its OWN partition's centroids in one Arrow pass (the per-partition
+    centroid tables ride along as a closure dict — metadata-sized:
+    n_partitions × K × dims), then ``partitionBy(part_col, cluster)``
+    storage: a query with a partition Eq prunes to its partition directory
+    and the probe prunes further to nprobe cluster subdirectories — both
+    visible as PartitionFilters. Returns {part_value: [(cid, vector)]}."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from vector_store_spark.sources.index_store import write_local_index
+
+    if space != SpaceType.COSINE:
+        raise ValueError("ivf_build_local supports cosine (add spaces as needed)")
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cent_rows = (
+        items.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k_centroids)
+        .select(part_col, F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    by_part: dict = {}
+    for r in cent_rows:
+        by_part.setdefault(r[0], []).append((r.cid, [float(x) for x in r.cv]))
+    tables = {}
+    for pv, cents in by_part.items():
+        cents.sort()
+        cids = np.array([c for c, _ in cents], dtype=np.int64)
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        tables[pv] = (cids, cmat, np.linalg.norm(cmat, axis=1))
+
+    def assign(parts, vecs):
+        out = np.empty(len(parts), dtype=np.int64)
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        parr = parts.to_numpy()
+        for pv in pd.unique(parts):
+            m = parr == pv
+            cids, cmat, cnorm = tables[pv]
+            s = (v[m] @ cmat.T) / (
+                np.linalg.norm(v[m], axis=1, keepdims=True) * cnorm[None, :]
+            )
+            # first max = smallest cid on ties (cids sorted ascending)
+            out[m] = cids[np.argmax(s, axis=1)]
+        return pd.Series(out)
+
+    assign_udf = F.pandas_udf(assign, LongType())
+    assigned = items.withColumn(
+        "cluster", assign_udf(F.col(part_col), F.col(vec_col).cast("array<double>"))
+    )
+    write_local_index(assigned, path, [part_col, "cluster"])
+    meta = {
+        "space": space.value,
+        "part_col": part_col,
+        "k_centroids": k_centroids,
+        "partitions": [
+            [pv, [[cid, list(map(float, cv))] for cid, cv in cents]]
+            for pv, cents in by_part.items()
+        ],
+    }
+    with open(os.path.join(path, "_ivf_local_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return by_part
+
+
+def ivf_search_local(
+    spark,
+    path: str,
+    part_value,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    nprobe: int = 2,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query ONE partition's sub-index: probe that partition's own centroids
+    (driver-side, metadata-sized), scan only (part, probed clusters)
+    directories — the partition Eq AND the cluster probe are both partition
+    pruning — then exact re-rank. The local twin of ivf_search."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_local_meta.json")) as f:
+        meta = json.load(f)
+    space = SpaceType(meta["space"])
+    cents = None
+    for pv, cs in meta["partitions"]:
+        if pv == part_value:
+            cents = [(cid, cv) for cid, cv in cs]
+            break
+    if cents is None:
+        raise KeyError(f"no sub-index for partition {part_value!r}")
+    probes = ivf_probe(cents, query, nprobe, space=space)
+    candidates = spark.read.parquet(path).where(
+        (F.col(meta["part_col"]) == part_value) & F.col("cluster").isin(probes)
+    )
+    return ann_topk(
+        candidates, vec_col, query, k,
+        space=space, tie_break=[id_col],
+        select_cols=select_cols or [id_col], round_to=round_to,
+    )
+
+
 def ivf_search(
     spark,
     path: str,

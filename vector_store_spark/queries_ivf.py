@@ -128,6 +128,70 @@ def ann_ivf_persisted_topk(spark, sf_dir):
     )
 
 
+_K_LOC, _NPROBE_LOC, _PART = 4, 2, 3
+
+
+@register(
+    "local_partition_ann_ivf",
+    # one sub-index per partition (lib.rs:677-680): centroids are the K
+    # smallest vec_ids WITHIN the partition; probe + assignment + re-rank all
+    # happen inside the partition, exactly as the Spark side prunes to the
+    # (label, cluster) directories
+    f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = {_PART}
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_K_LOC}),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(v, cv) /
+         (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {_NPROBE_LOC}
+),
+cand AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "Local APPROXIMATE sub-indexes (lib.rs:677-680, usearch.rs:815-864): one "
+    "IVF sub-index per partition, partitionBy(label, cluster) storage — the "
+    "partition Eq AND the cluster probe are both Catalyst partition pruning",
+)
+def local_partition_ann_ivf(spark, sf_dir):
+    import tempfile
+
+    from vector_store_spark.operators.ivf import ivf_build_local, ivf_search_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_local_ix_")
+    ivf_build_local(emb, "label", "vec_id", "embedding", path, k_centroids=_K_LOC)
+    return ivf_search_local(
+        spark, path, _PART, "vec_id", "embedding", Q7, 10, nprobe=_NPROBE_LOC,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
 # --- sign-LSH (random hyperplane) strategy -------------------------------
 _BITS, _LSH_BANDS = 16, 4
 _R = _BITS // _LSH_BANDS
