@@ -403,6 +403,25 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (scalar rescore) error: {ex}", file=sys.stderr)
 
     try:
+        # Streaming variance budget: stream_cdc_ann_topk is fixed-overhead
+        # dominated (two stream starts + checkpoint resume + foreachBatch
+        # snapshot writes), so its single headline timing drifts with session
+        # state — r3→r4 showed +22% with zero streaming code changes. Record
+        # repeat runs: the steady-state band is the operator's real cost; the
+        # headline-minus-steady delta is stream-machinery spin-up.
+        from vector_store_spark.registry import all_queries as _aq
+
+        spec = _aq()["stream_cdc_ann_topk"]
+        reps_t = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            reps_t.append(round(time.perf_counter() - t0, 4))
+        out["stream_cdc_ann_topk_repeat_sec"] = reps_t
+    except Exception as ex:
+        print(f"bench extras (stream repeat) error: {ex}", file=sys.stderr)
+
+    try:
         import shutil
         import tempfile
 

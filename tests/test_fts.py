@@ -220,3 +220,31 @@ def test_persisted_fts_prunes_term_bucket(spark, sf_dir, tmp_path):
     assert got == mem and len(got) > 0
     loaded = read_fts_index(spark, path)
     assert loaded.n_docs == ix.n_docs and abs(loaded.avgdl - ix.avgdl) < 1e-12
+
+
+def test_persisted_executor_prunes_every_query_shape(spark, sf_dir, tmp_path):
+    """Bm25Executor over a READ persisted index composes term_bucket pruning
+    into every term lookup, so boolean/phrase queries — not just single terms
+    — scan only the matching directories, and results equal the in-memory
+    index bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.bm25 import (
+        bm25_search,
+        build_fts_index,
+        read_fts_index,
+        write_fts_index,
+    )
+    from vector_store_spark.sources.index_store import prune_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix = build_fts_index(docs, "doc_id", "text")
+    path = str(tmp_path / "fts_ix2")
+    write_fts_index(ix, path)
+    loaded = read_fts_index(spark, path)
+    for q in ("table AND hash", '"table hash"', "(vector OR batch) AND NOT slow"):
+        got = bm25_search(loaded, q, 10, round_to=9)
+        mem = bm25_search(ix, q, 10, round_to=9)
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
+        rep = prune_report(got)
+        assert any("term_bucket" in f for f in rep["partition_filters"]), q

@@ -46,12 +46,15 @@ B = 0.75
 class FtsIndex:
     """A built full-text index over (id_col, text_col)."""
 
-    postings: DataFrame  # term, doc_id, tf, positions array<int>
+    postings: DataFrame  # term, doc_id, tf, positions array<int> [, term_bucket]
     doclens: DataFrame   # doc_id, dl
     n_docs: int
     avgdl: float
     id_col: str
     df_by_term: DataFrame  # term, df — per-term document frequency (cached)
+    #: set on persisted indexes whose postings carry term_bucket: term lookups
+    #: then add the bucket equality and prune to one directory
+    num_buckets: int = 32
 
     def stats(self) -> dict:
         """A2: num_docs + size stats (tantivy.rs:303-317)."""
@@ -106,7 +109,10 @@ def update_fts_index(
     collect of ids). Corpus stats (N, avgdl, per-term df) are re-aggregated —
     they are metadata-sized. An upsert is expressed as remove(id) + add(new
     doc). Work is O(changed docs + stats), not O(corpus)."""
-    postings, doclens = index.postings, index.doclens
+    # a persisted index's postings carry term_bucket; the maintained result is
+    # in-memory (re-bucketed on the next write_fts_index), so drop it before
+    # unioning with freshly built postings
+    postings, doclens = index.postings.drop("term_bucket"), index.doclens
     id_type = postings.schema["doc_id"].dataType.simpleString()
     gone_df = None
     if doc_ids_removed:
@@ -169,12 +175,29 @@ class Bm25Executor:
         # term lookups
         self.df_by_term = index.df_by_term
 
+    def _term_filter(self, term: str):
+        """Term lookup predicate; on a persisted index whose postings carry
+        ``term_bucket``, the bucket equality prunes the scan to one directory
+        before the term filter applies (the executor composes with the
+        write_fts_index layout for EVERY query shape, not just single terms)."""
+        cond = F.col("term") == term
+        if "term_bucket" in self.ix.postings.columns:
+            n = getattr(self.ix, "num_buckets", 32)
+            b = self.ix.postings.sparkSession.range(1).select(
+                F.pmod(F.xxhash64(F.lit(term)), F.lit(n)).cast("int").alias("b")
+            ).first().b
+            cond = (F.col("term_bucket") == b) & cond
+        return cond
+
+    def _term_postings(self, term: str) -> DataFrame:
+        return self.ix.postings.where(self._term_filter(term)).drop("term_bucket")
+
     def _term_scores(self, term: str) -> DataFrame:
         # A term's inverted list is O(df(term)) — corpus-scaled for common
         # terms — so it must NOT be broadcast. Both postings and doclens are
         # cached hash-partitioned on doc_id, so this shuffle-hash join plans
         # with zero Exchange; only the ONE df row for the term broadcasts.
-        p = self.ix.postings.where(F.col("term") == term)
+        p = self._term_postings(term)
         p = p.join(F.broadcast(self.df_by_term.where(F.col("term") == term)), "term")
         p = self.ix.doclens.join(p.hint("SHUFFLE_HASH"), "doc_id")
         score = idf_expr(F.col("df").cast("double"), self.ix.n_docs) * tf_norm_expr(
@@ -189,7 +212,7 @@ class Bm25Executor:
         # co-partitioned SHJ chain (every per-term list is corpus-scaled)
         joined = None
         for i, t in enumerate(terms):
-            p = self.ix.postings.where(F.col("term") == t).select(
+            p = self._term_postings(t).select(
                 "doc_id", F.col("positions").alias(f"pos{i}")
             )
             joined = p if joined is None else joined.join(p.hint("SHUFFLE_HASH"), "doc_id")
@@ -316,8 +339,12 @@ def read_fts_index(spark, path: str, num_buckets: int = 32) -> FtsIndex:
     n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
     df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
+    # postings KEEP term_bucket: Bm25Executor's term lookups add the bucket
+    # equality, so every query shape (term/AND/OR/NOT/phrase) scans only the
+    # matching directories of the persisted layout
     return FtsIndex(
-        postings.drop("term_bucket"), doclens, int(n_docs), avgdl, "doc_id", df_by_term
+        postings, doclens, int(n_docs), avgdl, "doc_id", df_by_term,
+        num_buckets=num_buckets,
     )
 
 
