@@ -99,3 +99,36 @@ def test_untouched_buckets_not_rewritten(spark):
     }
     changed = {d for d in before if after[d] != before[d]}
     assert changed == {f"_bucket={bucket0}"}
+
+
+def test_tombstone_gc_past_horizon(spark):
+    """gc_tombstones_before: tombstones older than the safety horizon are
+    dropped on the next rewrite of their bucket (they are only needed while a
+    stale replay could still arrive)."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="fts_gc_t_")
+    src, ix, ckpt = (os.path.join(root, d) for d in ("src", "ix", "ckpt"))
+    os.makedirs(src)
+    sink = FtsStreamSink(spark, ix, num_buckets=1, gc_tombstones_before=200)
+    batches = [
+        [("upsert", 1, "alpha", 100, 1), ("delete", 2, None, 150, 2)],
+        # second batch touches the same (only) bucket: the ts=150 tombstone is
+        # past the ts<200 horizon and must be GC'd; the ts=300 one retained
+        [("delete", 3, None, 300, 3), ("upsert", 4, "beta", 300, 4)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").json(
+            os.path.join(src, f"b{i}")
+        )
+        q = sink.start(
+            spark.readStream.schema(SCHEMA).json(os.path.join(src, "*")),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(300)
+    dl = spark.read.parquet(sink.doclens_dir)
+    tombs = {r.doc_id for r in dl.where(F.col("dl").isNull()).collect()}
+    live = {r.doc_id for r in dl.where(F.col("dl").isNotNull()).collect()}
+    assert tombs == {3}  # ts=150 tombstone GC'd, ts=300 retained
+    assert live == {1, 4}

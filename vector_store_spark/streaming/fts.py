@@ -54,6 +54,7 @@ class FtsStreamSink:
         ts_col: str = "ts",
         seq_col: str = "seq",
         op_col: str = "op",
+        gc_tombstones_before: int | None = None,
     ):
         self.spark = spark
         self.postings_dir = os.path.join(index_dir, "postings")
@@ -61,6 +62,10 @@ class FtsStreamSink:
         self.num_buckets = num_buckets
         self.id_col, self.text_col = id_col, text_col
         self.ts_col, self.seq_col, self.op_col = ts_col, seq_col, op_col
+        #: drop tombstones older than this ts on the next rewrite of their
+        #: bucket — the reference's checkpoint-window GC (a tombstone is only
+        #: needed while a stale replay could still arrive, W2/W8 horizon)
+        self.gc_tombstones_before = gc_tombstones_before
 
     def _exists(self, d: str) -> bool:
         return os.path.isdir(d) and any(
@@ -152,6 +157,10 @@ class FtsStreamSink:
         tombstones = winner.where(F.col("_op") == "delete").select(
             "doc_id", F.lit(None).cast("int").alias("dl"), F.col("_ts").alias("ts")
         )
+        if self.gc_tombstones_before is not None:
+            tombstones = tombstones.where(
+                F.col("ts") >= F.lit(self.gc_tombstones_before)
+            )
         new_doclens = new_doclens.unionByName(tombstones)
 
         # ---- rewrite ONLY the affected buckets ----------------------------
