@@ -108,7 +108,10 @@ def test_bm25_never_broadcasts_posting_lists(plans):
 
 def test_every_topk_query_uses_k_heaps(plans):
     topk_queries = [n for n in plans if n.startswith(("ann_", "filter_", "bm25_"))]
-    topk_queries += ["local_partition_ann", "alternator_ann_topk", "curation_kept_topk"]
+    topk_queries += [
+        "local_partition_ann", "local_partition_ann_ivf",
+        "alternator_ann_topk", "curation_kept_topk",
+    ]
     # per-group top-k is a window (one shuffle on the group key), not a
     # global k-heap — the right plan for that shape
     topk_queries.remove("ann_topk_per_partition")
