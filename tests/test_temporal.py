@@ -122,3 +122,54 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for r in merged.itertuples()
     }
     assert got == expect
+
+
+def test_asof_forward_with_equal_ts_and_nulls(sides):
+    left, right = sides
+    got = {r.lid: (r.rid_r, r.ts_r) for r in
+           asof_join(left, right, ["k"], "ts", ["rid"], suffix="_r",
+                     direction="forward").collect()}
+    assert got[1] == (101, _ts(10))   # equal ts matches
+    assert got[2] == (None, None)     # nothing at-or-after 20 for key 10
+    assert got[3] == (100, _ts(8))    # earliest following
+    assert got[4] == (None, None)     # key 20 has no right rows
+
+
+def test_asof_forward_tolerance(sides):
+    left, right = sides
+    got = {r.lid: r.rid_r for r in
+           asof_join(left, right, ["k"], "ts", ["rid"], suffix="_r",
+                     direction="forward", tolerance_us=2_000_000).collect()}
+    assert got[1] == 101   # lead 0 <= 2s
+    assert got[3] is None  # lead 3s > 2s
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    """Independent oracle for direction='forward' over randomized keyed
+    timelines, same protocol as the backward cross-validation."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(13)
+    lrows = [(i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=rnd.randint(0, 5000)))
+             for i in range(300)]
+    rrows = [(1000 + i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=rnd.randint(0, 5000)))
+             for i in range(300)]
+    seen = set()
+    rrows = [r for r in rrows if (r[1], r[2]) not in seen and not seen.add((r[1], r[2]))]
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k long, ts timestamp")
+
+    got = {r.lid: r.rid_r for r in
+           asof_join(left, right, ["k"], "ts", ["rid"], suffix="_r",
+                     direction="forward").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["rid", "k", "ts"]).sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    expect = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == expect

@@ -37,11 +37,18 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every left row + the payload (``right_cols`` and the
     right timestamp, suffixed) of the key's latest right row at-or-before
-    ``ts_col``; nulls when none exists (or it is older than ``tolerance_us``).
-    Equal timestamps match (right sorts before left at the same instant).
-    Right (key, ts) pairs must be unique for a deterministic result."""
-    if direction != "backward":
-        raise NotImplementedError("asof_join supports direction='backward'")
+    ``ts_col`` (``direction='backward'``), or earliest right row at-or-after
+    it (``direction='forward'``); nulls when none exists (or it is further
+    than ``tolerance_us``). Equal timestamps match (right sorts before left
+    at the same instant). Right (key, ts) pairs must be unique for a
+    deterministic result.
+
+    Both directions are the same union-tag single-window scan — forward just
+    reverses the timeline (ORDER BY ts DESC), so the running ``last_value``
+    picks the smallest right ts ≥ left ts instead. Cross-validated against
+    pandas merge_asof in tests/test_temporal.py."""
+    if direction not in ("backward", "forward"):
+        raise NotImplementedError("asof_join supports backward/forward")
     on = list(on)
     right_cols = [c for c in right_cols if c != ts_col]
     pay = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in right_cols])
@@ -63,9 +70,10 @@ def asof_join(
         "_apay",
         F.lit(0).alias("_atag"),
     )
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_atag").asc())
+        .orderBy(ts_order, F.col("_atag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u_l.unionByName(u_r).withColumn(
@@ -73,7 +81,10 @@ def asof_join(
     )
     out = u.where(F.col("_atag") == 1)
     if tolerance_us is not None:
-        lag = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"_amatch.{ts_col}"))
+        if direction == "backward":
+            lag = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"_amatch.{ts_col}"))
+        else:
+            lag = F.unix_micros(F.col(f"_amatch.{ts_col}")) - F.unix_micros(F.col(ts_col))
         out = out.withColumn(
             "_amatch", F.when(lag <= tolerance_us, F.col("_amatch"))
         )

@@ -44,6 +44,37 @@ def events_asof_error_click(spark, sf_dir):
 
 
 @register(
+    "events_asof_forward_click",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS click_event_id, r.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts >= l.ts
+""",
+    "Forward as-of join: each error event paired with the user's earliest "
+    "at-or-after click (same single-window scan, timeline reversed)",
+)
+def events_asof_forward_click(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        errors, clicks, ["user_id"], "ts", ["event_id"], suffix="_r",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("ts_r").alias("click_ts"),
+    )
+
+
+@register(
     "events_range_join_counts",
     f"""
 SELECT l.event_id, count(r.event_id) AS n_clicks_10m
