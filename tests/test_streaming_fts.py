@@ -132,3 +132,22 @@ def test_tombstone_gc_past_horizon(spark):
     live = {r.doc_id for r in dl.where(F.col("dl").isNotNull()).collect()}
     assert tombs == {3}  # ts=150 tombstone GC'd, ts=300 retained
     assert live == {1, 4}
+
+
+def test_streaming_index_serves_through_fts_engine(spark):
+    """The reopened-searcher contract end to end: a streaming-maintained
+    store registers in FtsEngine and answers /bm25 like any built index."""
+    from vector_store_spark.engine import FtsEngine
+
+    sink = _run_batches(
+        spark,
+        [
+            [("upsert", 1, "spark engine", 100, 1), ("upsert", 2, "other text", 100, 2)],
+            [("upsert", 3, "spark stream", 200, 3), ("delete", 2, None, 300, 4)],
+        ],
+    )
+    eng = FtsEngine()
+    eng.register("live", sink.serving_index())
+    out = eng.bm25("live", "spark", limit=5)
+    assert set(out.primary_keys["doc_id"]) == {1, 3}
+    assert len(out.scores) == 2
