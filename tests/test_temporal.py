@@ -173,3 +173,45 @@ def test_asof_forward_matches_pandas_merge_asof(spark):
         for r in merged.itertuples()
     }
     assert got == expect
+
+
+def test_asof_nearest(sides):
+    left, right = sides
+    got = {r.lid: r.rid_r for r in
+           asof_join(left, right, ["k"], "ts", ["rid"], suffix="_r",
+                     direction="nearest").collect()}
+    assert got[1] == 101  # exact match at 10
+    assert got[2] == 102  # only backward exists (15 vs nothing after 20)
+    assert got[3] == 100  # 8 is 3s ahead, nearest (no backward)
+    assert got[4] is None
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(17)
+    # odd/even second offsets so no exact-distance ties (tie-break is
+    # pinned separately: backward wins, pandas semantics)
+    lrows = [(i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=2 * rnd.randint(0, 2500)))
+             for i in range(300)]
+    rrows = [(1000 + i, rnd.randint(0, 4), _ts(0) + dt.timedelta(seconds=2 * rnd.randint(0, 2500) + 1))
+             for i in range(300)]
+    seen = set()
+    rrows = [r for r in rrows if (r[1], r[2]) not in seen and not seen.add((r[1], r[2]))]
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k long, ts timestamp")
+
+    got = {r.lid: r.rid_r for r in
+           asof_join(left, right, ["k"], "ts", ["rid"], suffix="_r",
+                     direction="nearest").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["rid", "k", "ts"]).sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    expect = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == expect

@@ -37,18 +37,21 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every left row + the payload (``right_cols`` and the
     right timestamp, suffixed) of the key's latest right row at-or-before
-    ``ts_col`` (``direction='backward'``), or earliest right row at-or-after
-    it (``direction='forward'``); nulls when none exists (or it is further
-    than ``tolerance_us``). Equal timestamps match (right sorts before left
-    at the same instant). Right (key, ts) pairs must be unique for a
-    deterministic result.
+    ``ts_col`` (``direction='backward'``), earliest right row at-or-after it
+    (``'forward'``), or whichever of those two is closer in time
+    (``'nearest'``, backward winning exact-distance ties); nulls when none
+    exists (or it is further than ``tolerance_us``). Equal timestamps match
+    (right sorts before left at the same instant). Right (key, ts) pairs
+    must be unique for a deterministic result.
 
-    Both directions are the same union-tag single-window scan — forward just
-    reverses the timeline (ORDER BY ts DESC), so the running ``last_value``
-    picks the smallest right ts ≥ left ts instead. Cross-validated against
-    pandas merge_asof in tests/test_temporal.py."""
-    if direction not in ("backward", "forward"):
-        raise NotImplementedError("asof_join supports backward/forward")
+    All directions are the same union-tag window scan — forward reverses the
+    timeline (ORDER BY ts DESC) so the running ``last_value`` picks the
+    smallest right ts ≥ left ts; nearest evaluates both windows over ONE
+    shuffle (same partitioning, two sort orders) and picks the smaller
+    absolute distance. Cross-validated against pandas merge_asof in
+    tests/test_temporal.py."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise NotImplementedError("asof_join supports backward/forward/nearest")
     on = list(on)
     right_cols = [c for c in right_cols if c != ts_col]
     pay = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in right_cols])
@@ -70,23 +73,42 @@ def asof_join(
         "_apay",
         F.lit(0).alias("_atag"),
     )
-    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("_atag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u_l.unionByName(u_r).withColumn(
-        "_amatch", F.last("_apay", ignorenulls=True).over(w)
-    )
+    def _win(asc: bool):
+        order = F.col(ts_col).asc() if asc else F.col(ts_col).desc()
+        return (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col("_atag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    u = u_l.unionByName(u_r)
+    lts = F.unix_micros(F.col(ts_col))
+
+    def _lag_of(match):  # non-negative time distance of a candidate match
+        return F.abs(F.unix_micros(match[ts_col]) - lts)
+
+    if direction in ("backward", "forward"):
+        u = u.withColumn(
+            "_amatch",
+            F.last("_apay", ignorenulls=True).over(_win(direction == "backward")),
+        )
+    else:  # nearest: both scans share one shuffle (same partitioning)
+        back = F.last("_apay", ignorenulls=True).over(_win(True))
+        fwd = F.last("_apay", ignorenulls=True).over(_win(False))
+        u = u.withColumn("_amb", back).withColumn("_amf", fwd)
+        u = u.withColumn(
+            "_amatch",
+            F.when(F.col("_amb").isNull(), F.col("_amf"))
+            .when(F.col("_amf").isNull(), F.col("_amb"))
+            # strict <: backward wins exact-distance ties (pandas semantics)
+            .when(_lag_of(F.col("_amf")) < _lag_of(F.col("_amb")), F.col("_amf"))
+            .otherwise(F.col("_amb")),
+        ).drop("_amb", "_amf")
     out = u.where(F.col("_atag") == 1)
     if tolerance_us is not None:
-        if direction == "backward":
-            lag = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"_amatch.{ts_col}"))
-        else:
-            lag = F.unix_micros(F.col(f"_amatch.{ts_col}")) - F.unix_micros(F.col(ts_col))
         out = out.withColumn(
-            "_amatch", F.when(lag <= tolerance_us, F.col("_amatch"))
+            "_amatch",
+            F.when(_lag_of(F.col("_amatch")) <= tolerance_us, F.col("_amatch")),
         )
     out = out.withColumn(f"{ts_col}{suffix}", F.col(f"_amatch.{ts_col}"))
     for c in right_cols:
