@@ -248,3 +248,26 @@ def test_persisted_executor_prunes_every_query_shape(spark, sf_dir, tmp_path):
         assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
         rep = prune_report(got)
         assert any("term_bucket" in f for f in rep["partition_filters"]), q
+
+
+def test_read_fts_index_without_catalog_entry(spark, sf_dir, tmp_path):
+    """A fresh session loses the session-scoped saveAsTable metadata; the
+    reader must fall back to the bucket data files and serve identical
+    values."""
+    from vector_store_spark.operators.bm25 import (
+        _doclens_table,
+        bm25_search,
+        build_fts_index,
+        read_fts_index,
+        write_fts_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix = build_fts_index(docs, "doc_id", "text")
+    path = str(tmp_path / "fts_ix3")
+    write_fts_index(ix, path)
+    spark.sql(f"DROP TABLE IF EXISTS {_doclens_table(path)}")  # simulate new session
+    loaded = read_fts_index(spark, path)
+    got = bm25_search(loaded, "vector", 10, round_to=9)
+    mem = bm25_search(ix, "vector", 10, round_to=9)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]

@@ -334,7 +334,13 @@ def read_fts_index(spark, path: str, num_buckets: int = 32) -> FtsIndex:
     tbl = _doclens_table(path)
     if spark.catalog.tableExists(tbl):
         doclens = spark.table(tbl)
-    else:
+    elif os.path.isdir(os.path.join(path, "doclens_bucketed")):
+        # a NEW session reading a persisted dir: saveAsTable metadata is
+        # session-scoped, so re-read the bucket files as plain parquet (the
+        # values are identical; only the exchange-free partitioning report is
+        # lost until re-registered)
+        doclens = spark.read.parquet(os.path.join(path, "doclens_bucketed"))
+    else:  # pre-bucketing layout
         doclens = spark.read.parquet(os.path.join(path, "doclens"))
     n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
