@@ -129,3 +129,43 @@ def test_unknown_strategy_rejected(emb):
     eng = VectorStoreEngine()
     with pytest.raises(ValueError):
         eng.register(emb, _meta(), strategy="hnsw")
+
+
+def test_engine_serves_persisted_ivf_and_lsh(spark, emb, tmp_path):
+    """The reference's indexes are persisted artifacts; the engine serves
+    them through the same lifecycle via the `path` strategy_opt, with probes
+    becoming partition pruning."""
+    from vector_store_spark.operators.ivf import ivf_build
+    from vector_store_spark.operators.lsh import lsh_build
+
+    q = det_query_vector(7, 64)
+    ivf_path = str(tmp_path / "eng_ivf")
+    ivf_build(emb, "vec_id", "embedding", ivf_path, k_centroids=8)
+    lsh_path = str(tmp_path / "eng_lsh")
+    lsh_build(emb, "vec_id", "embedding", lsh_path, num_bits=16, bands=4)
+
+    for strategy, path in (("ivf", ivf_path), ("lsh", lsh_path)):
+        eng = VectorStoreEngine()
+        eng.register(emb, _meta(), strategy=strategy,
+                     strategy_opts={"path": path})
+        out = eng.ann("ks", "t", "embedding", q, 5)
+        assert len(out.primary_keys["vec_id"]) == 5
+        assert out.distances == sorted(out.distances)
+
+
+def test_engine_persisted_rejects_residual_filter(spark, emb, tmp_path):
+    from vector_store_spark.operators.ivf import ivf_build
+    from vector_store_spark.types import Filter, Restriction
+
+    path = str(tmp_path / "eng_ivf2")
+    ivf_build(emb, "vec_id", "embedding", path, k_centroids=8)
+    eng = VectorStoreEngine()
+    meta = _meta()
+    eng.register(emb, meta, strategy="ivf", strategy_opts={"path": path})
+    import dataclasses
+
+    meta2 = dataclasses.replace(meta, filtering_columns=("label",))
+    eng.indexes[meta.index].state.metadata = meta2
+    with pytest.raises(FilterError):
+        eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5,
+                flt=Filter(restrictions=(Restriction.eq("label", 1),)))

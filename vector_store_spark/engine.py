@@ -163,13 +163,33 @@ class VectorStoreEngine:
         if ri.strategy == "lsh":
             if meta.space_type != SpaceType.COSINE:
                 raise FilterError("lsh strategy supports cosine only (hyperplane LSH)")
-            from vector_store_spark.operators.lsh import lsh_topk
+            from vector_store_spark.operators.lsh import lsh_search, lsh_topk
 
+            if "path" in opts:  # persisted band/bucket layout: pruned probe
+                if predicate is not None:
+                    raise FilterError(
+                        "persisted lsh serves unfiltered probes; register the "
+                        "in-memory strategy for residual filtering"
+                    )
+                o = {k: v for k, v in opts.items() if k != "path"}
+                return lsh_search(df.sparkSession, opts["path"], id_col,
+                                  meta.target_column, list(vector), limit,
+                                  select_cols=select, **o)
             return lsh_topk(df, id_col, meta.target_column, list(vector), limit,
                             select_cols=select, **opts)
         if ri.strategy == "ivf":
-            from vector_store_spark.operators.ivf import ivf_topk
+            from vector_store_spark.operators.ivf import ivf_search, ivf_topk
 
+            if "path" in opts:  # persisted cluster layout: probes prune partitions
+                if predicate is not None:
+                    raise FilterError(
+                        "persisted ivf serves unfiltered probes; register the "
+                        "in-memory strategy for residual filtering"
+                    )
+                o = {k: v for k, v in opts.items() if k != "path"}
+                return ivf_search(df.sparkSession, opts["path"], id_col,
+                                  meta.target_column, list(vector), limit,
+                                  select_cols=select, **o)
             return ivf_topk(df, id_col, meta.target_column, list(vector), limit,
                             space=meta.space_type, select_cols=select, **opts)
         if ri.strategy == "pq":
