@@ -75,6 +75,56 @@ def events_asof_forward_click(spark, sf_dir):
 
 
 @register(
+    "events_asof_nearest_click",
+    # nearest = the closer of the backward/forward matches (backward wins
+    # exact ties); DuckDB has no nearest ASOF, so the oracle runs both
+    # directions and picks by absolute distance — an independent formulation
+    # of the same semantics
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT l.event_id, l.user_id, l.ts, r.event_id AS rid, r.ts AS rts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+),
+f AS (
+  SELECT l.event_id, r.event_id AS rid, r.ts AS rts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN b.rid IS NULL THEN f.rid
+            WHEN f.rid IS NULL THEN b.rid
+            WHEN epoch_us(f.rts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.rts) THEN f.rid
+            ELSE b.rid END AS click_event_id,
+       CASE WHEN b.rid IS NULL THEN f.rts
+            WHEN f.rid IS NULL THEN b.rts
+            WHEN epoch_us(f.rts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.rts) THEN f.rts
+            ELSE b.rts END AS click_ts
+FROM b JOIN f USING (event_id)
+""",
+    "Nearest as-of join: each error paired with the temporally closest click "
+    "in either direction (backward wins ties) — two window orders, one shuffle",
+)
+def events_asof_nearest_click(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        errors, clicks, ["user_id"], "ts", ["event_id"], suffix="_r",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("ts_r").alias("click_ts"),
+    )
+
+
+@register(
     "events_range_join_counts",
     f"""
 SELECT l.event_id, count(r.event_id) AS n_clicks_10m
