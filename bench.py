@@ -403,6 +403,49 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (scalar rescore) error: {ex}", file=sys.stderr)
 
     try:
+        import shutil as _sh
+        import tempfile as _tf
+
+        from vector_store_spark.operators.ivf import ivf_build, ivf_search
+        from vector_store_spark.operators.lsh import lsh_build, lsh_search
+        from vector_store_spark.registry import det_query_vector
+
+        # Persisted-layout serving latency: probes against the partition-
+        # pruned on-disk layouts (the 100 TB serving shape — the in-memory
+        # topk_latency extras above measure the cached exact path instead).
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = det_query_vector(11, 64)
+        reps = 3
+        ivf_dir = _tf.mkdtemp(prefix="bench_ivf_srv_")
+        ivf_build(emb, "vec_id", "embedding", ivf_dir, k_centroids=16,
+                  trained=True, n_assign=2)
+        ivf_search(spark, ivf_dir, "vec_id", "embedding", q, 10, nprobe=4,
+                   select_cols=["vec_id"]).collect()  # warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ivf_search(spark, ivf_dir, "vec_id", "embedding", q, 10, nprobe=4,
+                       select_cols=["vec_id"]).collect()
+        out["persisted_ivf_serve_latency_sec_k10"] = round(
+            (time.perf_counter() - t0) / reps, 4
+        )
+        _sh.rmtree(ivf_dir, ignore_errors=True)
+
+        lsh_dir = _tf.mkdtemp(prefix="bench_lsh_srv_")
+        lsh_build(emb, "vec_id", "embedding", lsh_dir, num_bits=16, bands=4)
+        lsh_search(spark, lsh_dir, "vec_id", "embedding", q, 10,
+                   select_cols=["vec_id"]).collect()  # warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            lsh_search(spark, lsh_dir, "vec_id", "embedding", q, 10,
+                       select_cols=["vec_id"]).collect()
+        out["persisted_lsh_serve_latency_sec_k10"] = round(
+            (time.perf_counter() - t0) / reps, 4
+        )
+        _sh.rmtree(lsh_dir, ignore_errors=True)
+    except Exception as ex:
+        print(f"bench extras (persisted serving) error: {ex}", file=sys.stderr)
+
+    try:
         # Streaming variance budget: stream_cdc_ann_topk is fixed-overhead
         # dominated (two stream starts + checkpoint resume + foreachBatch
         # snapshot writes), so its single headline timing drifts with session
