@@ -98,3 +98,52 @@ def test_gc_tombstones(spark):
     merged = merge_batch_into_snapshot(None, batch, ["pk"], ["v"], gc_tombstones_before=180)
     rows = {r.pk: r.v for r in merged.collect()}
     assert rows == {1: None}  # pk=2's tombstone (ts 150 < 180) collected; pk=1 kept
+
+
+def test_derived_partition_cols_prune_serving(spark, sf_dir, tmp_path):
+    """CdcSnapshotSink with a derived 'cluster' partition column: the
+    snapshot serves cluster-pruned scans (PartitionFilters), and an updated
+    vector moves to its new cluster directory (W3 move-between-partitions)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.sources.index_store import prune_report
+    from vector_store_spark.streaming.cdc import CdcSnapshotSink
+
+    root = str(tmp_path)
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    os.makedirs(src)
+    schema = "op string, pk bigint, v double, ts bigint, seq bigint"
+
+    def parity_cluster(df):
+        return F.when(F.col("v").isNull(), F.lit(-1)).otherwise(
+            (F.col("v") % 2).cast("long")
+        )
+
+    sink = CdcSnapshotSink(
+        spark, snap, ["pk"], ["v"], num_buckets=2,
+        derived_partition_cols={"cluster": parity_cluster},
+    )
+    b1 = [("upsert", i, float(i), 100, i) for i in range(10)]
+    spark.createDataFrame(b1, schema).write.json(os.path.join(src, "b1"))
+    q = sink.start(
+        spark.readStream.schema(schema).json(os.path.join(src, "*")),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(300)
+    # pk=3 moves from cluster 1 (v=3) to cluster 0 (v=4): move-between-partitions
+    spark.createDataFrame(
+        [("upsert", 3, 4.0, 200, 99)], schema
+    ).write.json(os.path.join(src, "b2"))
+    q = sink.start(
+        spark.readStream.schema(schema).json(os.path.join(src, "*")),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(300)
+
+    live = sink.live_view("v")
+    even = live.where(F.col("cluster") == 0)
+    assert {r.pk for r in even.collect()} == {0, 2, 3, 4, 6, 8}
+    rep = prune_report(even)
+    assert any("cluster" in p for p in rep["partition_filters"])

@@ -262,6 +262,153 @@ def stream_fts_endstate(spark, sf_dir):
 _ANN_SCHEMA = "op string, pk bigint, emb array<double>, lbl int, ts bigint, seq bigint"
 
 
+_IVF_K, _IVF_NPROBE = 8, 4
+
+
+def _mk_cluster_assign(cents):
+    """Null-safe fixed-centroid cosine assignment (tombstones → -1): the
+    derived-partition-column twin of operators.ivf.ivf_assign."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as FF
+    from pyspark.sql.types import LongType
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def assign(vecs):
+        out = np.full(len(vecs), -1, dtype=np.int64)
+        mask = np.array([v is not None for v in vecs])
+        if mask.any():
+            v = np.vstack(vecs[mask].to_numpy()).astype(np.float64)
+            s = (v @ cmat.T) / (
+                np.linalg.norm(v, axis=1, keepdims=True) * cnorm[None, :]
+            )
+            out[mask] = cids[np.argmax(s, axis=1)]
+        return pd.Series(out)
+
+    udf = FF.pandas_udf(assign, LongType())
+    return lambda df: udf(FF.col("emb").cast("array<double>"))
+
+
+def _cdc_ivf_oracle():
+    from vector_store_spark.registry import ROUND, det_query_vector, sql_vec
+
+    q = sql_vec(det_query_vector(7, 64))
+    return f"""
+WITH base AS (
+  SELECT vec_id AS pk, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 1000
+),
+c AS (SELECT pk AS cid, emb AS cv FROM base ORDER BY pk LIMIT {_IVF_K}),
+final AS (
+  SELECT pk,
+         CASE WHEN pk % 5 = 0 THEN list_transform(emb, x -> -x) ELSE emb END AS emb
+  FROM base WHERE pk % 11 <> 0
+),
+sims AS (
+  SELECT f.pk, c.cid,
+         list_inner_product(f.emb, c.cv) /
+         (sqrt(list_inner_product(f.emb, f.emb)) * sqrt(list_inner_product(c.cv, c.cv))) AS sim
+  FROM final f CROSS JOIN c
+),
+asg AS (
+  SELECT pk, cid FROM (
+    SELECT pk, cid, row_number() OVER (PARTITION BY pk ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {q}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({q}, {q}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT f.pk,
+         round(1.0 - list_inner_product(f.emb, {q}) /
+               (sqrt(list_inner_product(f.emb, f.emb)) * sqrt(list_inner_product({q}, {q}))), {ROUND}) AS distance
+  FROM final f JOIN asg USING (pk)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT pk, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, pk LIMIT 10
+"""
+
+
+@register(
+    "stream_cdc_ivf_topk",
+    _cdc_ivf_oracle(),
+    "CDC-MAINTAINED approximate index: the LWW snapshot is additionally "
+    "partitioned by a fixed-centroid IVF cluster assignment (derived "
+    "partition column; updated vectors move directories — W3 "
+    "move-between-partitions), and serving probes prune to nprobe cluster "
+    "directories; the oracle re-derives end-state vectors, assignment, "
+    "probe, and the pruned top-k",
+)
+def stream_cdc_ivf_topk(spark, sf_dir):
+    from vector_store_spark.operators.ivf import ivf_probe
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.registry import ROUND, det_query_vector
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    root = tempfile.mkdtemp(prefix="cdc_ivf_")
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    os.makedirs(src)
+
+    # fixed centroids trained at bootstrap: the K smallest-id ORIGINAL vectors
+    cents = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(_IVF_K).collect()
+    ]
+    base = emb.select(
+        F.lit("upsert").alias("op"),
+        F.col("vec_id").alias("pk"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col("label").cast("int").alias("lbl"),
+        F.lit(100).cast("bigint").alias("ts"),
+        F.col("vec_id").alias("seq"),
+    )
+    base.write.mode("append").json(os.path.join(src, "b1"))
+    sink = CdcSnapshotSink(
+        spark, snap, ["pk"], ["emb", "lbl"], num_buckets=8,
+        derived_partition_cols={"cluster": _mk_cluster_assign(cents)},
+    )
+    stream = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream, checkpoint_dir=ckpt))
+
+    updates = base.where(F.col("pk") % 5 == 0).withColumn(
+        "emb", F.transform(F.col("emb"), lambda x: -x)
+    ).withColumn("ts", F.lit(200).cast("bigint"))
+    stale = base.where(F.col("pk") % 7 == 0).withColumn(
+        "emb", F.transform(F.col("emb"), lambda x: x * 0.0)
+    ).withColumn("ts", F.lit(50).cast("bigint"))
+    deletes = base.where(F.col("pk") % 11 == 0).select(
+        F.lit("delete").alias("op"), "pk",
+        F.lit(None).cast("array<double>").alias("emb"),
+        F.lit(None).cast("int").alias("lbl"),
+        F.lit(300).cast("bigint").alias("ts"), (F.col("pk") + 1_000_000).alias("seq"),
+    )
+    updates.unionByName(stale).unionByName(deletes).write.mode("append").json(
+        os.path.join(src, "b2")
+    )
+    stream2 = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream2, checkpoint_dir=ckpt))
+
+    # serving: probe the fixed centroids, scan ONLY those cluster directories
+    probes = ivf_probe(cents, det_query_vector(7, 64), _IVF_NPROBE)
+    live = sink.live_view("emb").where(F.col("cluster").isin(probes))
+    return ann_topk(
+        live, "emb", det_query_vector(7, 64), 10,
+        tie_break=["pk"], select_cols=["pk"], round_to=ROUND,
+    )
+
+
 def _cdc_ann_oracle():
     from vector_store_spark.registry import ROUND, det_query_vector, sql_vec
 

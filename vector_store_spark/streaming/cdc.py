@@ -107,7 +107,16 @@ def merge_batch_into_snapshot(
 
 
 class CdcSnapshotSink:
-    """foreachBatch sink maintaining the bucket-partitioned snapshot."""
+    """foreachBatch sink maintaining the bucket-partitioned snapshot.
+
+    ``derived_partition_cols`` maps extra partition-column names to functions
+    ``DataFrame -> Column`` evaluated on the merged rows before each write:
+    the snapshot is then ``partitionBy(_bucket, *derived)``, so merge reads
+    keep pruning on the key bucket while QUERIES prune on the derived
+    dimension — e.g. ``cluster`` from a fixed IVF assignment turns the live
+    snapshot into a continuously-maintained approximate index (an updated
+    vector that changes cluster simply lands in its new directory on the next
+    rewrite: the reference's W3 move-between-partitions)."""
 
     def __init__(
         self,
@@ -120,6 +129,7 @@ class CdcSnapshotSink:
         op_col: str = "op",
         num_buckets: int = 32,
         gc_tombstones_before: int | None = None,
+        derived_partition_cols=None,
     ):
         self.spark = spark
         self.snapshot_dir = snapshot_dir
@@ -128,6 +138,7 @@ class CdcSnapshotSink:
         self.ts_col, self.seq_col, self.op_col = ts_col, seq_col, op_col
         self.num_buckets = num_buckets
         self.gc_tombstones_before = gc_tombstones_before
+        self.derived_partition_cols = dict(derived_partition_cols or {})
 
     def _snapshot_exists(self) -> bool:
         # NB: dynamic partition overwrite does not write a _SUCCESS marker —
@@ -145,7 +156,9 @@ class CdcSnapshotSink:
         return df
 
     def live_view(self, target_col: str) -> DataFrame:
-        """Queryable snapshot: live rows only (tombstones filtered)."""
+        """Queryable snapshot: live rows only (tombstones filtered). Derived
+        partition columns stay visible — filtering on them IS the pruned
+        serving path."""
         df = self.read_snapshot()
         if df is None:
             raise FileNotFoundError(f"no snapshot at {self.snapshot_dir}")
@@ -159,18 +172,24 @@ class CdcSnapshotSink:
         if not affected:
             return
         snapshot = self.read_snapshot(buckets=affected)
+        if snapshot is not None and self.derived_partition_cols:
+            # derived cols are recomputed below from merged values — drop the
+            # stored copies so the merge sees only keys/values/writetimes
+            snapshot = snapshot.drop(*self.derived_partition_cols)
         merged = merge_batch_into_snapshot(
             snapshot, batch.drop(BUCKET_COL), self.key_cols, self.value_cols,
             self.ts_col, self.seq_col, self.op_col,
             gc_tombstones_before=self.gc_tombstones_before,
         ).withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets))
+        for name, fn in self.derived_partition_cols.items():
+            merged = merged.withColumn(name, fn(merged))
 
         # rewrite only the affected buckets (dynamic partition overwrite)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             merged.repartition(max(1, len(affected)), F.col(BUCKET_COL))
             .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
+            .partitionBy(BUCKET_COL, *self.derived_partition_cols)
             .parquet(self.snapshot_dir)
         )
 
