@@ -323,3 +323,75 @@ def test_ivf_knn_join_matches_per_query_ivf_topk(emb):
             select_cols=["vec_id"], round_to=9,
         ).collect()
         assert by_q[qid] == [(r.vec_id, r.distance) for r in single]
+
+
+def test_ivf_update_crud_equals_fixed_centroid_state(spark, emb, tmp_path):
+    """Build -> remove + add -> search equals assigning the FINAL row set
+    against the build-time centroids (CRUD never re-trains, like USearch);
+    only touched cluster directories are rewritten, and a fully-emptied
+    cluster's directory is deleted (W4 partition lifecycle)."""
+    import os
+
+    from vector_store_spark.operators.ivf import (
+        ivf_assign,
+        ivf_build,
+        ivf_centroids,
+        ivf_search,
+        ivf_topk,
+        ivf_update,
+    )
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "ivf_crud")
+    base = emb.where(F.col("vec_id") < 400)
+    cents = ivf_build(base, "vec_id", "embedding", path, k_centroids=8)
+
+    # step 1: a PURE-REMOVAL update of two members of one known cluster —
+    # exactly one directory may be rewritten
+    asg = ivf_assign(base, "vec_id", "embedding", cents)
+    some = asg.groupBy("cluster").count().orderBy(F.col("count").desc()).first().cluster
+    victims = [r.vec_id for r in
+               asg.where(F.col("cluster") == some).limit(2).collect()]
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("cluster=")
+    }
+    ivf_update(spark, path, "vec_id", "embedding", ids_removed=victims)
+    after = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("cluster=")
+    }
+    changed = {d for d in before if after[d] != before[d]}
+    assert changed == {f"cluster={some}"}
+
+    # step 2: adds compose with removals; end state equals assigning the
+    # FINAL row set against the build-time centroids
+    added = emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    ivf_update(spark, path, "vec_id", "embedding", items_added=added)
+
+    got = ivf_search(spark, path, "vec_id", "embedding", q, 10, nprobe=4,
+                     select_cols=["vec_id"], round_to=9)
+    final = emb.where(
+        (F.col("vec_id") < 450) & ~F.col("vec_id").isin(victims)
+    )
+    mem = ivf_topk(final, "vec_id", "embedding", q, 10, nprobe=4,
+                   centroids=cents, select_cols=["vec_id"], round_to=9)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+
+
+def test_ivf_update_empties_cluster_directory(spark, emb, tmp_path):
+    import os
+
+    from vector_store_spark.operators.ivf import ivf_assign, ivf_build, ivf_update
+
+    path = str(tmp_path / "ivf_empty")
+    base = emb.where(F.col("vec_id") < 200)
+    cents = ivf_build(base, "vec_id", "embedding", path, k_centroids=4)
+    asg = ivf_assign(base, "vec_id", "embedding", cents)
+    # remove EVERY member of one cluster
+    target = asg.groupBy("cluster").count().orderBy("count", "cluster").first().cluster
+    victims = [r.vec_id for r in asg.where(F.col("cluster") == target).collect()]
+    ivf_update(spark, path, "vec_id", "embedding", ids_removed=victims)
+    assert not os.path.isdir(os.path.join(path, f"cluster={target}"))
+    left = spark.read.parquet(path)
+    assert left.where(F.col("vec_id").isin(victims)).count() == 0

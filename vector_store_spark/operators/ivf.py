@@ -221,6 +221,90 @@ def ivf_build(
     return cents
 
 
+def ivf_update(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    items_added: DataFrame | None = None,
+    ids_removed: list | None = None,
+) -> None:
+    """Incremental CRUD on a persisted IVF layout (the vs_index add/remove
+    surface, usearch.rs — vectors are added to / removed from the committed
+    index without a rebuild; centroids stay the trained artifacts from the
+    build, exactly as USearch never re-trains on CRUD).
+
+    Added vectors are assigned against the sidecar centroids and appended to
+    their cluster directories; removals are anti-joined out. Only TOUCHED
+    cluster directories are rewritten (dynamic partition overwrite): the
+    clusters of added vectors plus the clusters holding removed ids — found
+    with an id-filtered scan (predicate pushdown), never a full-index
+    rewrite. An upsert is remove(id) + add(new row). Work is
+    O(touched clusters + changed rows), not O(index)."""
+    import json
+    import os
+
+    from vector_store_spark.sources.index_store import write_local_index
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    space = SpaceType(meta["space"])
+    cents = [(cid, cv) for cid, cv in meta["centroids"]]
+    index = spark.read.parquet(path)
+
+    removed_df = None
+    if ids_removed:
+        id_type = index.schema[id_col].dataType.simpleString()
+        removed_df = spark.createDataFrame(
+            [(g,) for g in ids_removed], f"{id_col} {id_type}"
+        )
+    if items_added is not None:
+        added_ids = items_added.select(id_col)
+        removed_df = (
+            added_ids if removed_df is None
+            else removed_df.unionByName(added_ids)
+        )
+
+    touched = set()
+    if removed_df is not None:
+        # which clusters hold the outgoing ids: id-filtered scan, pushed down
+        gone_clusters = (
+            index.join(F.broadcast(removed_df.distinct()), id_col, "left_semi")
+            .select("cluster").distinct().collect()
+        )
+        touched.update(r.cluster for r in gone_clusters)
+
+    assigned_new = None
+    if items_added is not None:
+        assigned_new = ivf_assign(
+            items_added, id_col, vec_col, cents,
+            space=space, n_assign=meta["n_assign"],
+        )
+        touched.update(
+            r.cluster for r in assigned_new.select("cluster").distinct().collect()
+        )
+    if not touched:
+        return
+
+    kept = index.where(F.col("cluster").isin(list(touched)))
+    if removed_df is not None:
+        kept = kept.join(F.broadcast(removed_df.distinct()), id_col, "left_anti")
+    out = kept
+    if assigned_new is not None:
+        out = kept.unionByName(assigned_new.select(*kept.columns))
+    out = out.cache()
+    remaining = {r.cluster for r in out.select("cluster").distinct().collect()}
+    write_local_index(out, path, ["cluster"])
+    out.unpersist()
+    # dynamic overwrite only rewrites partitions PRESENT in the output — a
+    # cluster emptied by removals must have its directory dropped explicitly
+    # (the W4 partition-lifecycle delete)
+    import shutil
+
+    for cid in touched - remaining:
+        shutil.rmtree(os.path.join(path, f"cluster={cid}"), ignore_errors=True)
+
+
 def ivf_build_local(
     items: DataFrame,
     part_col: str,

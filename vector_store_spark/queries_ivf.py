@@ -146,6 +146,78 @@ def ann_ivf_persisted_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_updated_topk",
+    # incremental CRUD on the persisted layout: build on vec_id<800 (fixed
+    # centroids = 16 smallest ids of THAT set — they stay the trained
+    # artifacts through CRUD, as USearch never re-trains), then remove
+    # ids<50 and add 800..999; the oracle assigns the FINAL set against the
+    # BUILD-time centroids and probes/ranks identically
+    f"""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 800 ORDER BY vec_id LIMIT {K_CENTROIDS}),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 50),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(v, cv) /
+         (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "Incremental CRUD on the persisted IVF layout (usearch.rs add/remove "
+    "surface): removals anti-joined, additions assigned against the build's "
+    "fixed centroids, ONLY touched cluster directories rewritten",
+)
+def ann_ivf_updated_topk(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from vector_store_spark.operators.ivf import ivf_build, ivf_search, ivf_update
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def build(p):
+        ivf_build(
+            emb.where(SF.col("vec_id") < 800), "vec_id", "embedding", p,
+            k_centroids=K_CENTROIDS,
+        )
+        ivf_update(
+            spark, p, "vec_id", "embedding",
+            items_added=emb.where(SF.col("vec_id") >= 800),
+            ids_removed=list(range(50)),
+        )
+
+    path = _built(spark, sf_dir, "ivf_crud", build)
+    return ivf_search(
+        spark, path, "vec_id", "embedding", Q7, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
 _K_LOC, _NPROBE_LOC, _PART = 4, 2, 3
 
 
