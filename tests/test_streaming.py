@@ -147,3 +147,56 @@ def test_derived_partition_cols_prune_serving(spark, sf_dir, tmp_path):
     assert {r.pk for r in even.collect()} == {0, 2, 3, 4, 6, 8}
     rep = prune_report(even)
     assert any("cluster" in p for p in rep["partition_filters"])
+
+
+def test_derived_partition_stale_leaf_dropped_on_move(spark, tmp_path):
+    """When the ONLY row of a (bucket, cluster) leaf moves cluster (or dies),
+    dynamic overwrite cannot rewrite the now-empty leaf — the sink must drop
+    its directory or the old row would resurrect next to the new one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.streaming.cdc import CdcSnapshotSink
+
+    root = str(tmp_path)
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    os.makedirs(src)
+    schema = "op string, pk bigint, v double, ts bigint, seq bigint"
+
+    def parity_cluster(df):
+        return F.when(F.col("v").isNull(), F.lit(-1)).otherwise(
+            (F.col("v") % 2).cast("long")
+        )
+
+    sink = CdcSnapshotSink(
+        spark, snap, ["pk"], ["v"], num_buckets=1,
+        derived_partition_cols={"cluster": parity_cluster},
+    )
+    # pk=1 is the ONLY odd-v row: cluster=1 leaf has exactly one row
+    b1 = [("upsert", 1, 3.0, 100, 1), ("upsert", 2, 2.0, 100, 2)]
+    spark.createDataFrame(b1, schema).write.json(os.path.join(src, "b1"))
+    q = sink.start(
+        spark.readStream.schema(schema).json(os.path.join(src, "*")),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(300)
+    # move pk=1 to cluster 0 — the cluster=1 leaf becomes empty
+    spark.createDataFrame(
+        [("upsert", 1, 4.0, 200, 9)], schema
+    ).write.json(os.path.join(src, "b2"))
+    q = sink.start(
+        spark.readStream.schema(schema).json(os.path.join(src, "*")),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(300)
+
+    live = sink.live_view("v").collect()
+    assert {(r.pk, r.v, r.cluster) for r in live} == {(1, 4.0, 0), (2, 2.0, 0)}
+    # exactly one row for pk=1 — the stale cluster=1 copy is gone
+    assert sum(1 for r in live if r.pk == 1) == 1
+    bucket_dirs = [
+        os.path.join(snap, d) for d in os.listdir(snap) if d.startswith("_bucket=")
+    ]
+    leaves = {e for b in bucket_dirs for e in os.listdir(b) if e.startswith("cluster=")}
+    assert "cluster=1" not in leaves

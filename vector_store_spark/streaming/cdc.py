@@ -183,6 +183,8 @@ class CdcSnapshotSink:
         ).withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets))
         for name, fn in self.derived_partition_cols.items():
             merged = merged.withColumn(name, fn(merged))
+        if self.derived_partition_cols:
+            merged = merged.cache()
 
         # rewrite only the affected buckets (dynamic partition overwrite)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -192,6 +194,35 @@ class CdcSnapshotSink:
             .partitionBy(BUCKET_COL, *self.derived_partition_cols)
             .parquet(self.snapshot_dir)
         )
+        if self.derived_partition_cols:
+            # dynamic overwrite only rewrites leaves PRESENT in the output: a
+            # (bucket, derived…) leaf whose last row moved away or died would
+            # keep its stale files and resurrect old rows — drop such leaves
+            # of the affected buckets explicitly (W4 partition lifecycle)
+            import shutil
+
+            names = list(self.derived_partition_cols)
+            present = {
+                tuple(str(v) for v in r)
+                for r in merged.select(BUCKET_COL, *names).distinct().collect()
+            }
+            merged.unpersist()
+
+            def _prune_stale(d: str, vals: tuple) -> None:
+                level = len(vals) - 1  # vals[0] is the bucket
+                if level == len(names):
+                    if vals not in present:
+                        shutil.rmtree(d, ignore_errors=True)
+                    return
+                prefix = names[level] + "="
+                for e in os.listdir(d):
+                    if e.startswith(prefix):
+                        _prune_stale(os.path.join(d, e), vals + (e[len(prefix):],))
+
+            for b in affected:
+                bdir = os.path.join(self.snapshot_dir, f"{BUCKET_COL}={b}")
+                if os.path.isdir(bdir):
+                    _prune_stale(bdir, (str(b),))
 
     def start(
         self,
