@@ -151,3 +151,35 @@ def test_streaming_index_serves_through_fts_engine(spark):
     out = eng.bm25("live", "spark", limit=5)
     assert set(out.primary_keys["doc_id"]) == {1, 3}
     assert len(out.scores) == 2
+
+
+def test_emptied_bucket_leaves_dropped(spark):
+    """Removing every doc of a bucket (with tombstone GC past the horizon)
+    must delete the bucket's postings AND doclens leaves — dynamic overwrite
+    cannot rewrite an empty leaf, so stale files would otherwise survive."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="fts_empty_t_")
+    src, ix, ckpt = (os.path.join(root, d) for d in ("src", "ix", "ckpt"))
+    os.makedirs(src)
+    # single bucket: deleting the only doc empties it entirely
+    sink = FtsStreamSink(spark, ix, num_buckets=1, gc_tombstones_before=10_000)
+    batches = [
+        [("upsert", 1, "alpha beta", 100, 1)],
+        [("delete", 1, None, 200, 2)],  # ts < GC horizon: tombstone dropped too
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").json(
+            os.path.join(src, f"b{i}")
+        )
+        q = sink.start(
+            spark.readStream.schema(SCHEMA).json(os.path.join(src, "*")),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(300)
+    for d in (sink.postings_dir, sink.doclens_dir):
+        leaves = [e for e in os.listdir(d) if e.startswith("_bucket=")] if os.path.isdir(d) else []
+        assert leaves == [], f"stale leaves in {d}: {leaves}"
+    ix2 = sink.serving_index()
+    assert ix2.n_docs == 0

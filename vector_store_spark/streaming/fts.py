@@ -164,15 +164,28 @@ class FtsStreamSink:
         new_doclens = new_doclens.unionByName(tombstones)
 
         # ---- rewrite ONLY the affected buckets ----------------------------
+        import shutil
+
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         for df, d in ((new_postings, self.postings_dir), (new_doclens, self.doclens_dir)):
+            df = df.withColumn(
+                BUCKET_COL, _bucket_expr("doc_id", self.num_buckets)
+            ).cache()
             (
-                df.withColumn(BUCKET_COL, _bucket_expr("doc_id", self.num_buckets))
-                .repartition(max(1, len(affected)), F.col(BUCKET_COL))
+                df.repartition(max(1, len(affected)), F.col(BUCKET_COL))
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(d)
             )
+            # dynamic overwrite only rewrites buckets PRESENT in the output —
+            # an affected bucket whose last row disappeared (all docs removed
+            # / tombstones GC'd) would keep stale files; drop those leaves
+            present = {r[0] for r in df.select(BUCKET_COL).distinct().collect()}
+            df.unpersist()
+            for b in set(affected) - present:
+                shutil.rmtree(
+                    os.path.join(d, f"{BUCKET_COL}={b}"), ignore_errors=True
+                )
         winner.unpersist()
         latest.unpersist()
 
@@ -192,15 +205,25 @@ class FtsStreamSink:
     def serving_index(self):
         """Reopen the store as a queryable FtsIndex (the committed-searcher
         step): live docs only, stats re-aggregated (metadata-sized), both
-        sides co-partitioned on doc_id like a fresh build."""
+        sides co-partitioned on doc_id like a fresh build. A store whose
+        every doc was removed (and tombstones GC'd) has no parquet files
+        left — serve a typed empty index rather than failing schema
+        inference."""
         from vector_store_spark.operators.bm25 import FtsIndex, _copartition
 
-        doclens = (
-            self.spark.read.parquet(self.doclens_dir)
-            .where(F.col("dl").isNotNull())
-            .select("doc_id", "dl")
-        )
-        postings = self.spark.read.parquet(self.postings_dir).drop(BUCKET_COL)
+        if self._exists(self.doclens_dir):
+            doclens = self.spark.read.parquet(self.doclens_dir)
+        else:
+            doclens = self.spark.createDataFrame(
+                [], "doc_id bigint, dl int, ts bigint"
+            )
+        doclens = doclens.where(F.col("dl").isNotNull()).select("doc_id", "dl")
+        if self._exists(self.postings_dir):
+            postings = self.spark.read.parquet(self.postings_dir).drop(BUCKET_COL)
+        else:
+            postings = self.spark.createDataFrame(
+                [], "term string, doc_id bigint, tf bigint, positions array<int>"
+            )
         doclens = _copartition(doclens).cache()
         postings = _copartition(postings).cache()
         n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
