@@ -301,11 +301,12 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
     re-aggregated on load (metadata-sized)."""
     import os
 
-    from vector_store_spark.sources.index_store import write_local_index
+    from vector_store_spark.sources.index_store import fresh_dir, write_local_index
 
     postings = index.postings.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
+    fresh_dir(os.path.join(path, "postings"))  # full persist, not incremental
     write_local_index(postings, os.path.join(path, "postings"), ["term_bucket"])
     spark = index.doclens.sparkSession
     tbl = _doclens_table(path)

@@ -202,13 +202,14 @@ def ivf_build(
     import json
     import os
 
-    from vector_store_spark.sources.index_store import write_local_index
+    from vector_store_spark.sources.index_store import fresh_dir, write_local_index
 
     if trained:
         cents = ivf_centroids_trained(items, vec_col, k_centroids, space=space, seed=seed)
     else:
         cents = ivf_centroids(items, id_col, vec_col, k_centroids)
     assigned = ivf_assign(items, id_col, vec_col, cents, space=space, n_assign=n_assign)
+    fresh_dir(path)  # full build: stale cluster dirs from a prior build must go
     write_local_index(assigned, path, ["cluster"])
     meta = {
         "space": space.value,
@@ -333,7 +334,7 @@ def ivf_build_local(
     import pandas as pd
     from pyspark.sql import Window
 
-    from vector_store_spark.sources.index_store import write_local_index
+    from vector_store_spark.sources.index_store import fresh_dir, write_local_index
 
     if space != SpaceType.COSINE:
         raise ValueError("ivf_build_local supports cosine (add spaces as needed)")
@@ -372,6 +373,7 @@ def ivf_build_local(
     assigned = items.withColumn(
         "cluster", assign_udf(F.col(part_col), F.col(vec_col).cast("array<double>"))
     )
+    fresh_dir(path)
     write_local_index(assigned, path, [part_col, "cluster"])
     meta = {
         "space": space.value,

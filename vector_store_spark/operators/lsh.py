@@ -97,7 +97,7 @@ def lsh_build(
     import json
     import os
 
-    from vector_store_spark.sources.index_store import write_local_index
+    from vector_store_spark.sources.index_store import fresh_dir, write_local_index
 
     dims = items.select(
         F.size(F.col(vec_col).cast("array<double>")).alias("d")
@@ -107,6 +107,7 @@ def lsh_build(
     banded = items.select(
         "*", F.posexplode(F.array(*buckets)).alias("band", "bucket")
     )
+    fresh_dir(path)  # full build: stale band/bucket dirs from a prior build must go
     write_local_index(banded, path, ["band", "bucket"])
     with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
         json.dump({"dims": dims, "num_bits": num_bits, "bands": bands, "seed": seed}, f)

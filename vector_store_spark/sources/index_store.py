@@ -24,6 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fresh_dir(path: str) -> None:
+    """Full-(re)build semantics: dynamic partition overwrite only rewrites
+    partitions present in the new output, so a prior build's directories the
+    new layout doesn't produce (fewer clusters, different buckets) would
+    survive and serve stale rows — full builds start from an empty dir."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def write_local_index(
     df: DataFrame,
     path: str,
