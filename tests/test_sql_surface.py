@@ -70,3 +70,28 @@ def test_sql_similarity_mappings(spark):
         "vs_hamming_similarity(16D, 64) AS h"
     ).first()
     assert row.c == 0.75 and row.l == 0.25 and row.h == 0.75
+
+
+def test_sql_bm25_matches_executor(spark, sf_dir):
+    """register_fts_sql: the SQL macro + views compute the same scores as the
+    DataFrame executor, bit-for-bit, for a single-term query."""
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.bm25 import bm25_search, build_fts_index
+    from vector_store_spark.sql import register_fts_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix = build_fts_index(docs, "doc_id", "text")
+    register_fts_sql(spark, ix, prefix="ftst")
+    got = spark.sql("""
+        SELECT p.doc_id, round(ftst_bm25_score(
+                 CAST(p.tf AS DOUBLE), CAST(d.dl AS DOUBLE), CAST(f.df AS DOUBLE)
+               ), 9) AS score
+        FROM ftst_postings p
+        JOIN ftst_doclens d USING (doc_id)
+        JOIN ftst_dfreq  f USING (term)
+        WHERE p.term = 'table'
+        ORDER BY score DESC, doc_id LIMIT 10
+    """).collect()
+    mem = bm25_search(ix, "table", 10, round_to=9).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in mem]

@@ -127,6 +127,35 @@ def bm25_phrase(spark, sf_dir):
 
 
 @register(
+    "bm25_sql_topk",
+    f"""
+WITH {_BASE_CTES}
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM term_scores WHERE term = 'vector'
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "The /bm25 experience as plain Spark SQL: index views + an inlined "
+    "bm25-score SQL macro (no Python boundary) — same values as the "
+    "DataFrame executor",
+)
+def bm25_sql_topk(spark, sf_dir):
+    from vector_store_spark.sql import register_fts_sql
+
+    ix = _index(spark, sf_dir)
+    register_fts_sql(spark, ix, prefix="ftsq")
+    return spark.sql(f"""
+        SELECT p.doc_id, round(ftsq_bm25_score(
+                 CAST(p.tf AS DOUBLE), CAST(d.dl AS DOUBLE), CAST(f.df AS DOUBLE)
+               ), {ROUND}) AS score
+        FROM ftsq_postings p
+        JOIN ftsq_doclens d USING (doc_id)
+        JOIN ftsq_dfreq  f USING (term)
+        WHERE p.term = 'vector'
+        ORDER BY score DESC, doc_id LIMIT 10
+    """)
+
+
+@register(
     "fts_stats",
     f"""
 WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents)

@@ -65,3 +65,31 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) RETURNS {ret} RETURN {body}"
         )
     return list(_FUNCTIONS)
+
+
+def register_fts_sql(spark: SparkSession, index, prefix: str = "fts") -> None:
+    """The BM25 half of the SQL experience: expose a built FtsIndex as temp
+    views (`{prefix}_postings`, `{prefix}_doclens`, `{prefix}_dfreq`) plus a
+    `{prefix}_bm25_score(tf, dl, df)` SQL macro closed over the corpus stats
+    (N, avgdl are build-time scalars, folded at analysis). After this, the
+    reference's `/bm25` query is plain Spark SQL:
+
+        SELECT p.doc_id, {prefix}_bm25_score(p.tf, d.dl, f.df) AS score
+        FROM {prefix}_postings p
+        JOIN {prefix}_doclens d USING (doc_id)
+        JOIN {prefix}_dfreq  f USING (term)
+        WHERE p.term = 'spark'
+        ORDER BY score DESC, doc_id LIMIT 10
+
+    The macro inlines (no Python boundary); joins keep the index's doc_id
+    co-partitioning. Idempotent per prefix."""
+    index.postings.drop("term_bucket").createOrReplaceTempView(f"{prefix}_postings")
+    index.doclens.createOrReplaceTempView(f"{prefix}_doclens")
+    index.df_by_term.createOrReplaceTempView(f"{prefix}_dfreq")
+    n, avgdl = float(index.n_docs), float(index.avgdl)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {prefix}_bm25_score"
+        "(tf DOUBLE, dl DOUBLE, df DOUBLE) RETURNS DOUBLE RETURN "
+        f"ln(1D + ({n!r}D - df + 0.5D) / (df + 0.5D)) * "
+        f"(tf * 2.2D) / (tf + 1.2D * (1D - 0.75D + 0.75D * dl / {avgdl!r}D))"
+    )
