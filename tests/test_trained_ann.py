@@ -395,3 +395,52 @@ def test_ivf_update_empties_cluster_directory(spark, emb, tmp_path):
     assert not os.path.isdir(os.path.join(path, f"cluster={target}"))
     left = spark.read.parquet(path)
     assert left.where(F.col("vec_id").isin(victims)).count() == 0
+
+
+def test_ivf_update_local_isolates_partitions(spark, emb, tmp_path):
+    """CRUD on one partition's sub-index: equivalence vs that partition's
+    fixed centroids over its final row set, and EVERY other partition's
+    directory tree untouched (per-partition index isolation)."""
+    import os
+
+    from vector_store_spark.operators.ivf import (
+        ivf_build_local,
+        ivf_search_local,
+        ivf_topk,
+        ivf_update_local,
+    )
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "ivf_local_crud")
+    base = emb.where(F.col("vec_id") < 400)
+    parts = ivf_build_local(base, "label", "vec_id", "embedding", path, k_centroids=4)
+    target = 3
+    assert target in parts
+
+    def mtimes(exclude_part):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("label=") and d != f"label={exclude_part}":
+                pdir = os.path.join(path, d)
+                for c in os.listdir(pdir):
+                    out[f"{d}/{c}"] = os.path.getmtime(os.path.join(pdir, c))
+        return out
+
+    before = mtimes(target)
+    in_part = emb.where((F.col("label") == target) & (F.col("vec_id") >= 400))
+    victims = [r.vec_id for r in
+               base.where(F.col("label") == target).limit(3).collect()]
+    ivf_update_local(spark, path, target, "vec_id", "embedding",
+                     items_added=in_part, ids_removed=victims)
+    assert mtimes(target) == before  # other partitions untouched
+
+    got = ivf_search_local(spark, path, target, "vec_id", "embedding", q, 10,
+                           nprobe=2, select_cols=["vec_id"], round_to=9)
+    final = emb.where(
+        (F.col("label") == target)
+        & ((F.col("vec_id") < 400) | (F.col("vec_id") >= 400))
+        & ~F.col("vec_id").isin(victims)
+    )
+    mem = ivf_topk(final, "vec_id", "embedding", q, 10, nprobe=2,
+                   centroids=parts[target], select_cols=["vec_id"], round_to=9)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]

@@ -389,6 +389,89 @@ def ivf_build_local(
     return by_part
 
 
+def ivf_update_local(
+    spark,
+    path: str,
+    part_value,
+    id_col: str,
+    vec_col: str,
+    items_added: DataFrame | None = None,
+    ids_removed: list | None = None,
+) -> None:
+    """Incremental CRUD on ONE partition's sub-index (the local twin of
+    :func:`ivf_update`): additions are assigned against THAT partition's own
+    centroids from the sidecar, removals anti-joined out, and only the
+    touched (partition, cluster) directories are rewritten — other
+    partitions' sub-indexes are untouched, exactly the reference's
+    per-partition index isolation (usearch.rs:815-864)."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from vector_store_spark.sources.index_store import write_local_index
+
+    with open(os.path.join(path, "_ivf_local_meta.json")) as f:
+        meta = json.load(f)
+    part_col = meta["part_col"]
+    cents = None
+    for pv, cs in meta["partitions"]:
+        if pv == part_value:
+            cents = [(cid, cv) for cid, cv in cs]
+            break
+    if cents is None:
+        raise KeyError(f"no sub-index for partition {part_value!r}")
+    space = SpaceType(meta["space"])
+
+    part_rows = spark.read.parquet(path).where(F.col(part_col) == part_value)
+    removed_df = None
+    if ids_removed:
+        id_type = part_rows.schema[id_col].dataType.simpleString()
+        removed_df = spark.createDataFrame(
+            [(g,) for g in ids_removed], f"{id_col} {id_type}"
+        )
+    if items_added is not None:
+        items_added = items_added.where(F.col(part_col) == part_value)
+        added_ids = items_added.select(id_col)
+        removed_df = (
+            added_ids if removed_df is None else removed_df.unionByName(added_ids)
+        )
+
+    touched = set()
+    if removed_df is not None:
+        gone = (
+            part_rows.join(F.broadcast(removed_df.distinct()), id_col, "left_semi")
+            .select("cluster").distinct().collect()
+        )
+        touched.update(r.cluster for r in gone)
+    assigned_new = None
+    if items_added is not None:
+        assigned_new = ivf_assign(items_added, id_col, vec_col, cents, space=space)
+        touched.update(
+            r.cluster for r in assigned_new.select("cluster").distinct().collect()
+        )
+    if not touched:
+        return
+
+    kept = part_rows.where(F.col("cluster").isin(list(touched)))
+    if removed_df is not None:
+        kept = kept.join(F.broadcast(removed_df.distinct()), id_col, "left_anti")
+    out = kept
+    if assigned_new is not None:
+        out = kept.unionByName(assigned_new.select(*kept.columns))
+    out = out.cache()
+    remaining = {r.cluster for r in out.select("cluster").distinct().collect()}
+    write_local_index(out, path, [part_col, "cluster"])
+    out.unpersist()
+    for cid in touched - remaining:
+        shutil.rmtree(
+            os.path.join(path, f"{part_col}={part_value}", f"cluster={cid}"),
+            ignore_errors=True,
+        )
+
+
 def ivf_search_local(
     spark,
     path: str,
