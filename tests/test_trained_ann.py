@@ -444,3 +444,29 @@ def test_ivf_update_local_isolates_partitions(spark, emb, tmp_path):
     mem = ivf_topk(final, "vec_id", "embedding", q, 10, nprobe=2,
                    centroids=parts[target], select_cols=["vec_id"], round_to=9)
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+
+
+def test_ivf_update_with_multiple_assignment(spark, emb, tmp_path):
+    """CRUD on an ma2 build: a removed vector's BOTH cluster copies must go,
+    and added vectors get both their copies — end state equals in-memory ma2
+    IVF over the final row set with the build's centroids."""
+    from vector_store_spark.operators.ivf import ivf_build, ivf_search, ivf_topk, ivf_update
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "ivf_ma_crud")
+    base = emb.where(F.col("vec_id") < 400)
+    cents = ivf_build(base, "vec_id", "embedding", path, k_centroids=8, n_assign=2)
+    ivf_update(
+        spark, path, "vec_id", "embedding",
+        items_added=emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)),
+        ids_removed=list(range(10)),
+    )
+    got = ivf_search(spark, path, "vec_id", "embedding", q, 10, nprobe=4,
+                     select_cols=["vec_id"], round_to=9)
+    final = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 450))
+    mem = ivf_topk(final, "vec_id", "embedding", q, 10, nprobe=4,
+                   centroids=cents, n_assign=2, select_cols=["vec_id"], round_to=9)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+    # no removed id anywhere in the index (both ma copies purged)
+    left = spark.read.parquet(path)
+    assert left.where(F.col("vec_id") < 10).count() == 0
