@@ -470,3 +470,39 @@ def test_ivf_update_with_multiple_assignment(spark, emb, tmp_path):
     # no removed id anywhere in the index (both ma copies purged)
     left = spark.read.parquet(path)
     assert left.where(F.col("vec_id") < 10).count() == 0
+
+
+def test_persisted_ivfpq_codes_only_layout(spark, emb, tmp_path):
+    """The persisted IVF-PQ layout stores ONLY (id, pq_code) per cluster —
+    no full-precision vectors on the candidate path — yet the probe-pruned
+    ADC search (and the rescored variant) matches the in-memory composition."""
+    from vector_store_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+    from vector_store_spark.sources.index_store import prune_report
+
+    q = det_query_vector(31, 64)
+    path = str(tmp_path / "ivfpq_ix")
+    cents, cb = ivfpq_build(
+        emb, "vec_id", "embedding", path, k_centroids=8, m_sub=8, k_codes=16
+    )
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "pq_code", "cluster"}
+
+    got = ivfpq_search(spark, path, emb, "vec_id", "embedding", q, 10,
+                       nprobe=4, select_cols=["vec_id"], round_to=9)
+    mem = ivfpq_topk(emb, "vec_id", "embedding", q, 10, nprobe=4,
+                     centroids=cents, codebook=cb,
+                     select_cols=["vec_id"], round_to=9)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+    rep = prune_report(got)
+    assert any("cluster" in p for p in rep["partition_filters"])
+
+    got_r = ivfpq_search(spark, path, emb, "vec_id", "embedding", q, 10,
+                         nprobe=4, rescore=4, select_cols=["vec_id"], round_to=9)
+    mem_r = ivfpq_topk(emb, "vec_id", "embedding", q, 10, nprobe=4,
+                       centroids=cents, codebook=cb, rescore=4,
+                       select_cols=["vec_id"], round_to=9)
+    assert [r.vec_id for r in got_r.collect()] == [r.vec_id for r in mem_r.collect()]

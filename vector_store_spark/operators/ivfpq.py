@@ -100,6 +100,125 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_build(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    k_centroids: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    trained: bool = False,
+    n_assign: int = 1,
+    seed: int = 42,
+) -> tuple:
+    """Persist the IVF-PQ memory-tier layout: parquet ``partitionBy(cluster)``
+    storing ONLY (id, pq_code) — m_sub bytes per vector instead of the full-
+    precision array, so candidate scans read codes, never vectors (those stay
+    in the source table for the rescore/back-join point lookup). This is the
+    on-disk shape where 100 TB of vectors stops fitting hot storage: probes
+    prune cluster directories AND each candidate row is ~64× narrower.
+    Centroids + codebook go to a ``_ivfpq_meta.json`` sidecar. Returns
+    (centroids, codebook)."""
+    import json
+    import os
+
+    from vector_store_spark.operators.ivf import ivf_centroids_trained
+    from vector_store_spark.operators.pq import pq_codebook_trained
+    from vector_store_spark.sources.index_store import fresh_dir, write_local_index
+
+    if trained:
+        cents = ivf_centroids_trained(
+            items, vec_col, k_centroids, space=SpaceType.EUCLIDEAN, seed=seed
+        )
+        cb = pq_codebook_trained(items, id_col, vec_col, m_sub, k_codes, seed=seed)
+    else:
+        cents = ivf_centroids(items, id_col, vec_col, k_centroids)
+        cb = pq_codebook(items, id_col, vec_col, m_sub, k_codes)
+    assigned = ivf_assign(
+        items, id_col, vec_col, cents, space=SpaceType.EUCLIDEAN, n_assign=n_assign
+    )
+    encoded = pq_encode(assigned, vec_col, cb).select(id_col, "cluster", "pq_code")
+    fresh_dir(path)
+    write_local_index(encoded, path, ["cluster"])
+    meta = {
+        "m_sub": m_sub,
+        "n_assign": n_assign,
+        "k_centroids": k_centroids,
+        "centroids": [[cid, list(map(float, cv))] for cid, cv in cents],
+        "codebook": np.asarray(cb, dtype=np.float64).tolist(),
+    }
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return cents, cb
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    nprobe: int = 4,
+    rescore: int = 0,
+    select_cols: list | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: probe the sidecar centroids (driver-
+    side), scan ONLY the probed cluster directories' (id, pq_code) rows
+    (partition pruning + 8-byte rows), ADC-score against the query LUT, then
+    back-join the k (or k·rescore, exact-re-ranked) winners to the source
+    table for payload columns — the J1 id→key point lookup, broadcast because
+    the shortlist is result-sized."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    cents = [(cid, cv) for cid, cv in meta["centroids"]]
+    cb = np.asarray(meta["codebook"], dtype=np.float64)
+    probes = ivf_probe(cents, query, nprobe, space=SpaceType.EUCLIDEAN)
+    cand = spark.read.parquet(path).where(F.col("cluster").isin(probes))
+    if meta["n_assign"] > 1:
+        cand = cand.dropDuplicates([id_col])
+    lut = pq_adc_lut(cb, query)
+    dist = pq_adc_distance("pq_code", lut)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    cols = select_cols or [id_col]
+    shortlist = (
+        cand.withColumn("distance", dist)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(rescore * k if rescore > 0 else k)
+        .select(id_col, "distance")
+    )
+    if rescore > 0:
+        from vector_store_spark.functions.distance import distance_expr, vector_lit
+
+        exact = distance_expr(
+            SpaceType.EUCLIDEAN, F.col(vec_col).cast("array<double>"), vector_lit(query)
+        )
+        if round_to is not None:
+            exact = F.round(exact, round_to)
+        rej = items.join(F.broadcast(shortlist.select(id_col)), id_col)
+        return (
+            rej.withColumn("distance", exact)
+            .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(*cols, "distance")
+        )
+    back = items.select(*dict.fromkeys([*cols, id_col])).join(
+        F.broadcast(shortlist), id_col
+    )
+    return (
+        back.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .select(*cols, "distance")
+        .limit(k)
+    )
+
+
 def residual_expr_udf(centroids: list):
     """(cluster, vector) -> vector - centroid[cluster], Arrow-batched.
     Float64 elementwise subtraction — bit-identical to the oracle's

@@ -521,6 +521,93 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivfpq_persisted_topk",
+    # identical result contract to ann_ivfpq_topk: the persisted round-trip
+    # (build -> partitionBy(cluster) parquet of (id, pq_code) ONLY -> probe-
+    # pruned ADC over stored codes -> back-join payload) must not change a
+    # single value
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {K_CENTROIDS}
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+l2 AS (
+  SELECT e.vec_id, c.cid, {_L2S.format(a="v", b="cv")} AS d
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM l2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY {_L2S.format(a="cv", b=sql_vec(Q31))}, cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT vec_id FROM asg WHERE cid IN (SELECT cid FROM probe)
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {K_CODES}
+),
+subs AS (SELECT unnest(range(0, {M_SUB})) AS s),
+cbsub AS (
+  SELECT s, j, cv[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS cvs
+  FROM cb CROSS JOIN subs
+),
+esub AS (
+  SELECT vec_id, s, v[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS vs
+  FROM e CROSS JOIN subs
+  WHERE vec_id IN (SELECT vec_id FROM cand)
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY {_L2S.format(a="vs", b="cvs")}, j) AS rn
+    FROM esub JOIN cbsub USING (s)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s, j, {_L2S.format(a=_QSUB, b="cvs")} AS qd
+  FROM cbsub
+),
+adc AS (
+  SELECT vec_id, round(list_sum(list(qd ORDER BY s)), {ROUND}) AS distance
+  FROM codes JOIN lut USING (s, j)
+  GROUP BY vec_id
+)
+SELECT e.vec_id, e.label, adc.distance
+FROM adc JOIN e ON e.vec_id = adc.vec_id
+ORDER BY distance, e.vec_id LIMIT 10
+""",
+    "Persisted IVF-PQ memory tier: partitionBy(cluster) parquet of (id, "
+    "pq_code) ONLY (~64x narrower rows) -> probe-pruned ADC over stored "
+    "codes -> back-join payload (J1 point lookup)",
+)
+def ann_ivfpq_persisted_topk(spark, sf_dir):
+    from vector_store_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "ivfpq",
+        lambda p: ivfpq_build(
+            emb, "vec_id", "embedding", p,
+            k_centroids=K_CENTROIDS, m_sub=M_SUB, k_codes=K_CODES,
+        ),
+    )
+    return ivfpq_search(
+        spark, path, emb, "vec_id", "embedding", Q31, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Residual IVF-PQ (IVFADC, Jegou et al. 2011 SIV): codes encode residuals
 # v - centroid(v); the query builds one LUT per probed cluster from its own
