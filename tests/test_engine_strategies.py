@@ -153,19 +153,100 @@ def test_engine_serves_persisted_ivf_and_lsh(spark, emb, tmp_path):
         assert out.distances == sorted(out.distances)
 
 
-def test_engine_persisted_rejects_residual_filter(spark, emb, tmp_path):
+def _filtering_meta():
+    import dataclasses
+
+    return dataclasses.replace(_meta(), filtering_columns=("label",))
+
+
+def test_engine_persisted_serves_residual_filter(spark, emb, tmp_path):
+    """Filtered ANN on the persisted serving layouts (usearch.rs:1108-1154:
+    the reference evaluates restrictions inside index traversal; here the
+    residual predicate is a pushed parquet filter composed with the
+    cluster/bucket partition pruning). Every returned row satisfies the
+    filter and matches the exact filtered answer at full probe width."""
+    from vector_store_spark.operators.ivf import ivf_build
+    from vector_store_spark.operators.lsh import lsh_build
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.types import Filter, Restriction, SpaceType
+
+    q = det_query_vector(7, 64)
+    ivf_path = str(tmp_path / "eng_ivf_f")
+    ivf_build(emb, "vec_id", "embedding", ivf_path, k_centroids=4)
+    lsh_path = str(tmp_path / "eng_lsh_f")
+    lsh_build(emb, "vec_id", "embedding", lsh_path, num_bits=4, bands=4)
+
+    flt = Filter(restrictions=(Restriction.eq("label", 1),), allow_filtering=True)
+    for strategy, path, opts in (
+        # nprobe = k_centroids: full probe, so the filtered result must
+        # EQUAL the exact filtered top-k (no recall slack in the assert)
+        ("ivf", ivf_path, {"path": ivf_path, "nprobe": 4}),
+        # 4 bands x 1 bit: a query probes 4 of 8 (band,bucket) leaves;
+        # assert filter correctness + containment in the exact ranking
+        ("lsh", lsh_path, {"path": lsh_path}),
+    ):
+        eng = VectorStoreEngine()
+        eng.register(emb, _filtering_meta(), strategy=strategy, strategy_opts=opts)
+        out = eng.ann("ks", "t", "embedding", q, 5, flt=flt)
+        got = out.primary_keys["vec_id"]
+        assert len(got) == 5
+        assert out.distances == sorted(out.distances)
+        exact = ann_topk(
+            emb.where("label = 1"), "embedding", q, 200, space=SpaceType.COSINE,
+            tie_break=["vec_id"], select_cols=["vec_id", "label"],
+        ).collect()
+        assert all(r.label == 1 for r in exact)
+        exact_ids = [r.vec_id for r in exact]
+        if strategy == "ivf":
+            assert got == exact_ids[:5]
+        else:
+            assert set(got) <= set(exact_ids)
+
+
+def test_engine_persisted_filter_plan_prunes_and_pushes(spark, emb, tmp_path):
+    """The filtered persisted probe must show BOTH pruning levels in the
+    scan: PartitionFilters on cluster (the probe) and PushedFilters on the
+    payload column (the residual predicate)."""
     from vector_store_spark.operators.ivf import ivf_build
     from vector_store_spark.types import Filter, Restriction
 
-    path = str(tmp_path / "eng_ivf2")
+    path = str(tmp_path / "eng_ivf_plan")
     ivf_build(emb, "vec_id", "embedding", path, k_centroids=8)
     eng = VectorStoreEngine()
-    meta = _meta()
-    eng.register(emb, meta, strategy="ivf", strategy_opts={"path": path})
+    eng.register(emb, _filtering_meta(), strategy="ivf",
+                 strategy_opts={"path": path, "nprobe": 2})
+    topk, _ = eng.ann_df(
+        "ks", "t", "embedding", det_query_vector(7, 64), 5,
+        flt=Filter(restrictions=(Restriction.eq("label", 1),), allow_filtering=True),
+    )
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "cluster" in scan.split("PartitionFilters")[1].split("]")[0]
+    pushed = scan.split("PushedFilters")[1].split("]")[0]
+    assert "label" in pushed and "EqualTo" in pushed
+
+
+def test_engine_persisted_applies_partition_restriction(spark, emb, tmp_path):
+    """Consumed partition-key Eq restrictions must constrain the persisted
+    probe too (they were silently dropped before): register with label as a
+    partition key and check every hit has the requested label."""
     import dataclasses
 
-    meta2 = dataclasses.replace(meta, filtering_columns=("label",))
-    eng.indexes[meta.index].state.metadata = meta2
-    with pytest.raises(FilterError):
-        eng.ann("ks", "t", "embedding", det_query_vector(7, 64), 5,
-                flt=Filter(restrictions=(Restriction.eq("label", 1),)))
+    from vector_store_spark.operators.ivf import ivf_build
+    from vector_store_spark.types import Filter, Restriction
+
+    path = str(tmp_path / "eng_ivf_pk")
+    ivf_build(emb, "vec_id", "embedding", path, k_centroids=4)
+    meta = dataclasses.replace(
+        _meta(), primary_key_columns=("label", "vec_id"), partition_key_count=1,
+        partitioning=("label",),
+    )
+    eng = VectorStoreEngine()
+    eng.register(emb, meta, strategy="ivf",
+                 strategy_opts={"path": path, "nprobe": 4})
+    topk, _ = eng.ann_df(
+        "ks", "t", "embedding", det_query_vector(7, 64), 5,
+        flt=Filter(restrictions=(Restriction.eq("label", 3),)),
+    )
+    rows = topk.collect()  # select_cols = PK columns, so label rides along
+    assert rows and all(r.label == 3 for r in rows)

@@ -35,6 +35,15 @@ from vector_store_spark.types import (
 )
 
 
+def _and(a, b):
+    """Conjunction of two optional boolean Columns (None = no constraint)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
 @dataclass
 class AnnResponse:
     """Column-oriented response shape (httpapi/src/lib.rs:376-381,
@@ -134,14 +143,20 @@ class VectorStoreEngine:
         if prune is not None:
             df = df.where(prune)
         predicate = restrictions_to_column(residual, ri.df.schema)
-        topk = self._strategy_topk(ri, df, meta, vector, limit, predicate)
+        topk = self._strategy_topk(ri, df, meta, vector, limit, predicate, prune)
         return topk, meta
 
-    def _strategy_topk(self, ri, df, meta, vector, limit, predicate) -> DataFrame:
+    def _strategy_topk(self, ri, df, meta, vector, limit, predicate, prune=None) -> DataFrame:
         """Dispatch over the strategy axis (§2.9). Approximate strategies
         filter before candidate generation — same observable semantics as the
         reference's predicate-inside-traversal (T2: top-k OF the filtered
-        set), since the candidate pool is drawn from filtered rows."""
+        set), since the candidate pool is drawn from filtered rows.
+
+        ``prune`` carries the consumed partition-key restrictions separately:
+        the in-memory strategies already see them applied to ``df``, but the
+        persisted ``path`` strategies re-read from disk and must re-apply
+        them there (composed with the residual predicate into one pushed
+        filter over the stored payload columns)."""
         if ri.strategy == "exact":
             return ann_topk(
                 df, meta.target_column, list(vector), limit,
@@ -166,30 +181,22 @@ class VectorStoreEngine:
             from vector_store_spark.operators.lsh import lsh_search, lsh_topk
 
             if "path" in opts:  # persisted band/bucket layout: pruned probe
-                if predicate is not None:
-                    raise FilterError(
-                        "persisted lsh serves unfiltered probes; register the "
-                        "in-memory strategy for residual filtering"
-                    )
                 o = {k: v for k, v in opts.items() if k != "path"}
                 return lsh_search(df.sparkSession, opts["path"], id_col,
                                   meta.target_column, list(vector), limit,
-                                  select_cols=select, **o)
+                                  select_cols=select,
+                                  predicate=_and(prune, predicate), **o)
             return lsh_topk(df, id_col, meta.target_column, list(vector), limit,
                             select_cols=select, **opts)
         if ri.strategy == "ivf":
             from vector_store_spark.operators.ivf import ivf_search, ivf_topk
 
             if "path" in opts:  # persisted cluster layout: probes prune partitions
-                if predicate is not None:
-                    raise FilterError(
-                        "persisted ivf serves unfiltered probes; register the "
-                        "in-memory strategy for residual filtering"
-                    )
                 o = {k: v for k, v in opts.items() if k != "path"}
                 return ivf_search(df.sparkSession, opts["path"], id_col,
                                   meta.target_column, list(vector), limit,
-                                  select_cols=select, **o)
+                                  select_cols=select,
+                                  predicate=_and(prune, predicate), **o)
             return ivf_topk(df, id_col, meta.target_column, list(vector), limit,
                             space=meta.space_type, select_cols=select, **opts)
         if ri.strategy == "pq":

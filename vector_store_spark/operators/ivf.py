@@ -483,11 +483,14 @@ def ivf_search_local(
     nprobe: int = 2,
     select_cols: list[str] | None = None,
     round_to: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Query ONE partition's sub-index: probe that partition's own centroids
     (driver-side, metadata-sized), scan only (part, probed clusters)
     directories — the partition Eq AND the cluster probe are both partition
-    pruning — then exact re-rank. The local twin of ivf_search."""
+    pruning — then exact re-rank. The local twin of ivf_search; ``predicate``
+    adds a residual payload filter (pushed, composing with both pruning
+    levels) for restricted local search."""
     import json
     import os
 
@@ -505,6 +508,8 @@ def ivf_search_local(
     candidates = spark.read.parquet(path).where(
         (F.col(meta["part_col"]) == part_value) & F.col("cluster").isin(probes)
     )
+    if predicate is not None:
+        candidates = candidates.where(predicate)
     return ann_topk(
         candidates, vec_col, query, k,
         space=space, tie_break=[id_col],
@@ -522,11 +527,20 @@ def ivf_search(
     nprobe: int = 4,
     select_cols: list[str] | None = None,
     round_to: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Query a persisted IVF index: probe against the sidecar centroids
     (driver-side, metadata-sized), scan ONLY the probed cluster directories
     (partition pruning — assert with sources.index_store.prune_report), exact
-    re-rank within candidates."""
+    re-rank within candidates.
+
+    ``predicate`` is an optional boolean Column over the stored payload
+    columns (the layout persists every item column alongside the vector):
+    filtered ANN on the serving index, the reference's restricted search
+    (crates/vector-store/src/vs_index/usearch.rs:1108-1154 evaluates
+    restrictions inside traversal; here the predicate is a pushed parquet
+    filter composed WITH the cluster partition pruning, and the top-k is of
+    the filtered candidate set — T2 semantics)."""
     import json
     import os
 
@@ -536,6 +550,8 @@ def ivf_search(
     cents = [(cid, cv) for cid, cv in meta["centroids"]]
     probes = ivf_probe(cents, query, nprobe, space=space)
     candidates = spark.read.parquet(path).where(F.col("cluster").isin(probes))
+    if predicate is not None:
+        candidates = candidates.where(predicate)
     if meta["n_assign"] > 1:
         candidates = candidates.dropDuplicates([id_col])
     return ann_topk(

@@ -122,12 +122,19 @@ def lsh_search(
     k: int,
     select_cols: list[str] | None = None,
     round_to: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Query a persisted LSH index: compute the query's band buckets
     driver-side (metadata-sized), scan ONLY the matching (band, bucket)
     directories (partition pruning — assert with
     sources.index_store.prune_report), dedupe candidates that share several
-    bands, exact cosine re-rank. Same candidate semantics as lsh_topk."""
+    bands, exact cosine re-rank. Same candidate semantics as lsh_topk.
+
+    ``predicate`` is an optional boolean Column over the stored payload
+    columns — filtered ANN on the serving index (usearch.rs:1108-1154
+    restricted traversal): a pushed parquet filter composed with the
+    band/bucket partition pruning; the top-k is of the filtered candidate
+    set (T2)."""
     import json
     import os
 
@@ -139,9 +146,10 @@ def lsh_search(
     for b, qv in enumerate(qb):
         c = (F.col("band") == b) & (F.col("bucket") == qv)
         cond = c if cond is None else (cond | c)
-    candidates = (
-        spark.read.parquet(path).where(cond).dropDuplicates([id_col])
-    )
+    scan = spark.read.parquet(path).where(cond)
+    if predicate is not None:
+        scan = scan.where(predicate)
+    candidates = scan.dropDuplicates([id_col])
     return ann_topk(
         candidates, vec_col, query, k,
         space=SpaceType.COSINE, tie_break=[id_col],

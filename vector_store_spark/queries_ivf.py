@@ -811,3 +811,90 @@ def ann_ivf_filtered_topk(spark, sf_dir):
         k_centroids=K_CENTROIDS, nprobe=NPROBE,
         select_cols=["vec_id", "label"], round_to=ROUND,
     )
+
+
+# T2 on the PERSISTED serving layouts (the reference's bread-and-butter
+# `WHERE ... ANN OF` against a committed index, usearch.rs:1108-1154): the
+# index is built on the FULL set, the probe prunes cluster/bucket
+# directories, and the residual predicate filters the candidate scan — a
+# pushed parquet filter composing with partition pruning. Top-k OF the
+# filtered candidates.
+
+
+@register(
+    "ann_ivf_persisted_filtered_topk",
+    f"""
+WITH {_ASG},
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe) AND {_FILT}
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "Filtered ANN on the persisted IVF serving layout (usearch.rs:1108-1154 "
+    "restricted traversal): full-set build, probe prunes cluster dirs, the "
+    "residual predicate is a pushed filter over the candidate scan",
+)
+def ann_ivf_persisted_filtered_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivf import ivf_build, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "ivf",
+        lambda p: ivf_build(emb, "vec_id", "embedding", p, k_centroids=K_CENTROIDS),
+    )
+    return ivf_search(
+        spark, path, "vec_id", "embedding", Q7, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("label").isin(2, 5, 7),
+    )
+
+
+@register(
+    "ann_lsh_persisted_filtered_topk",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (SELECT * FROM e WHERE ({_CAND_COND}) AND {_FILT}),
+scored AS (
+  SELECT vec_id, label,
+         round(1.0 - list_inner_product(e, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM cand
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "Filtered ANN on the persisted LSH serving layout: band/bucket partition "
+    "pruning AND a pushed residual predicate on the candidate scan, exact "
+    "re-rank of the filtered candidates",
+)
+def ann_lsh_persisted_filtered_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.lsh import lsh_build, lsh_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "lsh",
+        lambda p: lsh_build(emb, "vec_id", "embedding", p, num_bits=_BITS, bands=_LSH_BANDS),
+    )
+    return lsh_search(
+        spark, path, "vec_id", "embedding", Q7, 10,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("label").isin(2, 5, 7),
+    )
