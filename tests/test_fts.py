@@ -271,3 +271,70 @@ def test_read_fts_index_without_catalog_entry(spark, sf_dir, tmp_path):
     got = bm25_search(loaded, "vector", 10, round_to=9)
     mem = bm25_search(ix, "vector", 10, round_to=9)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_py_xxhash64_matches_spark(spark):
+    """functions/hashing is a bit-exact driver-side twin of F.xxhash64 over
+    strings (every tail-length path 0..40 bytes + multi-byte UTF-8), so
+    term-bucket resolution never needs a Spark job."""
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.functions.hashing import term_bucket, xxhash64_str
+
+    cases = (
+        ["", "a", "ab", "abc", "abcd", "abcde", "vector", "naïve", "日本語テキスト",
+         "off-heap", "ключ", "emoji😀tail"]
+        + ["x" * n for n in range(1, 41)]
+    )
+    rows = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s", F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(32)).cast("int").alias("b"),
+    ).collect()
+    for r in rows:
+        assert xxhash64_str(r.s) == r.h, r.s
+        assert term_bucket(r.s, 32) == r.b, r.s
+
+
+def test_executor_plan_construction_launches_no_jobs(spark, sf_dir, tmp_path):
+    """Bm25Executor.execute must be pure plan construction: zero Spark jobs
+    before an action on the result (the round-5 review's last
+    eager-action-in-compile, the per-term bucket lookup, is gone)."""
+    from vector_store_spark.operators.bm25 import (
+        Bm25Executor, build_fts_index, read_fts_index, write_fts_index,
+    )
+    from vector_store_spark.plans.fts_query import parse_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "fts_lazy")
+    write_fts_index(build_fts_index(docs, "doc_id", "text"), path)
+    loaded = read_fts_index(spark, path)
+    # force the stats/df_by_term caches eagerly so compile-time is isolated
+    loaded.df_by_term.count()
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    ex = Bm25Executor(loaded)
+    for q in ("vector", "table AND hash", '"table hash"',
+              "(vector OR batch) AND NOT slow"):
+        ex.execute(parse_query(q))
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "plan construction launched Spark jobs"
+
+
+def test_write_fts_index_idempotent(spark, sf_dir, tmp_path):
+    """Persisting twice to the same path must succeed (DROP TABLE leaves the
+    external doclens files; the writer clears the location) and serve the
+    same results."""
+    from vector_store_spark.operators.bm25 import (
+        bm25_search, build_fts_index, read_fts_index, write_fts_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix = build_fts_index(docs, "doc_id", "text")
+    path = str(tmp_path / "fts_rewrite")
+    write_fts_index(ix, path)
+    write_fts_index(ix, path)  # rewrite of the same path
+    loaded = read_fts_index(spark, path)
+    got = bm25_search(loaded, "vector", 10, round_to=9)
+    mem = bm25_search(ix, "vector", 10, round_to=9)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]

@@ -183,3 +183,28 @@ def test_emptied_bucket_leaves_dropped(spark):
         assert leaves == [], f"stale leaves in {d}: {leaves}"
     ix2 = sink.serving_index()
     assert ix2.n_docs == 0
+
+
+def test_equal_timestamp_replay_does_not_replace(spark):
+    """LWW tie-break parity with operators/lww.lww_merge: (ts, -seq) argmax.
+    A later batch's upsert at the SAME timestamp as the committed row must
+    LOSE (stored rows carry SNAPSHOT_SEQ=-1 → they win equal-ts ties), and
+    within one batch the SMALLEST seq wins on equal ts."""
+    sink = _run_batches(
+        spark,
+        [
+            [("upsert", 1, "original spark text", 100, 1)],
+            # equal-ts replay of doc 1 (higher seq) must not replace;
+            # doc 2 arrives twice in one batch at equal ts — seq 5 wins
+            [
+                ("upsert", 1, "replayed spark text", 100, 7),
+                ("upsert", 2, "first spark words", 200, 5),
+                ("upsert", 2, "second spark words", 200, 9),
+            ],
+        ],
+    )
+    docs, ix = _served_docs(sink)
+    assert docs == {1, 2}
+    terms = {r.term for r in ix.postings.collect()}
+    assert "original" in terms and "replayed" not in terms
+    assert "first" in terms and "second" not in terms

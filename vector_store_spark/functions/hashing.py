@@ -179,3 +179,88 @@ def hamming64_expr(a: Column, b: Column) -> Column:
 
 def hamming64_sql(a: str, b: str) -> str:
     return f"bit_count(xor({a}, {b}))"
+
+
+# ---------------------------------------------------------------------------
+# Driver-side twin of Spark's ``xxhash64`` expression.
+#
+# Spark's ``F.xxhash64(col)`` is standard XXH64 (Cyan4973/xxHash) with seed 42
+# over the value's byte representation — for strings, the UTF-8 bytes
+# (org.apache.spark.sql.catalyst.expressions.XxHash64 /
+# org.apache.spark.unsafe.hash.XXH64). Persisted FTS layouts partition
+# postings by ``pmod(xxhash64(term), num_buckets)``; resolving a query term's
+# bucket therefore needs this hash at PLAN time. Computing it here keeps
+# ``Bm25Executor`` plan construction free of Spark actions (no scheduler
+# round-trip per query term). Bit-exactness with the JVM expression is
+# asserted in tests/test_fts.py::test_py_xxhash64_matches_spark across ASCII,
+# multi-byte UTF-8, and length edge cases (0..40 bytes covers every tail
+# path).
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = 0xFFFFFFFFFFFFFFFF  # 64-bit wrap
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 of ``data``, returned as Spark's SIGNED 64-bit long."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i <= n - 32:
+            lane = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl((v1 + lane * _P2) & _M, 31) * _P1) & _M
+            lane = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl((v2 + lane * _P2) & _M, 31) * _P1) & _M
+            lane = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl((v3 + lane * _P2) & _M, 31) * _P1) & _M
+            lane = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl((v4 + lane * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = ((h * _P1) + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        k1 = (_rotl((lane * _P2) & _M, 31) * _P1) & _M
+        h = ((_rotl(h ^ k1, 27) * _P1) + _P4) & _M
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = ((_rotl(h ^ ((lane * _P1) & _M), 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_str(s: str, seed: int = 42) -> int:
+    """``F.xxhash64(string_col)`` twin: XXH64 over the UTF-8 bytes."""
+    return xxhash64_bytes(s.encode("utf-8"), seed)
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """``pmod(xxhash64(term), num_buckets)`` — the persisted-postings layout
+    key (operators/bm25.write_fts_index), resolved without a Spark job."""
+    return xxhash64_str(term) % num_buckets

@@ -179,14 +179,16 @@ class Bm25Executor:
         """Term lookup predicate; on a persisted index whose postings carry
         ``term_bucket``, the bucket equality prunes the scan to one directory
         before the term filter applies (the executor composes with the
-        write_fts_index layout for EVERY query shape, not just single terms)."""
+        write_fts_index layout for EVERY query shape, not just single terms).
+        The bucket is resolved DRIVER-SIDE (functions/hashing.term_bucket, a
+        bit-exact xxhash64 twin): plan construction launches zero Spark jobs,
+        keeping the executor's composition fully lazy."""
         cond = F.col("term") == term
         if "term_bucket" in self.ix.postings.columns:
+            from vector_store_spark.functions.hashing import term_bucket
+
             n = getattr(self.ix, "num_buckets", 32)
-            b = self.ix.postings.sparkSession.range(1).select(
-                F.pmod(F.xxhash64(F.lit(term)), F.lit(n)).cast("int").alias("b")
-            ).first().b
-            cond = (F.col("term_bucket") == b) & cond
+            cond = (F.col("term_bucket") == term_bucket(term, n)) & cond
         return cond
 
     def _term_postings(self, term: str) -> DataFrame:
@@ -310,7 +312,10 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
     write_local_index(postings, os.path.join(path, "postings"), ["term_bucket"])
     spark = index.doclens.sparkSession
     tbl = _doclens_table(path)
+    # DROP on an external table leaves its files; clear the location too or
+    # the CTAS below fails on a rewrite of the same path (idempotent persist)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    fresh_dir(os.path.join(path, "doclens_bucketed"))
     (
         index.doclens.repartition(num_buckets, F.col("doc_id"))
         .write.mode("overwrite")
@@ -360,13 +365,10 @@ def persisted_term_postings(spark, path: str, term: str, num_buckets: int = 32):
     reads one directory. Returns the matching postings DataFrame."""
     import pyspark.sql.functions as SF
 
-    bucket = None
-    # compute the bucket JVM-side for an exact xxhash64 match
-    one = spark.range(1).select(
-        SF.pmod(SF.xxhash64(SF.lit(term)), SF.lit(num_buckets)).cast("int").alias("b")
-    ).first()
-    bucket = one.b
+    from vector_store_spark.functions.hashing import term_bucket
+
     postings = spark.read.parquet(f"{path}/postings")
     return postings.where(
-        (SF.col("term_bucket") == bucket) & (SF.col("term") == term)
+        (SF.col("term_bucket") == term_bucket(term, num_buckets))
+        & (SF.col("term") == term)
     )

@@ -192,7 +192,7 @@ def _fts_endstate_oracle():
     from vector_store_spark.queries_fts import _BASE_CTES
     from vector_store_spark.registry import ROUND
 
-    final_set = "(SELECT * FROM documents WHERE doc_id >= 50 AND doc_id < 450)"
+    final_set = "(SELECT * FROM documents WHERE doc_id >= 50 AND doc_id < 460)"
     ctes = _BASE_CTES.replace("FROM documents", f"FROM {final_set}")
     return f"""
 WITH {ctes}
@@ -249,8 +249,31 @@ def stream_fts_endstate(spark, sf_dir):
         F.lit("stale vector vector vector text").alias("text"),
         F.lit(50).cast("bigint").alias("ts"), F.col("doc_id").alias("seq"),
     )
-    adds.unionByName(deletes).unionByName(stale).write.mode("append").json(
-        os.path.join(src, "b2")
+    # equal-TIMESTAMP replays of committed docs (ts=100 = the stored rows'
+    # ts, higher seq): "equal timestamp does not replace" — the stored text
+    # must survive, same tie-break as operators/lww.lww_merge
+    eq_replay = docs.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 400)).select(
+        F.lit("upsert").alias("op"), "doc_id",
+        F.lit("replay vector vector vector equal ts").alias("text"),
+        F.lit(100).cast("bigint").alias("ts"),
+        (F.col("doc_id") + 2_000_000).alias("seq"),
+    )
+    # within-batch equal-ts duplicates for NEW docs: the SMALLEST seq wins
+    # (lww_merge's (ts, -seq) argmax), so the original text lands
+    dup_lo = docs.where((F.col("doc_id") >= 450) & (F.col("doc_id") < 460)).select(
+        F.lit("upsert").alias("op"), "doc_id", "text",
+        F.lit(200).cast("bigint").alias("ts"), F.col("doc_id").alias("seq"),
+    )
+    dup_hi = docs.where((F.col("doc_id") >= 450) & (F.col("doc_id") < 460)).select(
+        F.lit("upsert").alias("op"), "doc_id",
+        F.lit("late duplicate vector text").alias("text"),
+        F.lit(200).cast("bigint").alias("ts"),
+        (F.col("doc_id") + 3_000_000).alias("seq"),
+    )
+    (
+        adds.unionByName(deletes).unionByName(stale)
+        .unionByName(eq_replay).unionByName(dup_lo).unionByName(dup_hi)
+        .write.mode("append").json(os.path.join(src, "b2"))
     )
     # second start, same checkpoint: only b2 is processed (W8 resume)
     stream2 = spark.readStream.schema(schema).json(os.path.join(src, "*"))

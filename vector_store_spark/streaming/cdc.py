@@ -200,13 +200,24 @@ class CdcSnapshotSink:
             # keep its stale files and resurrect old rows — drop such leaves
             # of the affected buckets explicitly (W4 partition lifecycle)
             import shutil
+            import urllib.parse
 
             names = list(self.derived_partition_cols)
+            # value space, not directory-name space: null stays None (its
+            # leaf is __HIVE_DEFAULT_PARTITION__), everything else str()'d
             present = {
-                tuple(str(v) for v in r)
+                tuple(None if v is None else str(v) for v in r)
                 for r in merged.select(BUCKET_COL, *names).distinct().collect()
             }
             merged.unpersist()
+
+            def _decode(leaf: str):
+                # invert Spark's Hive partition-path escaping: the null
+                # sentinel directory, then %XX percent-escapes (a literal %
+                # in a value is itself written as %25, so unquote round-trips)
+                if leaf == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                return urllib.parse.unquote(leaf)
 
             def _prune_stale(d: str, vals: tuple) -> None:
                 level = len(vals) - 1  # vals[0] is the bucket
@@ -217,7 +228,7 @@ class CdcSnapshotSink:
                 prefix = names[level] + "="
                 for e in os.listdir(d):
                     if e.startswith(prefix):
-                        _prune_stale(os.path.join(d, e), vals + (e[len(prefix):],))
+                        _prune_stale(os.path.join(d, e), vals + (_decode(e[len(prefix):]),))
 
             for b in affected:
                 bdir = os.path.join(self.snapshot_dir, f"{BUCKET_COL}={b}")

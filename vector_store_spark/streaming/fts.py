@@ -81,8 +81,10 @@ class FtsStreamSink:
         from pyspark.sql import Window
 
         ts, seq, op, did = self.ts_col, self.seq_col, self.op_col, self.id_col
-        # latest event per doc WITHIN the batch (micro-batches are unordered)
-        w = Window.partitionBy(did).orderBy(F.col(ts).desc(), F.col(seq).desc())
+        # latest event per doc WITHIN the batch (micro-batches are unordered):
+        # max (ts, -seq), i.e. seq ASC on equal ts — "equal timestamp does not
+        # replace", matching operators/lww.lww_merge exactly
+        w = Window.partitionBy(did).orderBy(F.col(ts).desc(), F.col(seq).asc())
         latest = (
             batch.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -111,10 +113,13 @@ class FtsStreamSink:
                 F.lit(None).cast("string").alias("_text"),
             )
             cand = cand.unionByName(stored_ev)
+        # winner = max (ts, -seq), the lww_merge ordering: SNAPSHOT_SEQ=-1
+        # gives stored rows negseq=+1, so committed state WINS equal-ts ties
+        # (a stale equal-timestamp replay cannot replace a committed doc)
         winner = cand.groupBy("doc_id").agg(
             F.max_by(
                 F.struct("_ts", "_seq", "_op", "_text"),
-                F.struct(F.col("_ts"), F.col("_seq")),
+                F.struct(F.col("_ts"), (-F.col("_seq")).alias("negseq")),
             ).alias("w")
         ).select("doc_id", "w.*")
         winner = winner.cache()
