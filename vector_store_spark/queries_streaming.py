@@ -512,3 +512,126 @@ def stream_cdc_ann_topk(spark, sf_dir):
         live, "emb", det_query_vector(7, 64), 10,
         tie_break=["pk"], select_cols=["pk"], round_to=ROUND,
     )
+
+
+def _alternator_endstate_oracle():
+    from vector_store_spark.registry import ROUND, det_query_vector, sql_vec
+
+    q = sql_vec(det_query_vector(7, 64))
+    # final vector per pk after b1+b2: pk%5==0 -> negated (ts=200 update),
+    # pk%13==0 -> corrupt blob (ts=250, decodes to NULL => unindexed, P8),
+    # pk%11==0 -> deleted (ts=300); stale zero-vector replays (ts=50) lose.
+    # The oracle scores the RAW embeddings: a PASS proves the tagged-blob
+    # encode->decode round-trip composes with LWW in the streaming path.
+    return f"""
+WITH base AS (
+  SELECT vec_id AS pk, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 400
+),
+final AS (
+  SELECT pk,
+         CASE WHEN pk % 5 = 0 THEN list_transform(emb, x -> -x) ELSE emb END AS emb
+  FROM base WHERE pk % 11 <> 0 AND pk % 13 <> 0
+),
+scored AS (
+  SELECT pk,
+         round(1.0 - list_inner_product(emb, {q}) /
+               (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product({q}, {q}))), {ROUND}) AS distance
+  FROM final
+)
+SELECT pk, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY distance, pk LIMIT 10
+"""
+
+
+@register(
+    "stream_alternator_endstate",
+    _alternator_endstate_oracle(),
+    "Alternator CONTINUOUS maintenance (db_index_backend.rs:37-62 read-back "
+    "+ vector.rs:62-129 tag decode, in the streaming path): ':attrs' "
+    "map<utf8,blob> CDC events (0x05 BE-f32 for even pks, 0x04 DynamoDB-JSON "
+    "for odd) -> decode-in-merge -> LWW snapshot across a checkpoint resume; "
+    "corrupt blobs decode to NULL and leave the index (P8), stale replays "
+    "lose, tombstones win; ANN top-k served from the live view",
+)
+def stream_alternator_endstate(spark, sf_dir):
+    from vector_store_spark.functions.alternator import (
+        TAG_DYNAMO_JSON,
+        attrs_vector,
+        encode_vector_udf,
+    )
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.registry import ROUND, det_query_vector
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    root = tempfile.mkdtemp(prefix="cdc_alt_")
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    os.makedirs(src)
+
+    def attrs_of(vec_col):
+        # both wire tags in one stream: 0x05 packed BE-f32 (even pks),
+        # 0x04 DynamoDB JSON {"L":[{"N":...}]} (odd pks)
+        blob = F.when(
+            F.col("pk") % 2 == 0, encode_vector_udf()(vec_col)
+        ).otherwise(encode_vector_udf(TAG_DYNAMO_JSON)(vec_col))
+        return F.create_map(F.lit("v"), blob)
+
+    base = emb.select(
+        F.lit("upsert").alias("op"), F.col("vec_id").alias("pk"),
+        F.col("embedding").alias("vec"),
+        F.lit(100).cast("bigint").alias("ts"), F.col("vec_id").alias("seq"),
+    ).select("op", "pk", attrs_of(F.col("vec")).alias("attrs"), "ts", "seq")
+    # parquet file source: binary map values round-trip natively
+    base.write.mode("append").parquet(os.path.join(src, "b1"))
+
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["emb"], num_buckets=8)
+    schema = "op string, pk bigint, attrs map<string,binary>, ts bigint, seq bigint"
+
+    def start(ckpt_dir):
+        stream = spark.readStream.schema(schema).parquet(os.path.join(src, "*"))
+        # decode-in-merge: the tagged blob becomes a typed vector INSIDE the
+        # micro-batch (Arrow-batched), so the snapshot stores decoded state
+        # and every downstream stage is identical to the CQL pipeline
+        decoded = stream.withColumn(
+            "emb", attrs_vector("attrs", "v", dims=64).cast("array<double>")
+        ).drop("attrs")
+        return sink.start(decoded, checkpoint_dir=ckpt_dir)
+
+    _await(start(ckpt))
+
+    neg = emb.select(
+        F.lit("upsert").alias("op"), F.col("vec_id").alias("pk"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("vec"),
+        F.lit(200).cast("bigint").alias("ts"), F.col("vec_id").alias("seq"),
+    ).where(F.col("pk") % 5 == 0)
+    stale = emb.select(
+        F.lit("upsert").alias("op"), F.col("vec_id").alias("pk"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(0.0).cast("float")).alias("vec"),
+        F.lit(50).cast("bigint").alias("ts"), F.col("vec_id").alias("seq"),
+    ).where(F.col("pk") % 7 == 0)
+    updates = neg.unionByName(stale).select(
+        "op", "pk", attrs_of(F.col("vec")).alias("attrs"), "ts", "seq"
+    )
+    # corrupt 0x05 blob (3-byte body, not a multiple of 4): decodes to NULL,
+    # wins LWW at ts=250, and the doc leaves the index (vector.rs error
+    # paths -> P8 null-target-not-indexed)
+    corrupt = emb.select(
+        F.lit("upsert").alias("op"), F.col("vec_id").alias("pk"),
+        F.create_map(F.lit("v"), F.lit(bytes([0x05, 1, 2, 3]))).alias("attrs"),
+        F.lit(250).cast("bigint").alias("ts"), (F.col("vec_id") + 500_000).alias("seq"),
+    ).where(F.col("pk") % 13 == 0)
+    deletes = emb.select(
+        F.lit("delete").alias("op"), F.col("vec_id").alias("pk"),
+        F.lit(None).cast("map<string,binary>").alias("attrs"),
+        F.lit(300).cast("bigint").alias("ts"), (F.col("vec_id") + 1_000_000).alias("seq"),
+    ).where(F.col("pk") % 11 == 0)
+    updates.unionByName(corrupt).unionByName(deletes).write.mode("append").parquet(
+        os.path.join(src, "b2")
+    )
+    # second start, same checkpoint: only b2 is processed (W8 resume)
+    _await(start(ckpt))
+
+    return ann_topk(
+        sink.live_view("emb"), "emb", det_query_vector(7, 64), 10,
+        tie_break=["pk"], select_cols=["pk"], round_to=ROUND,
+    )
