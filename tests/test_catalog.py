@@ -79,3 +79,65 @@ def test_lag_metrics_summary():
     s = m.summary()
     assert s == {"batches": 3, "rows": 35, "p50_ms": 120.0, "max_ms": 200.0}
     assert m.listener() is not None
+
+
+def test_catalog_round_trips_full_option_set(spark):
+    """CREATE INDEX-shaped registrations round-trip through the catalog with
+    the FULL vector option set (lib.rs:594-601), including the graph-ANN
+    knobs (connectivity/expansion_add/expansion_search, usearch.rs:74-92)
+    that the Spark engines accept-and-record rather than drop."""
+    from vector_store_spark.plans.catalog import metas_from_catalog
+    from vector_store_spark.types import Quantization, SpaceType
+
+    m = IndexMetadata(
+        keyspace="ks", index="opts_ix", table="t", primary_key_columns=(),
+        partition_key_count=0, target_column="emb", dimensions=128,
+        version="v3", kind=IndexKind.VECTOR, space_type=SpaceType.EUCLIDEAN,
+        quantization=Quantization.I8,
+        connectivity=32, expansion_add=256, expansion_search=96,
+    )
+    df = catalog_df(spark, [m])
+    row = df.first()
+    assert (row.connectivity, row.expansion_add, row.expansion_search) == (32, 256, 96)
+    assert (row.dimensions, row.space_type, row.quantization) == (128, "euclidean", "i8")
+    (back,) = metas_from_catalog(df)
+    assert back == m
+    # and a second round-trip is a fixed point
+    assert metas_from_catalog(catalog_df(spark, [back])) == [back]
+
+
+def test_expansion_search_maps_to_probe_breadth(spark, sf_dir):
+    """SURVEY §2.9 graph-ANN mapping: expansion_search (ef-search) drives the
+    IVF probe width when no explicit nprobe strategy_opt is given. ef large
+    enough to cover every centroid ⇒ full probe ⇒ the approximate answer
+    degrades gracefully to the exact one."""
+    import dataclasses
+
+    from vector_store_spark.engine import VectorStoreEngine
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.registry import det_query_vector
+    from vector_store_spark.types import SpaceType
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = det_query_vector(7, 64)
+    base = IndexMetadata(
+        keyspace="ks", index="ef_ix", table="t", primary_key_columns=("vec_id",),
+        partition_key_count=1, target_column="embedding", dimensions=64,
+        kind=IndexKind.VECTOR, space_type=SpaceType.COSINE,
+    )
+    # ef=16*16=256 -> nprobe 16 = k_centroids: full probe == exact
+    eng = VectorStoreEngine()
+    eng.register(emb, dataclasses.replace(base, expansion_search=256),
+                 strategy="ivf", strategy_opts={"k_centroids": 16})
+    got = eng.ann("ks", "t", "embedding", q, 5)
+    brute = ann_topk(
+        emb, "embedding", q, 5, space=SpaceType.COSINE,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()
+    assert got.primary_keys["vec_id"] == [r.vec_id for r in brute]
+    # an explicit nprobe strategy_opt wins over the mapped ef value
+    eng2 = VectorStoreEngine()
+    eng2.register(emb, dataclasses.replace(base, expansion_search=16),
+                  strategy="ivf", strategy_opts={"k_centroids": 16, "nprobe": 16})
+    got2 = eng2.ann("ks", "t", "embedding", q, 5)
+    assert got2.primary_keys["vec_id"] == [r.vec_id for r in brute]

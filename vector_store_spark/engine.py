@@ -191,14 +191,25 @@ class VectorStoreEngine:
         if ri.strategy == "ivf":
             from vector_store_spark.operators.ivf import ivf_search, ivf_topk
 
+            # graph-ANN option mapping (SURVEY §2.9): USearch's ef-search
+            # (expansion_search, lib.rs:594-601) is the query-time candidate-
+            # breadth knob; the IVF twin is nprobe. The reference default
+            # ef=64 ↦ the operator default nprobe=4 (linear, floor 1); an
+            # explicit nprobe strategy_opt always wins. connectivity /
+            # expansion_add have no IVF build analogue — recorded in the
+            # catalog (plans/catalog.CATALOG_SCHEMA), not consumed here.
+            nprobe = max(1, meta.expansion_search // 16)
             if "path" in opts:  # persisted cluster layout: probes prune partitions
                 o = {k: v for k, v in opts.items() if k != "path"}
+                o.setdefault("nprobe", nprobe)
                 return ivf_search(df.sparkSession, opts["path"], id_col,
                                   meta.target_column, list(vector), limit,
                                   select_cols=select,
                                   predicate=_and(prune, predicate), **o)
+            o = dict(opts)
+            o.setdefault("nprobe", nprobe)
             return ivf_topk(df, id_col, meta.target_column, list(vector), limit,
-                            space=meta.space_type, select_cols=select, **opts)
+                            space=meta.space_type, select_cols=select, **o)
         if ri.strategy == "pq":
             if meta.space_type != SpaceType.EUCLIDEAN:
                 raise FilterError("pq strategy scores l2sq (euclidean) only")

@@ -26,7 +26,16 @@ from vector_store_spark.types import IndexMetadata, IndexState, IndexStatus
 
 CATALOG_SCHEMA = (
     "keyspace string, index_name string, table_name string, "
-    "target_column string, version string, kind string"
+    "target_column string, version string, kind string, "
+    # vector index options (lib.rs:594-601) — the full CREATE INDEX option
+    # set round-trips through the catalog, including the graph-ANN knobs
+    # (connectivity / expansion_add / expansion_search, usearch.rs:74-92).
+    # The engines are IVF/LSH/PQ rather than HNSW, so connectivity and
+    # expansion_add are recorded-but-unmapped (no build-graph analogue);
+    # expansion_search maps to the probe-breadth knob (engine.py nprobe
+    # derivation — the ef-search ↔ nprobe analogy SURVEY §2.9 documents).
+    "dimensions int, space_type string, quantization string, "
+    "connectivity int, expansion_add int, expansion_search int"
 )
 
 _KEYS = ["keyspace", "index_name"]
@@ -34,10 +43,37 @@ _KEYS = ["keyspace", "index_name"]
 
 def catalog_df(spark: SparkSession, metas: list[IndexMetadata]) -> DataFrame:
     rows = [
-        (m.keyspace, m.index, m.table, m.target_column, m.version or "", m.kind.value)
+        (
+            m.keyspace, m.index, m.table, m.target_column, m.version or "",
+            m.kind.value, m.dimensions, m.space_type.value, m.quantization.value,
+            m.connectivity, m.expansion_add, m.expansion_search,
+        )
         for m in metas
     ]
     return spark.createDataFrame(rows, CATALOG_SCHEMA)
+
+
+def metas_from_catalog(df: DataFrame) -> list[IndexMetadata]:
+    """Round-trip the catalog rows back into IndexMetadata (the CREATE
+    INDEX-shaped registration surface): every stored option — including the
+    graph-ANN knobs — survives df → metadata → df unchanged. Key/partition
+    shape is not stored in the catalog (it lives on the table), so the
+    reconstructed metadata carries the target column addressing only."""
+    from vector_store_spark.types import IndexKind, Quantization, SpaceType
+
+    return [
+        IndexMetadata(
+            keyspace=r.keyspace, index=r.index_name, table=r.table_name,
+            primary_key_columns=(), partition_key_count=0,
+            target_column=r.target_column, version=r.version,
+            kind=IndexKind(r.kind), dimensions=r.dimensions,
+            space_type=SpaceType(r.space_type),
+            quantization=Quantization(r.quantization),
+            connectivity=r.connectivity, expansion_add=r.expansion_add,
+            expansion_search=r.expansion_search,
+        )
+        for r in df.collect()
+    ]
 
 
 @dataclass
