@@ -506,3 +506,39 @@ def test_persisted_ivfpq_codes_only_layout(spark, emb, tmp_path):
                        centroids=cents, codebook=cb, rescore=4,
                        select_cols=["vec_id"], round_to=9)
     assert [r.vec_id for r in got_r.collect()] == [r.vec_id for r in mem_r.collect()]
+
+
+def test_local_lsh_sub_indexes_round_trip_and_pruning(spark, emb, tmp_path):
+    """One LSH sub-index per partition (lib.rs:677-680 engine-agnostic local
+    tier): searching a partition equals in-memory lsh_topk over that
+    partition alone, and BOTH the partition Eq and the band/bucket probe
+    reach the scan as PartitionFilters — parity with the local IVF proof."""
+    from vector_store_spark.operators.lsh import (
+        lsh_build_local,
+        lsh_search_local,
+        lsh_topk,
+    )
+    from vector_store_spark.sources.index_store import prune_report
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "lsh_local_ix")
+    lsh_build_local(emb, "label", "vec_id", "embedding", path, num_bits=16, bands=4)
+    got = lsh_search_local(
+        spark, path, 3, "vec_id", "embedding", q, 10,
+        select_cols=["vec_id"], round_to=9,
+    )
+    mem = lsh_topk(
+        emb.where(F.col("label") == 3), "vec_id", "embedding", q, 10,
+        num_bits=16, bands=4, select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+    rep = prune_report(got)
+    joined = " ".join(rep["partition_filters"])
+    assert "label" in joined and "band" in joined and "bucket" in joined
+    # residual predicate composes as a pushed filter on the pruned scan
+    filt = lsh_search_local(
+        spark, path, 3, "vec_id", "embedding", q, 5,
+        select_cols=["vec_id"], round_to=9,
+        predicate=F.col("vec_id") >= 100,
+    )
+    assert all(r.vec_id >= 100 for r in filt.collect())

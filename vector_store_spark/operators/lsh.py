@@ -157,6 +157,92 @@ def lsh_search(
     )
 
 
+def lsh_build_local(
+    items: DataFrame,
+    part_col: str,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    num_bits: int = 16,
+    bands: int = 4,
+    seed: int = 97,
+) -> None:
+    """Per-partition LSH sub-indexes — the reference's engine-agnostic
+    one-sub-index-per-partition LOCAL tier (lib.rs:677-680) at the LSH
+    engine, completing the local matrix next to ivf_build_local.
+
+    Hyperplanes are the deterministic global family (LSH needs no training
+    pass, so per-partition isolation is purely storage: each partition's
+    vectors band into ``partitionBy(part_col, band, bucket)`` leaves). A
+    query with a partition Eq prunes to its partition directory and the
+    band/bucket probe prunes further — both levels visible as
+    PartitionFilters, the same two-level proof as the local IVF tier.
+    Inserts stay append-only per partition (the LSH trade: no centroids to
+    retrain, new rows land in their band/bucket leaves)."""
+    import json
+    import os
+
+    from vector_store_spark.sources.index_store import fresh_dir, write_local_index
+
+    dims = items.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("d")
+    ).first().d
+    planes = lsh_hyperplanes(dims, num_bits, seed)
+    buckets = lsh_bucket_cols(F.col(vec_col).cast("array<double>"), planes, bands)
+    banded = items.select(
+        "*", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+    fresh_dir(path)
+    write_local_index(banded, path, [part_col, "band", "bucket"])
+    meta = {
+        "dims": dims, "num_bits": num_bits, "bands": bands, "seed": seed,
+        "part_col": part_col,
+    }
+    with open(os.path.join(path, "_lsh_local_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def lsh_search_local(
+    spark,
+    path: str,
+    part_value,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    select_cols: list[str] | None = None,
+    round_to: int | None = None,
+    predicate=None,
+) -> DataFrame:
+    """Query ONE partition's LSH sub-index: the partition Eq AND the query's
+    band/bucket probe are both Catalyst partition pruning (two levels, like
+    ivf_search_local), then cross-band dedupe and exact cosine re-rank.
+    ``predicate`` adds a pushed residual payload filter (restricted local
+    search, T2)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_local_meta.json")) as f:
+        meta = json.load(f)
+    planes = lsh_hyperplanes(meta["dims"], meta["num_bits"], meta["seed"])
+    qb = lsh_query_buckets(query, planes, meta["bands"])
+    cond = None
+    for b, qv in enumerate(qb):
+        c = (F.col("band") == b) & (F.col("bucket") == qv)
+        cond = c if cond is None else (cond | c)
+    scan = spark.read.parquet(path).where(
+        (F.col(meta["part_col"]) == part_value) & cond
+    )
+    if predicate is not None:
+        scan = scan.where(predicate)
+    candidates = scan.dropDuplicates([id_col])
+    return ann_topk(
+        candidates, vec_col, query, k,
+        space=SpaceType.COSINE, tie_break=[id_col],
+        select_cols=select_cols or [id_col], round_to=round_to,
+    )
+
+
 def lsh_topk(
     items: DataFrame,
     id_col: str,

@@ -866,6 +866,45 @@ def ann_ivf_persisted_filtered_topk(spark, sf_dir):
 
 
 @register(
+    "local_partition_ann_lsh",
+    # one LSH sub-index per partition (lib.rs:677-680, engine-agnostic local
+    # tier): hyperplanes are the deterministic global family, so the oracle
+    # re-derives banding inside the partition with the same bucket SQL
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE label = {_PART}),
+cand AS (SELECT * FROM e WHERE {_CAND_COND}),
+scored AS (
+  SELECT vec_id, label,
+         round(1.0 - list_inner_product(e, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM cand
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "Local LSH sub-indexes (lib.rs:677-680 engine-agnostic local tier): "
+    "partitionBy(label, band, bucket) storage — the partition Eq AND the "
+    "band/bucket probe are BOTH Catalyst partition pruning, the same "
+    "two-level proof as local_partition_ann_ivf",
+)
+def local_partition_ann_lsh(spark, sf_dir):
+    from vector_store_spark.operators.lsh import lsh_build_local, lsh_search_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "lsh_local",
+        lambda p: lsh_build_local(
+            emb, "label", "vec_id", "embedding", p, num_bits=_BITS, bands=_LSH_BANDS,
+        ),
+    )
+    return lsh_search_local(
+        spark, path, _PART, "vec_id", "embedding", Q7, 10,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+@register(
     "ann_lsh_persisted_filtered_topk",
     f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
