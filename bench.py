@@ -4,6 +4,14 @@ and print ONE JSON line with per-query wall seconds.
 
 Metric definitions follow BASELINE.md: query latency for filtered/unfiltered
 top-k, batch kNN, and (as they land) BM25 / dedup / text-analysis pipelines.
+
+Expected fixed overhead (read the stream_* rows against this, not zero):
+every stream_* query pays TWO full Structured Streaming starts (bootstrap +
+checkpoint-resume) plus foreachBatch bucketed rewrites — ~2× the measured
+``stream_start_noop_sec`` floor (extras) before any data cost; per-query
+batch overhead is ~0.5 s (job scheduling + Arrow spin-up). The
+``*_repeat_sec`` extras give each expensive streaming row's steady-state
+band so regressions are attributable to data cost, not machinery drift.
 """
 
 from __future__ import annotations
@@ -280,11 +288,19 @@ def _extras(spark, sf_dir: str) -> dict:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
         emb.count()
         queries_ = [(i, det_query_vector(100 + i, 64)) for i in range(256)]
-        t0 = time.perf_counter()
-        n_out = knn_join(emb, "embedding", queries_, 10, id_cols=["vec_id"]).count()
-        dt = time.perf_counter() - t0
-        if n_out:
-            out["batch_knn_qps_256q_k10"] = round(len(queries_) / dt, 2)
+        # repeat runs with the MEDIAN as the headline: r5's driver recorded
+        # 339 QPS where an uncontended rerun of identical code measured 509 —
+        # environment noise reads as regression without a distribution
+        qps_reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_out = knn_join(emb, "embedding", queries_, 10, id_cols=["vec_id"]).count()
+            dt = time.perf_counter() - t0
+            if n_out:
+                qps_reps.append(round(len(queries_) / dt, 2))
+        if qps_reps:
+            out["batch_knn_qps_256q_k10_repeats"] = qps_reps
+            out["batch_knn_qps_256q_k10"] = sorted(qps_reps)[len(qps_reps) // 2]
 
         # pruned batch: same 256 queries through IVF (trained + ma2), each
         # scoring only its nprobe clusters — the scan-engine serving shape
@@ -293,14 +309,19 @@ def _extras(spark, sf_dir: str) -> dict:
 
         cents = ivf_centroids_trained(emb, "embedding", 16, space=SpaceType.COSINE)
         qnamed = [(str(i), v) for i, v in queries_]
-        t0 = time.perf_counter()
-        n_out2 = ivf_knn_join(
-            emb, "vec_id", "embedding", qnamed, 10,
-            nprobe=4, centroids=cents, n_assign=2,
-        ).count()
-        dt2 = time.perf_counter() - t0
-        if n_out2:
-            out["batch_knn_qps_256q_k10_ivf_ma2_np4"] = round(len(qnamed) / dt2, 2)
+        qps2_reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_out2 = ivf_knn_join(
+                emb, "vec_id", "embedding", qnamed, 10,
+                nprobe=4, centroids=cents, n_assign=2,
+            ).count()
+            dt2 = time.perf_counter() - t0
+            if n_out2:
+                qps2_reps.append(round(len(qnamed) / dt2, 2))
+        if qps2_reps:
+            out["batch_knn_qps_256q_k10_ivf_ma2_np4_repeats"] = qps2_reps
+            out["batch_knn_qps_256q_k10_ivf_ma2_np4"] = sorted(qps2_reps)[len(qps2_reps) // 2]
     except Exception as ex:
         print(f"bench extras (batch knn) error: {ex}", file=sys.stderr)
 
@@ -446,23 +467,57 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (persisted serving) error: {ex}", file=sys.stderr)
 
     try:
-        # Streaming variance budget: stream_cdc_ann_topk is fixed-overhead
-        # dominated (two stream starts + checkpoint resume + foreachBatch
-        # snapshot writes), so its single headline timing drifts with session
-        # state — r3→r4 showed +22% with zero streaming code changes. Record
-        # repeat runs: the steady-state band is the operator's real cost; the
-        # headline-minus-steady delta is stream-machinery spin-up.
+        # Streaming variance budget: the stream_* rows are FIXED-OVERHEAD
+        # dominated (each = 2 full stream starts + checkpoint resume +
+        # foreachBatch bucketed rewrites at tiny SF), so a single headline
+        # timing drifts with session state — r3→r4 showed +22% with zero
+        # streaming code changes. Record repeat runs for the three expensive
+        # streaming rows: the steady-state band is the operator's real cost;
+        # the headline-minus-steady delta is stream-machinery spin-up, and a
+        # regression is attributable only if the steady band moves.
         from vector_store_spark.registry import all_queries as _aq
 
-        spec = _aq()["stream_cdc_ann_topk"]
-        reps_t = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            reps_t.append(round(time.perf_counter() - t0, 4))
-        out["stream_cdc_ann_topk_repeat_sec"] = reps_t
+        _specs = _aq()
+        for sname in ("stream_cdc_ann_topk", "stream_fts_endstate",
+                      "stream_cdc_ivf_topk"):
+            spec = _specs[sname]
+            reps_t = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                reps_t.append(round(time.perf_counter() - t0, 4))
+            out[f"{sname}_repeat_sec"] = reps_t
     except Exception as ex:
         print(f"bench extras (stream repeat) error: {ex}", file=sys.stderr)
+
+    try:
+        import shutil as _sh
+        import tempfile as _tf
+
+        # The machinery floor itself, measured directly: a no-op foreachBatch
+        # stream over a 1-row file source, started twice against one
+        # checkpoint (exactly the two-start shape of every stream_* query).
+        # First element ≈ cold start + 1 micro-batch; second ≈ checkpoint
+        # resume with nothing to process. stream-row seconds minus ~2× this
+        # floor is the actual data cost of the pipeline under test.
+        root = _tf.mkdtemp(prefix="bench_machinery_")
+        srcd = os.path.join(root, "src")
+        spark.createDataFrame([(1,)], "x long").write.json(srcd)
+        floor = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema("x long").json(srcd)
+                .writeStream.foreachBatch(lambda df, bid: None)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            floor.append(round(time.perf_counter() - t0, 4))
+        out["stream_start_noop_sec"] = floor
+        _sh.rmtree(root, ignore_errors=True)
+    except Exception as ex:
+        print(f"bench extras (stream machinery floor) error: {ex}", file=sys.stderr)
 
     try:
         import shutil
@@ -491,6 +546,64 @@ def _extras(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
     except Exception as ex:
         print(f"bench extras (build) error: {ex}", file=sys.stderr)
+
+    try:
+        # Scaling-curve evidence: the 100 TB posture rests on the claim that
+        # every plan is scan-bound (time ≈ fixed_overhead + c·rows). Run the
+        # headline operators at sf0.01 AND the bench SF, warm both (so
+        # memoized index builds don't bill the small side), and report the
+        # time ratio next to the data ratio. Interpretation: per-query fixed
+        # overhead is ~0.5 s, so a scan-bound op at these SFs shows
+        # ratio = (fixed + c·N_big)/(fixed + c·N_small) — well below the
+        # data ratio while c·N is comparable to the overhead, and approaching
+        # it as data grows. A ratio ABOVE the data ratio is the red flag
+        # (superlinear plan).
+        small_dir = "/root/testdata/sf0.01"
+        if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(sf_dir):
+            from vector_store_spark.registry import all_queries as _aq
+
+            _specs = _aq()
+            scaling: dict = {}
+            for name in ("ann_cosine_topk", "dedup_minhash_lsh", "bm25_term",
+                         "text_token_counts"):
+                if name not in _specs:
+                    continue
+                spec, rec = _specs[name], {}
+                for tag, d in (("sf001_sec", small_dir), ("big_sec", sf_dir)):
+                    spec.fn(spark, d).collect()  # warm: caches, index builds
+                    t0 = time.perf_counter()
+                    spec.fn(spark, d).collect()
+                    rec[tag] = round(time.perf_counter() - t0, 4)
+                rec["ratio"] = round(rec["big_sec"] / max(rec["sf001_sec"], 1e-9), 2)
+                scaling[name] = rec
+            # index-build throughput scaling on the raw vector table
+            from vector_store_spark.sources.index_store import write_local_index as _wli
+            import shutil as _sh2
+            import tempfile as _tf2
+
+            rec = {}
+            for tag, d in (("sf001_sec", small_dir), ("big_sec", sf_dir)):
+                src2 = spark.read.parquet(f"{d}/embeddings.parquet")
+                tmp2 = _tf2.mkdtemp(prefix="bench_scale_ix_")
+                t0 = time.perf_counter()
+                _wli(src2, tmp2, ["label"])
+                rec[tag] = round(time.perf_counter() - t0, 4)
+                _sh2.rmtree(tmp2, ignore_errors=True)
+            rec["ratio"] = round(rec["big_sec"] / max(rec["sf001_sec"], 1e-9), 2)
+            scaling["index_build"] = rec
+            scaling["data_ratio"] = {
+                "documents": round(
+                    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+                    / max(spark.read.parquet(f"{small_dir}/documents.parquet").count(), 1), 2,
+                ),
+                "embeddings": round(
+                    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+                    / max(spark.read.parquet(f"{small_dir}/embeddings.parquet").count(), 1), 2,
+                ),
+            }
+            out["scaling_sf001_vs_big"] = scaling
+    except Exception as ex:
+        print(f"bench extras (scaling) error: {ex}", file=sys.stderr)
     return out
 
 
