@@ -250,3 +250,46 @@ def test_engine_persisted_applies_partition_restriction(spark, emb, tmp_path):
     )
     rows = topk.collect()  # select_cols = PK columns, so label rides along
     assert rows and all(r.label == 3 for r in rows)
+
+
+def test_engine_serves_local_persisted_sub_indexes(spark, emb, tmp_path):
+    """LOCAL persisted sub-indexes through the engine lifecycle
+    (lib.rs:677-680): the consumed partition-key Eq selects the per-partition
+    sub-index (the Eq is NOT re-checked per row — it became directory
+    pruning), the residual predicate pushes into the pruned scan, and a query
+    without the partition Eq is rejected as no-global-index."""
+    import dataclasses
+
+    from vector_store_spark.operators.ivf import ivf_build_local, ivf_search_local
+    from vector_store_spark.types import Filter, Restriction
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "eng_ivf_loc")
+    ivf_build_local(emb, "label", "vec_id", "embedding", path, k_centroids=4)
+    meta = dataclasses.replace(
+        _meta(), primary_key_columns=("label", "vec_id"), partition_key_count=1,
+        partitioning=("label",), filtering_columns=("vec_id",),
+    )
+    eng = VectorStoreEngine()
+    eng.register(emb, meta, strategy="ivf",
+                 strategy_opts={"local_path": path, "nprobe": 2})
+    out = eng.ann("ks", "t", "embedding", q, 5,
+                  flt=Filter(restrictions=(Restriction.eq("label", 3),)))
+    direct = ivf_search_local(
+        spark, path, 3, "vec_id", "embedding", q, 5, nprobe=2,
+        select_cols=["label", "vec_id"],
+    ).collect()
+    assert out.primary_keys["vec_id"] == [r.vec_id for r in direct]
+    assert all(lb == 3 for lb in out.primary_keys["label"])
+
+    # residual predicate composes with the sub-index scan
+    out2 = eng.ann("ks", "t", "embedding", q, 5, flt=Filter(
+        restrictions=(Restriction.eq("label", 3), Restriction.gte("vec_id", 100)),
+        allow_filtering=True,
+    ))
+    assert all(v >= 100 for v in out2.primary_keys["vec_id"])
+    assert all(lb == 3 for lb in out2.primary_keys["label"])
+
+    # no partition Eq -> the local index cannot serve (planner outcome)
+    with pytest.raises(FilterError):
+        eng.ann("ks", "t", "embedding", q, 5)

@@ -338,3 +338,31 @@ def test_write_fts_index_idempotent(spark, sf_dir, tmp_path):
     got = bm25_search(loaded, "vector", 10, round_to=9)
     mem = bm25_search(ix, "vector", 10, round_to=9)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_persisted_stats_sidecar(spark, sf_dir, tmp_path):
+    """write_fts_index commits the corpus stats WITH the layout (sidecar +
+    vocab-sized df_by_term parquet), so read_fts_index serves without an
+    O(corpus) re-aggregation of postings/doclens — and the stats are
+    identical to the build's."""
+    import os
+
+    from vector_store_spark.operators.bm25 import (
+        bm25_search, build_fts_index, read_fts_index, write_fts_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix = build_fts_index(docs, "doc_id", "text")
+    path = str(tmp_path / "fts_meta_ix")
+    write_fts_index(ix, path)
+    assert os.path.isfile(os.path.join(path, "_fts_meta.json"))
+    assert os.path.isdir(os.path.join(path, "df_by_term"))
+    loaded = read_fts_index(spark, path)
+    assert loaded.n_docs == ix.n_docs
+    assert abs(loaded.avgdl - ix.avgdl) < 1e-12
+    mem_df = {r.term: r.df for r in ix.df_by_term.collect()}
+    got_df = {r.term: r.df for r in loaded.df_by_term.collect()}
+    assert got_df == mem_df
+    got = bm25_search(loaded, "table AND hash", 10, round_to=9)
+    mem = bm25_search(ix, "table AND hash", 10, round_to=9)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]

@@ -143,10 +143,11 @@ class VectorStoreEngine:
         if prune is not None:
             df = df.where(prune)
         predicate = restrictions_to_column(residual, ri.df.schema)
-        topk = self._strategy_topk(ri, df, meta, vector, limit, predicate, prune)
+        topk = self._strategy_topk(ri, df, meta, vector, limit, predicate, prune, consumed)
         return topk, meta
 
-    def _strategy_topk(self, ri, df, meta, vector, limit, predicate, prune=None) -> DataFrame:
+    def _strategy_topk(self, ri, df, meta, vector, limit, predicate, prune=None,
+                       consumed=()) -> DataFrame:
         """Dispatch over the strategy axis (§2.9). Approximate strategies
         filter before candidate generation — same observable semantics as the
         reference's predicate-inside-traversal (T2: top-k OF the filtered
@@ -199,6 +200,28 @@ class VectorStoreEngine:
             # expansion_add have no IVF build analogue — recorded in the
             # catalog (plans/catalog.CATALOG_SCHEMA), not consumed here.
             nprobe = max(1, meta.expansion_search // 16)
+            if "local_path" in opts:
+                # LOCAL persisted sub-indexes (lib.rs:677-680): the consumed
+                # partition-key Eq selects the per-partition sub-index (its
+                # own centroids + (part, cluster) directory pruning); the
+                # residual predicate pushes into the pruned scan. The planner
+                # already guarantees full partition-key equality for local
+                # indexes (consume_partition_restrictions raises otherwise).
+                from vector_store_spark.operators.ivf import ivf_search_local
+                from vector_store_spark.types import RestrictionOp
+
+                eqs = [r for r in consumed if r.op == RestrictionOp.EQ]
+                if len(eqs) != 1:
+                    raise FilterError(
+                        "local ivf path serving requires a single-column "
+                        "partition-key Eq restriction"
+                    )
+                o = {k: v for k, v in opts.items() if k != "local_path"}
+                o.setdefault("nprobe", max(1, meta.expansion_search // 32))
+                return ivf_search_local(
+                    df.sparkSession, opts["local_path"], eqs[0].values, id_col,
+                    meta.target_column, list(vector), limit,
+                    select_cols=select, predicate=predicate, **o)
             if "path" in opts:  # persisted cluster layout: probes prune partitions
                 o = {k: v for k, v in opts.items() if k != "path"}
                 o.setdefault("nprobe", nprobe)

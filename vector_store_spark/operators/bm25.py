@@ -325,6 +325,20 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
         .option("path", os.path.join(path, "doclens_bucketed"))
         .saveAsTable(tbl)
     )
+    # persist the corpus stats WITH the layout: N/avgdl to a sidecar
+    # (metadata-sized) and per-term df as parquet (vocab-sized, term-pruned
+    # lookups). Serving startup then reads a sidecar instead of re-scanning
+    # corpus-sized postings/doclens — Tantivy likewise stores segment stats
+    # in the committed index rather than recounting at open (tantivy.rs).
+    import json
+
+    index.df_by_term.write.mode("overwrite").parquet(os.path.join(path, "df_by_term"))
+    with open(os.path.join(path, "_fts_meta.json"), "w") as f:
+        json.dump(
+            {"n_docs": index.n_docs, "avgdl": index.avgdl,
+             "num_buckets": num_buckets},
+            f,
+        )
 
 
 def read_fts_index(spark, path: str, num_buckets: int = 32) -> FtsIndex:
@@ -335,6 +349,8 @@ def read_fts_index(spark, path: str, num_buckets: int = 32) -> FtsIndex:
     so scoring joins add no exchange on the corpus side); pre-bucketing
     layouts fall back to the plain parquet directory."""
     import os
+
+    import json
 
     postings = spark.read.parquet(os.path.join(path, "postings"))
     tbl = _doclens_table(path)
@@ -348,9 +364,18 @@ def read_fts_index(spark, path: str, num_buckets: int = 32) -> FtsIndex:
         doclens = spark.read.parquet(os.path.join(path, "doclens_bucketed"))
     else:  # pre-bucketing layout
         doclens = spark.read.parquet(os.path.join(path, "doclens"))
-    n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
-    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
-    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
+    meta_path = os.path.join(path, "_fts_meta.json")
+    if os.path.isfile(meta_path):
+        # committed stats: open cost is a sidecar read + a vocab-sized scan,
+        # NOT an O(corpus) re-aggregation of postings/doclens
+        with open(meta_path) as f:
+            meta = json.load(f)
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        df_by_term = spark.read.parquet(os.path.join(path, "df_by_term")).cache()
+    else:  # pre-sidecar layout: legacy re-aggregation
+        n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
+        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+        df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
     # postings KEEP term_bucket: Bm25Executor's term lookups add the bucket
     # equality, so every query shape (term/AND/OR/NOT/phrase) scans only the
     # matching directories of the persisted layout

@@ -111,6 +111,7 @@ def ivfpq_build(
     trained: bool = False,
     n_assign: int = 1,
     seed: int = 42,
+    filtering_cols: list | None = None,
 ) -> tuple:
     """Persist the IVF-PQ memory-tier layout: parquet ``partitionBy(cluster)``
     storing ONLY (id, pq_code) — m_sub bytes per vector instead of the full-
@@ -119,7 +120,13 @@ def ivfpq_build(
     on-disk shape where 100 TB of vectors stops fitting hot storage: probes
     prune cluster directories AND each candidate row is ~64× narrower.
     Centroids + codebook go to a ``_ivfpq_meta.json`` sidecar. Returns
-    (centroids, codebook)."""
+    (centroids, codebook).
+
+    ``filtering_cols`` names narrow payload columns to store NEXT TO the
+    codes: restricted ANN on the memory tier (usearch.rs:1108-1154 evaluates
+    predicates inside traversal; the quantized layout keeps the filterable
+    attributes in-index for the same reason), so ``ivfpq_search``'s
+    ``predicate`` applies to the pruned code scan before ADC."""
     import json
     import os
 
@@ -138,7 +145,9 @@ def ivfpq_build(
     assigned = ivf_assign(
         items, id_col, vec_col, cents, space=SpaceType.EUCLIDEAN, n_assign=n_assign
     )
-    encoded = pq_encode(assigned, vec_col, cb).select(id_col, "cluster", "pq_code")
+    encoded = pq_encode(assigned, vec_col, cb).select(
+        id_col, "cluster", "pq_code", *(filtering_cols or [])
+    )
     fresh_dir(path)
     write_local_index(encoded, path, ["cluster"])
     meta = {
@@ -165,13 +174,18 @@ def ivfpq_search(
     rescore: int = 0,
     select_cols: list | None = None,
     round_to: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: probe the sidecar centroids (driver-
     side), scan ONLY the probed cluster directories' (id, pq_code) rows
     (partition pruning + 8-byte rows), ADC-score against the query LUT, then
     back-join the k (or k·rescore, exact-re-ranked) winners to the source
     table for payload columns — the J1 id→key point lookup, broadcast because
-    the shortlist is result-sized."""
+    the shortlist is result-sized.
+
+    ``predicate`` filters the pruned code scan (over columns the build stored
+    via ``filtering_cols``) BEFORE ADC — restricted ANN on the memory tier,
+    top-k OF the filtered candidates (T2)."""
     import json
     import os
 
@@ -181,6 +195,8 @@ def ivfpq_search(
     cb = np.asarray(meta["codebook"], dtype=np.float64)
     probes = ivf_probe(cents, query, nprobe, space=SpaceType.EUCLIDEAN)
     cand = spark.read.parquet(path).where(F.col("cluster").isin(probes))
+    if predicate is not None:
+        cand = cand.where(predicate)
     if meta["n_assign"] > 1:
         cand = cand.dropDuplicates([id_col])
     lut = pq_adc_lut(cb, query)

@@ -937,3 +937,96 @@ def ann_lsh_persisted_filtered_topk(spark, sf_dir):
         select_cols=["vec_id", "label"], round_to=ROUND,
         predicate=F.col("label").isin(2, 5, 7),
     )
+
+
+@register(
+    "ann_ivfpq_persisted_filtered_topk",
+    # restricted ANN on the persisted memory tier: the codes layout stores
+    # the declared filtering column next to (id, pq_code), the probe prunes
+    # cluster dirs, and the predicate filters the code scan BEFORE ADC —
+    # top-k OF the filtered candidates (usearch.rs:1108-1154 restricted
+    # traversal at the quantized tier)
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {K_CENTROIDS}
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+l2 AS (
+  SELECT e.vec_id, c.cid, {_L2S.format(a="v", b="cv")} AS d
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM l2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY {_L2S.format(a="cv", b=sql_vec(Q31))}, cid
+    ) AS rn FROM c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM asg a JOIN e USING (vec_id)
+  WHERE a.cid IN (SELECT cid FROM probe) AND {_FILT}
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {K_CODES}
+),
+subs AS (SELECT unnest(range(0, {M_SUB})) AS s),
+cbsub AS (
+  SELECT s, j, cv[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS cvs
+  FROM cb CROSS JOIN subs
+),
+esub AS (
+  SELECT vec_id, s, v[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS vs
+  FROM e CROSS JOIN subs
+  WHERE vec_id IN (SELECT vec_id FROM cand)
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY {_L2S.format(a="vs", b="cvs")}, j) AS rn
+    FROM esub JOIN cbsub USING (s)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s, j, {_L2S.format(a=_QSUB, b="cvs")} AS qd
+  FROM cbsub
+),
+adc AS (
+  SELECT vec_id, round(list_sum(list(qd ORDER BY s)), {ROUND}) AS distance
+  FROM codes JOIN lut USING (s, j)
+  GROUP BY vec_id
+)
+SELECT e.vec_id, e.label, adc.distance
+FROM adc JOIN e ON e.vec_id = adc.vec_id
+ORDER BY distance, e.vec_id LIMIT 10
+""",
+    "Filtered ANN on the persisted IVF-PQ memory tier: filtering columns "
+    "stored next to the codes, predicate pushed into the pruned code scan "
+    "before ADC, top-k of the filtered candidates",
+)
+def ann_ivfpq_persisted_filtered_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "ivfpq_filt",
+        lambda p: ivfpq_build(
+            emb, "vec_id", "embedding", p,
+            k_centroids=K_CENTROIDS, m_sub=M_SUB, k_codes=K_CODES,
+            filtering_cols=["label"],
+        ),
+    )
+    return ivfpq_search(
+        spark, path, emb, "vec_id", "embedding", Q31, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("label").isin(2, 5, 7),
+    )
