@@ -542,3 +542,101 @@ def test_local_lsh_sub_indexes_round_trip_and_pruning(spark, emb, tmp_path):
         predicate=F.col("vec_id") >= 100,
     )
     assert all(r.vec_id >= 100 for r in filt.collect())
+
+
+def test_local_pq_sub_indexes_round_trip_and_pruning(spark, emb, tmp_path):
+    """One PQ sub-index per partition: ADC against THAT partition's own
+    codebook equals in-memory pq_topk over the partition alone, the scan
+    prunes to the partition directory, and rescore recovers exact ranking."""
+    from vector_store_spark.operators.pq import pq_build_local, pq_search_local, pq_topk
+    from vector_store_spark.sources.index_store import prune_report
+
+    q = det_query_vector(31, 64)
+    path = str(tmp_path / "pq_local_ix")
+    books = pq_build_local(emb, "label", "vec_id", "embedding", path, m_sub=8, k_codes=16)
+    assert len(books) > 1
+    got = pq_search_local(
+        spark, path, 3, emb, "vec_id", "embedding", q, 10,
+        select_cols=["vec_id"], round_to=9,
+    )
+    mem = pq_topk(
+        emb.where(F.col("label") == 3), "vec_id", "embedding", q, 10,
+        m_sub=8, k_codes=16, select_cols=["vec_id"], round_to=9,
+    )
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+    rep = prune_report(got)
+    assert any("label" in f for f in rep["partition_filters"])
+    # exact rescore on the shortlist recovers the true nearest neighbor
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.types import SpaceType
+
+    res = pq_search_local(
+        spark, path, 3, emb, "vec_id", "embedding", q, 1, rescore=10,
+        select_cols=["vec_id"], round_to=9,
+    ).collect()
+    brute = ann_topk(
+        emb.where(F.col("label") == 3), "embedding", q, 1,
+        space=SpaceType.EUCLIDEAN, tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()
+    assert res[0].vec_id == brute[0].vec_id
+
+
+def test_lsh_update_rewrites_only_touched_leaves(spark, emb, tmp_path):
+    """CRUD on the persisted LSH layout: the updated index equals a clean
+    build over the final row set (hyperplanes are data-independent), and
+    (band, bucket) leaves not holding changed rows keep their files
+    untouched (mtime check — O(touched) rewrites, not O(index))."""
+    import os
+
+    from vector_store_spark.operators.lsh import lsh_build, lsh_search, lsh_update
+
+    q = det_query_vector(7, 64)
+    path = str(tmp_path / "lsh_crud_ix")
+    lsh_build(emb.where(F.col("vec_id") < 900), "vec_id", "embedding", path,
+              num_bits=16, bands=4)
+
+    def leaf_mtimes():
+        out = {}
+        for band in os.listdir(path):
+            if not band.startswith("band="):
+                continue
+            for bucket in os.listdir(os.path.join(path, band)):
+                d = os.path.join(path, band, bucket)
+                if os.path.isdir(d):
+                    out[(band, bucket)] = max(
+                        os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+                    )
+        return out
+
+    before = leaf_mtimes()
+    added = emb.where(F.col("vec_id") >= 900)
+    lsh_update(spark, path, "vec_id", "embedding",
+               items_added=added, ids_removed=list(range(25)))
+
+    # equivalence vs clean rebuild over the final set
+    clean = str(tmp_path / "lsh_clean_ix")
+    lsh_build(emb.where(F.col("vec_id") >= 25), "vec_id", "embedding", clean,
+              num_bits=16, bands=4)
+    got = lsh_search(spark, path, "vec_id", "embedding", q, 10,
+                     select_cols=["vec_id"], round_to=9).collect()
+    want = lsh_search(spark, clean, "vec_id", "embedding", q, 10,
+                      select_cols=["vec_id"], round_to=9).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+
+    # leaves whose rows did not change were not rewritten
+    after = leaf_mtimes()
+    changed_rows = emb.where((F.col("vec_id") >= 900) | (F.col("vec_id") < 25))
+    from vector_store_spark.operators.lsh import lsh_bucket_cols, lsh_hyperplanes
+
+    planes = lsh_hyperplanes(64, 16)
+    buckets = lsh_bucket_cols(F.col("embedding").cast("array<double>"), planes, 4)
+    touched = {
+        (f"band={r.band}", f"bucket={r.bucket}")
+        for r in changed_rows.select(
+            F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        ).distinct().collect()
+    }
+    untouched = set(before) - touched
+    assert untouched, "test needs at least one untouched leaf"
+    for leaf in untouched:
+        assert after[leaf] == before[leaf], f"untouched leaf rewritten: {leaf}"

@@ -113,6 +113,89 @@ def lsh_build(
         json.dump({"dims": dims, "num_bits": num_bits, "bands": bands, "seed": seed}, f)
 
 
+def lsh_update(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    items_added: DataFrame | None = None,
+    ids_removed: list | None = None,
+) -> None:
+    """Incremental CRUD on a persisted LSH layout (the vs_index add/remove
+    surface at the LSH engine — the layout LSH is chosen for: no centroids
+    to retrain, adds are append-shaped).
+
+    Added vectors are banded against the sidecar hyperplanes and land in
+    their (band, bucket) leaves; removals are anti-joined out. Only TOUCHED
+    leaves are rewritten (dynamic partition overwrite): the bands×buckets of
+    added rows plus the leaves holding removed ids (found with an
+    id-filtered scan — predicate pushdown, never a full rewrite). An upsert
+    is remove(id) + add(new row); emptied leaves are deleted explicitly (W4
+    partition lifecycle). Work is O(touched leaves + changed rows)."""
+    import json
+    import os
+    import shutil
+
+    from vector_store_spark.sources.index_store import write_local_index
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    planes = lsh_hyperplanes(meta["dims"], meta["num_bits"], meta["seed"])
+    bands = meta["bands"]
+    span = 1 << (meta["num_bits"] // bands)  # bucket value range per band
+    index = spark.read.parquet(path)
+
+    removed_df = None
+    if ids_removed:
+        id_type = index.schema[id_col].dataType.simpleString()
+        removed_df = spark.createDataFrame(
+            [(g,) for g in ids_removed], f"{id_col} {id_type}"
+        )
+    if items_added is not None:
+        added_ids = items_added.select(id_col)
+        removed_df = (
+            added_ids if removed_df is None else removed_df.unionByName(added_ids)
+        )
+
+    leaf_key = F.col("band") * span + F.col("bucket")
+    touched: set[int] = set()
+    if removed_df is not None:
+        gone = (
+            index.join(F.broadcast(removed_df.distinct()), id_col, "left_semi")
+            .select(leaf_key.alias("_leaf")).distinct().collect()
+        )
+        touched.update(r._leaf for r in gone)
+    banded_new = None
+    if items_added is not None:
+        buckets = lsh_bucket_cols(F.col(vec_col).cast("array<double>"), planes, bands)
+        banded_new = items_added.select(
+            "*", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        )
+        touched.update(
+            r._leaf for r in banded_new.select(leaf_key.alias("_leaf")).distinct().collect()
+        )
+    if not touched:
+        return
+
+    kept = index.where(leaf_key.isin(list(touched)))
+    if removed_df is not None:
+        kept = kept.join(F.broadcast(removed_df.distinct()), id_col, "left_anti")
+    out = kept
+    if banded_new is not None:
+        out = kept.unionByName(banded_new.select(*kept.columns))
+    out = out.cache()
+    remaining = {
+        r._leaf for r in out.select(leaf_key.alias("_leaf")).distinct().collect()
+    }
+    write_local_index(out, path, ["band", "bucket"])
+    out.unpersist()
+    for leaf in touched - remaining:
+        shutil.rmtree(
+            os.path.join(path, f"band={leaf // span}", f"bucket={leaf % span}"),
+            ignore_errors=True,
+        )
+
+
 def lsh_search(
     spark,
     path: str,

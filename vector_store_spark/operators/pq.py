@@ -203,3 +203,148 @@ def pq_topk(
         .limit(k)
         .select(*cols, "distance")
     )
+
+
+def pq_build_local(
+    items: DataFrame,
+    part_col: str,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> dict:
+    """Per-partition PQ sub-indexes — the engine-agnostic local tier
+    (lib.rs:677-680) at the PQ engine, completing the local matrix next to
+    the exact/IVF/LSH sub-index builds.
+
+    Each partition gets its OWN deterministic codebook (subvector slices of
+    that partition's k_codes smallest-id rows — reproducible in oracle SQL);
+    every row is encoded against its own partition's codebook in one Arrow
+    pass (codebooks ride in the closure — metadata-sized: n_partitions ×
+    m_sub × k_codes × d_sub). Codes are stored ``partitionBy(part_col)``:
+    a query's partition Eq prunes to one directory of m_sub-byte rows.
+    Returns {part_value: codebook}."""
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from vector_store_spark.sources.index_store import fresh_dir, write_local_index
+
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cb_rows = (
+        items.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k_codes)
+        .select(part_col, id_col, vec_col)
+        .collect()
+    )
+    by_part: dict = {}
+    for r in sorted(cb_rows, key=lambda r: (r[0], r[1])):
+        by_part.setdefault(r[0], []).append(list(map(float, r[2])))
+    books = {}
+    for pv, vecs in by_part.items():
+        mat = np.array(vecs, dtype=np.float64)
+        dims = mat.shape[1]
+        if dims % m_sub:
+            raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")
+        d_sub = dims // m_sub
+        books[pv] = mat.reshape(len(vecs), m_sub, d_sub).transpose(1, 0, 2).copy()
+
+    def encode(parts, vecs):
+        out = np.empty(len(parts), dtype=object)
+        parr = parts.to_numpy()
+        for pv in pd.unique(parts):
+            cb = books[pv]
+            m, _, d_sub = cb.shape
+            for i in np.nonzero(parr == pv)[0]:
+                x = np.asarray(vecs.iloc[i], dtype=np.float64).reshape(m, 1, d_sub)
+                out[i] = ((x - cb) ** 2).sum(axis=2).argmin(axis=1).astype("int32")
+        return pd.Series(out)
+
+    udf = F.pandas_udf(encode, ArrayType(IntegerType()))
+    encoded = items.select(
+        part_col, id_col,
+        udf(F.col(part_col), F.col(vec_col).cast("array<double>")).alias("pq_code"),
+    )
+    fresh_dir(path)
+    write_local_index(encoded, path, [part_col])
+    meta = {
+        "m_sub": m_sub, "k_codes": k_codes, "part_col": part_col,
+        "books": [[pv, books[pv].tolist()] for pv in books],
+    }
+    with open(os.path.join(path, "_pq_local_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return books
+
+
+def pq_search_local(
+    spark,
+    path: str,
+    part_value,
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    rescore: int = 0,
+    select_cols: list | None = None,
+    round_to: int | None = None,
+    predicate=None,
+) -> DataFrame:
+    """Query ONE partition's PQ sub-index: the partition Eq prunes to that
+    partition's code directory, ADC scores against THAT partition's own
+    codebook (driver-side LUT), optional exact rescore back-joins the
+    shortlist to the source table. ``predicate`` filters the pruned code
+    scan (restricted local search)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_local_meta.json")) as f:
+        meta = json.load(f)
+    cb = None
+    for pv, book in meta["books"]:
+        if pv == part_value:
+            cb = np.asarray(book, dtype=np.float64)
+            break
+    if cb is None:
+        raise KeyError(f"no sub-index for partition {part_value!r}")
+    cand = spark.read.parquet(path).where(F.col(meta["part_col"]) == part_value)
+    if predicate is not None:
+        cand = cand.where(predicate)
+    lut = pq_adc_lut(cb, query)
+    dist = pq_adc_distance("pq_code", lut)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    cols = select_cols or [id_col]
+    shortlist = (
+        cand.withColumn("distance", dist)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(rescore * k if rescore > 0 else k)
+        .select(id_col, "distance")
+    )
+    if rescore > 0:
+        from vector_store_spark.functions.distance import distance_expr, vector_lit
+        from vector_store_spark.types import SpaceType
+
+        exact = distance_expr(
+            SpaceType.EUCLIDEAN, F.col(vec_col).cast("array<double>"), vector_lit(query)
+        )
+        if round_to is not None:
+            exact = F.round(exact, round_to)
+        rej = items.join(F.broadcast(shortlist.select(id_col)), id_col)
+        return (
+            rej.withColumn("distance", exact)
+            .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(*cols, "distance")
+        )
+    back = items.select(*dict.fromkeys([*cols, id_col])).join(
+        F.broadcast(shortlist), id_col
+    )
+    return (
+        back.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .select(*cols, "distance")
+        .limit(k)
+    )

@@ -1030,3 +1030,117 @@ def ann_ivfpq_persisted_filtered_topk(spark, sf_dir):
         select_cols=["vec_id", "label"], round_to=ROUND,
         predicate=F.col("label").isin(2, 5, 7),
     )
+
+
+@register(
+    "local_partition_ann_pq",
+    # one PQ sub-index per partition (lib.rs:677-680): the codebook is the
+    # K_CODES smallest-id rows WITHIN the partition; encode + LUT + ADC all
+    # re-derived in SQL inside the partition, as the Spark side prunes to
+    # the label directory of m_sub-byte code rows
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE label = {_PART}),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+  FROM e ORDER BY vec_id LIMIT {K_CODES}
+),
+subs AS (SELECT unnest(range(0, {M_SUB})) AS s),
+cbsub AS (
+  SELECT s, j, cv[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS cvs
+  FROM cb CROSS JOIN subs
+),
+esub AS (
+  SELECT vec_id, s, v[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}] AS vs
+  FROM e CROSS JOIN subs
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY {_L2S.format(a="vs", b="cvs")}, j) AS rn
+    FROM esub JOIN cbsub USING (s)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s, j,
+         {_L2S.format(a=f"({sql_vec(Q31)})[s * {D_SUB} + 1 : s * {D_SUB} + {D_SUB}]", b="cvs")} AS qd
+  FROM cbsub
+),
+adc AS (
+  SELECT vec_id, round(list_sum(list(qd ORDER BY s)), {ROUND}) AS distance
+  FROM codes JOIN lut USING (s, j)
+  GROUP BY vec_id
+)
+SELECT e.vec_id, e.label, adc.distance
+FROM adc JOIN e ON e.vec_id = adc.vec_id
+ORDER BY distance, e.vec_id LIMIT 10
+""",
+    "Local PQ sub-indexes (lib.rs:677-680): one codebook per partition, "
+    "codes stored partitionBy(label) — the partition Eq prunes to one "
+    "directory of m_sub-byte rows, ADC against that partition's own "
+    "codebook, back-join payload; completes the local engine matrix "
+    "(exact/IVF/LSH/PQ)",
+)
+def local_partition_ann_pq(spark, sf_dir):
+    from vector_store_spark.operators.pq import pq_build_local, pq_search_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "pq_local",
+        lambda p: pq_build_local(
+            emb, "label", "vec_id", "embedding", p, m_sub=M_SUB, k_codes=K_CODES,
+        ),
+    )
+    return pq_search_local(
+        spark, path, _PART, emb, "vec_id", "embedding", Q31, 10,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+@register(
+    "ann_lsh_updated_topk",
+    # incremental CRUD on the persisted LSH layout: build on vec_id<800,
+    # remove ids<50, add 800..; hyperplanes are data-independent, so the
+    # updated index must serve EXACTLY the full-set banding over the final
+    # row set (the strongest possible CRUD oracle)
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id >= 50),
+cand AS (SELECT * FROM e WHERE {_CAND_COND}),
+scored AS (
+  SELECT vec_id, label,
+         round(1.0 - list_inner_product(e, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM cand
+)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "Incremental CRUD on the persisted LSH layout: removals anti-joined, "
+    "additions banded against the sidecar hyperplanes, ONLY touched "
+    "(band, bucket) leaves rewritten, emptied leaves deleted — the "
+    "add/remove surface on the append-friendly engine",
+)
+def ann_lsh_updated_topk(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from vector_store_spark.operators.lsh import lsh_build, lsh_search, lsh_update
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def build(p):
+        lsh_build(
+            emb.where(SF.col("vec_id") < 800), "vec_id", "embedding", p,
+            num_bits=_BITS, bands=_LSH_BANDS,
+        )
+        lsh_update(
+            spark, p, "vec_id", "embedding",
+            items_added=emb.where(SF.col("vec_id") >= 800),
+            ids_removed=list(range(50)),
+        )
+
+    path = _built(spark, sf_dir, "lsh_crud", build)
+    return lsh_search(
+        spark, path, "vec_id", "embedding", Q7, 10,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
