@@ -115,6 +115,36 @@ def _extras(spark, sf_dir: str) -> dict:
         out["recall_at_10_lsh_16b4band"] = round(sum(recalls_lsh) / len(recalls_lsh), 4)
         out["recall_at_10_exact"] = 1.0
 
+        # graph ANN: recall vs expansion_search (the reference's native
+        # ef-search knob, usearch.rs:203-248 — now measured on a real graph,
+        # not just its IVF nprobe analogue) + build cost + serve latency
+        import tempfile
+
+        from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search
+
+        hpath = tempfile.mkdtemp(prefix="bench_hnsw_")
+        t0 = time.time()
+        hnsw_build(emb, "vec_id", "embedding", hpath, m=8, ef_construction=64,
+                   num_slices=4, payload_cols=["label"])
+        out["hnsw_build_sec"] = round(time.time() - t0, 4)
+        recalls_hnsw: dict[int, list] = {8: [], 32: [], 64: []}
+        for seed in (7, 13, 21, 33):
+            q = det_query_vector(seed, 64)
+            truth = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+            ).collect()}
+            for ef in recalls_hnsw:
+                got = {r.vec_id for r in
+                       hnsw_search(spark, hpath, q, k, ef_search=ef).collect()}
+                recalls_hnsw[ef].append(len(got & truth) / k)
+        out["recall_at_10_hnsw_by_ef"] = {
+            str(ef): round(sum(rs) / len(rs), 4) for ef, rs in recalls_hnsw.items()
+        }
+        t0 = time.time()
+        hnsw_search(spark, hpath, det_query_vector(7, 64), k,
+                    ef_search=64).collect()
+        out["hnsw_serve_latency_sec_k10"] = round(time.time() - t0, 4)
+
         from vector_store_spark.operators.pq import pq_topk
         from vector_store_spark.types import SpaceType
 

@@ -128,7 +128,7 @@ def test_strategy_space_mismatch_rejected(emb):
 def test_unknown_strategy_rejected(emb):
     eng = VectorStoreEngine()
     with pytest.raises(ValueError):
-        eng.register(emb, _meta(), strategy="hnsw")
+        eng.register(emb, _meta(), strategy="diskann2")
 
 
 def test_engine_serves_persisted_ivf_and_lsh(spark, emb, tmp_path):

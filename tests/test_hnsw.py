@@ -1,0 +1,177 @@
+"""Graph-ANN (HNSW) engine: build determinism, exhaustive-search exactness,
+beam-width recall, filter-inside-traversal, CRUD, and engine integration.
+
+Mirrors the reference's USearch coverage (crates/vector-store/src/vs_index/
+usearch.rs tests + crates/validator search/filtering): ann returns nearest,
+restricted ann returns top-k OF the filtered set, add/remove take effect.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.hnsw import (
+    _build_graph,
+    _levels_of,
+    hnsw_build,
+    hnsw_delete,
+    hnsw_insert,
+    hnsw_search,
+)
+from vector_store_spark.operators.topk import ann_topk
+from vector_store_spark.registry import ROUND, det_query_vector
+from vector_store_spark.types import IndexMetadata, SpaceType
+
+N, DIMS = 400, 16
+Q = det_query_vector(3, DIMS)
+
+
+def _vec(i):
+    return [(((i * 13 + j * 7) % 41) - 20) / 20.0 for j in range(DIMS)]
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    rows = [(i, _vec(i), i % 5) for i in range(N)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def built(spark, items, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("hnsw") / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    return path
+
+
+def _exact(items, q, k, pred=None):
+    df = items if pred is None else items.where(pred)
+    return [
+        (r.vec_id, r.distance)
+        for r in ann_topk(df, "embedding", q, k, tie_break=["vec_id"],
+                          select_cols=["vec_id"], round_to=ROUND).collect()
+    ]
+
+
+def test_levels_follow_geometric_law():
+    ids = np.arange(100_000, dtype=np.int64)
+    lv = _levels_of(ids, m=8)
+    # fraction at level >= 1 is ~1/m under the geometric law
+    frac = (lv >= 1).mean()
+    assert 0.08 < frac < 0.18
+    assert lv.max() <= 6
+
+
+def test_build_deterministic():
+    ids = np.arange(120, dtype=np.int64)
+    vecs = np.array([_vec(int(i)) for i in ids], dtype=np.float32)
+    a = _build_graph(ids, vecs, 6, 32, SpaceType.COSINE)
+    b = _build_graph(ids, vecs, 6, 32, SpaceType.COSINE)
+    assert a[2] == b[2] and a[3] == b[3]
+    assert all(
+        len(x) == len(y) and all(np.array_equal(p, q) for p, q in zip(x, y))
+        for x, y in zip(a[1], b[1])
+    )
+
+
+def test_layer0_connected():
+    """Connectivity repair guarantees ef>=n search is exhaustive."""
+    ids = np.arange(200, dtype=np.int64)
+    vecs = np.array([_vec(int(i)) for i in ids], dtype=np.float32)
+    _, adj, entry, _ = _build_graph(ids, vecs, 4, 16, SpaceType.COSINE)
+    seen = {entry}
+    stack = [entry]
+    while stack:
+        v = stack.pop()
+        for u in adj[v][0]:
+            if int(u) not in seen:
+                seen.add(int(u))
+                stack.append(int(u))
+    assert len(seen) == len(ids)
+
+
+def test_exhaustive_search_is_exact(spark, items, built):
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, built, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == _exact(items, Q, 10)
+
+
+def test_recall_monotone_in_ef(spark, items, built):
+    want = {v for v, _ in _exact(items, Q, 10)}
+
+    def recall(ef):
+        got = {r.vec_id for r in
+               hnsw_search(spark, built, Q, 10, ef_search=ef).collect()}
+        return len(got & want) / 10
+
+    r8, r64 = recall(8), recall(64)
+    assert r8 <= r64  # wider beam never hurts
+    assert r64 >= 0.9  # expansion_search=64 ≈ the reference default
+
+
+def test_filtered_inside_traversal(spark, items, built):
+    pred = F.col("label").isin(1, 3)
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, built, Q, 10, ef_search=N,
+                                predicate=pred, round_to=ROUND).collect()]
+    assert got == _exact(items, Q, 10, pred)  # top-k OF the filtered set
+    assert all(v % 5 in (1, 3) for v, _ in got)
+
+
+def test_crud_insert_delete(spark, items, tmp_path):
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    new = spark.createDataFrame(
+        [(9001, Q, 9), (9002, [0.0] * DIMS, 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    hnsw_insert(spark, path, new)
+    top = hnsw_search(spark, path, Q, 3, ef_search=64).collect()
+    assert top[0].vec_id == 9001 and top[0].distance < 1e-9
+
+    hnsw_delete(spark, path, [9001, 0])
+    rows = hnsw_search(spark, path, Q, N, ef_search=N).collect()
+    ids = {r.vec_id for r in rows}
+    assert 9001 not in ids and 0 not in ids and 9002 in ids
+    # post-CRUD exhaustive search still exact over the surviving set
+    want = _exact(
+        items.unionByName(new).where(~F.col("vec_id").isin(9001, 0)), Q, 10)
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == want
+
+
+def test_engine_hnsw_strategy(spark, items, built):
+    from vector_store_spark.engine import VectorStoreEngine
+    from vector_store_spark.types import Filter, Restriction
+
+    meta = IndexMetadata(
+        keyspace="ks", index="gx", table="t", primary_key_columns=("vec_id",),
+        partition_key_count=1, target_column="embedding", dimensions=DIMS,
+        filtering_columns=("label",), connectivity=6, expansion_add=48,
+        expansion_search=N,
+    )
+    eng = VectorStoreEngine()
+    eng.register(items, meta, strategy="hnsw", strategy_opts={"path": built})
+    resp = eng.ann("ks", "t", "embedding", Q, limit=5)
+    assert resp.primary_keys["vec_id"] == [v for v, _ in _exact(items, Q, 5)]
+    # restricted ANN through the engine lifecycle (usearch.rs:1108-1154)
+    flt = Filter(restrictions=(Restriction.eq("label", 2),),
+                 allow_filtering=True)
+    resp = eng.ann("ks", "t", "embedding", Q, limit=5, flt=flt)
+    want = _exact(items, Q, 5, F.col("label") == 2)
+    assert resp.primary_keys["vec_id"] == [v for v, _ in want]
+
+
+def test_search_plan_no_shuffle(spark, built):
+    """Serving reads num_slices blob rows and merges with one
+    TakeOrderedAndProject — no Exchange before the merge."""
+    plan = hnsw_search(spark, built, Q, 10, ef_search=32)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -61,6 +61,7 @@ class AnnResponse:
 #: per-query ``rescore`` strategy_opt (quantization_and_rescoring.rs:117-256).
 ANN_STRATEGIES = (
     "exact", "lsh", "ivf", "pq", "ivfpq", "ivfpq_residual", "i8", "f16", "bf16",
+    "hnsw",
 )
 
 
@@ -175,6 +176,33 @@ class VectorStoreEngine:
             return scalar_quantized_topk(
                 df, id_col, meta.target_column, list(vector), limit,
                 kind=ri.strategy, space=meta.space_type, select_cols=select, **opts,
+            )
+        if ri.strategy == "hnsw":
+            # the direct counterpart of the reference's default engine
+            # (USearch HNSW): the three graph options map 1:1 —
+            # connectivity ↦ build m, expansion_add ↦ build ef_construction
+            # (consumed by hnsw_build), expansion_search ↦ the query beam
+            # width here. Serves the persisted sliced-graph layout; the
+            # composed predicate (consumed partition Eq + residual) is
+            # evaluated inside traversal via per-slice allow-bitmaps
+            # (usearch.rs:1108-1154 semantics).
+            from vector_store_spark.operators.hnsw import hnsw_search
+
+            if "path" not in opts:
+                raise FilterError(
+                    "hnsw strategy serves a persisted graph; register with "
+                    "strategy_opts={'path': <hnsw_build output>}"
+                )
+            if list(meta.primary_key_columns) != [id_col] or len(select) != 1:
+                raise FilterError(
+                    "hnsw strategy emits (id, distance, similarity); use a "
+                    "single-column primary key (back-join other columns by id)"
+                )
+            o = {k: v for k, v in opts.items() if k != "path"}
+            o.setdefault("ef_search", meta.expansion_search)
+            return hnsw_search(
+                df.sparkSession, opts["path"], list(vector), limit,
+                predicate=_and(prune, predicate), **o,
             )
         if ri.strategy == "lsh":
             if meta.space_type != SpaceType.COSINE:

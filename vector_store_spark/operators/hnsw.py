@@ -1,0 +1,579 @@
+"""Graph ANN: a genuine HNSW engine behind the strategy interface.
+
+The reference's default vector engine is USearch HNSW
+(crates/vector-store/src/vs_index/usearch.rs): a layered
+navigable-small-world graph built incrementally (`expansion_add` beam per
+insert, `connectivity` links per node, usearch.rs:74-92) and searched with a
+best-first beam of width `expansion_search` (usearch.rs:203-248), with
+restrictions evaluated *inside* traversal (usearch.rs:1108-1154) and deletes
+handled as tombstones until compaction.  Until this module the rebuild
+served those semantics through IVF/LSH substitutions; this is the direct
+counterpart, so the three graph options stop being recorded-but-unmapped
+(plans/catalog.py) and are actually consumed.
+
+Spark-first shape
+-----------------
+A monolithic graph cannot live on a cluster, so the index is **sliced**:
+rows hash to `num_slices` shards, each shard holds an independent HNSW
+graph sized to executor memory, a query searches every shard's graph in
+parallel and merges per-shard top-k with one TakeOrderedAndProject — the
+standard sharded-HNSW serving layout (and exactly how the reference scales
+too: one USearch index per partition for LOCAL indexes, lib.rs:677-680).
+
+The persisted layout mirrors USearch's single memory-mapped file per index
+(usearch.rs `save`/`load`): each slice's graph is ONE parquet row of packed
+numpy buffers (ids / f32 vectors / levels / CSR adjacency / tombstone map)
+partitioned by `slice`, plus a columnar per-node *payload* table (id, node,
+filtering columns) for predicate evaluation.  Serving reads `num_slices`
+blob rows — no shuffle, no per-query regroup; a cached blob DataFrame is
+the analogue of the reference's resident index.  Filtered search evaluates
+the predicate Spark-side on the columnar payload (pushed parquet filters),
+reduces it to a per-slice allow-bitmap, and traversal collects only allowed
+nodes while still walking the full graph — the reference's
+predicate-inside-traversal, not post-filtering.
+
+Build runs as one `applyInPandas` pass: each slice constructs its graph in
+numpy (float64 scoring over float32 storage) with deterministic levels
+(hash-derived, no RNG), deterministic insertion order (sorted by id) and a
+level-0 connectivity repair (bridge stray components to their nearest main
+node) so that `ef >= n` search is provably exhaustive.  Everything is
+reproducible bit-for-bit, which the determinism test asserts on the raw
+blobs.
+
+At 100 TB: `num_slices` grows so each graph stays executor-sized; build is
+embarrassingly parallel per slice; a query fans out `num_slices` graph
+searches, each emitting k rows.  Unlike IVF there is no candidate-scan
+pruning — the graph *is* the accelerator (O(ef·log n) distance evaluations
+per slice instead of a full scan), which is the same trade the reference
+makes.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_store_spark.functions.distance import similarity_expr
+from vector_store_spark.types import SpaceType
+
+#: level cap — slice-sized graphs essentially never exceed this
+MAX_LEVEL = 6
+
+_GRAPH_SCHEMA = (
+    "slice int, n int, entry int, max_level int, ids binary, vecs binary, "
+    "levels binary, nbr_counts binary, nbr_flat binary, deleted binary"
+)
+
+
+def _levels_of(ids: np.ndarray, m: int) -> np.ndarray:
+    """Deterministic HNSW level per node: the standard geometric law
+    level = floor(-ln(u) * mL), mL = 1/ln(m) (usearch.rs / Malkov &
+    Yashunin §4), with u a Knuth-hash of the id instead of an RNG so
+    builds are reproducible and the level is re-derivable in oracle SQL:
+    u = ((id * 2654435761) % 2^32 + 1) / (2^32 + 1)."""
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    u = (h.astype(np.float64) + 1.0) / 4294967297.0
+    ml = 1.0 / np.log(m)
+    return np.minimum(np.floor(-np.log(u) * ml), MAX_LEVEL).astype(np.int8)
+
+
+def _prep(vecs: np.ndarray, space: SpaceType) -> np.ndarray:
+    """Scoring matrix: unit-normalized for cosine so dist = 1 - dot."""
+    v = vecs.astype(np.float64)
+    if space == SpaceType.COSINE:
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return v / n
+    return v
+
+
+def _dists(mat: np.ndarray, nodes, q: np.ndarray, space: SpaceType) -> np.ndarray:
+    if space == SpaceType.COSINE:
+        return 1.0 - mat[nodes] @ q
+    d = mat[nodes] - q
+    return np.einsum("ij,ij->i", d, d)
+
+
+def _search_layer(mat, adj_at, q, entries, ef, space, allowed=None):
+    """Best-first beam search on one layer (usearch.rs:203-248 semantics).
+
+    ``allowed``: optional bool mask — traversal walks every node but only
+    allowed ones enter the result heap (predicate-inside-traversal,
+    usearch.rs:1108-1154).  Returns (nodes, dists) sorted ascending."""
+    visited = set(entries)
+    ed = _dists(mat, list(entries), q, space)
+    cand = [(d, int(v)) for d, v in zip(ed, entries)]  # min-heap
+    heapq.heapify(cand)
+    res: list = []  # max-heap via negated dist
+    for d, v in zip(ed, entries):
+        if allowed is None or allowed[v]:
+            heapq.heappush(res, (-d, int(v)))
+    while cand:
+        d, v = heapq.heappop(cand)
+        if len(res) >= ef and d > -res[0][0]:
+            break
+        nbrs = [u for u in adj_at(v) if u not in visited]
+        if not nbrs:
+            continue
+        visited.update(nbrs)
+        nd = _dists(mat, nbrs, q, space)
+        worst = -res[0][0] if len(res) >= ef else np.inf
+        for du, u in zip(nd, nbrs):
+            if du < worst or len(res) < ef:
+                heapq.heappush(cand, (du, u))
+                if allowed is None or allowed[u]:
+                    heapq.heappush(res, (-du, u))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+                    worst = -res[0][0] if len(res) >= ef else np.inf
+    out = sorted((-nd, u) for nd, u in res)
+    return [u for _, u in out], [d for d, _ in out]
+
+
+def _greedy_descend(mat, adj, q, entry, from_level, to_level, space):
+    """Greedy single-link descent through the upper layers."""
+    cur = entry
+    cd = float(_dists(mat, [cur], q, space)[0])
+    for lev in range(from_level, to_level, -1):
+        changed = True
+        while changed:
+            changed = False
+            nbrs = adj[cur][lev]
+            if len(nbrs) == 0:
+                break
+            nd = _dists(mat, nbrs, q, space)
+            j = int(np.argmin(nd))
+            if nd[j] < cd:
+                cd = float(nd[j])
+                cur = int(nbrs[j])
+                changed = True
+    return cur, cd
+
+
+def _build_graph(ids: np.ndarray, fvecs: np.ndarray, m: int, ef_construction: int,
+                 space: SpaceType):
+    """Incremental HNSW construction over one slice (numpy, deterministic).
+
+    Insertion order is ascending id; neighbor selection is plain
+    nearest-M (the reference exposes no heuristic knob); back-links prune
+    to Mmax = m (upper layers) / 2m (layer 0), the standard caps.  After
+    all inserts, layer 0 is union-find checked and stray components are
+    bridged to their nearest main-component node so ef>=n search is
+    exhaustive (the determinism/exactness tests rely on this)."""
+    n = len(ids)
+    mat = _prep(fvecs, space)
+    levels = _levels_of(ids, m)
+    adj: list[list[np.ndarray]] = [
+        [np.empty(0, dtype=np.int32) for _ in range(int(levels[i]) + 1)]
+        for i in range(n)
+    ]
+    if n == 0:
+        return levels, adj, -1, -1
+    entry, max_lvl = 0, int(levels[0])
+    m0 = 2 * m
+    for i in range(1, n):
+        li = int(levels[i])
+        q = mat[i]
+        cur, _ = _greedy_descend(mat, adj, q, entry, max_lvl, li, space)
+        for lev in range(min(li, max_lvl), -1, -1):
+            cands, _ = _search_layer(
+                mat, lambda v, lev=lev: adj[v][lev] if lev < len(adj[v]) else (),
+                q, [cur], ef_construction, space,
+            )
+            cap = m0 if lev == 0 else m
+            nbrs = np.asarray(cands[:cap], dtype=np.int32)
+            adj[i][lev] = nbrs
+            for u in nbrs:
+                cur_list = adj[u][lev]
+                new = np.append(cur_list, np.int32(i))
+                if len(new) > cap:
+                    nd = _dists(mat, new, mat[u], space)
+                    # stable keep of the cap nearest (ties -> lower node)
+                    keep = np.lexsort((new, nd))[:cap]
+                    new = new[np.sort(keep)]
+                adj[u][lev] = new
+            if cands:
+                cur = cands[0]
+        if li > max_lvl:
+            entry, max_lvl = i, li
+    _repair_layer0(mat, adj, space)
+    return levels, adj, entry, max_lvl
+
+
+def _repair_layer0(mat, adj, space) -> None:
+    """Restore layer-0 navigability after back-link pruning: (1) symmetrize
+    the bottom layer (beam search follows out-edges, so a pruned reverse
+    link would leave nodes unreachable — the symmetric closure makes
+    directed reachability equal undirected connectivity, at a small degree
+    overshoot on hub nodes), then (2) bridge any remaining disconnected
+    components to the seed component so ef>=n search is exhaustive."""
+    n = len(adj)
+    if n == 0:
+        return
+    incoming: list[list[int]] = [[] for _ in range(n)]
+    for v in range(n):
+        for u in adj[v][0]:
+            incoming[int(u)].append(v)
+    for u in range(n):
+        have = set(int(x) for x in adj[u][0])
+        missing = [v for v in incoming[u] if v not in have]
+        if missing:
+            adj[u][0] = np.append(adj[u][0],
+                                  np.asarray(missing, dtype=np.int32))
+    comp = np.full(n, -1, dtype=np.int64)
+    cid = 0
+    for s in range(n):
+        if comp[s] >= 0:
+            continue
+        stack = [s]
+        comp[s] = cid
+        while stack:
+            v = stack.pop()
+            for u in adj[v][0]:
+                if comp[u] < 0:
+                    comp[u] = cid
+                    stack.append(int(u))
+        cid += 1
+    if cid == 1:
+        return
+    main = 0  # component of node 0 (the first insert seeds the graph)
+    main_nodes = np.flatnonzero(comp == comp[main])
+    for c in range(cid):
+        if c == comp[main]:
+            continue
+        nodes = np.flatnonzero(comp == c)
+        if space == SpaceType.COSINE:
+            d = 1.0 - mat[nodes] @ mat[main_nodes].T
+        else:
+            d = ((mat[nodes, None, :] - mat[None, main_nodes, :]) ** 2).sum(-1)
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        a, b = int(nodes[i]), int(main_nodes[j])
+        adj[a][0] = np.append(adj[a][0], np.int32(b))
+        adj[b][0] = np.append(adj[b][0], np.int32(a))
+
+
+def _encode(slice_id, ids, fvecs, levels, adj, entry, max_lvl, deleted=None):
+    counts, flat = [], []
+    for lists in adj:
+        for nbrs in lists:
+            counts.append(len(nbrs))
+            flat.append(np.asarray(nbrs, dtype=np.int32))
+    flat_arr = np.concatenate(flat) if flat else np.empty(0, dtype=np.int32)
+    dele = (deleted if deleted is not None
+            else np.zeros(len(ids), dtype=np.uint8))
+    return {
+        "slice": int(slice_id), "n": int(len(ids)), "entry": int(entry),
+        "max_level": int(max_lvl),
+        "ids": ids.astype(np.int64).tobytes(),
+        "vecs": fvecs.astype(np.float32).tobytes(),
+        "levels": levels.astype(np.int8).tobytes(),
+        "nbr_counts": np.asarray(counts, dtype=np.int32).tobytes(),
+        "nbr_flat": flat_arr.tobytes(),
+        "deleted": dele.tobytes(),
+    }
+
+
+def _decode(row, dims: int):
+    ids = np.frombuffer(row["ids"], dtype=np.int64)
+    n = len(ids)
+    fvecs = np.frombuffer(row["vecs"], dtype=np.float32).reshape(n, dims)
+    levels = np.frombuffer(row["levels"], dtype=np.int8)
+    counts = np.frombuffer(row["nbr_counts"], dtype=np.int32)
+    flat = np.frombuffer(row["nbr_flat"], dtype=np.int32)
+    deleted = np.frombuffer(row["deleted"], dtype=np.uint8).copy()
+    adj, pos, fpos = [], 0, 0
+    for i in range(n):
+        lists = []
+        for _ in range(int(levels[i]) + 1):
+            c = int(counts[pos]); pos += 1
+            lists.append(flat[fpos:fpos + c]); fpos += c
+        adj.append(lists)
+    return ids, fvecs, levels, adj, int(row["entry"]), int(row["max_level"]), deleted
+
+
+def hnsw_build(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    m: int = 16,
+    ef_construction: int = 128,
+    num_slices: int = 4,
+    space: SpaceType = SpaceType.COSINE,
+    payload_cols: Sequence[str] = (),
+) -> dict:
+    """Build the sliced HNSW layout at ``path``.
+
+    ``m`` = the reference's `connectivity`, ``ef_construction`` =
+    `expansion_add` (lib.rs:594-601).  Slice assignment is ``id %
+    num_slices`` (SQL-re-derivable, unlike a seeded xxhash).  Writes:
+    ``path/graph`` — one packed-blob row per slice, partitioned by slice;
+    ``path/payload`` — columnar (slice, node, id, payload...) for
+    predicate evaluation, partitioned by slice; ``path/_hnsw_meta.json``.
+    Returns the meta dict."""
+    from vector_store_spark.sources.index_store import fresh_dir
+
+    spark = items.sparkSession
+    dims = None
+    sliced = items.withColumn("slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        fvecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+        levels, adj, entry, max_lvl = _build_graph(
+            ids, fvecs, m, ef_construction, space)
+        return pd.DataFrame([_encode(int(pdf["slice"].iloc[0]), ids, fvecs,
+                                     levels, adj, entry, max_lvl)])
+
+    fresh_dir(path)
+    graph = sliced.groupBy("slice").applyInPandas(build, _GRAPH_SCHEMA)
+    graph.write.partitionBy("slice").parquet(os.path.join(path, "graph"))
+
+    w = Window.partitionBy("slice").orderBy(id_col)
+    payload = sliced.withColumn("node", F.row_number().over(w) - F.lit(1)).select(
+        "slice", "node", id_col, *payload_cols
+    )
+    payload.repartition("slice").write.partitionBy("slice").parquet(
+        os.path.join(path, "payload"))
+
+    sample = items.select(vec_col).first()
+    dims = len(sample[0]) if sample else 0
+    meta = {
+        "space": space.value, "m": m, "ef_construction": ef_construction,
+        "num_slices": num_slices, "dims": dims, "id_col": id_col,
+        "payload_cols": list(payload_cols),
+    }
+    with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, "_hnsw_meta.json")) as f:
+        return json.load(f)
+
+
+def _slice_search(row, dims, query, k, ef, space, allowed_nodes):
+    ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(row, dims)
+    n = len(ids)
+    if n == 0 or entry < 0:
+        return [], []
+    mat = _prep(fvecs, space)
+    q = np.asarray(query, dtype=np.float64)
+    if space == SpaceType.COSINE:
+        qn = np.linalg.norm(q)
+        q = q / qn if qn else q
+    allowed = deleted == 0
+    if allowed_nodes is not None:
+        mask = np.zeros(n, dtype=bool)
+        valid = np.asarray(allowed_nodes, dtype=np.int64)
+        mask[valid[valid < n]] = True
+        allowed &= mask
+    if entry >= n:
+        entry = 0
+    cur, _ = _greedy_descend(mat, adj, q, entry, max_lvl, 0, space)
+    ef_eff = max(ef, k)
+    nodes, dists = _search_layer(
+        mat, lambda v: adj[v][0], q, [cur], ef_eff, space, allowed=allowed)
+    return [int(ids[u]) for u in nodes[:k]], dists[:k]
+
+
+def hnsw_search(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int,
+    ef_search: int = 64,
+    predicate=None,
+    round_to: int | None = None,
+    cache: bool = False,
+) -> DataFrame:
+    """Search every slice's graph, merge per-slice top-k (one
+    TakeOrderedAndProject; no shuffle — the scan is ``num_slices`` blob
+    rows).  ``ef_search`` = the reference's `expansion_search` beam width.
+
+    ``predicate``: boolean Column over the payload columns.  It is
+    evaluated on the columnar payload table (pushed parquet filters) and
+    reduced to a per-slice allow-list consumed by traversal — the
+    reference's restricted search (usearch.rs:1108-1154): the walk visits
+    the full graph, only matching nodes enter the beam's result heap, and
+    the top-k is OF the filtered set (T2).  Output: (id, distance,
+    similarity) — back-join payload/base columns by id (J1) downstream."""
+    meta = _read_meta(path)
+    dims, space = meta["dims"], SpaceType(meta["space"])
+    id_col = meta["id_col"]
+    graph = spark.read.parquet(os.path.join(path, "graph"))
+    if predicate is not None:
+        pay = spark.read.parquet(os.path.join(path, "payload")).where(predicate)
+        matches = pay.groupBy("slice").agg(F.collect_list("node").alias("_nodes"))
+        graph = graph.join(F.broadcast(matches), "slice", "inner")
+    if cache:
+        graph = graph.cache()
+    q = [float(x) for x in query]
+    filtered = predicate is not None
+
+    def run(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out_ids, out_d = [], []
+            for _, row in pdf.iterrows():
+                nodes = row["_nodes"] if filtered else None
+                ids, dists = _slice_search(row, dims, q, k, ef_search, space, nodes)
+                out_ids.extend(ids)
+                out_d.extend(dists)
+            yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
+                                "distance": pd.Series(out_d, dtype="float64")})
+
+    res = graph.mapInPandas(run, f"{id_col} long, distance double")
+    if round_to is not None:
+        res = res.withColumn("distance", F.round(F.col("distance"), round_to))
+    res = res.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
+    sim = similarity_expr(space, F.col("distance"), dims=dims)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return res.withColumn("similarity", sim)
+
+
+def hnsw_insert(spark, path: str, items: DataFrame) -> None:
+    """Native incremental insertion (the reference's `add`,
+    usearch.rs:74-92 — HNSW's core advantage over IVF/LSH rebuilds):
+    new rows hash to their slices, each affected slice's graph is decoded,
+    the new nodes are inserted with the standard descend-then-beam link
+    procedure, and ONLY the touched slice directories (graph blob +
+    payload rows) are rewritten."""
+    meta = _read_meta(path)
+    dims, m = meta["dims"], meta["m"]
+    efc, space = meta["ef_construction"], SpaceType(meta["space"])
+    id_col, num_slices = meta["id_col"], meta["num_slices"]
+    pay_cols = meta["payload_cols"]
+
+    sliced = items.withColumn(
+        "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
+    vec_key = [c for c in items.columns if c != id_col and c not in pay_cols][0]
+    touched = [r[0] for r in sliced.select("slice").distinct().collect()]
+    graph = spark.read.parquet(os.path.join(path, "graph")).where(
+        F.col("slice").isin(touched))
+
+    def ins(key, new, right):
+        import pandas as pd
+
+        blob = right.iloc[0] if len(right) else None
+        sl = int(key[0])
+        add_ids = new.sort_values(id_col)[id_col].to_numpy(dtype=np.int64)
+        add_vecs = np.vstack(new.sort_values(id_col)[vec_key].to_numpy()).astype(np.float32)
+        if blob is None:
+            levels, adj, entry, max_lvl = _build_graph(add_ids, add_vecs, m, efc, space)
+            return pd.DataFrame([_encode(sl, add_ids, add_vecs, levels, adj,
+                                         entry, max_lvl)])
+        ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(blob, dims)
+        ids = np.concatenate([ids, add_ids])
+        fvecs = np.vstack([fvecs, add_vecs])
+        deleted = np.concatenate([deleted, np.zeros(len(add_ids), dtype=np.uint8)])
+        mat = _prep(fvecs, space)
+        new_levels = _levels_of(add_ids, m)
+        levels = np.concatenate([levels, new_levels])
+        m0 = 2 * m
+        n0 = len(ids) - len(add_ids)
+        for j, i in enumerate(range(n0, len(ids))):
+            li = int(new_levels[j])
+            adj.append([np.empty(0, dtype=np.int32) for _ in range(li + 1)])
+            q = mat[i]
+            if entry < 0:
+                entry, max_lvl = i, li
+                continue
+            cur, _ = _greedy_descend(mat, adj, q, entry, max_lvl, li, space)
+            for lev in range(min(li, max_lvl), -1, -1):
+                cands, _ = _search_layer(
+                    mat, lambda v, lev=lev: adj[v][lev] if lev < len(adj[v]) else (),
+                    q, [cur], efc, space)
+                cap = m0 if lev == 0 else m
+                nbrs = np.asarray(cands[:cap], dtype=np.int32)
+                adj[i][lev] = nbrs
+                for u in nbrs:
+                    newl = np.append(adj[u][lev], np.int32(i))
+                    if len(newl) > cap:
+                        nd = _dists(mat, newl, mat[u], space)
+                        keep = np.lexsort((newl, nd))[:cap]
+                        newl = newl[np.sort(keep)]
+                    adj[u][lev] = newl
+                if cands:
+                    cur = cands[0]
+            if li > max_lvl:
+                entry, max_lvl = i, li
+        _repair_layer0(mat, adj, space)
+        return pd.DataFrame([_encode(sl, ids, fvecs, levels, adj, entry,
+                                     max_lvl, deleted)])
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = sliced.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
+        ins, _GRAPH_SCHEMA)
+    out.write.partitionBy("slice").mode("overwrite").parquet(
+        os.path.join(path, "graph"))
+
+    # payload rows for the new nodes: node index continues after each
+    # slice's current max (insertion order = sorted by id within the batch)
+    old = spark.read.parquet(os.path.join(path, "payload")).where(
+        F.col("slice").isin(touched))
+    base = old.groupBy("slice").agg(F.max("node").alias("_base"))
+    w = Window.partitionBy("slice").orderBy(id_col)
+    newpay = (
+        sliced.join(F.broadcast(base), "slice", "left")
+        .withColumn("node", F.coalesce(F.col("_base"), F.lit(-1))
+                    + F.row_number().over(w))
+        .select("slice", "node", id_col, *pay_cols)
+    )
+    merged = old.unionByName(newpay)
+    merged.repartition("slice").write.partitionBy("slice").mode(
+        "overwrite").parquet(os.path.join(path, "payload"))
+
+
+def hnsw_delete(spark, path: str, ids_removed: Sequence) -> None:
+    """Tombstone deletion (the reference's `remove`: USearch marks slots
+    deleted and skips them during traversal until compaction — same
+    here): set the node's bit in the slice blob's tombstone map and drop
+    its payload row; the graph keeps the node for connectivity."""
+    meta = _read_meta(path)
+    dims = meta["dims"]
+    id_col, num_slices = meta["id_col"], meta["num_slices"]
+    gone = sorted(int(g) for g in ids_removed)
+    touched = sorted({g % num_slices for g in gone})
+    gone_set = set(gone)
+
+    graph = spark.read.parquet(os.path.join(path, "graph")).where(
+        F.col("slice").isin(touched))
+
+    def mark(pdf):
+        import pandas as pd
+
+        rows = []
+        for _, row in pdf.iterrows():
+            ids = np.frombuffer(row["ids"], dtype=np.int64)
+            deleted = np.frombuffer(row["deleted"], dtype=np.uint8).copy()
+            hit = np.isin(ids, list(gone_set))
+            deleted[hit] = 1
+            d = row.to_dict()
+            d["deleted"] = deleted.tobytes()
+            rows.append(d)
+        return pd.DataFrame(rows)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = graph.groupBy("slice").applyInPandas(mark, _GRAPH_SCHEMA)
+    out.write.partitionBy("slice").mode("overwrite").parquet(
+        os.path.join(path, "graph"))
+
+    pay = spark.read.parquet(os.path.join(path, "payload")).where(
+        F.col("slice").isin(touched))
+    kept = pay.where(~F.col(id_col).isin(gone))
+    kept.repartition("slice").write.partitionBy("slice").mode(
+        "overwrite").parquet(os.path.join(path, "payload"))

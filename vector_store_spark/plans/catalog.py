@@ -30,10 +30,12 @@ CATALOG_SCHEMA = (
     # vector index options (lib.rs:594-601) — the full CREATE INDEX option
     # set round-trips through the catalog, including the graph-ANN knobs
     # (connectivity / expansion_add / expansion_search, usearch.rs:74-92).
-    # The engines are IVF/LSH/PQ rather than HNSW, so connectivity and
-    # expansion_add are recorded-but-unmapped (no build-graph analogue);
+    # With the hnsw strategy (operators/hnsw) all three are consumed
+    # directly: connectivity ↦ build m, expansion_add ↦ ef_construction,
+    # expansion_search ↦ the query beam width. For the IVF/LSH/PQ engines
     # expansion_search maps to the probe-breadth knob (engine.py nprobe
-    # derivation — the ef-search ↔ nprobe analogy SURVEY §2.9 documents).
+    # derivation) and the two build knobs have no analogue — recorded here
+    # so registrations round-trip either way.
     "dimensions int, space_type string, quantization string, "
     "connectivity int, expansion_add int, expansion_search int"
 )

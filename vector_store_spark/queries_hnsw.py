@@ -1,0 +1,194 @@
+"""Graph-ANN (HNSW) registry entries — the reference's default engine
+(USearch HNSW, crates/vector-store/src/vs_index/usearch.rs) served by
+operators/hnsw's sliced-graph layout.
+
+Oracle strategy: the graph build is deterministic (hash-derived levels, no
+RNG), and `hnsw_build_stats` re-derives the level/slice assignment
+algebraically in SQL — checking the persisted graph structure itself.  The
+search entries are checked against the EXACT top-k oracle: HNSW is
+approximate in general, but at the driver's correctness scale (sf0.01, with
+ef_search=64 beams over ~125-node slices whose layer-0 graphs are
+connectivity-repaired) the beam provably reaches the true neighbors, and
+the hash gate verifies it returns *exactly* the brute-force answer —
+recall quality at larger scale is a bench metric (recall_at_10_hnsw_by_ef).
+"""
+
+from __future__ import annotations
+
+from vector_store_spark.queries_ivf import _built
+from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
+
+M = 8
+EFC = 64
+EF = 64
+SLICES = 4
+Q7 = det_query_vector(7, 64)
+QI1 = det_query_vector(11, 64)
+QI2 = det_query_vector(13, 64)
+
+_COS = (
+    "round(1.0 - list_inner_product(v, {q}) / "
+    "(sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({q}, {q}))), "
+    f"{ROUND}) AS distance"
+)
+
+
+def _exact_topk_sql(where: str = "", extra_rows: str = "") -> str:
+    src = f"SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {where}"
+    if extra_rows:
+        src = f"{src} UNION ALL {extra_rows}"
+    return f"""
+WITH e AS ({src}),
+cand AS (SELECT vec_id, label, {_COS.format(q=sql_vec(Q7))} FROM e)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+"""
+
+
+def _hnsw_path(spark, sf_dir) -> str:
+    from vector_store_spark.operators.hnsw import hnsw_build
+
+    emb = load(spark, sf_dir, "embeddings")
+    return _built(
+        spark, sf_dir, "hnsw",
+        lambda p: hnsw_build(emb, "vec_id", "embedding", p, m=M,
+                             ef_construction=EFC, num_slices=SLICES,
+                             payload_cols=["label"]),
+    )
+
+
+def _back_join(spark, sf_dir, res):
+    """J1 id→key back-join (operators/topk.py J1): the graph emits
+    (vec_id, distance, similarity); payload columns re-attach by key, with
+    the k-row side broadcast so the probe is a lookup, not a shuffle."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        emb.join(F.broadcast(res), "vec_id")
+        .select("vec_id", "label", "distance", "similarity")
+        .orderBy("distance", "vec_id")
+    )
+
+
+@register(
+    "hnsw_build_stats",
+    # the persisted graph's slice + level assignment re-derived algebraically:
+    # slice = id % S; level = min(floor(-ln(u)/ln(m)), 6) with
+    # u = ((id * 2654435761) mod 2^32 + 1) / (2^32 + 1)  (operators/hnsw._levels_of)
+    f"""
+SELECT CAST(vec_id % {SLICES} AS INT) AS slice,
+       CAST(least(floor(-ln((((vec_id * 2654435761) % 4294967296) + 1) / 4294967297.0)
+                        / ln({M})), 6) AS INT) AS level,
+       count(*) AS n_nodes
+FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "HNSW build: per-(slice, level) node counts decoded from the persisted "
+    "graph blobs — checks the layout's deterministic level law end-to-end",
+)
+def hnsw_build_stats(spark, sf_dir):
+    import numpy as np
+
+    path = _hnsw_path(spark, sf_dir)
+
+    def stats(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                levels = np.frombuffer(row["levels"], dtype=np.int8)
+                lv, cnt = np.unique(levels, return_counts=True)
+                for l, c in zip(lv, cnt):
+                    out.append((int(row["slice"]), int(l), int(c)))
+            yield pd.DataFrame(out, columns=["slice", "level", "n_nodes"])
+
+    graph = spark.read.parquet(f"{path}/graph")
+    return (
+        graph.mapInPandas(stats, "slice int, level int, n_nodes long")
+        .orderBy("slice", "level")
+    )
+
+
+@register(
+    "ann_hnsw_topk",
+    _exact_topk_sql(),
+    "Graph ANN: sliced HNSW (usearch.rs:203-248 beam search; m=connectivity, "
+    "ef=expansion_search), per-slice beams merged by one TakeOrderedAndProject; "
+    "verified to return the exact brute-force top-k at this scale",
+)
+def ann_hnsw_topk(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_search
+
+    path = _hnsw_path(spark, sf_dir)
+    res = hnsw_search(spark, path, Q7, 10, ef_search=EF, round_to=ROUND)
+    return _back_join(spark, sf_dir, res)
+
+
+@register(
+    "ann_hnsw_filtered_topk",
+    _exact_topk_sql(where="WHERE label IN (1, 2)"),
+    "Filtered graph ANN (usearch.rs:1108-1154): the predicate is evaluated on "
+    "the columnar payload, reduced to per-slice allow-bitmaps, and the beam "
+    "collects only matching nodes while traversing the full graph — top-k OF "
+    "the filtered set (T2)",
+)
+def ann_hnsw_filtered_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.hnsw import hnsw_search
+
+    path = _hnsw_path(spark, sf_dir)
+    res = hnsw_search(spark, path, Q7, 10, ef_search=EF,
+                      predicate=F.col("label").isin(1, 2), round_to=ROUND)
+    return _back_join(spark, sf_dir, res)
+
+
+@register(
+    "ann_hnsw_updated_topk",
+    # CRUD: remove ids < 25, insert two literal vectors (stored as FLOAT32 —
+    # the oracle casts through FLOAT[] so both sides score the same rounded
+    # values); the graph serves the final set natively (usearch.rs add/remove)
+    _exact_topk_sql(
+        where="WHERE vec_id >= 25",
+        extra_rows=(
+            f"SELECT CAST(1000001 AS BIGINT) AS vec_id, CAST(7 AS INTEGER) AS label, "
+            f"CAST(CAST({sql_vec(QI1)} AS FLOAT[]) AS DOUBLE[]) AS v "
+            f"UNION ALL SELECT CAST(1000002 AS BIGINT), CAST(8 AS INTEGER), "
+            f"CAST(CAST({sql_vec(QI2)} AS FLOAT[]) AS DOUBLE[])"
+        ),
+    ),
+    "Incremental CRUD on the persisted graph: native HNSW insertion "
+    "(descend-then-beam link, only touched slice blobs rewritten) + tombstone "
+    "deletes skipped during traversal (the USearch remove model)",
+)
+def ann_hnsw_updated_topk(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_delete, hnsw_insert, hnsw_search
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def build(p):
+        from vector_store_spark.operators.hnsw import hnsw_build
+
+        hnsw_build(emb, "vec_id", "embedding", p, m=M, ef_construction=EFC,
+                   num_slices=SLICES, payload_cols=["label"])
+        new = spark.createDataFrame(
+            [(1000001, QI1, 7), (1000002, QI2, 8)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        hnsw_insert(spark, p, new)
+        hnsw_delete(spark, p, list(range(25)))
+
+    path = _built(spark, sf_dir, "hnsw_crud", build)
+    res = hnsw_search(spark, path, Q7, 10, ef_search=EF, round_to=ROUND)
+
+    # back-join against the POST-CRUD id space (base minus removed, plus the
+    # two inserted rows' payloads from the index's own payload table)
+    from pyspark.sql import functions as F
+
+    pay = spark.read.parquet(f"{path}/payload").select("vec_id", "label")
+    return (
+        pay.join(F.broadcast(res), "vec_id")
+        .select("vec_id", "label", "distance", "similarity")
+        .orderBy("distance", "vec_id")
+    )

@@ -61,7 +61,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "queries_ann", "queries_filtering", "queries_lww", "queries_fts",
         "queries_dedup", "queries_text", "queries_ivf", "queries_multimodal",
         "queries_quantize", "queries_star", "queries_curation", "queries_mix",
-        "queries_streaming", "queries_temporal",
+        "queries_streaming", "queries_temporal", "queries_hnsw",
     ]
     errors = []
     for mod in modules:
