@@ -57,6 +57,42 @@ def test_lsh_bucket_match_and_recall(emb):
     assert recall >= 0.5
 
 
+def test_lsh_multiprobe_widens_candidates_and_recall(emb):
+    """Query-aware multiprobe (Lv et al.): t=0 probes are exactly the
+    primary buckets; t>0 candidate sets are supersets, so recall never
+    drops and the primary bucket is always probed first."""
+    from vector_store_spark.operators.lsh import (
+        lsh_hyperplanes,
+        lsh_multiprobe_buckets,
+        lsh_query_buckets,
+        lsh_topk,
+    )
+    from vector_store_spark.registry import det_query_vector
+
+    q = det_query_vector(19, 64)
+    planes = lsh_hyperplanes(64, 16)
+    primary = lsh_query_buckets(q, planes, 4)
+    mp0 = lsh_multiprobe_buckets(q, planes, 4, 0)
+    assert [p[0] for p in mp0] == primary and all(len(p) == 1 for p in mp0)
+    mp2 = lsh_multiprobe_buckets(q, planes, 4, 2)
+    assert all(len(p) == 3 and p[0] == primary[b] for b, p in enumerate(mp2))
+    # each perturbation flips exactly one bit of the 4-bit band bucket
+    for p in mp2:
+        for alt in p[1:]:
+            assert bin(alt ^ p[0]).count("1") == 1
+
+    truth = {r.vec_id for r in
+             ann_topk(emb, "embedding", q, 10, tie_break=["vec_id"],
+                      select_cols=["vec_id"]).collect()}
+    plain = {r.vec_id for r in
+             lsh_topk(emb, "vec_id", "embedding", q, 10, num_bits=16,
+                      bands=4, select_cols=["vec_id"]).collect()}
+    mp = {r.vec_id for r in
+          lsh_topk(emb, "vec_id", "embedding", q, 10, num_bits=16, bands=4,
+                   select_cols=["vec_id"], multiprobe=2).collect()}
+    assert len(mp & truth) >= len(plain & truth)
+
+
 def test_lsh_query_is_own_nearest_candidate(spark):
     from vector_store_spark.operators.lsh import lsh_topk
 

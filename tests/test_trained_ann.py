@@ -511,8 +511,9 @@ def test_persisted_ivfpq_codes_only_layout(spark, emb, tmp_path):
 def test_local_lsh_sub_indexes_round_trip_and_pruning(spark, emb, tmp_path):
     """One LSH sub-index per partition (lib.rs:677-680 engine-agnostic local
     tier): searching a partition equals in-memory lsh_topk over that
-    partition alone, and BOTH the partition Eq and the band/bucket probe
-    reach the scan as PartitionFilters — parity with the local IVF proof."""
+    partition alone; the partition Eq and band probe reach the scan as
+    PartitionFilters while the bucket probe is a pushed data filter over
+    the bucket-sorted files (row-group skipping)."""
     from vector_store_spark.operators.lsh import (
         lsh_build_local,
         lsh_search_local,
@@ -534,7 +535,8 @@ def test_local_lsh_sub_indexes_round_trip_and_pruning(spark, emb, tmp_path):
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
     rep = prune_report(got)
     joined = " ".join(rep["partition_filters"])
-    assert "label" in joined and "band" in joined and "bucket" in joined
+    assert "label" in joined and "band" in joined
+    assert "bucket" in " ".join(rep["pushed_filters"])
     # residual predicate composes as a pushed filter on the pruned scan
     filt = lsh_search_local(
         spark, path, 3, "vec_id", "embedding", q, 5,
