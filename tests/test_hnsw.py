@@ -146,6 +146,29 @@ def test_crud_insert_delete(spark, items, tmp_path):
     assert got == want
 
 
+def test_delete_then_insert_keeps_payload_alignment(spark, items, tmp_path):
+    """Regression: new node indices must continue from the BLOB length, not
+    the payload's max(node) — tombstone deletes shrink the payload but not
+    the blob, and a misaligned payload would corrupt the filtered-search
+    allow-bitmaps for every node inserted afterwards."""
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    hnsw_delete(spark, path, [0, 3, 6, 9, 12])
+    new = spark.createDataFrame(
+        [(9001, Q, 1), (9002, [0.5] * DIMS, 2), (9003, [-0.5] * DIMS, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    hnsw_insert(spark, path, new)
+    pred = F.col("label") == 1
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                predicate=pred, round_to=ROUND).collect()]
+    final = items.unionByName(new).where(~F.col("vec_id").isin(0, 3, 6, 9, 12))
+    assert got == _exact(final, Q, 10, pred)
+    assert got[0][0] == 9001  # the label-1 insert at the query point wins
+
+
 def test_engine_hnsw_strategy(spark, items, built):
     from vector_store_spark.engine import VectorStoreEngine
     from vector_store_spark.types import Filter, Restriction
@@ -166,6 +189,39 @@ def test_engine_hnsw_strategy(spark, items, built):
     resp = eng.ann("ks", "t", "embedding", Q, limit=5, flt=flt)
     want = _exact(items, Q, 5, F.col("label") == 2)
     assert resp.primary_keys["vec_id"] == [v for v, _ in want]
+
+
+def test_local_sub_graphs_round_trip_and_pruning(spark, items, tmp_path):
+    """One HNSW sub-graph per partition: searching a partition equals exact
+    top-k over that partition alone (exhaustive ef), the blob scan prunes to
+    the one slice directory, and CRUD touches only mapped sub-graphs."""
+    from vector_store_spark.operators.hnsw import hnsw_search_local
+    from vector_store_spark.sources.index_store import prune_report
+
+    path = str(tmp_path / "ix")
+    meta = hnsw_build(items, "vec_id", "embedding", path, m=6,
+                      ef_construction=48, part_col="label",
+                      payload_cols=["label"])
+    assert meta["num_slices"] == 5 and len(meta["partitions"]) == 5
+    got = hnsw_search_local(spark, path, 3, Q, 10, ef_search=N,
+                            round_to=ROUND)
+    rows = [(r.vec_id, r.distance) for r in got.collect()]
+    assert rows == _exact(items, Q, 10, F.col("label") == 3)
+    assert "slice" in " ".join(prune_report(got)["partition_filters"])
+    with pytest.raises(KeyError):
+        hnsw_search_local(spark, path, 99, Q, 5)
+    # CRUD on the local layout: insert maps by partition value, delete
+    # sweeps every sub-graph (an id does not determine its partition)
+    new = spark.createDataFrame([(9001, Q, 3)],
+                                "vec_id long, embedding array<float>, label int")
+    hnsw_insert(spark, path, new)
+    hnsw_delete(spark, path, [8])  # label 8%5==3 partition
+    got2 = [(r.vec_id, r.distance)
+            for r in hnsw_search_local(spark, path, 3, Q, 10, ef_search=N,
+                                       round_to=ROUND).collect()]
+    final = items.unionByName(new).where(F.col("vec_id") != 8)
+    assert got2 == _exact(final, Q, 10, F.col("label") == 3)
+    assert got2[0][0] == 9001
 
 
 def test_search_plan_no_shuffle(spark, built):

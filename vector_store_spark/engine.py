@@ -188,15 +188,34 @@ class VectorStoreEngine:
             # (usearch.rs:1108-1154 semantics).
             from vector_store_spark.operators.hnsw import hnsw_search
 
-            if "path" not in opts:
+            if "path" not in opts and "local_path" not in opts:
                 raise FilterError(
                     "hnsw strategy serves a persisted graph; register with "
-                    "strategy_opts={'path': <hnsw_build output>}"
+                    "strategy_opts={'path': <hnsw_build output>} (or "
+                    "'local_path' for a per-partition layout)"
                 )
             if list(meta.primary_key_columns) != [id_col] or len(select) != 1:
                 raise FilterError(
                     "hnsw strategy emits (id, distance, similarity); use a "
                     "single-column primary key (back-join other columns by id)"
+                )
+            if "local_path" in opts:
+                # LOCAL sub-graphs (usearch.rs:815-864): the consumed
+                # partition Eq selects one per-partition graph directory
+                from vector_store_spark.operators.hnsw import hnsw_search_local
+                from vector_store_spark.types import RestrictionOp
+
+                eqs = [r for r in consumed if r.op == RestrictionOp.EQ]
+                if len(eqs) != 1:
+                    raise FilterError(
+                        "local hnsw serving requires a single-column "
+                        "partition-key Eq restriction"
+                    )
+                o = {k: v for k, v in opts.items() if k != "local_path"}
+                o.setdefault("ef_search", meta.expansion_search)
+                return hnsw_search_local(
+                    df.sparkSession, opts["local_path"], eqs[0].values,
+                    list(vector), limit, predicate=predicate, **o,
                 )
             o = {k: v for k, v in opts.items() if k != "path"}
             o.setdefault("ef_search", meta.expansion_search)

@@ -308,6 +308,7 @@ def hnsw_build(
     num_slices: int = 4,
     space: SpaceType = SpaceType.COSINE,
     payload_cols: Sequence[str] = (),
+    part_col: str | None = None,
 ) -> dict:
     """Build the sliced HNSW layout at ``path``.
 
@@ -317,12 +318,32 @@ def hnsw_build(
     ``path/graph`` — one packed-blob row per slice, partitioned by slice;
     ``path/payload`` — columnar (slice, node, id, payload...) for
     predicate evaluation, partitioned by slice; ``path/_hnsw_meta.json``.
-    Returns the meta dict."""
+    Returns the meta dict.
+
+    ``part_col`` switches to the LOCAL layout (lib.rs:677-680;
+    usearch.rs:815-864 builds one USearch index per partition): slices are
+    the distinct partition-key values (mapping persisted in the sidecar)
+    instead of an id hash, so a partition-restricted query loads exactly
+    one sub-graph directory — query with hnsw_search_local."""
     from vector_store_spark.sources.index_store import fresh_dir
 
     spark = items.sparkSession
     dims = None
-    sliced = items.withColumn("slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
+    part_map = None
+    if part_col is not None:
+        vals = sorted(
+            r[0] for r in items.select(part_col).distinct().collect()
+        )  # metadata-sized: one entry per partition key
+        part_map = {v: i for i, v in enumerate(vals)}
+        num_slices = len(vals)
+        map_expr = F.create_map(
+            *[x for v, i in part_map.items() for x in (F.lit(v), F.lit(i))]
+        )
+        sliced = items.withColumn(
+            "slice", map_expr[F.col(part_col)].cast("int"))
+    else:
+        sliced = items.withColumn(
+            "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
 
     def build(pdf):
         import pandas as pd
@@ -353,6 +374,9 @@ def hnsw_build(
         "num_slices": num_slices, "dims": dims, "id_col": id_col,
         "payload_cols": list(payload_cols),
     }
+    if part_map is not None:
+        meta["part_col"] = part_col
+        meta["partitions"] = [[v, i] for v, i in part_map.items()]
     with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -445,6 +469,67 @@ def hnsw_search(
     return res.withColumn("similarity", sim)
 
 
+def hnsw_search_local(
+    spark,
+    path: str,
+    part_value,
+    query: Sequence[float],
+    k: int,
+    ef_search: int = 64,
+    predicate=None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query ONE partition's HNSW sub-graph (the reference's LOCAL index
+    search: the partition restriction selects a whole per-partition USearch
+    index, usearch.rs:815-864 + lib.rs:677-680).  The slice Eq prunes the
+    blob read to that partition's single graph directory (PartitionFilters);
+    ``predicate`` composes as an allow-bitmap inside that sub-graph's
+    traversal."""
+    meta = _read_meta(path)
+    if "partitions" not in meta:
+        raise ValueError("not a local HNSW layout; use hnsw_search")
+    sid = None
+    for v, i in meta["partitions"]:
+        if v == part_value:
+            sid = i
+            break
+    if sid is None:
+        raise KeyError(f"no sub-graph for partition {part_value!r}")
+    dims, space = meta["dims"], SpaceType(meta["space"])
+    id_col = meta["id_col"]
+    graph = spark.read.parquet(os.path.join(path, "graph")).where(
+        F.col("slice") == sid)
+    if predicate is not None:
+        pay = spark.read.parquet(os.path.join(path, "payload")).where(
+            (F.col("slice") == sid) & predicate)
+        matches = pay.groupBy("slice").agg(F.collect_list("node").alias("_nodes"))
+        graph = graph.join(F.broadcast(matches), "slice", "inner")
+    q = [float(x) for x in query]
+    filtered = predicate is not None
+
+    def run(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out_ids, out_d = [], []
+            for _, row in pdf.iterrows():
+                nodes = row["_nodes"] if filtered else None
+                ids, dists = _slice_search(row, dims, q, k, ef_search, space, nodes)
+                out_ids.extend(ids)
+                out_d.extend(dists)
+            yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
+                                "distance": pd.Series(out_d, dtype="float64")})
+
+    res = graph.mapInPandas(run, f"{id_col} long, distance double")
+    if round_to is not None:
+        res = res.withColumn("distance", F.round(F.col("distance"), round_to))
+    res = res.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
+    sim = similarity_expr(space, F.col("distance"), dims=dims)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return res.withColumn("similarity", sim)
+
+
 def hnsw_insert(spark, path: str, items: DataFrame) -> None:
     """Native incremental insertion (the reference's `add`,
     usearch.rs:74-92 — HNSW's core advantage over IVF/LSH rebuilds):
@@ -458,12 +543,30 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
     id_col, num_slices = meta["id_col"], meta["num_slices"]
     pay_cols = meta["payload_cols"]
 
-    sliced = items.withColumn(
-        "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
-    vec_key = [c for c in items.columns if c != id_col and c not in pay_cols][0]
+    if "partitions" in meta:  # local layout: slice = partition-key mapping
+        pc = meta["part_col"]
+        map_expr = F.create_map(
+            *[x for v, i in meta["partitions"] for x in (F.lit(v), F.lit(i))]
+        )
+        sliced = items.withColumn("slice", map_expr[F.col(pc)].cast("int"))
+        if sliced.where(F.col("slice").isNull()).first() is not None:
+            raise ValueError(
+                "insert carries a partition value with no local sub-index; "
+                "rebuild to add partitions (usearch.rs per-partition isolation)"
+            )
+        drop_for_vec = {id_col, pc}
+    else:
+        sliced = items.withColumn(
+            "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
+        drop_for_vec = {id_col}
+    vec_key = [c for c in items.columns
+               if c not in drop_for_vec and c not in pay_cols][0]
     touched = [r[0] for r in sliced.select("slice").distinct().collect()]
     graph = spark.read.parquet(os.path.join(path, "graph")).where(
         F.col("slice").isin(touched))
+    # snapshot pre-insert blob sizes NOW (metadata-sized: one row per touched
+    # slice) — the lazy `graph` frame would re-read post-overwrite state
+    pre_n = {r["slice"]: r["n"] for r in graph.select("slice", "n").collect()}
 
     def ins(key, new, right):
         import pandas as pd
@@ -518,14 +621,23 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = sliced.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
         ins, _GRAPH_SCHEMA)
+    # materialize before overwriting the directory the plan reads from
+    out = out.cache()
+    out.count()
     out.write.partitionBy("slice").mode("overwrite").parquet(
         os.path.join(path, "graph"))
+    out.unpersist()
 
     # payload rows for the new nodes: node index continues after each
-    # slice's current max (insertion order = sorted by id within the batch)
+    # slice's BLOB length (insertion order = sorted by id within the batch).
+    # NOT the payload's max(node): tombstone deletes drop payload rows but
+    # keep blob nodes, so payload max would lag the blob and collide.
     old = spark.read.parquet(os.path.join(path, "payload")).where(
         F.col("slice").isin(touched))
-    base = old.groupBy("slice").agg(F.max("node").alias("_base"))
+    base = spark.createDataFrame(
+        [(int(s), int(n) - 1) for s, n in pre_n.items()] or [(-1, -1)],
+        "slice int, _base int",
+    )
     w = Window.partitionBy("slice").orderBy(id_col)
     newpay = (
         sliced.join(F.broadcast(base), "slice", "left")
@@ -533,9 +645,11 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
                     + F.row_number().over(w))
         .select("slice", "node", id_col, *pay_cols)
     )
-    merged = old.unionByName(newpay)
+    merged = old.unionByName(newpay).cache()
+    merged.count()
     merged.repartition("slice").write.partitionBy("slice").mode(
         "overwrite").parquet(os.path.join(path, "payload"))
+    merged.unpersist()
 
 
 def hnsw_delete(spark, path: str, ids_removed: Sequence) -> None:
@@ -547,7 +661,12 @@ def hnsw_delete(spark, path: str, ids_removed: Sequence) -> None:
     dims = meta["dims"]
     id_col, num_slices = meta["id_col"], meta["num_slices"]
     gone = sorted(int(g) for g in ids_removed)
-    touched = sorted({g % num_slices for g in gone})
+    if "partitions" in meta:
+        # local layout: an id does not determine its partition — mark in
+        # every sub-graph (ids are globally unique; misses are no-ops)
+        touched = sorted(i for _, i in meta["partitions"])
+    else:
+        touched = sorted({g % num_slices for g in gone})
     gone_set = set(gone)
 
     graph = spark.read.parquet(os.path.join(path, "graph")).where(
@@ -569,11 +688,16 @@ def hnsw_delete(spark, path: str, ids_removed: Sequence) -> None:
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = graph.groupBy("slice").applyInPandas(mark, _GRAPH_SCHEMA)
+    out = out.cache()
+    out.count()
     out.write.partitionBy("slice").mode("overwrite").parquet(
         os.path.join(path, "graph"))
+    out.unpersist()
 
     pay = spark.read.parquet(os.path.join(path, "payload")).where(
         F.col("slice").isin(touched))
-    kept = pay.where(~F.col(id_col).isin(gone))
+    kept = pay.where(~F.col(id_col).isin(gone)).cache()
+    kept.count()
     kept.repartition("slice").write.partitionBy("slice").mode(
         "overwrite").parquet(os.path.join(path, "payload"))
+    kept.unpersist()

@@ -145,6 +145,29 @@ def ann_hnsw_filtered_topk(spark, sf_dir):
 
 
 @register(
+    "local_partition_ann_hnsw",
+    _exact_topk_sql(where="WHERE label = 3"),
+    "Local per-partition HNSW sub-graphs (lib.rs:677-680; usearch.rs:815-864 "
+    "builds one USearch index per partition): the partition Eq prunes the "
+    "blob read to ONE graph directory, and the beam searches only that "
+    "sub-graph — completing the local sub-index matrix (exact/IVF/LSH/PQ/"
+    "HNSW)",
+)
+def local_partition_ann_hnsw(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "hnsw_local",
+        lambda p: hnsw_build(emb, "vec_id", "embedding", p, m=M,
+                             ef_construction=EFC, part_col="label",
+                             payload_cols=["label"]),
+    )
+    res = hnsw_search_local(spark, path, 3, Q7, 10, ef_search=256, round_to=ROUND)
+    return _back_join(spark, sf_dir, res)
+
+
+@register(
     "ann_hnsw_updated_topk",
     # CRUD: remove ids < 25, insert two literal vectors (stored as FLOAT32 —
     # the oracle casts through FLOAT[] so both sides score the same rounded

@@ -514,6 +514,90 @@ def stream_cdc_ann_topk(spark, sf_dir):
     )
 
 
+@register(
+    "stream_cdc_hnsw_topk",
+    _cdc_ann_oracle(),  # identical end-state contract: the graph must serve
+    # exactly what the LWW snapshot holds
+    "CDC-MAINTAINED GRAPH index — the reference's actual architecture "
+    "(db_index.rs:130-262: CDC events -> Table actor LWW merge -> USearch "
+    "add/remove): the snapshot sink's on_batch hook tombstones every batch "
+    "key in the persisted HNSW graph and re-inserts the batch's LWW winners "
+    "natively (descend-then-beam linking), so updates epoch-bump their node "
+    "(primary_id.rs:27-69) and deletes become traversal-skipped tombstones; "
+    "serving is a pure graph beam search over the maintained layout",
+)
+def stream_cdc_hnsw_topk(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import (
+        hnsw_build,
+        hnsw_delete,
+        hnsw_insert,
+        hnsw_search,
+    )
+    from vector_store_spark.registry import ROUND, det_query_vector
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    root = tempfile.mkdtemp(prefix="cdc_hnsw_")
+    src, snap, ckpt, gpath = (
+        os.path.join(root, d) for d in ("src", "snap", "ckpt", "graph_ix")
+    )
+    os.makedirs(src)
+
+    def maintain_graph(sink, batch, batch_id):
+        """Mirror db_index_backend's read-back: the batch names the touched
+        keys (micro-batch-bounded), the committed snapshot provides their
+        winners; graph CRUD is tombstone-then-reinsert."""
+        keys = [r.pk for r in batch.select("pk").distinct().collect()]
+        if not keys:
+            return
+        live = sink.live_view("emb").select(
+            "pk", F.col("emb").cast("array<float>").alias("emb"))
+        if not os.path.exists(os.path.join(gpath, "_hnsw_meta.json")):
+            hnsw_build(live, "pk", "emb", gpath, m=8, ef_construction=64,
+                       num_slices=4)
+            return
+        hnsw_delete(spark, gpath, keys)
+        winners = live.where(F.col("pk").isin(keys))
+        if winners.first() is not None:
+            hnsw_insert(spark, gpath, winners)
+
+    base = emb.select(
+        F.lit("upsert").alias("op"),
+        F.col("vec_id").alias("pk"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col("label").cast("int").alias("lbl"),
+        F.lit(100).cast("bigint").alias("ts"),
+        F.col("vec_id").alias("seq"),
+    )
+    base.write.mode("append").json(os.path.join(src, "b1"))
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["emb", "lbl"], num_buckets=8,
+                           on_batch=maintain_graph)
+    stream = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream, checkpoint_dir=ckpt))
+
+    updates = base.where(F.col("pk") % 5 == 0).withColumn(
+        "emb", F.transform(F.col("emb"), lambda x: -x)
+    ).withColumn("ts", F.lit(200).cast("bigint"))
+    stale = base.where(F.col("pk") % 7 == 0).withColumn(
+        "emb", F.transform(F.col("emb"), lambda x: x * 0.0)
+    ).withColumn("ts", F.lit(50).cast("bigint"))
+    deletes = base.where(F.col("pk") % 11 == 0).select(
+        F.lit("delete").alias("op"), "pk",
+        F.lit(None).cast("array<double>").alias("emb"),
+        F.lit(None).cast("int").alias("lbl"),
+        F.lit(300).cast("bigint").alias("ts"), (F.col("pk") + 1_000_000).alias("seq"),
+    )
+    updates.unionByName(stale).unionByName(deletes).write.mode("append").json(
+        os.path.join(src, "b2")
+    )
+    stream2 = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream2, checkpoint_dir=ckpt))
+
+    # serve from the GRAPH, not the snapshot — ef generous enough that the
+    # beam is exhaustive at gate scale (recall-vs-ef is a bench metric)
+    return hnsw_search(spark, gpath, det_query_vector(7, 64), 10,
+                       ef_search=256, round_to=ROUND)
+
+
 def _alternator_endstate_oracle():
     from vector_store_spark.registry import ROUND, det_query_vector, sql_vec
 

@@ -130,6 +130,7 @@ class CdcSnapshotSink:
         num_buckets: int = 32,
         gc_tombstones_before: int | None = None,
         derived_partition_cols=None,
+        on_batch=None,
     ):
         self.spark = spark
         self.snapshot_dir = snapshot_dir
@@ -139,6 +140,13 @@ class CdcSnapshotSink:
         self.num_buckets = num_buckets
         self.gc_tombstones_before = gc_tombstones_before
         self.derived_partition_cols = dict(derived_partition_cols or {})
+        #: optional ``(sink, batch_df, batch_id) -> None`` called after each
+        #: micro-batch commits — the hook for maintaining SECONDARY index
+        #: structures (e.g. an HNSW graph) from the just-merged snapshot,
+        #: mirroring the reference's Table-actor -> index add/remove fan-out
+        #: (db_index.rs:130-262). Runs post-commit, so the callback sees the
+        #: batch's winners via live_view/read_snapshot.
+        self.on_batch = on_batch
 
     def _snapshot_exists(self) -> bool:
         # NB: dynamic partition overwrite does not write a _SUCCESS marker —
@@ -234,6 +242,9 @@ class CdcSnapshotSink:
                 bdir = os.path.join(self.snapshot_dir, f"{BUCKET_COL}={b}")
                 if os.path.isdir(bdir):
                     _prune_stale(bdir, (str(b),))
+
+        if self.on_batch is not None:
+            self.on_batch(self, batch.drop(BUCKET_COL), batch_id)
 
     def start(
         self,
