@@ -224,6 +224,44 @@ def test_local_sub_graphs_round_trip_and_pruning(spark, items, tmp_path):
     assert got2[0][0] == 9001
 
 
+def test_i8_quantized_graph_rescore(spark, items, tmp_path):
+    """The quantization index option composed with the graph engine
+    (usearch.rs:503-513 + quantization_and_rescoring.rs): int8 blobs are
+    ~4x smaller, approximate beam + exact rescore from the base table
+    recovers the exact top-k, and inserts reuse the slice's stored scale."""
+    import os
+
+    f32_path = str(tmp_path / "f32")
+    i8_path = str(tmp_path / "i8")
+    hnsw_build(items, "vec_id", "embedding", f32_path, m=6, ef_construction=48,
+               num_slices=3)
+    hnsw_build(items, "vec_id", "embedding", i8_path, m=6, ef_construction=48,
+               num_slices=3, quantization="i8")
+
+    def vec_buffer_bytes(p):
+        return {r["slice"]: (len(bytes(r["vecs"])), r["n"]) for r in
+                spark.read.parquet(os.path.join(p, "graph")).collect()}
+
+    f32b, i8b = vec_buffer_bytes(f32_path), vec_buffer_bytes(i8_path)
+    for sl, (nbytes, n) in i8b.items():
+        assert nbytes == n * DIMS            # 1 byte/component stored
+        assert f32b[sl][0] == n * DIMS * 4   # vs 4 bytes at f32
+
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, i8_path, Q, 10, ef_search=N, rescore=4,
+                                rescore_with=(items, "embedding"),
+                                round_to=ROUND).collect()]
+    assert got == _exact(items, Q, 10)
+
+    new = spark.createDataFrame([(9001, Q)], "vec_id long, embedding array<float>")
+    hnsw_insert(spark, i8_path, new)
+    base2 = items.select("vec_id", "embedding").unionByName(new)
+    got2 = hnsw_search(spark, i8_path, Q, 1, ef_search=N, rescore=4,
+                       rescore_with=(base2, "embedding"),
+                       round_to=ROUND).collect()
+    assert got2[0].vec_id == 9001
+
+
 def test_search_plan_no_shuffle(spark, built):
     """Serving reads num_slices blob rows and merges with one
     TakeOrderedAndProject — no Exchange before the merge."""

@@ -68,7 +68,8 @@ MAX_LEVEL = 6
 
 _GRAPH_SCHEMA = (
     "slice int, n int, entry int, max_level int, ids binary, vecs binary, "
-    "levels binary, nbr_counts binary, nbr_flat binary, deleted binary"
+    "levels binary, nbr_counts binary, nbr_flat binary, deleted binary, "
+    "qscale double"
 )
 
 
@@ -259,7 +260,20 @@ def _repair_layer0(mat, adj, space) -> None:
         adj[b][0] = np.append(adj[b][0], np.int32(a))
 
 
-def _encode(slice_id, ids, fvecs, levels, adj, entry, max_lvl, deleted=None):
+def _quantize_i8(v: np.ndarray, scale: float | None = None):
+    """Symmetric linear i8 quantization (the USearch `quantization: i8`
+    storage kind, usearch.rs:503-513): one scale per slice, values clipped
+    to [-127, 127].  Deterministic; scoring dequantizes with the stored
+    scale."""
+    if scale is None:
+        m = float(np.max(np.abs(v))) if v.size else 0.0
+        scale = (m / 127.0) if m > 0 else 1.0
+    iv = np.clip(np.round(v / scale), -127, 127).astype(np.int8)
+    return iv, float(scale)
+
+
+def _encode(slice_id, ids, fvecs, levels, adj, entry, max_lvl, deleted=None,
+            qscale=0.0, quant="f32"):
     counts, flat = [], []
     for lists in adj:
         for nbrs in lists:
@@ -268,22 +282,29 @@ def _encode(slice_id, ids, fvecs, levels, adj, entry, max_lvl, deleted=None):
     flat_arr = np.concatenate(flat) if flat else np.empty(0, dtype=np.int32)
     dele = (deleted if deleted is not None
             else np.zeros(len(ids), dtype=np.uint8))
+    vec_bytes = (fvecs.astype(np.int8) if quant == "i8"
+                 else fvecs.astype(np.float32)).tobytes()
     return {
         "slice": int(slice_id), "n": int(len(ids)), "entry": int(entry),
         "max_level": int(max_lvl),
         "ids": ids.astype(np.int64).tobytes(),
-        "vecs": fvecs.astype(np.float32).tobytes(),
+        "vecs": vec_bytes,
         "levels": levels.astype(np.int8).tobytes(),
         "nbr_counts": np.asarray(counts, dtype=np.int32).tobytes(),
         "nbr_flat": flat_arr.tobytes(),
         "deleted": dele.tobytes(),
+        "qscale": float(qscale),
     }
 
 
-def _decode(row, dims: int):
+def _decode(row, dims: int, quant: str = "f32"):
     ids = np.frombuffer(row["ids"], dtype=np.int64)
     n = len(ids)
-    fvecs = np.frombuffer(row["vecs"], dtype=np.float32).reshape(n, dims)
+    if quant == "i8":
+        iv = np.frombuffer(row["vecs"], dtype=np.int8).reshape(n, dims)
+        fvecs = iv.astype(np.float32) * np.float32(row["qscale"])
+    else:
+        fvecs = np.frombuffer(row["vecs"], dtype=np.float32).reshape(n, dims)
     levels = np.frombuffer(row["levels"], dtype=np.int8)
     counts = np.frombuffer(row["nbr_counts"], dtype=np.int32)
     flat = np.frombuffer(row["nbr_flat"], dtype=np.int32)
@@ -309,6 +330,7 @@ def hnsw_build(
     space: SpaceType = SpaceType.COSINE,
     payload_cols: Sequence[str] = (),
     part_col: str | None = None,
+    quantization: str = "f32",
 ) -> dict:
     """Build the sliced HNSW layout at ``path``.
 
@@ -324,7 +346,15 @@ def hnsw_build(
     usearch.rs:815-864 builds one USearch index per partition): slices are
     the distinct partition-key values (mapping persisted in the sidecar)
     instead of an id hash, so a partition-restricted query loads exactly
-    one sub-graph directory — query with hnsw_search_local."""
+    one sub-graph directory — query with hnsw_search_local.
+
+    ``quantization='i8'`` stores the graph's vectors as int8 with one
+    per-slice scale (the USearch `quantization` index option,
+    usearch.rs:503-513): 4x smaller blobs, graph links computed on the
+    dequantized values, search scores approximately and recovers exact
+    values via hnsw_search's ``rescore_with`` (the reference rescoring
+    model: quantized index recall, original-vector values —
+    quantization_and_rescoring.rs)."""
     from vector_store_spark.sources.index_store import fresh_dir
 
     spark = items.sparkSession
@@ -351,10 +381,18 @@ def hnsw_build(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         fvecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+        qscale = 0.0
+        if quantization == "i8":
+            iv, qscale = _quantize_i8(fvecs)
+            fvecs = iv  # stored as int8; graph links score the dequantized
+            scored = iv.astype(np.float32) * np.float32(qscale)
+        else:
+            scored = fvecs
         levels, adj, entry, max_lvl = _build_graph(
-            ids, fvecs, m, ef_construction, space)
+            ids, scored, m, ef_construction, space)
         return pd.DataFrame([_encode(int(pdf["slice"].iloc[0]), ids, fvecs,
-                                     levels, adj, entry, max_lvl)])
+                                     levels, adj, entry, max_lvl,
+                                     qscale=qscale, quant=quantization)])
 
     fresh_dir(path)
     graph = sliced.groupBy("slice").applyInPandas(build, _GRAPH_SCHEMA)
@@ -372,7 +410,7 @@ def hnsw_build(
     meta = {
         "space": space.value, "m": m, "ef_construction": ef_construction,
         "num_slices": num_slices, "dims": dims, "id_col": id_col,
-        "payload_cols": list(payload_cols),
+        "payload_cols": list(payload_cols), "quantization": quantization,
     }
     if part_map is not None:
         meta["part_col"] = part_col
@@ -387,8 +425,8 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
-def _slice_search(row, dims, query, k, ef, space, allowed_nodes):
-    ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(row, dims)
+def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32"):
+    ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(row, dims, quant)
     n = len(ids)
     if n == 0 or entry < 0:
         return [], []
@@ -421,6 +459,8 @@ def hnsw_search(
     predicate=None,
     round_to: int | None = None,
     cache: bool = False,
+    rescore: int = 0,
+    rescore_with=None,
 ) -> DataFrame:
     """Search every slice's graph, merge per-slice top-k (one
     TakeOrderedAndProject; no shuffle — the scan is ``num_slices`` blob
@@ -432,10 +472,18 @@ def hnsw_search(
     reference's restricted search (usearch.rs:1108-1154): the walk visits
     the full graph, only matching nodes enter the beam's result heap, and
     the top-k is OF the filtered set (T2).  Output: (id, distance,
-    similarity) — back-join payload/base columns by id (J1) downstream."""
+    similarity) — back-join payload/base columns by id (J1) downstream.
+
+    ``rescore`` + ``rescore_with=(base_df, vec_col)``: for quantized
+    layouts, each slice emits rescore·k candidates scored on the
+    dequantized stored vectors, then the ORIGINAL vectors are fetched from
+    the base table by id (the reference re-reads the DB for rescoring —
+    quantization_and_rescoring.rs) and the final top-k is exact over that
+    pool: quantized recall, full-precision values."""
     meta = _read_meta(path)
     dims, space = meta["dims"], SpaceType(meta["space"])
     id_col = meta["id_col"]
+    quant = meta.get("quantization", "f32")
     graph = spark.read.parquet(os.path.join(path, "graph"))
     if predicate is not None:
         pay = spark.read.parquet(os.path.join(path, "payload")).where(predicate)
@@ -445,6 +493,7 @@ def hnsw_search(
         graph = graph.cache()
     q = [float(x) for x in query]
     filtered = predicate is not None
+    k_emit = max(1, rescore) * k
 
     def run(iterator):
         import pandas as pd
@@ -453,13 +502,25 @@ def hnsw_search(
             out_ids, out_d = [], []
             for _, row in pdf.iterrows():
                 nodes = row["_nodes"] if filtered else None
-                ids, dists = _slice_search(row, dims, q, k, ef_search, space, nodes)
+                ids, dists = _slice_search(row, dims, q, k_emit, ef_search,
+                                           space, nodes, quant)
                 out_ids.extend(ids)
                 out_d.extend(dists)
             yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
                                 "distance": pd.Series(out_d, dtype="float64")})
 
     res = graph.mapInPandas(run, f"{id_col} long, distance double")
+    if rescore > 0:
+        if rescore_with is None:
+            raise ValueError("rescore needs rescore_with=(base_df, vec_col)")
+        from vector_store_spark.operators.topk import ann_topk
+
+        base_df, vec_col = rescore_with
+        pool = base_df.join(F.broadcast(res.select(id_col)), id_col)
+        return ann_topk(
+            pool, vec_col, q, k, space=space, tie_break=[id_col],
+            select_cols=[id_col], round_to=round_to,
+        )
     if round_to is not None:
         res = res.withColumn("distance", F.round(F.col("distance"), round_to))
     res = res.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
@@ -497,6 +558,7 @@ def hnsw_search_local(
         raise KeyError(f"no sub-graph for partition {part_value!r}")
     dims, space = meta["dims"], SpaceType(meta["space"])
     id_col = meta["id_col"]
+    quant = meta.get("quantization", "f32")
     graph = spark.read.parquet(os.path.join(path, "graph")).where(
         F.col("slice") == sid)
     if predicate is not None:
@@ -514,7 +576,8 @@ def hnsw_search_local(
             out_ids, out_d = [], []
             for _, row in pdf.iterrows():
                 nodes = row["_nodes"] if filtered else None
-                ids, dists = _slice_search(row, dims, q, k, ef_search, space, nodes)
+                ids, dists = _slice_search(row, dims, q, k, ef_search, space,
+                                           nodes, quant)
                 out_ids.extend(ids)
                 out_d.extend(dists)
             yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
@@ -576,10 +639,27 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
         add_ids = new.sort_values(id_col)[id_col].to_numpy(dtype=np.int64)
         add_vecs = np.vstack(new.sort_values(id_col)[vec_key].to_numpy()).astype(np.float32)
         if blob is None:
+            qscale = 0.0
+            store = add_vecs
+            if quant == "i8":
+                store, qscale = _quantize_i8(add_vecs)
+                add_vecs = store.astype(np.float32) * np.float32(qscale)
             levels, adj, entry, max_lvl = _build_graph(add_ids, add_vecs, m, efc, space)
-            return pd.DataFrame([_encode(sl, add_ids, add_vecs, levels, adj,
-                                         entry, max_lvl)])
-        ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(blob, dims)
+            return pd.DataFrame([_encode(sl, add_ids, store, levels, adj,
+                                         entry, max_lvl, qscale=qscale,
+                                         quant=quant)])
+        # _decode returns the DEQUANTIZED scoring matrix; keep the raw
+        # stored form separately so re-encoding is a concat, not a round-trip
+        ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(blob, dims, quant)
+        qscale = float(blob["qscale"])
+        if quant == "i8":
+            # new vectors quantize with the SLICE'S existing scale (the
+            # reference never re-trains storage parameters on insert)
+            iv_new, _ = _quantize_i8(add_vecs, scale=qscale)
+            add_vecs = iv_new.astype(np.float32) * np.float32(qscale)
+            store = np.concatenate(
+                [np.frombuffer(blob["vecs"], dtype=np.int8).reshape(-1, dims),
+                 iv_new])
         ids = np.concatenate([ids, add_ids])
         fvecs = np.vstack([fvecs, add_vecs])
         deleted = np.concatenate([deleted, np.zeros(len(add_ids), dtype=np.uint8)])
@@ -615,9 +695,12 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
             if li > max_lvl:
                 entry, max_lvl = i, li
         _repair_layer0(mat, adj, space)
-        return pd.DataFrame([_encode(sl, ids, fvecs, levels, adj, entry,
-                                     max_lvl, deleted)])
+        enc_vecs = store if quant == "i8" else fvecs
+        return pd.DataFrame([_encode(sl, ids, enc_vecs, levels, adj, entry,
+                                     max_lvl, deleted, qscale=qscale,
+                                     quant=quant)])
 
+    quant = meta.get("quantization", "f32")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = sliced.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
         ins, _GRAPH_SCHEMA)

@@ -33,13 +33,13 @@ _COS = (
 )
 
 
-def _exact_topk_sql(where: str = "", extra_rows: str = "") -> str:
+def _exact_topk_sql(where: str = "", extra_rows: str = "", q: list | None = None) -> str:
     src = f"SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {where}"
     if extra_rows:
         src = f"{src} UNION ALL {extra_rows}"
     return f"""
 WITH e AS ({src}),
-cand AS (SELECT vec_id, label, {_COS.format(q=sql_vec(Q7))} FROM e)
+cand AS (SELECT vec_id, label, {_COS.format(q=sql_vec(q or Q7))} FROM e)
 SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
 FROM cand ORDER BY distance, vec_id LIMIT 10
 """
@@ -141,6 +141,35 @@ def ann_hnsw_filtered_topk(spark, sf_dir):
     path = _hnsw_path(spark, sf_dir)
     res = hnsw_search(spark, path, Q7, 10, ef_search=EF,
                       predicate=F.col("label").isin(1, 2), round_to=ROUND)
+    return _back_join(spark, sf_dir, res)
+
+
+Q23 = det_query_vector(23, 64)
+
+
+@register(
+    "ann_hnsw_i8_rescored_topk",
+    _exact_topk_sql(q=Q23),
+    "Quantized graph ANN (the USearch quantization index option composed "
+    "with the graph engine, usearch.rs:503-513 + "
+    "quantization_and_rescoring.rs): the graph stores int8 vectors with a "
+    "per-slice scale (4x smaller blobs), the beam scores dequantized values "
+    "to collect a rescore·k candidate pool, and the ORIGINAL vectors are "
+    "re-read from the base table for the exact final top-k — quantized "
+    "recall, full-precision values",
+)
+def ann_hnsw_i8_rescored_topk(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "hnsw_i8",
+        lambda p: hnsw_build(emb, "vec_id", "embedding", p, m=M,
+                             ef_construction=EFC, num_slices=SLICES,
+                             quantization="i8"),
+    )
+    res = hnsw_search(spark, path, Q23, 10, ef_search=EF, rescore=4,
+                      rescore_with=(emb, "embedding"), round_to=ROUND)
     return _back_join(spark, sf_dir, res)
 
 
