@@ -145,6 +145,29 @@ def _extras(spark, sf_dir: str) -> dict:
                     ef_search=64).collect()
         out["hnsw_serve_latency_sec_k10"] = round(time.time() - t0, 4)
 
+        # quantized graph: i8 storage + rescore-from-base (the USearch
+        # quantization option composed with the graph engine)
+        hpath_i8 = tempfile.mkdtemp(prefix="bench_hnsw_i8_")
+        hnsw_build(emb, "vec_id", "embedding", hpath_i8, m=8,
+                   ef_construction=64, num_slices=4, quantization="i8")
+        r_plain, r_resc = [], []
+        for seed in (7, 13, 21, 33):
+            q = det_query_vector(seed, 64)
+            truth = {r.vec_id for r in ann_topk(
+                emb, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+            ).collect()}
+            plain = {r.vec_id for r in
+                     hnsw_search(spark, hpath_i8, q, k, ef_search=32).collect()}
+            resc = {r.vec_id for r in
+                    hnsw_search(spark, hpath_i8, q, k, ef_search=32, rescore=4,
+                                rescore_with=(emb, "embedding")).collect()}
+            r_plain.append(len(plain & truth) / k)
+            r_resc.append(len(resc & truth) / k)
+        out["recall_at_10_hnsw_i8_rescore_lift"] = {
+            "plain": round(sum(r_plain) / len(r_plain), 4),
+            "rescored_4x": round(sum(r_resc) / len(r_resc), 4),
+        }
+
         from vector_store_spark.operators.pq import pq_topk
         from vector_store_spark.types import SpaceType
 
@@ -352,6 +375,28 @@ def _extras(spark, sf_dir: str) -> dict:
         if qps2_reps:
             out["batch_knn_qps_256q_k10_ivf_ma2_np4_repeats"] = qps2_reps
             out["batch_knn_qps_256q_k10_ivf_ma2_np4"] = sorted(qps2_reps)[len(qps2_reps) // 2]
+
+        # graph batch: the same 256 queries beamed through the persisted HNSW
+        # slices (O(Q·ef·log n) distance evals vs the brute GEMM's O(Q·n) —
+        # the gap widens with slice size; at this SF they cross near parity)
+        import tempfile as _tf3
+
+        from vector_store_spark.operators.hnsw import hnsw_build as _hb
+        from vector_store_spark.operators.hnsw import hnsw_knn_batch as _hkb
+
+        hpath_b = _tf3.mkdtemp(prefix="bench_hnsw_batch_")
+        _hb(emb, "vec_id", "embedding", hpath_b, m=8, ef_construction=64,
+            num_slices=4)
+        qps3_reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_out3 = _hkb(spark, hpath_b, qnamed, 10, ef_search=64).count()
+            dt3 = time.perf_counter() - t0
+            if n_out3:
+                qps3_reps.append(round(len(qnamed) / dt3, 2))
+        if qps3_reps:
+            out["batch_knn_qps_256q_k10_hnsw_ef64_repeats"] = qps3_reps
+            out["batch_knn_qps_256q_k10_hnsw_ef64"] = sorted(qps3_reps)[len(qps3_reps) // 2]
     except Exception as ex:
         print(f"bench extras (batch knn) error: {ex}", file=sys.stderr)
 
@@ -604,7 +649,7 @@ def _extras(spark, sf_dir: str) -> dict:
             _specs = _aq()
             scaling: dict = {}
             for name in ("ann_cosine_topk", "dedup_minhash_lsh", "bm25_term",
-                         "text_token_counts"):
+                         "text_token_counts", "ann_hnsw_topk"):
                 if name not in _specs:
                     continue
                 spec, rec = _specs[name], {}

@@ -262,6 +262,21 @@ def test_i8_quantized_graph_rescore(spark, items, tmp_path):
     assert got2[0].vec_id == 9001
 
 
+def test_knn_batch_matches_per_query_exact(spark, items, built):
+    """Graph batch kNN (J3 twin) returns each query's exact top-k at an
+    exhaustive beam, in knn_join's (query_id, id, distance) contract."""
+    from vector_store_spark.operators.hnsw import hnsw_knn_batch
+
+    qs = [("a", Q), ("b", _vec(7)), ("c", _vec(123))]
+    got = hnsw_knn_batch(spark, built, qs, 5, ef_search=N, round_to=ROUND)
+    rows = [((r.query_id, r.vec_id, r.distance))
+            for r in got.orderBy("query_id", "distance", "vec_id").collect()]
+    want = []
+    for name, q in sorted(qs):
+        want.extend((name, v, d) for v, d in _exact(items, q, 5))
+    assert rows == want
+
+
 def test_search_plan_no_shuffle(spark, built):
     """Serving reads num_slices blob rows and merges with one
     TakeOrderedAndProject — no Exchange before the merge."""

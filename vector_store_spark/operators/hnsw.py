@@ -593,6 +593,61 @@ def hnsw_search_local(
     return res.withColumn("similarity", sim)
 
 
+def hnsw_knn_batch(
+    spark,
+    path: str,
+    queries,
+    k: int,
+    ef_search: int = 64,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batch kNN over the graph (J3's graph-accelerated twin): the query
+    list rides into every slice task as literals (metadata-sized, like the
+    GEMM path's broadcast query matrix), each slice beams every query
+    through its sub-graph — O(Q·ef·log n) distance evals instead of the
+    brute GEMM's O(Q·n) — and only slices·Q·k candidate rows reach the
+    per-query window merge.  Output: (query_id, id, distance), exactly
+    ``knn_join``'s contract, so the two batch engines are interchangeable.
+    ``queries``: [(query_id, vector), ...]."""
+    from pyspark.sql import Window
+
+    meta = _read_meta(path)
+    dims, space = meta["dims"], SpaceType(meta["space"])
+    id_col = meta["id_col"]
+    quant = meta.get("quantization", "f32")
+    graph = spark.read.parquet(os.path.join(path, "graph"))
+    qlist = [(str(n), [float(x) for x in v]) for n, v in queries]
+
+    def run(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            names, out_ids, out_d = [], [], []
+            for _, row in pdf.iterrows():
+                for qn, qv in qlist:
+                    ids, dists = _slice_search(row, dims, qv, k, ef_search,
+                                               space, None, quant)
+                    names.extend([qn] * len(ids))
+                    out_ids.extend(ids)
+                    out_d.extend(dists)
+            yield pd.DataFrame({
+                "query_id": pd.Series(names, dtype="object"),
+                id_col: pd.Series(out_ids, dtype="int64"),
+                "distance": pd.Series(out_d, dtype="float64"),
+            })
+
+    res = graph.mapInPandas(run, f"query_id string, {id_col} long, distance double")
+    if round_to is not None:
+        res = res.withColumn("distance", F.round(F.col("distance"), round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def hnsw_insert(spark, path: str, items: DataFrame) -> None:
     """Native incremental insertion (the reference's `add`,
     usearch.rs:74-92 — HNSW's core advantage over IVF/LSH rebuilds):

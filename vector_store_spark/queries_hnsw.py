@@ -145,6 +145,36 @@ def ann_hnsw_filtered_topk(spark, sf_dir):
 
 
 Q23 = det_query_vector(23, 64)
+_KNN_Q = [("q7", Q7), ("q13", det_query_vector(13, 64)), ("q21", det_query_vector(21, 64))]
+
+
+@register(
+    "knn_batch_hnsw",
+    f"""
+WITH queries(query_id, qv) AS (VALUES
+  {", ".join(f"('{name}', {sql_vec(vec)})" for name, vec in _KNN_Q)}
+),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(1.0 - list_inner_product(b.e, q.qv) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(q.qv, q.qv))), {ROUND}) AS distance
+  FROM queries q CROSS JOIN base b
+)
+SELECT query_id, vec_id, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn FROM scored)
+WHERE rn <= 5
+""",
+    "J3 through the graph engine: every query beams through each slice's "
+    "sub-graph (O(Q·ef·log n) vs the brute GEMM's O(Q·n)); only slices·Q·k "
+    "candidate rows reach the per-query merge — same output contract as "
+    "knn_batch, exact at this scale's exhaustive beam",
+)
+def knn_batch_hnsw(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_knn_batch
+
+    path = _hnsw_path(spark, sf_dir)
+    return hnsw_knn_batch(spark, path, _KNN_Q, 5, ef_search=256, round_to=ROUND)
 
 
 @register(
