@@ -563,7 +563,7 @@ def _extras(spark, sf_dir: str) -> dict:
 
         _specs = _aq()
         for sname in ("stream_cdc_ann_topk", "stream_fts_endstate",
-                      "stream_cdc_ivf_topk"):
+                      "stream_cdc_ivf_topk", "stream_cdc_hnsw_topk"):
             spec = _specs[sname]
             reps_t = []
             for _ in range(2):

@@ -17,6 +17,7 @@ from vector_store_spark.operators.hnsw import (
     hnsw_delete,
     hnsw_insert,
     hnsw_search,
+    hnsw_upsert,
 )
 from vector_store_spark.operators.topk import ann_topk
 from vector_store_spark.registry import ROUND, det_query_vector
@@ -222,6 +223,39 @@ def test_local_sub_graphs_round_trip_and_pruning(spark, items, tmp_path):
     final = items.unionByName(new).where(F.col("vec_id") != 8)
     assert got2 == _exact(final, Q, 10, F.col("label") == 3)
     assert got2[0][0] == 9001
+
+
+def test_fused_upsert_equals_delete_then_insert(spark, items, tmp_path):
+    """The one-pass upsert (the CDC maintenance hot path) must equal
+    delete-then-insert — including the epoch-bump case where an id is in
+    BOTH sets (tombstoned old node, fresh reinserted node wins)."""
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    # id 7 is updated (in both sets), 11/13 deleted, 9005 fresh
+    upd = spark.createDataFrame(
+        [(7, [0.9] * DIMS, 1), (9005, Q, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    hnsw_upsert(spark, path, items=upd, ids_removed=[7, 11, 13])
+    final = (
+        items.where(~F.col("vec_id").isin(7, 11, 13)).unionByName(upd)
+    )
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == _exact(final, Q, 10)
+    assert got[0][0] == 9005
+    # the updated id 7 serves its NEW vector (old node tombstoned)
+    q9 = [0.9] * DIMS
+    top = hnsw_search(spark, path, q9, 1, ef_search=N).collect()
+    assert top[0].vec_id == 7 and top[0].distance < 1e-9
+    # filtered search stays aligned post-upsert (payload bitmaps)
+    pred = F.col("label") == 2
+    gotf = [(r.vec_id, r.distance)
+            for r in hnsw_search(spark, path, Q, 5, ef_search=N,
+                                 predicate=pred, round_to=ROUND).collect()]
+    assert gotf == _exact(final, Q, 5, pred)
 
 
 def test_i8_quantized_graph_rescore(spark, items, tmp_path):

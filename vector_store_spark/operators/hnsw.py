@@ -648,18 +648,35 @@ def hnsw_knn_batch(
     )
 
 
-def hnsw_insert(spark, path: str, items: DataFrame) -> None:
-    """Native incremental insertion (the reference's `add`,
+def hnsw_upsert(
+    spark,
+    path: str,
+    items: DataFrame | None = None,
+    ids_removed: Sequence | None = None,
+) -> None:
+    """One-pass incremental CRUD (the reference's `add`/`remove` surface,
     usearch.rs:74-92 — HNSW's core advantage over IVF/LSH rebuilds):
-    new rows hash to their slices, each affected slice's graph is decoded,
-    the new nodes are inserted with the standard descend-then-beam link
-    procedure, and ONLY the touched slice directories (graph blob +
-    payload rows) are rewritten."""
+    tombstone ``ids_removed`` AND insert ``items``' rows in a SINGLE
+    decode-modify-encode rewrite of the touched slice blobs. Semantics are
+    identical to delete-then-insert — an id in both sets is tombstoned
+    first and reinserted as a fresh node (the PrimaryId epoch bump,
+    primary_id.rs:27-69) — but the fused pass halves the Spark jobs, which
+    is the CDC maintenance hot path (streaming on_batch upserts every
+    micro-batch). ``ids_removed`` is micro-batch-bounded (a driver-side
+    literal list, like the reference's per-batch key set)."""
     meta = _read_meta(path)
     dims, m = meta["dims"], meta["m"]
     efc, space = meta["ef_construction"], SpaceType(meta["space"])
     id_col, num_slices = meta["id_col"], meta["num_slices"]
     pay_cols = meta["payload_cols"]
+    quant = meta.get("quantization", "f32")
+    gone = sorted(int(g) for g in (ids_removed or []))
+    gone_arr = np.asarray(gone, dtype=np.int64)
+
+    if items is None:
+        if gone:
+            _tombstone_only(spark, path, meta, gone)
+        return
 
     if "partitions" in meta:  # local layout: slice = partition-key mapping
         pc = meta["part_col"]
@@ -679,7 +696,14 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
         drop_for_vec = {id_col}
     vec_key = [c for c in items.columns
                if c not in drop_for_vec and c not in pay_cols][0]
-    touched = [r[0] for r in sliced.select("slice").distinct().collect()]
+    touched = {r[0] for r in sliced.select("slice").distinct().collect()}
+    if gone:
+        if "partitions" in meta:
+            # an id does not determine its partition — sweep every sub-graph
+            touched.update(i for _, i in meta["partitions"])
+        else:
+            touched.update(int(g) % num_slices for g in gone)
+    touched = sorted(touched)
     graph = spark.read.parquet(os.path.join(path, "graph")).where(
         F.col("slice").isin(touched))
     # snapshot pre-insert blob sizes NOW (metadata-sized: one row per touched
@@ -691,6 +715,14 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
 
         blob = right.iloc[0] if len(right) else None
         sl = int(key[0])
+        if len(new) == 0:
+            # delete-only slice in a fused upsert: mark tombstones, done
+            d = blob.to_dict()
+            ids0 = np.frombuffer(d["ids"], dtype=np.int64)
+            dele = np.frombuffer(d["deleted"], dtype=np.uint8).copy()
+            dele[np.isin(ids0, gone_arr)] = 1
+            d["deleted"] = dele.tobytes()
+            return pd.DataFrame([d])
         add_ids = new.sort_values(id_col)[id_col].to_numpy(dtype=np.int64)
         add_vecs = np.vstack(new.sort_values(id_col)[vec_key].to_numpy()).astype(np.float32)
         if blob is None:
@@ -706,6 +738,8 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
         # _decode returns the DEQUANTIZED scoring matrix; keep the raw
         # stored form separately so re-encoding is a concat, not a round-trip
         ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(blob, dims, quant)
+        deleted = deleted.copy()
+        deleted[np.isin(ids, gone_arr)] = 1  # tombstone BEFORE reinserting
         qscale = float(blob["qscale"])
         if quant == "i8":
             # new vectors quantize with the SLICE'S existing scale (the
@@ -755,7 +789,6 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
                                      max_lvl, deleted, qscale=qscale,
                                      quant=quant)])
 
-    quant = meta.get("quantization", "f32")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = sliced.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
         ins, _GRAPH_SCHEMA)
@@ -772,6 +805,8 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
     # keep blob nodes, so payload max would lag the blob and collide.
     old = spark.read.parquet(os.path.join(path, "payload")).where(
         F.col("slice").isin(touched))
+    if gone:
+        old = old.where(~F.col(id_col).isin(gone))
     base = spark.createDataFrame(
         [(int(s), int(n) - 1) for s, n in pre_n.items()] or [(-1, -1)],
         "slice int, _base int",
@@ -790,15 +825,23 @@ def hnsw_insert(spark, path: str, items: DataFrame) -> None:
     merged.unpersist()
 
 
+def hnsw_insert(spark, path: str, items: DataFrame) -> None:
+    """Native incremental insertion — see hnsw_upsert."""
+    hnsw_upsert(spark, path, items=items)
+
+
 def hnsw_delete(spark, path: str, ids_removed: Sequence) -> None:
     """Tombstone deletion (the reference's `remove`: USearch marks slots
     deleted and skips them during traversal until compaction — same
-    here): set the node's bit in the slice blob's tombstone map and drop
-    its payload row; the graph keeps the node for connectivity."""
-    meta = _read_meta(path)
-    dims = meta["dims"]
+    here) — see hnsw_upsert."""
+    hnsw_upsert(spark, path, ids_removed=ids_removed)
+
+
+def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:
+    """Delete-only path: set tombstone bits in the touched slice blobs and
+    drop the matching payload rows; the graph keeps the nodes for
+    connectivity."""
     id_col, num_slices = meta["id_col"], meta["num_slices"]
-    gone = sorted(int(g) for g in ids_removed)
     if "partitions" in meta:
         # local layout: an id does not determine its partition — mark in
         # every sub-graph (ids are globally unique; misses are no-ops)

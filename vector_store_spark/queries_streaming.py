@@ -529,9 +529,8 @@ def stream_cdc_ann_topk(spark, sf_dir):
 def stream_cdc_hnsw_topk(spark, sf_dir):
     from vector_store_spark.operators.hnsw import (
         hnsw_build,
-        hnsw_delete,
-        hnsw_insert,
         hnsw_search,
+        hnsw_upsert,
     )
     from vector_store_spark.registry import ROUND, det_query_vector
 
@@ -545,7 +544,7 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
     def maintain_graph(sink, batch, batch_id):
         """Mirror db_index_backend's read-back: the batch names the touched
         keys (micro-batch-bounded), the committed snapshot provides their
-        winners; graph CRUD is tombstone-then-reinsert."""
+        winners; graph CRUD is ONE fused tombstone-and-reinsert pass."""
         keys = [r.pk for r in batch.select("pk").distinct().collect()]
         if not keys:
             return
@@ -555,10 +554,8 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
             hnsw_build(live, "pk", "emb", gpath, m=8, ef_construction=64,
                        num_slices=4)
             return
-        hnsw_delete(spark, gpath, keys)
-        winners = live.where(F.col("pk").isin(keys))
-        if winners.first() is not None:
-            hnsw_insert(spark, gpath, winners)
+        hnsw_upsert(spark, gpath, items=live.where(F.col("pk").isin(keys)),
+                    ids_removed=keys)
 
     base = emb.select(
         F.lit("upsert").alias("op"),
