@@ -258,6 +258,45 @@ def test_fused_upsert_equals_delete_then_insert(spark, items, tmp_path):
     assert gotf == _exact(final, Q, 5, pred)
 
 
+def test_compact_reclaims_tombstones(spark, items, tmp_path):
+    """Compaction (USearch's deferred-removal reclaim): slices above the
+    tombstone threshold are rebuilt from live nodes only — blob shrinks,
+    results (incl. filtered, whose payload bitmaps are renumbered) are
+    unchanged — while clean slices are untouched."""
+    import os
+
+    from vector_store_spark.operators.hnsw import hnsw_compact
+
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    # slice = vec_id % 3: kill ~half of slice 0, nothing of slices 1/2
+    gone = [i for i in range(0, N, 3)][: N // 6]
+    hnsw_delete(spark, path, gone)
+    pre = {r["slice"]: r["n"] for r in
+           spark.read.parquet(os.path.join(path, "graph")).collect()}
+
+    done = hnsw_compact(spark, path, min_deleted_frac=0.2)
+    assert done == [0]
+    post = {r["slice"]: r["n"] for r in
+            spark.read.parquet(os.path.join(path, "graph")).collect()}
+    assert post[0] == pre[0] - len(gone)
+    assert post[1] == pre[1] and post[2] == pre[2]  # clean slices untouched
+
+    final = items.where(~F.col("vec_id").isin(gone))
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == _exact(final, Q, 10)
+    pred = F.col("label") == 0
+    gotf = [(r.vec_id, r.distance)
+            for r in hnsw_search(spark, path, Q, 5, ef_search=N,
+                                 predicate=pred, round_to=ROUND).collect()]
+    assert gotf == _exact(final, Q, 5, pred)
+    # idempotent: nothing left above threshold
+    assert hnsw_compact(spark, path, min_deleted_frac=0.2) == []
+
+
 def test_i8_quantized_graph_rescore(spark, items, tmp_path):
     """The quantization index option composed with the graph engine
     (usearch.rs:503-513 + quantization_and_rescoring.rs): int8 blobs are
@@ -309,6 +348,45 @@ def test_knn_batch_matches_per_query_exact(spark, items, built):
     for name, q in sorted(qs):
         want.extend((name, v, d) for v, d in _exact(items, q, 5))
     assert rows == want
+
+
+def test_engine_local_hnsw_strategy(spark, items, tmp_path):
+    """Engine serving of the LOCAL graph layout: the consumed partition-key
+    Eq selects the per-partition sub-graph (usearch.rs:815-864 routing)."""
+    from vector_store_spark.engine import VectorStoreEngine
+    from vector_store_spark.plans.restrictions import FilterError
+    from vector_store_spark.types import Filter, IndexMetadata, Restriction
+
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               part_col="label", payload_cols=["label"])
+    meta = IndexMetadata(
+        keyspace="ks", index="lgx", table="t",
+        primary_key_columns=("label", "vec_id"), partition_key_count=1,
+        target_column="embedding", dimensions=DIMS,
+        partitioning=("label",), expansion_search=N,
+    )
+    eng = VectorStoreEngine()
+    eng.register(items, meta, strategy="hnsw", strategy_opts={"local_path": path})
+    # hnsw emits (id, distance, similarity): a two-column pk is rejected
+    with pytest.raises(FilterError):
+        eng.ann("ks", "t", "embedding", Q, limit=5,
+                flt=Filter(restrictions=(Restriction.eq("label", 3),)))
+
+    meta1 = IndexMetadata(
+        keyspace="ks", index="lgx1", table="t1",
+        primary_key_columns=("vec_id",), partition_key_count=0,
+        target_column="embedding", dimensions=DIMS,
+        partitioning=("label",), filtering_columns=("label",),
+        expansion_search=N,
+    )
+    eng.register(items, meta1, strategy="hnsw",
+                 strategy_opts={"local_path": path})
+    resp = eng.ann("ks", "t1", "embedding", Q, limit=5,
+                   flt=Filter(restrictions=(Restriction.eq("label", 3),),
+                              allow_filtering=True))
+    want = _exact(items, Q, 5, F.col("label") == 3)
+    assert resp.primary_keys["vec_id"] == [v for v, _ in want]
 
 
 def test_search_plan_no_shuffle(spark, built):

@@ -837,6 +837,89 @@ def hnsw_delete(spark, path: str, ids_removed: Sequence) -> None:
     hnsw_upsert(spark, path, ids_removed=ids_removed)
 
 
+def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
+    """Compaction (the reference's deferred-removal model: USearch marks
+    slots deleted at `remove` time and reclaims them later — the streaming
+    upsert path accumulates exactly such tombstones).  Every slice whose
+    tombstone fraction is ≥ ``min_deleted_frac`` is REBUILT from its live
+    nodes only (fresh deterministic graph, same build parameters from the
+    sidecar); slices below the threshold are untouched, so the rewrite
+    cost is proportional to the garbage, not the index.  Node indices
+    change, so the touched slices' payload rows are renumbered in the same
+    pass.  Returns the list of compacted slice ids."""
+    import pandas as pd
+
+    meta = _read_meta(path)
+    dims, m = meta["dims"], meta["m"]
+    efc, space = meta["ef_construction"], SpaceType(meta["space"])
+    id_col = meta["id_col"]
+    quant = meta.get("quantization", "f32")
+
+    graph_all = spark.read.parquet(os.path.join(path, "graph"))
+
+    def dead_counts(iterator):
+        for pdf in iterator:
+            yield pd.DataFrame({
+                "slice": pdf["slice"],
+                "n": pdf["n"],
+                "dead": [int(np.frombuffer(b, dtype=np.uint8).sum())
+                         for b in pdf["deleted"]],
+            })
+
+    fracs = graph_all.mapInPandas(
+        dead_counts, "slice int, n int, dead long").collect()
+    todo = sorted(r["slice"] for r in fracs
+                  if r["n"] > 0 and r["dead"] / r["n"] >= min_deleted_frac)
+    if not todo:
+        return []
+
+    graph = graph_all.where(F.col("slice").isin(todo))
+
+    def rebuild(pdf):
+        rows = []
+        for _, row in pdf.iterrows():
+            ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(
+                row, dims, quant)
+            live = deleted == 0
+            lids, lvecs = ids[live], fvecs[live]
+            order = np.argsort(lids, kind="stable")
+            lids, lvecs = lids[order], lvecs[order]
+            qscale = 0.0
+            store = lvecs
+            if quant == "i8":
+                # fresh scale from the surviving vectors (a full retrain is
+                # allowed at compaction — it rebuilds the graph anyway)
+                store, qscale = _quantize_i8(lvecs)
+                lvecs = store.astype(np.float32) * np.float32(qscale)
+            lv, adj2, entry2, max2 = _build_graph(lids, lvecs, m, efc, space)
+            rows.append(_encode(int(row["slice"]), lids, store, lv, adj2,
+                                entry2, max2, qscale=qscale, quant=quant))
+        return pd.DataFrame(rows)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = graph.groupBy("slice").applyInPandas(rebuild, _GRAPH_SCHEMA)
+    out = out.cache()
+    out.count()
+    out.write.partitionBy("slice").mode("overwrite").parquet(
+        os.path.join(path, "graph"))
+    out.unpersist()
+
+    # renumber the touched slices' payload: live nodes sorted by id get
+    # fresh 0-based indices — the same order the rebuild assigned
+    pay = spark.read.parquet(os.path.join(path, "payload")).where(
+        F.col("slice").isin(todo))
+    w = Window.partitionBy("slice").orderBy(id_col)
+    newpay = (
+        pay.withColumn("node", F.row_number().over(w) - F.lit(1))
+        .cache()
+    )
+    newpay.count()
+    newpay.repartition("slice").write.partitionBy("slice").mode(
+        "overwrite").parquet(os.path.join(path, "payload"))
+    newpay.unpersist()
+    return todo
+
+
 def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:
     """Delete-only path: set tombstone bits in the touched slice blobs and
     drop the matching payload rows; the graph keeps the nodes for

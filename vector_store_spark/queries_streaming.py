@@ -589,6 +589,14 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
     stream2 = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
     _await(sink.start(stream2, checkpoint_dir=ckpt))
 
+    # the upserts left tombstones behind (every b2 key's old node) —
+    # compact the garbage-heavy slices before serving; the hash gate then
+    # proves reclaim preserves the end state (USearch's deferred-removal
+    # compaction model)
+    from vector_store_spark.operators.hnsw import hnsw_compact
+
+    hnsw_compact(spark, gpath, min_deleted_frac=0.25)
+
     # serve from the GRAPH, not the snapshot — ef generous enough that the
     # beam is exhaustive at gate scale (recall-vs-ef is a bench metric)
     return hnsw_search(spark, gpath, det_query_vector(7, 64), 10,
