@@ -389,6 +389,42 @@ def test_engine_local_hnsw_strategy(spark, items, tmp_path):
     assert resp.primary_keys["vec_id"] == [v for v, _ in want]
 
 
+def test_incremental_insertion_preserves_recall(spark, items, tmp_path):
+    """Graph quality under maintenance: a graph grown by upserts must not
+    degrade materially vs a fresh build of the same end state (the quality
+    question the CDC maintenance path raises — USearch has the identical
+    property via insert-time linking)."""
+    grown = str(tmp_path / "grown")
+    fresh = str(tmp_path / "fresh")
+    first = items.where(F.col("vec_id") < 300)
+    rest = items.where(F.col("vec_id") >= 300)
+    hnsw_build(first, "vec_id", "embedding", grown, m=6, ef_construction=48,
+               num_slices=3)
+    hnsw_insert(spark, grown, rest.select("vec_id", "embedding"))
+    hnsw_build(items, "vec_id", "embedding", fresh, m=6, ef_construction=48,
+               num_slices=3)
+
+    def recall(path, q):
+        want = {v for v, _ in _exact(items, q, 10)}
+        got = {r.vec_id for r in
+               hnsw_search(spark, path, q, 10, ef_search=32).collect()}
+        return len(got & want) / 10
+
+    for q in (Q, _vec(7), _vec(55)):
+        rg, rf = recall(grown, q), recall(fresh, q)
+        assert rg >= rf - 0.2 and rg >= 0.7, (rg, rf)
+
+
+def test_fully_deleted_slice_serves_empty(spark, items, tmp_path):
+    """Edge: tombstoning every node of a slice (or the whole index) leaves
+    traversal through dead nodes but zero results — no crash, no ghosts."""
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3)
+    hnsw_delete(spark, path, list(range(N)))  # everything, incl. entry nodes
+    assert hnsw_search(spark, path, Q, 10, ef_search=N).collect() == []
+
+
 def test_search_plan_no_shuffle(spark, built):
     """Serving reads num_slices blob rows and merges with one
     TakeOrderedAndProject — no Exchange before the merge."""
