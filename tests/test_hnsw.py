@@ -93,6 +93,77 @@ def test_layer0_connected():
     assert len(seen) == len(ids)
 
 
+def test_pure_crud_sequence_stays_exact():
+    """Spark-free model check of the shared insertion path (_insert_nodes,
+    used by both build and upsert): after every step of a deterministic
+    insert/delete/reinsert sequence, an exhaustive beam over the encoded
+    blob equals numpy brute force over the live rows. Runs dozens of
+    graph states in milliseconds — the depth the Spark round-trip tests
+    can't afford."""
+    from vector_store_spark.operators.hnsw import (
+        _encode,
+        _insert_nodes,
+        _prep,
+        _repair_layer0,
+        _slice_search,
+    )
+
+    space = SpaceType.COSINE
+    m, efc = 5, 24
+    q = np.asarray(Q, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    ids = np.arange(80, dtype=np.int64)
+    vecs = np.array([_vec(int(i)) for i in ids], dtype=np.float32)
+    levels, adj, entry, maxl = _build_graph(ids, vecs, m, efc, space)
+    deleted = np.zeros(len(ids), np.uint8)
+
+    def apply_insert(new_ids, new_vecs):
+        nonlocal ids, vecs, levels, adj, entry, maxl, deleted
+        n0 = len(ids)
+        ids = np.concatenate([ids, new_ids])
+        vecs = np.vstack([vecs, new_vecs])
+        levels = np.concatenate([levels, _levels_of(new_ids, m)])
+        deleted = np.concatenate([deleted, np.zeros(len(new_ids), np.uint8)])
+        mat = _prep(vecs, space)
+        entry, maxl = _insert_nodes(mat, adj, levels, entry, maxl, n0, m, efc, space)
+        _repair_layer0(mat, adj, space)
+
+    def check():
+        row = _encode(0, ids, vecs, levels, adj, entry, maxl, deleted)
+        got_ids, got_d = _slice_search(row, DIMS, list(q), 10, len(ids),
+                                       space, None, round_to=9)
+        live = deleted == 0
+        mat = _prep(vecs, space)
+        d = 1.0 - mat[live] @ qn
+        lid = ids[live]
+        # the brute tie-breaks on the same rounded key the engine uses
+        # (per-batch BLAS can differ by 1 ulp on exactly-tied vectors)
+        d9 = np.floor(np.abs(d) * 1e9 + 0.5) / 1e9 * np.sign(d)
+        order = np.lexsort((lid, d9))[:10]
+        assert got_ids == [int(x) for x in lid[order]]
+        assert np.allclose(got_d, d[order], atol=1e-8)
+
+    steps = [
+        ("ins", np.arange(80, 120)), ("del", [5, 17, 80, 81, 99]),
+        ("ins", np.arange(120, 160)), ("del", list(range(0, 60, 4))),
+        ("del", [150, 151]), ("ins", np.arange(500, 520)),
+        ("reinsert", [17, 99]),  # epoch bump: delete left them dead above
+    ]
+    for kind, arg in steps:
+        if kind == "ins":
+            new_ids = np.asarray(arg, dtype=np.int64)
+            apply_insert(new_ids, np.array([_vec(int(i) + 1000) for i in new_ids],
+                                           dtype=np.float32))
+        elif kind == "reinsert":
+            new_ids = np.asarray(arg, dtype=np.int64)
+            apply_insert(new_ids, np.array([_vec(int(i) + 2000) for i in new_ids],
+                                           dtype=np.float32))
+        else:
+            deleted[np.isin(ids, np.asarray(arg, dtype=np.int64))] = 1
+        check()
+
+
 def test_exhaustive_search_is_exact(spark, items, built):
     got = [(r.vec_id, r.distance)
            for r in hnsw_search(spark, built, Q, 10, ef_search=N,

@@ -177,35 +177,47 @@ def _build_graph(ids: np.ndarray, fvecs: np.ndarray, m: int, ef_construction: in
     ]
     if n == 0:
         return levels, adj, -1, -1
-    entry, max_lvl = 0, int(levels[0])
+    entry, max_lvl = _insert_nodes(
+        mat, adj, levels, 0, int(levels[0]), 1, m, ef_construction, space)
+    _repair_layer0(mat, adj, space)
+    return levels, adj, entry, max_lvl
+
+
+def _insert_nodes(mat, adj, levels, entry, max_lvl, start, m, efc, space):
+    """Link nodes ``start..len(mat)-1`` into an existing graph with the
+    standard HNSW insertion (greedy descend above the node's level, beam +
+    nearest-M linking at and below, back-link pruning to the layer cap).
+    Shared by the build-time loop, the incremental upsert, and the pure
+    in-memory tests. Returns the updated (entry, max_lvl)."""
     m0 = 2 * m
-    for i in range(1, n):
+    for i in range(start, len(mat)):
         li = int(levels[i])
+        while len(adj) <= i:
+            adj.append([np.empty(0, dtype=np.int32) for _ in range(li + 1)])
         q = mat[i]
+        if entry < 0:
+            entry, max_lvl = i, li
+            continue
         cur, _ = _greedy_descend(mat, adj, q, entry, max_lvl, li, space)
         for lev in range(min(li, max_lvl), -1, -1):
             cands, _ = _search_layer(
                 mat, lambda v, lev=lev: adj[v][lev] if lev < len(adj[v]) else (),
-                q, [cur], ef_construction, space,
-            )
+                q, [cur], efc, space)
             cap = m0 if lev == 0 else m
             nbrs = np.asarray(cands[:cap], dtype=np.int32)
             adj[i][lev] = nbrs
             for u in nbrs:
-                cur_list = adj[u][lev]
-                new = np.append(cur_list, np.int32(i))
-                if len(new) > cap:
-                    nd = _dists(mat, new, mat[u], space)
-                    # stable keep of the cap nearest (ties -> lower node)
-                    keep = np.lexsort((new, nd))[:cap]
-                    new = new[np.sort(keep)]
-                adj[u][lev] = new
+                newl = np.append(adj[u][lev], np.int32(i))
+                if len(newl) > cap:
+                    nd = _dists(mat, newl, mat[u], space)
+                    keep = np.lexsort((newl, nd))[:cap]
+                    newl = newl[np.sort(keep)]
+                adj[u][lev] = newl
             if cands:
                 cur = cands[0]
         if li > max_lvl:
             entry, max_lvl = i, li
-    _repair_layer0(mat, adj, space)
-    return levels, adj, entry, max_lvl
+    return entry, max_lvl
 
 
 def _repair_layer0(mat, adj, space) -> None:
@@ -425,7 +437,8 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
-def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32"):
+def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32",
+                  round_to=None):
     ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(row, dims, quant)
     n = len(ids)
     if n == 0 or entry < 0:
@@ -447,7 +460,22 @@ def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32"):
     ef_eff = max(ef, k)
     nodes, dists = _search_layer(
         mat, lambda v: adj[v][0], q, [cur], ef_eff, space, allowed=allowed)
-    return [int(ids[u]) for u in nodes[:k]], dists[:k]
+    # k-boundary ties break on the ROUNDED distance then ID — two reasons:
+    # (1) after CRUD the node order diverges from id order (fresh nodes
+    # append), and (2) the beam evaluates distances in per-expansion BLAS
+    # batches whose last-ulp rounding can differ for exactly-tied vectors,
+    # which would pick a different boundary member than the downstream
+    # ORDER BY round(distance), id. Keying the truncation on the same
+    # rounded value the global merge sorts on makes the choice consistent.
+    def _key_d(d):
+        if round_to is None:
+            return d
+        scale = 10.0 ** round_to
+        return np.floor(abs(d) * scale + 0.5) / scale * (1 if d >= 0 else -1)
+
+    order = sorted(range(len(nodes)),
+                   key=lambda t: (_key_d(dists[t]), int(ids[nodes[t]])))[:k]
+    return [int(ids[nodes[t]]) for t in order], [dists[t] for t in order]
 
 
 def hnsw_search(
@@ -503,7 +531,7 @@ def hnsw_search(
             for _, row in pdf.iterrows():
                 nodes = row["_nodes"] if filtered else None
                 ids, dists = _slice_search(row, dims, q, k_emit, ef_search,
-                                           space, nodes, quant)
+                                           space, nodes, quant, round_to)
                 out_ids.extend(ids)
                 out_d.extend(dists)
             yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
@@ -577,7 +605,7 @@ def hnsw_search_local(
             for _, row in pdf.iterrows():
                 nodes = row["_nodes"] if filtered else None
                 ids, dists = _slice_search(row, dims, q, k, ef_search, space,
-                                           nodes, quant)
+                                           nodes, quant, round_to)
                 out_ids.extend(ids)
                 out_d.extend(dists)
             yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
@@ -626,7 +654,7 @@ def hnsw_knn_batch(
             for _, row in pdf.iterrows():
                 for qn, qv in qlist:
                     ids, dists = _slice_search(row, dims, qv, k, ef_search,
-                                               space, None, quant)
+                                               space, None, quant, round_to)
                     names.extend([qn] * len(ids))
                     out_ids.extend(ids)
                     out_d.extend(dists)
@@ -755,34 +783,9 @@ def hnsw_upsert(
         mat = _prep(fvecs, space)
         new_levels = _levels_of(add_ids, m)
         levels = np.concatenate([levels, new_levels])
-        m0 = 2 * m
         n0 = len(ids) - len(add_ids)
-        for j, i in enumerate(range(n0, len(ids))):
-            li = int(new_levels[j])
-            adj.append([np.empty(0, dtype=np.int32) for _ in range(li + 1)])
-            q = mat[i]
-            if entry < 0:
-                entry, max_lvl = i, li
-                continue
-            cur, _ = _greedy_descend(mat, adj, q, entry, max_lvl, li, space)
-            for lev in range(min(li, max_lvl), -1, -1):
-                cands, _ = _search_layer(
-                    mat, lambda v, lev=lev: adj[v][lev] if lev < len(adj[v]) else (),
-                    q, [cur], efc, space)
-                cap = m0 if lev == 0 else m
-                nbrs = np.asarray(cands[:cap], dtype=np.int32)
-                adj[i][lev] = nbrs
-                for u in nbrs:
-                    newl = np.append(adj[u][lev], np.int32(i))
-                    if len(newl) > cap:
-                        nd = _dists(mat, newl, mat[u], space)
-                        keep = np.lexsort((newl, nd))[:cap]
-                        newl = newl[np.sort(keep)]
-                    adj[u][lev] = newl
-                if cands:
-                    cur = cands[0]
-            if li > max_lvl:
-                entry, max_lvl = i, li
+        entry, max_lvl = _insert_nodes(
+            mat, adj, levels, entry, max_lvl, n0, m, efc, space)
         _repair_layer0(mat, adj, space)
         enc_vecs = store if quant == "i8" else fvecs
         return pd.DataFrame([_encode(sl, ids, enc_vecs, levels, adj, entry,
