@@ -85,8 +85,27 @@ def _levels_of(ids: np.ndarray, m: int) -> np.ndarray:
     return np.minimum(np.floor(-np.log(u) * ml), MAX_LEVEL).astype(np.int8)
 
 
+#: byte → set-bit count, for packed-B1 Hamming scoring
+_POPCNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _b1_pack_rows(v: np.ndarray) -> np.ndarray:
+    """Sign-binarize (x > 0 ⇒ 1) and pack MSB-first into bytes, row-wise —
+    the USearch B1 storage kind (usearch.rs:1179-1205), bit-identical to
+    functions/quantize.b1_pack."""
+    return np.packbits(np.asarray(v, dtype=np.float64) > 0, axis=-1)
+
+
 def _prep(vecs: np.ndarray, space: SpaceType) -> np.ndarray:
-    """Scoring matrix: unit-normalized for cosine so dist = 1 - dot."""
+    """Scoring matrix per space (usearch.rs:463-487 metric kinds):
+    cosine → unit-normalized f64 so dist = 1 - dot; dot_product → RAW f64
+    (USearch "IP": dist = 1 - <a,b>, magnitudes matter); euclidean → raw
+    f64 (L2sq); hamming → packed-B1 uint8 pass-through (already packed by
+    the build path; XOR-popcount scoring)."""
+    if space == SpaceType.HAMMING:
+        return np.ascontiguousarray(vecs, dtype=np.uint8)
     v = vecs.astype(np.float64)
     if space == SpaceType.COSINE:
         n = np.linalg.norm(v, axis=1, keepdims=True)
@@ -96,10 +115,26 @@ def _prep(vecs: np.ndarray, space: SpaceType) -> np.ndarray:
 
 
 def _dists(mat: np.ndarray, nodes, q: np.ndarray, space: SpaceType) -> np.ndarray:
-    if space == SpaceType.COSINE:
+    if space in (SpaceType.COSINE, SpaceType.DOT_PRODUCT):
+        # same kernel, different _prep: cosine scores the normalized matrix,
+        # dot_product the raw one (1 - <a,b>, usearch.rs "IP")
         return 1.0 - mat[nodes] @ q
+    if space == SpaceType.HAMMING:
+        return _POPCNT[np.bitwise_xor(mat[nodes], q)].sum(axis=1).astype(np.float64)
     d = mat[nodes] - q
     return np.einsum("ij,ij->i", d, d)
+
+
+def _pairwise(mat: np.ndarray, rows: np.ndarray, cols: np.ndarray,
+              space: SpaceType) -> np.ndarray:
+    """Dense |rows|×|cols| distance block (repair-time bridging only —
+    component sizes, not slice sizes)."""
+    if space in (SpaceType.COSINE, SpaceType.DOT_PRODUCT):
+        return 1.0 - mat[rows] @ mat[cols].T
+    if space == SpaceType.HAMMING:
+        x = np.bitwise_xor(mat[rows][:, None, :], mat[cols][None, :, :])
+        return _POPCNT[x].sum(-1).astype(np.float64)
+    return ((mat[rows, None, :] - mat[None, cols, :]) ** 2).sum(-1)
 
 
 def _search_layer(mat, adj_at, q, entries, ef, space, allowed=None):
@@ -179,7 +214,7 @@ def _build_graph(ids: np.ndarray, fvecs: np.ndarray, m: int, ef_construction: in
         return levels, adj, -1, -1
     entry, max_lvl = _insert_nodes(
         mat, adj, levels, 0, int(levels[0]), 1, m, ef_construction, space)
-    _repair_layer0(mat, adj, space)
+    _repair_layer0(mat, adj, space, m)
     return levels, adj, entry, max_lvl
 
 
@@ -220,13 +255,17 @@ def _insert_nodes(mat, adj, levels, entry, max_lvl, start, m, efc, space):
     return entry, max_lvl
 
 
-def _repair_layer0(mat, adj, space) -> None:
+def _repair_layer0(mat, adj, space, m: int | None = None) -> None:
     """Restore layer-0 navigability after back-link pruning: (1) symmetrize
     the bottom layer (beam search follows out-edges, so a pruned reverse
     link would leave nodes unreachable — the symmetric closure makes
     directed reachability equal undirected connectivity, at a small degree
-    overshoot on hub nodes), then (2) bridge any remaining disconnected
-    components to the seed component so ef>=n search is exhaustive."""
+    overshoot on hub nodes), (2) re-cap symmetrized degrees at 2m (keep the
+    nearest; without this, repeated incremental upserts grow hub-node
+    degrees — and blob size / per-hop beam cost — without bound), then
+    (3) bridge any remaining disconnected components to the seed component
+    so ef>=n search is exhaustive. The cap runs BEFORE the component check
+    so a cap-induced cut is immediately re-bridged."""
     n = len(adj)
     if n == 0:
         return
@@ -240,6 +279,27 @@ def _repair_layer0(mat, adj, space) -> None:
         if missing:
             adj[u][0] = np.append(adj[u][0],
                                   np.asarray(missing, dtype=np.int32))
+    if m is not None:
+        cap = 2 * m
+        kept: list[set] = []
+        over = False
+        for u in range(n):
+            nbrs = adj[u][0]
+            if len(nbrs) > cap:
+                nd = _dists(mat, nbrs, mat[u], space)
+                sel = np.lexsort((nbrs, nd))[:cap]
+                kept.append({int(x) for x in nbrs[sel]})
+                over = True
+            else:
+                kept.append({int(x) for x in nbrs})
+        if over:
+            # drop an edge from BOTH endpoints when either prunes it, so the
+            # layer stays symmetric (the exhaustiveness argument needs
+            # directed reachability == undirected connectivity)
+            for u in range(n):
+                adj[u][0] = np.asarray(
+                    sorted(v for v in kept[u] if u in kept[v]),
+                    dtype=np.int32)
     comp = np.full(n, -1, dtype=np.int64)
     cid = 0
     for s in range(n):
@@ -262,10 +322,7 @@ def _repair_layer0(mat, adj, space) -> None:
         if c == comp[main]:
             continue
         nodes = np.flatnonzero(comp == c)
-        if space == SpaceType.COSINE:
-            d = 1.0 - mat[nodes] @ mat[main_nodes].T
-        else:
-            d = ((mat[nodes, None, :] - mat[None, main_nodes, :]) ** 2).sum(-1)
+        d = _pairwise(mat, nodes, main_nodes, space)
         i, j = np.unravel_index(np.argmin(d), d.shape)
         a, b = int(nodes[i]), int(main_nodes[j])
         adj[a][0] = np.append(adj[a][0], np.int32(b))
@@ -294,8 +351,12 @@ def _encode(slice_id, ids, fvecs, levels, adj, entry, max_lvl, deleted=None,
     flat_arr = np.concatenate(flat) if flat else np.empty(0, dtype=np.int32)
     dele = (deleted if deleted is not None
             else np.zeros(len(ids), dtype=np.uint8))
-    vec_bytes = (fvecs.astype(np.int8) if quant == "i8"
-                 else fvecs.astype(np.float32)).tobytes()
+    if quant == "i8":
+        vec_bytes = fvecs.astype(np.int8).tobytes()
+    elif quant == "b1":
+        vec_bytes = fvecs.astype(np.uint8).tobytes()  # packed sign bits
+    else:
+        vec_bytes = fvecs.astype(np.float32).tobytes()
     return {
         "slice": int(slice_id), "n": int(len(ids)), "entry": int(entry),
         "max_level": int(max_lvl),
@@ -315,6 +376,10 @@ def _decode(row, dims: int, quant: str = "f32"):
     if quant == "i8":
         iv = np.frombuffer(row["vecs"], dtype=np.int8).reshape(n, dims)
         fvecs = iv.astype(np.float32) * np.float32(row["qscale"])
+    elif quant == "b1":
+        # packed sign bits: the stored form IS the scoring form (XOR-popcount)
+        fvecs = np.frombuffer(row["vecs"], dtype=np.uint8).reshape(
+            n, (dims + 7) // 8)
     else:
         fvecs = np.frombuffer(row["vecs"], dtype=np.float32).reshape(n, dims)
     levels = np.frombuffer(row["levels"], dtype=np.int8)
@@ -366,9 +431,16 @@ def hnsw_build(
     dequantized values, search scores approximately and recovers exact
     values via hnsw_search's ``rescore_with`` (the reference rescoring
     model: quantized index recall, original-vector values —
-    quantization_and_rescoring.rs)."""
+    quantization_and_rescoring.rs).
+
+    ``space='hamming'`` requires (and implies) ``quantization='b1'``: the
+    graph stores sign-packed bits (32x smaller) and traversal scores
+    XOR-popcount — USearch's B1↦Hamming coupling (usearch.rs:1179-1205).
+    Any other space/quantization combination that the graph cannot score
+    raises here rather than silently falling back to l2sq."""
     from vector_store_spark.sources.index_store import fresh_dir
 
+    _validate_space_quant(space, quantization)
     spark = items.sparkSession
     dims = None
     part_map = None
@@ -398,6 +470,9 @@ def hnsw_build(
             iv, qscale = _quantize_i8(fvecs)
             fvecs = iv  # stored as int8; graph links score the dequantized
             scored = iv.astype(np.float32) * np.float32(qscale)
+        elif quantization == "b1":
+            fvecs = _b1_pack_rows(fvecs)  # packed bits are both store + score
+            scored = fvecs
         else:
             scored = fvecs
         levels, adj, entry, max_lvl = _build_graph(
@@ -422,6 +497,7 @@ def hnsw_build(
     meta = {
         "space": space.value, "m": m, "ef_construction": ef_construction,
         "num_slices": num_slices, "dims": dims, "id_col": id_col,
+        "vec_col": vec_col,  # upsert selects it explicitly (never inferred)
         "payload_cols": list(payload_cols), "quantization": quantization,
     }
     if part_map is not None:
@@ -430,6 +506,27 @@ def hnsw_build(
     with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def _validate_space_quant(space: SpaceType, quantization: str) -> None:
+    """Reject space/quantization combinations the graph cannot score —
+    previously any unknown space silently scored as l2sq (the round-6
+    latent wrong-answer path). Mirrors USearch's metric-kind coupling:
+    B1 storage is Hamming-only and Hamming is B1-only (usearch.rs:463-487,
+    1179-1205); f32/i8 storage scores cosine / l2sq / IP."""
+    if quantization not in ("f32", "i8", "b1"):
+        raise ValueError(f"unknown hnsw quantization {quantization!r}")
+    if space == SpaceType.HAMMING and quantization != "b1":
+        raise ValueError(
+            "hamming hnsw requires quantization='b1' (sign-packed bits; "
+            "usearch.rs:1179-1205 scores Hamming over B1 storage)")
+    if quantization == "b1" and space != SpaceType.HAMMING:
+        raise ValueError(
+            "quantization='b1' stores sign bits only — score it with "
+            "space='hamming' (other metrics lose magnitude information)")
+    if space not in (SpaceType.COSINE, SpaceType.EUCLIDEAN,
+                     SpaceType.DOT_PRODUCT, SpaceType.HAMMING):
+        raise ValueError(f"hnsw cannot score space {space!r}")
 
 
 def _read_meta(path: str) -> dict:
