@@ -503,3 +503,213 @@ def test_search_plan_no_shuffle(spark, built):
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hamming_b1_graph_round_trip(spark, items, tmp_path):
+    """Hamming/B1 graph end-to-end (USearch's B1↦Hamming coupling,
+    usearch.rs:463-487, 1179-1205): build packs sign bits (~32x smaller
+    blobs), search packs the QUERY too (the round-7 crash: a raw f64 query
+    hit XOR-popcount), upsert packs inserts, compact rebuilds packed."""
+    import os
+
+    from vector_store_spark.operators.hnsw import hnsw_compact
+
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"],
+               space=SpaceType.HAMMING, quantization="b1")
+    blob = {r["slice"]: (len(bytes(r["vecs"])), r["n"]) for r in
+            spark.read.parquet(os.path.join(path, "graph")).collect()}
+    for _, (nbytes, n) in blob.items():
+        assert nbytes == n * ((DIMS + 7) // 8)  # packed bits, not floats
+
+    def exact(df, q, k, pred=None):
+        d = df if pred is None else df.where(pred)
+        return [(r.vec_id, r.distance) for r in
+                ann_topk(d, "embedding", q, k, space=SpaceType.HAMMING,
+                         tie_break=["vec_id"], select_cols=["vec_id"],
+                         round_to=ROUND).collect()]
+
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == exact(items, Q, 10)
+    # filtered traversal in Hamming space
+    pred = F.col("label").isin(0, 4)
+    gotf = [(r.vec_id, r.distance)
+            for r in hnsw_search(spark, path, Q, 5, ef_search=N,
+                                 predicate=pred, round_to=ROUND).collect()]
+    assert gotf == exact(items, Q, 5, pred)
+    # CRUD: fused upsert with an extra non-vector column present and a
+    # re-added id (epoch bump) — both round-7 failure shapes
+    upd = spark.createDataFrame(
+        [(7, Q, 1, "x"), (9001, Q, 2, "y")],
+        "vec_id long, embedding array<float>, label int, extra string",
+    )
+    hnsw_upsert(spark, path, items=upd, ids_removed=[11])
+    final = (items.where(~F.col("vec_id").isin(7, 11))
+             .unionByName(upd.drop("extra")))
+    got2 = [(r.vec_id, r.distance)
+            for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                 round_to=ROUND).collect()]
+    assert got2 == exact(final, Q, 10)
+    # compact the tombstones away; results unchanged
+    hnsw_delete(spark, path, [i for i in range(0, N, 3)][: N // 6])
+    hnsw_compact(spark, path, min_deleted_frac=0.05)
+    final2 = final.where(~F.col("vec_id").isin(
+        [i for i in range(0, N, 3)][: N // 6]))
+    got3 = [(r.vec_id, r.distance)
+            for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                 round_to=ROUND).collect()]
+    assert got3 == exact(final2, Q, 10)
+
+
+def test_dot_product_graph_exact_and_recall(spark, items, tmp_path):
+    """DOT_PRODUCT graph scoring (USearch "IP": dist = 1 - <a,b>, raw
+    magnitudes): exhaustive beam equals the exact engine; the default beam
+    holds the recall pin."""
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, space=SpaceType.DOT_PRODUCT)
+
+    def exact(k):
+        return [(r.vec_id, r.distance) for r in
+                ann_topk(items, "embedding", Q, k, space=SpaceType.DOT_PRODUCT,
+                         tie_break=["vec_id"], select_cols=["vec_id"],
+                         round_to=ROUND).collect()]
+
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == exact(10)
+    want = {v for v, _ in exact(10)}
+    got64 = {r.vec_id for r in
+             hnsw_search(spark, path, Q, 10, ef_search=64).collect()}
+    assert len(got64 & want) / 10 >= 0.9
+
+
+def test_space_quant_validation(spark, items, tmp_path):
+    """The graph rejects space/quantization pairs it cannot score rather
+    than silently falling back (the round-6 latent wrong-answer path)."""
+    path = str(tmp_path / "ix")
+    for kwargs in (
+        dict(space=SpaceType.HAMMING),                       # needs b1
+        dict(space=SpaceType.HAMMING, quantization="i8"),
+        dict(space=SpaceType.COSINE, quantization="b1"),     # b1 is hamming-only
+        dict(quantization="f16"),                            # unknown storage
+    ):
+        with pytest.raises(ValueError):
+            hnsw_build(items, "vec_id", "embedding", path, m=6,
+                       ef_construction=48, num_slices=3, **kwargs)
+
+
+def test_upsert_requires_persisted_vec_col(spark, items, tmp_path):
+    """hnsw_upsert consumes meta['vec_col'] (persisted at build) instead of
+    inferring 'the first leftover column'; a batch without it raises."""
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3)
+    bad = spark.createDataFrame([(9001, [0.1] * DIMS)],
+                                "vec_id long, other array<float>")
+    with pytest.raises(ValueError, match="embedding"):
+        hnsw_insert(spark, path, bad)
+    # with several candidate columns, the sidecar name wins (no inference)
+    ones = [1.0] * DIMS
+    ok = spark.createDataFrame([(9001, Q, ones)],
+                               "vec_id long, aaa array<float>, embedding array<float>")
+    hnsw_insert(spark, path, ok.select("vec_id", "aaa", "embedding"))
+    top = hnsw_search(spark, path, ones, 1, ef_search=N).collect()
+    # stored 'embedding' (all-ones), not 'aaa' (Q): exact hit at distance 0
+    assert top[0].vec_id == 9001 and top[0].distance < 1e-9
+
+
+def test_global_search_rejects_local_layout(spark, items, tmp_path):
+    """Local layouts keep ids unique per partition, not globally: the
+    cross-slice merge entry points refuse them (mirror of
+    hnsw_search_local's inverse guard)."""
+    from vector_store_spark.operators.hnsw import hnsw_knn_batch
+
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               part_col="label")
+    with pytest.raises(ValueError, match="local"):
+        hnsw_search(spark, path, Q, 5)
+    with pytest.raises(ValueError, match="local"):
+        hnsw_knn_batch(spark, path, [("a", Q)], 5)
+
+
+def test_emptied_slice_payload_partition_cleared(spark, items, tmp_path):
+    """Deleting every row of a slice must CLEAR its payload partition
+    directory (dynamic overwrite skips partitions absent from the output,
+    which used to leave stale rows that resurfaced after compaction
+    renumbering), and a later reinsert into the emptied slice restarts
+    cleanly."""
+    import os
+
+    from vector_store_spark.operators.hnsw import hnsw_compact
+
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    slice0 = [i for i in range(N) if i % 3 == 0]
+    hnsw_delete(spark, path, slice0)
+    pay = spark.read.parquet(os.path.join(path, "payload"))
+    assert pay.where(F.col("slice") == 0).count() == 0
+    assert not os.path.exists(os.path.join(path, "payload", "slice=0"))
+    # compact the fully-dead slice away, then reinsert into it
+    hnsw_compact(spark, path, min_deleted_frac=0.05)
+    new = spark.createDataFrame([(9000, Q, 1)],  # 9000 % 3 == 0
+                                "vec_id long, embedding array<float>, label int")
+    hnsw_insert(spark, path, new)
+    pred = F.col("label") == 1
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 5, ef_search=N,
+                                predicate=pred, round_to=ROUND).collect()]
+    final = items.where(F.col("vec_id") % 3 != 0).unionByName(new)
+    assert got == _exact(final, Q, 5, pred)
+    assert got[0][0] == 9000
+
+
+def test_degree_cap_bounded_under_repeated_upserts():
+    """The layer-0 degree cap's motivating scenario: many CDC micro-batches
+    must not grow hub degrees (blob size / per-hop beam cost) without
+    bound, and the DIVERSIFIED pruning rule must hold recall while doing it
+    (pure nearest-k pruning regressed recall@10 0.9→0.8 in round 7)."""
+    from vector_store_spark.operators.hnsw import (
+        _encode,
+        _insert_nodes,
+        _prep,
+        _repair_layer0,
+        _slice_search,
+    )
+
+    space = SpaceType.COSINE
+    m, efc, dims = 6, 48, 16
+
+    def vec(i):  # distinct per id (golden-ratio lattice), unlike _vec
+        return [((i * 0.6180339887 * (j + 1) + 0.7 * j) % 1.0) - 0.5
+                for j in range(dims)]
+
+    ids = np.arange(60, dtype=np.int64)
+    vecs = np.array([vec(int(i)) for i in ids], np.float32)
+    levels, adj, entry, maxl = _build_graph(ids, vecs, m, efc, space)
+    for b in range(30):
+        new_ids = np.arange(60 + b * 15, 60 + (b + 1) * 15, dtype=np.int64)
+        new_vecs = np.array([vec(int(i)) for i in new_ids], np.float32)
+        n0 = len(ids)
+        ids = np.concatenate([ids, new_ids])
+        vecs = np.vstack([vecs, new_vecs])
+        levels = np.concatenate([levels, _levels_of(new_ids, m)])
+        mat = _prep(vecs, space)
+        entry, maxl = _insert_nodes(mat, adj, levels, entry, maxl, n0, m,
+                                    efc, space)
+        _repair_layer0(mat, adj, space, m)
+    degs = [len(a[0]) for a in adj]
+    assert max(degs) <= 4 * m + 4, max(degs)       # bounded, not growing
+    assert sum(degs) / len(degs) <= 2 * m + 4      # mean ~ the 2m cap
+    q = np.asarray(vec(99999), np.float64)
+    row = _encode(0, ids, vecs, levels, adj, entry, maxl)
+    got, _ = _slice_search(row, dims, list(q), 10, 64, space, None)
+    d = 1.0 - _prep(vecs, space) @ (q / np.linalg.norm(q))
+    want = set(ids[np.lexsort((ids, d))[:10]].tolist())
+    assert len(set(got) & want) / 10 >= 0.9

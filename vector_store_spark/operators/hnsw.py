@@ -98,6 +98,25 @@ def _b1_pack_rows(v: np.ndarray) -> np.ndarray:
     return np.packbits(np.asarray(v, dtype=np.float64) > 0, axis=-1)
 
 
+def _prep_query(query, space: SpaceType, dims: int) -> np.ndarray:
+    """The query vector in the slice's scoring form: f64 (unit-normalized
+    for cosine, raw for dot/l2sq) or sign-packed uint8 for Hamming — the
+    packed matrix XOR-popcounts against a packed query, never raw floats
+    (the round-7 hole: an unpacked f64 query made bitwise_xor throw on the
+    first Hamming distance eval).  Validates raw dims against the sidecar
+    BEFORE packing, mirroring the reference's dimension check (P9)."""
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape[-1] != dims:
+        raise ValueError(
+            f"query has {q.shape[-1]} dimensions, index stores {dims}")
+    if space == SpaceType.HAMMING:
+        return _b1_pack_rows(q[None, :])[0]
+    if space == SpaceType.COSINE:
+        qn = np.linalg.norm(q)
+        return q / qn if qn else q
+    return q
+
+
 def _prep(vecs: np.ndarray, space: SpaceType) -> np.ndarray:
     """Scoring matrix per space (usearch.rs:463-487 metric kinds):
     cosine → unit-normalized f64 so dist = 1 - dot; dot_product → RAW f64
@@ -255,17 +274,45 @@ def _insert_nodes(mat, adj, levels, entry, max_lvl, start, m, efc, space):
     return entry, max_lvl
 
 
+def _select_diverse(mat, u, nbrs, space, cap):
+    """The HNSW neighbor-selection heuristic (Malkov & Yashunin Alg. 4, the
+    rule USearch inherits): scan candidates nearest-first, keep c only if it
+    is closer to u than to every already-kept neighbor — this preserves the
+    long-range "diverse" links pure nearest-k destroys (the round-7 recall
+    regression) — then fill remaining slots with the nearest pruned
+    candidates (keepPrunedConnections), so degrees stay at the cap."""
+    nd = _dists(mat, nbrs, mat[u], space)
+    order = np.lexsort((nbrs, nd))
+    kept: list[int] = []
+    pruned: list[int] = []
+    for t in order:
+        if len(kept) >= cap:
+            break
+        c = int(nbrs[t])
+        if kept and np.any(_dists(mat, kept, mat[c], space) < nd[t]):
+            pruned.append(c)
+            continue
+        kept.append(c)
+    for c in pruned:
+        if len(kept) >= cap:
+            break
+        kept.append(c)
+    return set(kept)
+
+
 def _repair_layer0(mat, adj, space, m: int | None = None) -> None:
     """Restore layer-0 navigability after back-link pruning: (1) symmetrize
     the bottom layer (beam search follows out-edges, so a pruned reverse
     link would leave nodes unreachable — the symmetric closure makes
     directed reachability equal undirected connectivity, at a small degree
-    overshoot on hub nodes), (2) re-cap symmetrized degrees at 2m (keep the
-    nearest; without this, repeated incremental upserts grow hub-node
-    degrees — and blob size / per-hop beam cost — without bound), then
-    (3) bridge any remaining disconnected components to the seed component
-    so ef>=n search is exhaustive. The cap runs BEFORE the component check
-    so a cap-induced cut is immediately re-bridged."""
+    overshoot on hub nodes), (2) re-cap symmetrized degrees at 2m with the
+    DIVERSIFIED selection rule (without a cap, repeated incremental upserts
+    grow hub-node degrees — and blob size / per-hop beam cost — without
+    bound; with pure nearest-k the cap severed the long-range links
+    navigability needs and recall@10 regressed 0.9→0.8), then (3) bridge
+    any remaining disconnected components to the seed component so ef>=n
+    search is exhaustive. The cap runs BEFORE the component check so a
+    cap-induced cut is immediately re-bridged."""
     n = len(adj)
     if n == 0:
         return
@@ -286,19 +333,22 @@ def _repair_layer0(mat, adj, space, m: int | None = None) -> None:
         for u in range(n):
             nbrs = adj[u][0]
             if len(nbrs) > cap:
-                nd = _dists(mat, nbrs, mat[u], space)
-                sel = np.lexsort((nbrs, nd))[:cap]
-                kept.append({int(x) for x in nbrs[sel]})
+                kept.append(_select_diverse(mat, u, nbrs, space, cap))
                 over = True
             else:
                 kept.append({int(x) for x in nbrs})
         if over:
-            # drop an edge from BOTH endpoints when either prunes it, so the
-            # layer stays symmetric (the exhaustiveness argument needs
-            # directed reachability == undirected connectivity)
+            # an edge survives if EITHER endpoint kept it: one-way-only
+            # drops would break the symmetric-reachability argument, and
+            # both-must-keep (round 7) shattered the layer into components
+            # the bridger then re-wired through hubs. Either-keeps bounds
+            # hub degree at cap + (edges other nodes insist on), which the
+            # diversity rule keeps small in practice — the determinism test
+            # pins the exact topology, the degree test pins the bound.
             for u in range(n):
                 adj[u][0] = np.asarray(
-                    sorted(v for v in kept[u] if u in kept[v]),
+                    sorted(kept[u] | {v for v in map(int, adj[u][0])
+                                      if u in kept[v]}),
                     dtype=np.int32)
     comp = np.full(n, -1, dtype=np.int64)
     cid = 0
@@ -534,6 +584,26 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _rm_emptied_partitions(spark, base: str, touched, written: DataFrame) -> None:
+    """Dynamic partition overwrite only rewrites partitions PRESENT in the
+    output, so a touched slice whose merged payload came out empty would
+    keep its stale files (every row deleted → old rows resurface).  Delete
+    those partition directories explicitly via the Hadoop FileSystem API
+    (works on local paths and HDFS/S3A alike)."""
+    present = {r["slice"] for r in
+               written.select("slice").distinct().collect()}
+    empty = [s for s in touched if s not in present]
+    if not empty:
+        return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for s in empty:
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/slice={int(s)}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32",
                   round_to=None):
     ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(row, dims, quant)
@@ -541,10 +611,7 @@ def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32",
     if n == 0 or entry < 0:
         return [], []
     mat = _prep(fvecs, space)
-    q = np.asarray(query, dtype=np.float64)
-    if space == SpaceType.COSINE:
-        qn = np.linalg.norm(q)
-        q = q / qn if qn else q
+    q = _prep_query(query, space, dims)
     allowed = deleted == 0
     if allowed_nodes is not None:
         mask = np.zeros(n, dtype=bool)
@@ -606,6 +673,12 @@ def hnsw_search(
     quantization_and_rescoring.rs) and the final top-k is exact over that
     pool: quantized recall, full-precision values."""
     meta = _read_meta(path)
+    if "partitions" in meta:
+        # mirror of hnsw_search_local's inverse guard: a LOCAL layout keeps
+        # ids unique per PARTITION, not globally, so a cross-slice merge
+        # could surface the same id from several sub-graphs (lib.rs:677-680
+        # scopes local indexes to one partition's keyspace)
+        raise ValueError("local HNSW layout; use hnsw_search_local")
     dims, space = meta["dims"], SpaceType(meta["space"])
     id_col = meta["id_col"]
     quant = meta.get("quantization", "f32")
@@ -737,6 +810,8 @@ def hnsw_knn_batch(
     from pyspark.sql import Window
 
     meta = _read_meta(path)
+    if "partitions" in meta:
+        raise ValueError("local HNSW layout; use hnsw_search_local per partition")
     dims, space = meta["dims"], SpaceType(meta["space"])
     id_col = meta["id_col"]
     quant = meta.get("quantization", "f32")
@@ -819,8 +894,16 @@ def hnsw_upsert(
         sliced = items.withColumn(
             "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
         drop_for_vec = {id_col}
-    vec_key = [c for c in items.columns
-               if c not in drop_for_vec and c not in pay_cols][0]
+    vec_key = meta.get("vec_col")
+    if vec_key is not None:
+        if vec_key not in items.columns:
+            raise ValueError(
+                f"insert batch lacks the index's vector column {vec_key!r} "
+                f"(persisted in the sidecar at build time)")
+    else:
+        # pre-vec_col sidecar: fall back to eliminating the known columns
+        vec_key = [c for c in items.columns
+                   if c not in drop_for_vec and c not in pay_cols][0]
     touched = {r[0] for r in sliced.select("slice").distinct().collect()}
     if gone:
         if "partitions" in meta:
@@ -852,10 +935,14 @@ def hnsw_upsert(
         add_vecs = np.vstack(new.sort_values(id_col)[vec_key].to_numpy()).astype(np.float32)
         if blob is None:
             qscale = 0.0
-            store = add_vecs
             if quant == "i8":
                 store, qscale = _quantize_i8(add_vecs)
                 add_vecs = store.astype(np.float32) * np.float32(qscale)
+            elif quant == "b1":
+                # pack BEFORE building: b1's stored form is its scoring form
+                add_vecs = store = _b1_pack_rows(add_vecs)
+            else:
+                store = add_vecs
             levels, adj, entry, max_lvl = _build_graph(add_ids, add_vecs, m, efc, space)
             return pd.DataFrame([_encode(sl, add_ids, store, levels, adj,
                                          entry, max_lvl, qscale=qscale,
@@ -864,7 +951,10 @@ def hnsw_upsert(
         # stored form separately so re-encoding is a concat, not a round-trip
         ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(blob, dims, quant)
         deleted = deleted.copy()
-        deleted[np.isin(ids, gone_arr)] = 1  # tombstone BEFORE reinserting
+        # tombstone BEFORE reinserting: an incoming live id is an implicit
+        # delete-then-insert (the reference's PrimaryId epoch bump,
+        # table/primary_id.rs:27-69), so re-adding never duplicates a node
+        deleted[np.isin(ids, gone_arr) | np.isin(ids, add_ids)] = 1
         qscale = float(blob["qscale"])
         if quant == "i8":
             # new vectors quantize with the SLICE'S existing scale (the
@@ -874,6 +964,10 @@ def hnsw_upsert(
             store = np.concatenate(
                 [np.frombuffer(blob["vecs"], dtype=np.int8).reshape(-1, dims),
                  iv_new])
+        elif quant == "b1":
+            # fvecs from _decode is the packed (n, ceil(dims/8)) matrix;
+            # pack the raw-float inserts to match, then concat is uniform
+            add_vecs = _b1_pack_rows(add_vecs)
         ids = np.concatenate([ids, add_ids])
         fvecs = np.vstack([fvecs, add_vecs])
         deleted = np.concatenate([deleted, np.zeros(len(add_ids), dtype=np.uint8)])
@@ -883,7 +977,9 @@ def hnsw_upsert(
         n0 = len(ids) - len(add_ids)
         entry, max_lvl = _insert_nodes(
             mat, adj, levels, entry, max_lvl, n0, m, efc, space)
-        _repair_layer0(mat, adj, space)
+        # capped repair: CDC micro-batches must not grow hub degrees without
+        # bound (the cap's motivating scenario IS this incremental path)
+        _repair_layer0(mat, adj, space, m)
         enc_vecs = store if quant == "i8" else fvecs
         return pd.DataFrame([_encode(sl, ids, enc_vecs, levels, adj, entry,
                                      max_lvl, deleted, qscale=qscale,
@@ -907,6 +1003,10 @@ def hnsw_upsert(
         F.col("slice").isin(touched))
     if gone:
         old = old.where(~F.col(id_col).isin(gone))
+    # a re-added live id tombstones its old node (see ins); its old payload
+    # row must go too or filtered search would map the id to a dead node
+    old = old.join(F.broadcast(sliced.select(id_col).distinct()),
+                   id_col, "left_anti")
     base = spark.createDataFrame(
         [(int(s), int(n) - 1) for s, n in pre_n.items()] or [(-1, -1)],
         "slice int, _base int",
@@ -922,6 +1022,8 @@ def hnsw_upsert(
     merged.count()
     merged.repartition("slice").write.partitionBy("slice").mode(
         "overwrite").parquet(os.path.join(path, "payload"))
+    _rm_emptied_partitions(spark, os.path.join(path, "payload"),
+                           touched, merged)
     merged.unpersist()
 
 
@@ -1016,6 +1118,7 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
     newpay.count()
     newpay.repartition("slice").write.partitionBy("slice").mode(
         "overwrite").parquet(os.path.join(path, "payload"))
+    _rm_emptied_partitions(spark, os.path.join(path, "payload"), todo, newpay)
     newpay.unpersist()
     return todo
 
@@ -1064,4 +1167,5 @@ def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:
     kept.count()
     kept.repartition("slice").write.partitionBy("slice").mode(
         "overwrite").parquet(os.path.join(path, "payload"))
+    _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched, kept)
     kept.unpersist()

@@ -144,6 +144,77 @@ def ann_hnsw_filtered_topk(spark, sf_dir):
     return _back_join(spark, sf_dir, res)
 
 
+@register(
+    "ann_hnsw_dot_topk",
+    # USearch "IP": distance = 1 - <a,b> on RAW vectors (magnitudes matter);
+    # similarity = (2 - d) / 2 (similarity.rs:26-37)
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (SELECT vec_id, label,
+                round(1.0 - list_inner_product(v, {sql_vec(Q7)}), {ROUND}) AS distance
+         FROM e)
+SELECT vec_id, label, distance, round((2.0 - distance) / 2.0, {ROUND}) AS similarity
+FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "Graph ANN in DOT_PRODUCT space (usearch.rs 'IP' metric: dist = 1-<a,b> "
+    "over raw magnitudes — the graph scores the UN-normalized matrix, unlike "
+    "cosine's unit-normalized prep); exhaustive beam at this scale",
+)
+def ann_hnsw_dot_topk(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search
+    from vector_store_spark.types import SpaceType
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "hnsw_dot",
+        lambda p: hnsw_build(emb, "vec_id", "embedding", p, m=M,
+                             ef_construction=EFC, num_slices=SLICES,
+                             space=SpaceType.DOT_PRODUCT),
+    )
+    res = hnsw_search(spark, path, Q7, 10, ef_search=256, round_to=ROUND)
+    return _back_join(spark, sf_dir, res)
+
+
+_SIGN_HAMMING = (
+    "list_sum(list_transform(list_zip(e, {q}), "
+    "p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END))"
+)
+
+
+@register(
+    "ann_hnsw_hamming_topk",
+    # Hamming over sign bits (the B1 storage's metric): distance = count of
+    # differing sign bits; similarity = 1 - d/dims (similarity.rs:26-37)
+    f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         CAST({_SIGN_HAMMING.format(q=sql_vec(Q7))} AS DOUBLE) AS distance
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+SELECT vec_id, label, distance,
+       round(1.0 - distance / 64, {ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "Graph ANN in Hamming/B1 space (USearch's B1↦Hamming coupling, "
+    "usearch.rs:1179-1205): blobs store sign-packed bits (~32x smaller), the "
+    "beam XOR-popcounts packed rows against the sign-packed QUERY; exhaustive "
+    "at this scale so the hash gate proves pack/score parity bit-for-bit",
+)
+def ann_hnsw_hamming_topk(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search
+    from vector_store_spark.types import SpaceType
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "hnsw_b1",
+        lambda p: hnsw_build(emb, "vec_id", "embedding", p, m=M,
+                             ef_construction=EFC, num_slices=SLICES,
+                             space=SpaceType.HAMMING, quantization="b1"),
+    )
+    res = hnsw_search(spark, path, Q7, 10, ef_search=512, round_to=ROUND)
+    return _back_join(spark, sf_dir, res)
+
+
 Q23 = det_query_vector(23, 64)
 _KNN_Q = [("q7", Q7), ("q13", det_query_vector(13, 64)), ("q21", det_query_vector(21, 64))]
 
