@@ -313,23 +313,54 @@ def _extras(spark, sf_dir: str) -> dict:
         # unfiltered and filtered (the reference's filtered-ANN path)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
         emb.count()
+        # repeat runs with the MEDIAN as the headline (same protocol as
+        # batch_knn below): single-shot numbers conflate the query with
+        # whatever the session was doing, and the driver grades the row
         reps = 3
         for k in (1, 10, 100):
             for filt in (False, True):
                 pred = (F.col("label") % 2 == 0) if filt else None
                 q = det_query_vector(11, 64)
-                t0 = time.perf_counter()
+                lats = []
                 for _ in range(reps):
+                    t0 = time.perf_counter()
                     ann_topk(
                         emb, "embedding", q, k, predicate=pred,
                         tie_break=["vec_id"], select_cols=["vec_id"],
                     ).collect()
-                lat = (time.perf_counter() - t0) / reps
+                    lats.append(round(time.perf_counter() - t0, 4))
+                lat = sorted(lats)[len(lats) // 2]
                 tag = f"k{k}_" + ("filtered" if filt else "unfiltered")
-                out[f"topk_latency_sec_{tag}"] = round(lat, 4)
+                out[f"topk_latency_sec_{tag}_repeats"] = lats
+                out[f"topk_latency_sec_{tag}"] = lat
                 out[f"topk_qps_{tag}"] = round(1.0 / lat, 2)
     except Exception as ex:
         print(f"bench extras (topk latency) error: {ex}", file=sys.stderr)
+
+    try:
+        from vector_store_spark.operators.dedup import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_lsh,
+        )
+
+        # pair recall of the bucketed (100 TB-shape) embedding near-dup vs
+        # the exact blocked-GEMM all-pairs: precision is 1 by construction
+        # (exact verify), so one number characterizes the band S-curve loss
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        exact_pairs = {
+            (r.id_a, r.id_b) for r in embedding_neardup_pairs(
+                emb, "vec_id", "embedding", threshold=0.45).collect()
+        }
+        lsh_pairs = {
+            (r.id_a, r.id_b) for r in embedding_neardup_pairs_lsh(
+                emb, "vec_id", "embedding", threshold=0.45,
+                num_bits=32, bands=8, dims=64).collect()
+        }
+        out["embedding_neardup_pairs_exact"] = len(exact_pairs)
+        out["embedding_neardup_lsh_pair_recall"] = round(
+            len(lsh_pairs & exact_pairs) / max(1, len(exact_pairs)), 4)
+    except Exception as ex:
+        print(f"bench extras (embedding neardup) error: {ex}", file=sys.stderr)
 
     try:
         from vector_store_spark.operators.topk import knn_join

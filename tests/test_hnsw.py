@@ -713,3 +713,38 @@ def test_degree_cap_bounded_under_repeated_upserts():
     d = 1.0 - _prep(vecs, space) @ (q / np.linalg.norm(q))
     want = set(ids[np.lexsort((ids, d))[:10]].tolist())
     assert len(set(got) & want) / 10 >= 0.9
+
+
+def test_upsert_with_dataframe_key_set(spark, items, tmp_path):
+    """The streaming-maintenance shape: ids_removed as a DataFrame rides
+    the cogroup as slice-tagged marker rows (no driver-collected key list).
+    Must equal the literal-list path exactly — fused upsert and delete-only
+    both."""
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    upd = spark.createDataFrame(
+        [(7, [0.9] * DIMS, 1), (9005, Q, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    keys = spark.createDataFrame([(7,), (11,), (13,)], "vec_id long")
+    hnsw_upsert(spark, path, items=upd, ids_removed=keys)
+    final = items.where(~F.col("vec_id").isin(7, 11, 13)).unionByName(upd)
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == _exact(final, Q, 10)
+    # delete-only with a DataFrame key set
+    hnsw_upsert(spark, path,
+                ids_removed=spark.createDataFrame([(9005,)], "vec_id long"))
+    final2 = final.where(F.col("vec_id") != 9005)
+    got2 = [(r.vec_id, r.distance)
+            for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                 round_to=ROUND).collect()]
+    assert got2 == _exact(final2, Q, 10)
+    # filtered search stays aligned (payload anti-joined distributively)
+    pred = F.col("label") == 1
+    gotf = [(r.vec_id, r.distance)
+            for r in hnsw_search(spark, path, Q, 5, ef_search=N,
+                                 predicate=pred, round_to=ROUND).collect()]
+    assert gotf == _exact(final2, Q, 5, pred)

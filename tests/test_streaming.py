@@ -200,3 +200,59 @@ def test_derived_partition_stale_leaf_dropped_on_move(spark, tmp_path):
     ]
     leaves = {e for b in bucket_dirs for e in os.listdir(b) if e.startswith("cluster=")}
     assert "cluster=1" not in leaves
+
+
+def test_ttl_expiry_vs_lww(spark, dirs):
+    """TTL semantics (validator cdc.rs:567, 699): expires_at rides LWW as a
+    value column; live_view(as_of) reads expired rows as tombstones; a
+    NEWER upsert resurrects an expired key, a stale pre-expiry replay (even
+    with a far-future TTL) loses LWW; GC drops rows expired past the
+    horizon."""
+    src, snap, ckpt = dirs
+    schema = "op string, pk int, v double, exp bigint, ts bigint, seq bigint"
+
+    def write(fname, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, fname), "w") as fh:
+            for op, pk, v, exp, ts, seq in rows:
+                fh.write(json.dumps({"op": op, "pk": pk, "v": v, "exp": exp,
+                                     "ts": ts, "seq": seq}) + "\n")
+
+    # num_buckets=1 so every micro-batch touches the one bucket: the GC
+    # assertion below needs pk=1's leaf to be REWRITTEN by the b3 merge
+    # (GC, like tombstone GC, compacts only touched buckets)
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["v"], num_buckets=1,
+                           expire_col="exp")
+    write("b1.json", [
+        ("upsert", 1, 1.0, 250, 100, 1),   # expires at 250
+        ("upsert", 2, 2.0, None, 100, 2),  # no TTL
+        ("upsert", 3, 3.0, 250, 100, 3),   # expires at 250
+        ("upsert", 4, 4.0, 1000, 100, 4),  # far-future TTL
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    sink.start(stream, checkpoint_dir=ckpt).awaitTermination(120)
+
+    def live(as_of):
+        return {r.pk: r.v for r in sink.live_view("v", as_of=as_of).collect()}
+
+    assert live(200) == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}  # nothing expired yet
+    assert live(300) == {2: 2.0, 4: 4.0}                  # 1, 3 expired
+
+    write("b2.json", [
+        ("upsert", 3, 33.0, None, 300, 5),  # resurrect AFTER expiry: wins
+        ("upsert", 1, -1.0, 9999, 50, 6),   # stale replay: loses LWW
+    ])
+    stream2 = spark.readStream.schema(schema).json(src)
+    sink.start(stream2, checkpoint_dir=ckpt).awaitTermination(120)
+    assert live(300) == {2: 2.0, 3: 33.0, 4: 4.0}  # 3 resurrected, 1 stays dead
+
+    # GC: a sink with the safety horizon past pk=1's expiry drops the row
+    # from the leaf entirely on its next touching merge
+    sink_gc = CdcSnapshotSink(spark, snap, ["pk"], ["v"], num_buckets=1,
+                              expire_col="exp", gc_tombstones_before=500)
+    write("b3.json", [("upsert", 5, 5.0, None, 400, 7)])
+    stream3 = spark.readStream.schema(schema).json(src)
+    sink_gc.start(stream3, checkpoint_dir=ckpt).awaitTermination(120)
+    snap_rows = {r.pk for r in sink_gc.read_snapshot().collect()}
+    assert 1 not in snap_rows  # expired (250) < horizon (500): GC'd
+    assert {2, 3, 4, 5} <= snap_rows

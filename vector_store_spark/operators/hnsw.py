@@ -852,7 +852,7 @@ def hnsw_upsert(
     spark,
     path: str,
     items: DataFrame | None = None,
-    ids_removed: Sequence | None = None,
+    ids_removed: Sequence | DataFrame | None = None,
 ) -> None:
     """One-pass incremental CRUD (the reference's `add`/`remove` surface,
     usearch.rs:74-92 — HNSW's core advantage over IVF/LSH rebuilds):
@@ -862,20 +862,34 @@ def hnsw_upsert(
     first and reinserted as a fresh node (the PrimaryId epoch bump,
     primary_id.rs:27-69) — but the fused pass halves the Spark jobs, which
     is the CDC maintenance hot path (streaming on_batch upserts every
-    micro-batch). ``ids_removed`` is micro-batch-bounded (a driver-side
-    literal list, like the reference's per-batch key set)."""
+    micro-batch).
+
+    ``ids_removed`` is either a literal Sequence (small interactive
+    deletes) or a single-column DataFrame of ids — the streaming shape: the
+    key set stays distributed end-to-end (slice-tagged, unioned into the
+    cogroup as marker rows), so no driver-collected key list ever feeds a
+    plan predicate."""
     meta = _read_meta(path)
     dims, m = meta["dims"], meta["m"]
     efc, space = meta["ef_construction"], SpaceType(meta["space"])
     id_col, num_slices = meta["id_col"], meta["num_slices"]
     pay_cols = meta["payload_cols"]
     quant = meta.get("quantization", "f32")
-    gone = sorted(int(g) for g in (ids_removed or []))
-    gone_arr = np.asarray(gone, dtype=np.int64)
+    rem = None
+    if isinstance(ids_removed, DataFrame):
+        rem = ids_removed.select(
+            F.col(ids_removed.columns[0]).cast("long").alias(id_col)
+        ).distinct()
+        gone, gone_arr = [], np.empty(0, dtype=np.int64)
+    else:
+        gone = sorted(int(g) for g in (ids_removed or []))
+        gone_arr = np.asarray(gone, dtype=np.int64)
 
     if items is None:
         if gone:
             _tombstone_only(spark, path, meta, gone)
+        elif rem is not None:
+            _tombstone_only_df(spark, path, meta, rem)
         return
 
     if "partitions" in meta:  # local layout: slice = partition-key mapping
@@ -904,7 +918,23 @@ def hnsw_upsert(
         # pre-vec_col sidecar: fall back to eliminating the known columns
         vec_key = [c for c in items.columns
                    if c not in drop_for_vec and c not in pay_cols][0]
-    touched = {r[0] for r in sliced.select("slice").distinct().collect()}
+    # a DataFrame key set rides INTO the cogroup as marker rows (_del=true),
+    # slice-tagged the same way as inserts — the removals never touch the
+    # driver (the streaming maintenance shape); a literal list stays a
+    # broadcast closure (gone_arr)
+    grouped = sliced
+    if rem is not None:
+        if "partitions" in meta:
+            # an id does not determine its partition — sweep every sub-graph
+            slices_df = spark.createDataFrame(
+                [(int(i),) for _, i in meta["partitions"]], "slice int")
+            dels = rem.crossJoin(F.broadcast(slices_df))
+        else:
+            dels = rem.withColumn(
+                "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
+        grouped = sliced.withColumn("_del", F.lit(False)).unionByName(
+            dels.withColumn("_del", F.lit(True)), allowMissingColumns=True)
+    touched = {r[0] for r in grouped.select("slice").distinct().collect()}
     if gone:
         if "partitions" in meta:
             # an id does not determine its partition — sweep every sub-graph
@@ -923,12 +953,23 @@ def hnsw_upsert(
 
         blob = right.iloc[0] if len(right) else None
         sl = int(key[0])
+        if "_del" in new.columns:
+            dmask = new["_del"].fillna(False).astype(bool)
+            del_ids = new.loc[dmask, id_col].to_numpy(dtype=np.int64)
+            new = new.loc[~dmask]
+        else:
+            del_ids = gone_arr
         if len(new) == 0:
             # delete-only slice in a fused upsert: mark tombstones, done
+            if blob is None:
+                return pd.DataFrame(
+                    columns=["slice", "n", "entry", "max_level", "ids",
+                             "vecs", "levels", "nbr_counts", "nbr_flat",
+                             "deleted", "qscale"])
             d = blob.to_dict()
             ids0 = np.frombuffer(d["ids"], dtype=np.int64)
             dele = np.frombuffer(d["deleted"], dtype=np.uint8).copy()
-            dele[np.isin(ids0, gone_arr)] = 1
+            dele[np.isin(ids0, del_ids)] = 1
             d["deleted"] = dele.tobytes()
             return pd.DataFrame([d])
         add_ids = new.sort_values(id_col)[id_col].to_numpy(dtype=np.int64)
@@ -954,7 +995,7 @@ def hnsw_upsert(
         # tombstone BEFORE reinserting: an incoming live id is an implicit
         # delete-then-insert (the reference's PrimaryId epoch bump,
         # table/primary_id.rs:27-69), so re-adding never duplicates a node
-        deleted[np.isin(ids, gone_arr) | np.isin(ids, add_ids)] = 1
+        deleted[np.isin(ids, del_ids) | np.isin(ids, add_ids)] = 1
         qscale = float(blob["qscale"])
         if quant == "i8":
             # new vectors quantize with the SLICE'S existing scale (the
@@ -986,7 +1027,7 @@ def hnsw_upsert(
                                      quant=quant)])
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = sliced.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
+    out = grouped.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
         ins, _GRAPH_SCHEMA)
     # materialize before overwriting the directory the plan reads from
     out = out.cache()
@@ -1003,6 +1044,8 @@ def hnsw_upsert(
         F.col("slice").isin(touched))
     if gone:
         old = old.where(~F.col(id_col).isin(gone))
+    if rem is not None:
+        old = old.join(rem, id_col, "left_anti")
     # a re-added live id tombstones its old node (see ins); its old payload
     # row must go too or filtered search would map the id to a dead node
     old = old.join(F.broadcast(sliced.select(id_col).distinct()),
@@ -1121,6 +1164,60 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
     _rm_emptied_partitions(spark, os.path.join(path, "payload"), todo, newpay)
     newpay.unpersist()
     return todo
+
+
+def _tombstone_only_df(spark, path: str, meta: dict, rem: DataFrame) -> None:
+    """Delete-only path with a DISTRIBUTED key set (streaming maintenance):
+    the removal ids cogroup with the slice blobs (slice-tagged like inserts)
+    and the matching payload rows anti-join away — no driver collect."""
+    import pandas as pd
+
+    id_col, num_slices = meta["id_col"], meta["num_slices"]
+    if "partitions" in meta:
+        # local layout: an id does not determine its partition — sweep all
+        slices_df = spark.createDataFrame(
+            [(int(i),) for _, i in meta["partitions"]], "slice int")
+        dels = rem.crossJoin(F.broadcast(slices_df))
+    else:
+        dels = rem.withColumn(
+            "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
+    touched = sorted(r[0] for r in dels.select("slice").distinct().collect())
+    if not touched:
+        return
+    graph = spark.read.parquet(os.path.join(path, "graph")).where(
+        F.col("slice").isin(touched))
+
+    def mark(key, dpdf, right):
+        if len(right) == 0:
+            return pd.DataFrame(
+                columns=["slice", "n", "entry", "max_level", "ids", "vecs",
+                         "levels", "nbr_counts", "nbr_flat", "deleted",
+                         "qscale"])
+        row = right.iloc[0]
+        ids = np.frombuffer(row["ids"], dtype=np.int64)
+        deleted = np.frombuffer(row["deleted"], dtype=np.uint8).copy()
+        deleted[np.isin(ids, dpdf[id_col].to_numpy(dtype=np.int64))] = 1
+        d = row.to_dict()
+        d["deleted"] = deleted.tobytes()
+        return pd.DataFrame([d])
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = dels.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
+        mark, _GRAPH_SCHEMA)
+    out = out.cache()
+    out.count()
+    out.write.partitionBy("slice").mode("overwrite").parquet(
+        os.path.join(path, "graph"))
+    out.unpersist()
+
+    pay = spark.read.parquet(os.path.join(path, "payload")).where(
+        F.col("slice").isin(touched))
+    kept = pay.join(rem, id_col, "left_anti").cache()
+    kept.count()
+    kept.repartition("slice").write.partitionBy("slice").mode(
+        "overwrite").parquet(os.path.join(path, "payload"))
+    _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched, kept)
+    kept.unpersist()
 
 
 def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:

@@ -163,6 +163,74 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.withColumn("cosine", F.round("cosine", ROUND))
 
 
+# --- sign-LSH candidate generation (the 100 TB default) ------------------
+# same deterministic hyperplanes as the ann_lsh_* family, re-derived in SQL
+_EB_BITS, _EB_BANDS = 32, 8
+_EB_R = _EB_BITS // _EB_BANDS
+
+
+def _eb_sql_parts():
+    from vector_store_spark.operators.lsh import lsh_hyperplanes
+    from vector_store_spark.registry import sql_vec
+
+    planes = lsh_hyperplanes(64, _EB_BITS)
+    bits = [
+        f"(CASE WHEN list_inner_product(v, {sql_vec(p)}) > 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+    return [
+        " + ".join(f"{bits[b * _EB_R + j]} * {1 << (_EB_R - 1 - j)}"
+                   for j in range(_EB_R))
+        for b in range(_EB_BANDS)
+    ]
+
+
+_EB_BUCKETS = _eb_sql_parts()
+
+
+@register(
+    "dedup_embedding_lsh",
+    # full pipeline in SQL: sign bits → band buckets → per-(band,bucket)
+    # candidate self-join → exact-cosine verify. Precision is 1 (exact
+    # verify), recall follows the band S-curve — the oracle reproduces the
+    # SAME buckets so the result sets match exactly.
+    f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bandrows AS (
+  SELECT id, unnest([{", ".join(str(b) for b in range(_EB_BANDS))}]) AS band,
+         unnest([{", ".join(_EB_BUCKETS)}]) AS bucket
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         list_inner_product(ea.v, eb.v) /
+         (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cosine
+  FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, {ROUND}) AS cosine
+FROM ver WHERE cosine >= 0.45
+""",
+    "Embedding near-dup at the 100 TB shape: sign-LSH band buckets replace "
+    "the O(N²/B) blocked all-pairs GEMM with a bucketed candidate self-join "
+    "(shuffle ∝ bands·N, work ∝ Σ bucket²) + exact-cosine verify — the same "
+    "banded pattern as dedup_minhash_lsh, precision 1 by construction",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45,
+        num_bits=_EB_BITS, bands=_EB_BANDS, dims=64,
+    )
+    return pairs.withColumn("cosine", F.round("cosine", ROUND))
+
+
 @register(
     "dedup_groups_minhash",
     # WITH RECURSIVE: transitive closure over the verified near-dup pairs,

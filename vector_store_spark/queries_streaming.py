@@ -111,6 +111,97 @@ def stream_cdc_endstate(spark, sf_dir):
     return sink.live_view("v").orderBy("pk")
 
 
+_TTL_SCHEMA = "op string, pk bigint, v double, exp bigint, ts bigint, seq bigint"
+
+
+@register(
+    "stream_cdc_ttl_endstate",
+    # TTL expiry (validator cdc.rs:567, 699): LWW as usual, then rows whose
+    # latest-writer expiry is <= the as_of instant (400) read as tombstones.
+    # Re-upserting AFTER expiry resurrects (newer writetime wins); a stale
+    # pre-expiry replay cannot (loses LWW even with a far-future TTL).
+    """
+WITH base AS (
+  SELECT doc_id AS pk, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE doc_id < 1000
+),
+events AS (
+  SELECT 'upsert' AS op, pk, v,
+         CASE WHEN pk % 3 = 0 THEN 250 WHEN pk % 5 = 0 THEN 1000 END AS exp,
+         CAST(100 AS BIGINT) AS ts, pk AS seq
+  FROM base
+  UNION ALL
+  SELECT 'upsert', pk, v + 500.0, NULL, 300, pk FROM base WHERE pk % 6 = 0
+  UNION ALL
+  SELECT 'upsert', pk, -1.0, 9999, 50, pk FROM base WHERE pk % 7 = 0
+  UNION ALL
+  SELECT 'delete', pk, NULL, NULL, 350, pk + 1000000 FROM base WHERE pk % 11 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT pk, v, exp FROM latest
+WHERE op <> 'delete' AND v IS NOT NULL AND (exp IS NULL OR exp > 400)
+ORDER BY pk
+""",
+    "CDC TTL expiry end-to-end, hash-checked: expires_at rides the LWW merge "
+    "as a value column (latest writer's TTL wins, Scylla USING TTL), "
+    "live_view(as_of) reads expired rows as tombstones, re-upsert after "
+    "expiry resurrects, stale pre-expiry replays lose",
+)
+def stream_cdc_ttl_endstate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars").where(
+        F.col("doc_id") < 1000
+    )
+    root = tempfile.mkdtemp(prefix="cdc_ttl_q_")
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    os.makedirs(src)
+
+    base = docs.select(
+        F.lit("upsert").alias("op"),
+        F.col("doc_id").alias("pk"),
+        F.col("n_chars").cast("double").alias("v"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(250))
+        .when(F.col("doc_id") % 5 == 0, F.lit(1000))
+        .cast("bigint").alias("exp"),
+        F.lit(100).cast("bigint").alias("ts"),
+        F.col("doc_id").alias("seq"),
+    )
+    base.write.mode("append").json(os.path.join(src, "b1"))
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["v"], num_buckets=8,
+                           expire_col="exp")
+    stream = spark.readStream.schema(_TTL_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream, checkpoint_dir=ckpt))
+
+    # batch 2: resurrect-after-expiry (ts=300, no TTL), stale replay with a
+    # far-future TTL (ts=50, must lose), deletes (ts=350, must win)
+    resurrect = base.where(F.col("pk") % 6 == 0).withColumn(
+        "v", F.col("v") + 500.0
+    ).withColumn("exp", F.lit(None).cast("bigint")).withColumn(
+        "ts", F.lit(300).cast("bigint"))
+    stale = base.where(F.col("pk") % 7 == 0).withColumn(
+        "v", F.lit(-1.0)
+    ).withColumn("exp", F.lit(9999).cast("bigint")).withColumn(
+        "ts", F.lit(50).cast("bigint"))
+    deletes = base.where(F.col("pk") % 11 == 0).select(
+        F.lit("delete").alias("op"), "pk",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("bigint").alias("exp"),
+        F.lit(350).cast("bigint").alias("ts"),
+        (F.col("pk") + 1_000_000).alias("seq"),
+    )
+    resurrect.unionByName(stale).unionByName(deletes).write.mode("append").json(
+        os.path.join(src, "b2")
+    )
+    stream2 = spark.readStream.schema(_TTL_SCHEMA).json(os.path.join(src, "*"))
+    _await(sink.start(stream2, checkpoint_dir=ckpt))
+
+    return sink.live_view("v", as_of=400).select("pk", "v", "exp").orderBy("pk")
+
+
 @register(
     "stream_events_hourly_endstate",
     """
@@ -543,10 +634,13 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
 
     def maintain_graph(sink, batch, batch_id):
         """Mirror db_index_backend's read-back: the batch names the touched
-        keys (micro-batch-bounded), the committed snapshot provides their
-        winners; graph CRUD is ONE fused tombstone-and-reinsert pass."""
-        keys = [r.pk for r in batch.select("pk").distinct().collect()]
-        if not keys:
+        keys, the committed snapshot provides their winners; graph CRUD is
+        ONE fused tombstone-and-reinsert pass.  The key set stays a
+        DataFrame end-to-end — semi-joined against the snapshot and passed
+        as the distributed ids_removed — so maintenance never collects a
+        key list to the driver (the 100 TB micro-batch can be wide)."""
+        keys = batch.select("pk").distinct()
+        if batch.isEmpty():
             return
         live = sink.live_view("emb").select(
             "pk", F.col("emb").cast("array<float>").alias("emb"))
@@ -554,7 +648,8 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
             hnsw_build(live, "pk", "emb", gpath, m=8, ef_construction=64,
                        num_slices=4)
             return
-        hnsw_upsert(spark, gpath, items=live.where(F.col("pk").isin(keys)),
+        hnsw_upsert(spark, gpath,
+                    items=live.join(F.broadcast(keys), "pk", "left_semi"),
                     ids_removed=keys)
 
     base = emb.select(

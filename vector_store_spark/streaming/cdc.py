@@ -129,6 +129,7 @@ class CdcSnapshotSink:
         op_col: str = "op",
         num_buckets: int = 32,
         gc_tombstones_before: int | None = None,
+        expire_col: str | None = None,
         derived_partition_cols=None,
         on_batch=None,
     ):
@@ -136,6 +137,19 @@ class CdcSnapshotSink:
         self.snapshot_dir = snapshot_dir
         self.key_cols = list(key_cols)
         self.value_cols = list(value_cols)
+        #: TTL expiry (the reference's CDC TTL semantics, validator
+        #: cdc.rs:567, 699): ``expire_col`` names an event column holding the
+        #: row's absolute expiry instant (same unit as ts; null = no TTL).
+        #: It rides the LWW merge as an ordinary value column — the latest
+        #: writer's TTL wins, exactly Scylla's USING TTL overwrite — and
+        #: ``live_view(..., as_of=t)`` treats ``expire <= t`` as a tombstone.
+        #: A fresh upsert AFTER expiry resurrects the key (newer writetime
+        #: wins LWW); a stale pre-expiry replay cannot (it loses LWW).
+        #: Rows expired before ``gc_tombstones_before`` are GC'd from the
+        #: snapshot in the same pass as tombstones.
+        self.expire_col = expire_col
+        if expire_col is not None and expire_col not in self.value_cols:
+            self.value_cols.append(expire_col)
         self.ts_col, self.seq_col, self.op_col = ts_col, seq_col, op_col
         self.num_buckets = num_buckets
         self.gc_tombstones_before = gc_tombstones_before
@@ -163,14 +177,22 @@ class CdcSnapshotSink:
             df = df.where(F.col(BUCKET_COL).isin(buckets))  # partition pruning
         return df
 
-    def live_view(self, target_col: str) -> DataFrame:
-        """Queryable snapshot: live rows only (tombstones filtered). Derived
-        partition columns stay visible — filtering on them IS the pruned
-        serving path."""
+    def live_view(self, target_col: str, as_of: int | None = None) -> DataFrame:
+        """Queryable snapshot: live rows only (tombstones filtered; with a
+        configured ``expire_col`` and an ``as_of`` instant, TTL-expired rows
+        filter out as tombstones too — validator cdc.rs:567's expiry check).
+        Derived partition columns stay visible — filtering on them IS the
+        pruned serving path."""
         df = self.read_snapshot()
         if df is None:
             raise FileNotFoundError(f"no snapshot at {self.snapshot_dir}")
-        return df.where(F.col(target_col).isNotNull()).drop(
+        live = df.where(F.col(target_col).isNotNull())
+        if self.expire_col is not None and as_of is not None:
+            live = live.where(
+                F.col(self.expire_col).isNull()
+                | (F.col(self.expire_col) > F.lit(int(as_of)))
+            )
+        return live.drop(
             BUCKET_COL, *[f"{c}_writetime" for c in self.value_cols]
         )
 
@@ -188,7 +210,17 @@ class CdcSnapshotSink:
             snapshot, batch.drop(BUCKET_COL), self.key_cols, self.value_cols,
             self.ts_col, self.seq_col, self.op_col,
             gc_tombstones_before=self.gc_tombstones_before,
-        ).withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets))
+        )
+        if self.expire_col is not None and self.gc_tombstones_before is not None:
+            # leaf GC of TTL'd rows: once a row's expiry is past the safety
+            # horizon no in-flight event can still resurrect-or-lose against
+            # it, so the compacted leaf drops it (validator cdc.rs:699)
+            merged = merged.where(
+                F.col(self.expire_col).isNull()
+                | (F.col(self.expire_col) >= F.lit(int(self.gc_tombstones_before)))
+            )
+        merged = merged.withColumn(
+            BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets))
         for name, fn in self.derived_partition_cols.items():
             merged = merged.withColumn(name, fn(merged))
         if self.derived_partition_cols:
