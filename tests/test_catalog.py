@@ -141,3 +141,33 @@ def test_expansion_search_maps_to_probe_breadth(spark, sf_dir):
                   strategy="ivf", strategy_opts={"k_centroids": 16, "nprobe": 16})
     got2 = eng2.ann("ks", "t", "embedding", q, 5)
     assert got2.primary_keys["vec_id"] == [r.vec_id for r in brute]
+
+
+def test_catalog_round_trips_multi_target_columns(spark):
+    """The reference's target_columns is a non-empty LIST (lib.rs:638): head
+    = the scored column, tail = additionally-indexed columns. A two-target
+    registration round-trips through the catalog, and the list head is
+    pinned to target_column."""
+    import pytest
+
+    from vector_store_spark.plans.catalog import metas_from_catalog
+
+    m = IndexMetadata(
+        keyspace="ks", index="mt_ix", table="t", primary_key_columns=(),
+        partition_key_count=0, target_column="emb",
+        target_columns=("emb", "summary_emb"), dimensions=64,
+    )
+    df = catalog_df(spark, [m])
+    assert df.first().target_columns == ["emb", "summary_emb"]
+    (back,) = metas_from_catalog(df)
+    assert back == m
+    assert back.all_target_columns == ("emb", "summary_emb")
+    assert metas_from_catalog(catalog_df(spark, [back])) == [back]
+    # a list whose head is not the scored column is rejected
+    bad = IndexMetadata(
+        keyspace="ks", index="bad", table="t", primary_key_columns=(),
+        partition_key_count=0, target_column="emb",
+        target_columns=("other", "emb"),
+    )
+    with pytest.raises(ValueError, match="list head"):
+        bad.all_target_columns

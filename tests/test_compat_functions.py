@@ -83,3 +83,45 @@ def test_timeuuid_ticks(spark):
     assert got == [t1, t2]
     with pytest.raises(ValueError):
         py_timeuuid_ticks(uuid.uuid4())
+
+
+def test_alternator_scalar_attrs_and_writetimes(spark):
+    """Filtering attributes from ':attrs' (db_index_backend.rs:37-62): the
+    reference reads EVERY indexed column from the map with a per-attr
+    writetime. Scalar attrs are 0x04 DynamoDB-JSON docs; decode is typed
+    and corrupt blobs null out (P8)."""
+    from vector_store_spark.functions.alternator import (
+        TAG_DYNAMO_JSON,
+        attrs_scalar,
+        attrs_writetime,
+        py_decode_attr,
+        py_encode_attr,
+    )
+
+    assert py_decode_attr(py_encode_attr(12.5)) == "12.5"
+    assert py_decode_attr(py_encode_attr("abc")) == "abc"
+    assert py_decode_attr(py_encode_attr(True)) == "true"
+    assert py_decode_attr(None) is None
+    assert py_decode_attr(bytes([0x05]) + b"junk") is None  # vector tag
+    assert py_decode_attr(bytes([TAG_DYNAMO_JSON]) + b"{nope") is None
+
+    rows = [
+        (1, {"lbl": py_encode_attr(7), "cat": py_encode_attr("news")},
+         {"lbl": 100, "cat": 200}),
+        (2, {"lbl": py_encode_attr(9)}, {"lbl": 300}),
+        (3, {"cat": bytes([TAG_DYNAMO_JSON]) + b"broken"}, {}),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, attrs map<string,binary>, wt map<string,bigint>")
+    got = {
+        r.id: (r.lbl, r.cat, r.lbl_wt)
+        for r in df.select(
+            "id",
+            attrs_scalar("attrs", "lbl", "int").alias("lbl"),
+            attrs_scalar("attrs", "cat", "string").alias("cat"),
+            attrs_writetime("wt", "lbl").alias("lbl_wt"),
+        ).collect()
+    }
+    assert got[1] == (7, "news", 100)
+    assert got[2] == (9, None, 300)   # absent attr -> null
+    assert got[3] == (None, None, None)  # corrupt -> null (P8)

@@ -293,3 +293,36 @@ def test_engine_serves_local_persisted_sub_indexes(spark, emb, tmp_path):
     # no partition Eq -> the local index cannot serve (planner outcome)
     with pytest.raises(FilterError):
         eng.ann("ks", "t", "embedding", q, 5)
+
+
+def test_routing_group_keys_on_target_column_list(spark):
+    """R1 with multi-target metadata (RoutingGroupKey, indexes.rs:70-78):
+    a query naming ANY member of the target_columns list routes to the
+    index; scoring stays on the list head."""
+    import numpy as np
+
+    from vector_store_spark.engine import VectorStoreEngine
+    from vector_store_spark.types import IndexMetadata
+
+    dims = 8
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(dims)],
+             [float((i * 3 + j) % 5) for j in range(dims)]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, emb array<float>, summary_emb array<float>")
+    meta = IndexMetadata(
+        keyspace="ks", index="mt", table="t", primary_key_columns=("vec_id",),
+        partition_key_count=1, target_column="emb",
+        target_columns=("emb", "summary_emb"), dimensions=dims,
+    )
+    eng = VectorStoreEngine()
+    eng.register(df, meta, strategy="exact")
+    q = [1.0] * dims
+    via_head = eng.ann("ks", "t", "emb", q, limit=5)
+    via_member = eng.ann("ks", "t", "summary_emb", q, limit=5)
+    # same group, same scored column (the head): identical results
+    assert via_head.primary_keys == via_member.primary_keys
+    # an unrelated column does not route
+    import pytest
+
+    with pytest.raises(Exception):
+        eng.ann("ks", "t", "nope", q, limit=5)

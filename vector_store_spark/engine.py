@@ -99,14 +99,17 @@ class VectorStoreEngine:
         )
 
     def _routing_group(self, keyspace: str, table: str, target: str) -> list[RegisteredIndex]:
-        """R1 (indexes.rs:63-78): indexes over the same (ks, table, target
-        column) are interchangeable."""
+        """R1 (indexes.rs:63-78): indexes over the same (ks, table,
+        target-column LIST) are interchangeable — the group key is the whole
+        ``target_columns`` list (RoutingGroupKey, indexes.rs:70-78), and a
+        query naming ANY member of the list routes to the group (the scored
+        column stays the list head)."""
         return [
             ri
             for ri in self.indexes.values()
             if ri.state.metadata.keyspace == keyspace
             and ri.state.metadata.table == table
-            and ri.state.metadata.target_column == target
+            and target in ri.state.metadata.all_target_columns
         ]
 
     def ann_df(

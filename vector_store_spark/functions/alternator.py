@@ -89,3 +89,90 @@ def attrs_vector(attrs: Column | str, attr_name: str, dims: int | None = None) -
     projection (db_index_backend.rs:37-62)."""
     col = F.col(attrs) if isinstance(attrs, str) else attrs
     return decode_vector_udf(dims)(F.element_at(col, F.lit(attr_name)))
+
+
+# --- non-vector (filtering) attributes ------------------------------------
+# The reference reads EVERY indexed column from the ':attrs' map — targets
+# AND filtering columns, each with its own writetime
+# (db_index_backend.rs:37-62 builds `":attrs"[col], writetime(":attrs"[col])`
+# per column). Scalar attribute values are DynamoDB-JSON documents behind
+# the same 0x04 wire tag as JSON vectors: {"N": "12.5"} / {"S": "text"} /
+# {"BOOL": true}.
+
+
+def py_encode_attr(value) -> bytes | None:
+    """Scalar attribute → 0x04-tagged DynamoDB-JSON blob (fixtures/writes)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        doc = {"BOOL": value}
+    elif isinstance(value, (int, float)):
+        doc = {"N": repr(value)}
+    elif isinstance(value, str):
+        doc = {"S": value}
+    else:
+        raise TypeError(f"unsupported Alternator attribute type {type(value)!r}")
+    return bytes([TAG_DYNAMO_JSON]) + json.dumps(doc).encode("utf-8")
+
+
+def py_decode_attr(blob: bytes | None) -> str | None:
+    """Tagged scalar blob → the attribute's raw lexical value (N/S/BOOL
+    payload as a string; the caller casts to its CQL type). None for
+    missing/corrupt input — P8 null semantics, same as vectors."""
+    if not blob or blob[0] != TAG_DYNAMO_JSON:
+        return None
+    try:
+        doc = json.loads(blob[1:].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(doc, dict):
+        return None
+    if "N" in doc:
+        return str(doc["N"])
+    if "S" in doc:
+        return str(doc["S"])
+    if "BOOL" in doc:
+        return "true" if doc["BOOL"] else "false"
+    return None
+
+
+def encode_attr_udf():
+    """scalar column → tagged 0x04 blob (fixture generator / write path)."""
+    import pandas as pd
+
+    def batch(vals):
+        return pd.Series([
+            None if v is None or (isinstance(v, float) and v != v)
+            else py_encode_attr(v.item() if hasattr(v, "item") else v)
+            for v in vals
+        ])
+
+    return F.pandas_udf(batch, BinaryType())
+
+
+def attrs_scalar(attrs: Column | str, attr_name: str, dtype: str = "string") -> Column:
+    """``element_at(":attrs", name)`` → decoded scalar filtering attribute,
+    cast to its declared CQL type (the typed decode the reference does in
+    db_index_backend.rs:37-62 for filtering columns — dims come from index
+    options for vectors; types come from the index's filtering-column
+    declarations here)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    def batch(blobs):
+        return pd.Series(
+            [py_decode_attr(bytes(b) if b is not None else None) for b in blobs]
+        )
+
+    col = F.col(attrs) if isinstance(attrs, str) else attrs
+    raw = F.pandas_udf(batch, StringType())(F.element_at(col, F.lit(attr_name)))
+    return raw.cast(dtype)
+
+
+def attrs_writetime(attrs_wt: Column | str, attr_name: str) -> Column:
+    """Per-attribute writetime lookup — the ``writetime(":attrs"[col])``
+    projection: the scan carries a parallel map<attr, bigint> column and
+    each indexed attribute resolves its own cell timestamp (per-column LWW
+    feeds on this, W3)."""
+    col = F.col(attrs_wt) if isinstance(attrs_wt, str) else attrs_wt
+    return F.element_at(col, F.lit(attr_name)).cast("long")

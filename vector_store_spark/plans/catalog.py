@@ -37,7 +37,11 @@ CATALOG_SCHEMA = (
     # derivation) and the two build knobs have no analogue — recorded here
     # so registrations round-trip either way.
     "dimensions int, space_type string, quantization string, "
-    "connectivity int, expansion_add int, expansion_search int"
+    "connectivity int, expansion_add int, expansion_search int, "
+    # the full non-empty target-column LIST (lib.rs:638): head = the scored
+    # column (duplicated in target_column for pre-list consumers), tail =
+    # additionally-indexed columns the CDC consumer reads
+    "target_columns array<string>"
 )
 
 _KEYS = ["keyspace", "index_name"]
@@ -49,6 +53,7 @@ def catalog_df(spark: SparkSession, metas: list[IndexMetadata]) -> DataFrame:
             m.keyspace, m.index, m.table, m.target_column, m.version or "",
             m.kind.value, m.dimensions, m.space_type.value, m.quantization.value,
             m.connectivity, m.expansion_add, m.expansion_search,
+            list(m.all_target_columns),
         )
         for m in metas
     ]
@@ -73,6 +78,12 @@ def metas_from_catalog(df: DataFrame) -> list[IndexMetadata]:
             quantization=Quantization(r.quantization),
             connectivity=r.connectivity, expansion_add=r.expansion_add,
             expansion_search=r.expansion_search,
+            # singleton list == the scored column collapses to the default
+            # so single-target registrations stay a round-trip fixed point
+            target_columns=(
+                tc if (tc := tuple(r.target_columns or ())) != (r.target_column,)
+                else ()
+            ),
         )
         for r in df.collect()
     ]

@@ -153,6 +153,52 @@ def alternator_ann_topk(spark, sf_dir):
 
 
 @register(
+    "alternator_filtered_ann_topk",
+    # the oracle scores raw vectors + raw label: a PASS proves BOTH wire
+    # round-trips (vector 0x05 blob AND the 0x04 DynamoDB-JSON scalar attr
+    # the filter consumes)
+    _topk_sql(_cos_sql(sql_vec(Q13)), "(2.0 - distance) / 2.0", 10,
+              where="WHERE label IN (1, 3) AND vec_id % 2 = 0"),
+    "S6 filtering attributes: the reference reads EVERY indexed column from "
+    "':attrs' — targets AND filtering columns, each with its own writetime "
+    "(db_index_backend.rs:37-62). Here the filter column is itself a "
+    "0x04-tagged DynamoDB-JSON attr, typed-decoded (attrs_scalar) and "
+    "evaluated BEFORE the top-k (T2: top-k OF the filtered set)",
+)
+def alternator_filtered_ann_topk(spark, sf_dir):
+    from vector_store_spark.functions.alternator import (
+        attrs_scalar,
+        attrs_vector,
+        encode_attr_udf,
+        encode_vector_udf,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    attrs_tbl = emb.select(
+        "vec_id",
+        F.create_map(
+            F.lit("v"), encode_vector_udf()(F.col("embedding")),
+            F.lit("lbl"), encode_attr_udf()(F.col("label")),
+            F.lit("parity"), encode_attr_udf()(
+                F.when(F.col("vec_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd"))),
+        ).alias("attrs"),
+    )
+    decoded = (
+        attrs_tbl
+        .withColumn("embedding", attrs_vector("attrs", "v", dims=64))
+        .withColumn("label", attrs_scalar("attrs", "lbl", "int"))
+        .withColumn("parity", attrs_scalar("attrs", "parity", "string"))
+    )
+    return ann_topk(
+        decoded, "embedding", Q13, 10,
+        space=SpaceType.COSINE,
+        predicate=F.col("label").isin(1, 3) & (F.col("parity") == "even"),
+        tie_break=["vec_id"],
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+@register(
     "agg_label_counts",
     "SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label ORDER BY label",
     "A1/A3: per-partition index size counters (usearch.rs:1020-1049, table/mod.rs:112-158)",

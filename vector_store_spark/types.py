@@ -146,6 +146,13 @@ class IndexMetadata:
     kind: IndexKind = IndexKind.VECTOR
     partitioning: tuple[str, ...] | None = None
     filtering_columns: tuple[str, ...] = ()
+    #: the reference's ``target_columns`` is a NON-EMPTY LIST (lib.rs:638):
+    #: the first member is the scored column (monitor_indexes.rs:234 takes
+    #: ``.first()`` for the vector), the remainder are additionally-indexed
+    #: columns the CDC consumer reads and writetime-tracks
+    #: (db_cdc/consumer.rs:95-110), and the ROUTING GROUP keys on the whole
+    #: list (indexes.rs:70-78). Empty ⇒ just (target_column,).
+    target_columns: tuple[str, ...] = ()
     version: str = "0"
     # vector options (lib.rs:594-601)
     dimensions: int | None = None
@@ -158,6 +165,18 @@ class IndexMetadata:
     @property
     def partition_key_columns(self) -> tuple[str, ...]:
         return self.primary_key_columns[: self.partition_key_count]
+
+    @property
+    def all_target_columns(self) -> tuple[str, ...]:
+        """The reference's non-empty target_columns list; the first member
+        is the scored column."""
+        if self.target_columns:
+            if self.target_columns[0] != self.target_column:
+                raise ValueError(
+                    "target_columns[0] must equal target_column (the scored "
+                    "column is the list head, monitor_indexes.rs:234)")
+            return self.target_columns
+        return (self.target_column,)
 
     @property
     def is_local(self) -> bool:
