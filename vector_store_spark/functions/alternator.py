@@ -69,7 +69,7 @@ def decode_vector_udf(dims: int | None = None):
             [py_decode_vector(bytes(b) if b is not None else None, dims) for b in blobs]
         )
 
-    return F.pandas_udf(batch, ArrayType(FloatType()))
+    return F.pandas_udf(batch, ArrayType(FloatType())).asNondeterministic()
 
 
 def encode_vector_udf(tag: int = TAG_F32):
@@ -81,7 +81,7 @@ def encode_vector_udf(tag: int = TAG_F32):
     def batch(vecs):
         return pd.Series([None if v is None else enc(list(v)) for v in vecs])
 
-    return F.pandas_udf(batch, BinaryType())
+    return F.pandas_udf(batch, BinaryType()).asNondeterministic()
 
 
 def attrs_vector(attrs: Column | str, attr_name: str, dims: int | None = None) -> Column:
@@ -147,7 +147,7 @@ def encode_attr_udf():
             for v in vals
         ])
 
-    return F.pandas_udf(batch, BinaryType())
+    return F.pandas_udf(batch, BinaryType()).asNondeterministic()
 
 
 def attrs_scalar(attrs: Column | str, attr_name: str, dtype: str = "string") -> Column:
@@ -165,7 +165,7 @@ def attrs_scalar(attrs: Column | str, attr_name: str, dtype: str = "string") -> 
         )
 
     col = F.col(attrs) if isinstance(attrs, str) else attrs
-    raw = F.pandas_udf(batch, StringType())(F.element_at(col, F.lit(attr_name)))
+    raw = F.pandas_udf(batch, StringType()).asNondeterministic()(F.element_at(col, F.lit(attr_name)))
     return raw.cast(dtype)
 
 

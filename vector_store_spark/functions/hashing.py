@@ -138,7 +138,7 @@ def shingle_hashes_udf(n: int):
             out.append(list(dict.fromkeys(_py_poly_hash(g) for g in grams)))
         return pd.Series(out)
 
-    return F.pandas_udf(batch, ArrayType(LongType()))
+    return F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
 
 
 def simhash_udf(ngram: int = 1):
@@ -169,7 +169,7 @@ def simhash_udf(ngram: int = 1):
                 out[row] = int(weights[votes > 0].sum())
         return pd.Series(out)
 
-    return F.pandas_udf(batch, LongType())
+    return F.pandas_udf(batch, LongType()).asNondeterministic()
 
 
 def hamming64_expr(a: Column, b: Column) -> Column:

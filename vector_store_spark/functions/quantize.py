@@ -57,7 +57,7 @@ def quantize_f16_udf():
             ]
         )
 
-    return F.pandas_udf(batch, ArrayType(DoubleType()))
+    return F.pandas_udf(batch, ArrayType(DoubleType())).asNondeterministic()
 
 
 def quantize_bf16_udf():
@@ -77,7 +77,7 @@ def quantize_bf16_udf():
             out.append(bits.view(np.float32).astype(np.float64).tolist())
         return pd.Series(out)
 
-    return F.pandas_udf(batch, ArrayType(DoubleType()))
+    return F.pandas_udf(batch, ArrayType(DoubleType())).asNondeterministic()
 
 
 def b1_pack(vec: Column | str) -> Column:
@@ -134,4 +134,4 @@ def hamming_b1_udf(query: list[float]):
             out[i] = popcount[np.bitwise_xor(vbits, qbits)].sum()
         return pd.Series(out)
 
-    return F.pandas_udf(batch, DoubleType())
+    return F.pandas_udf(batch, DoubleType()).asNondeterministic()

@@ -67,7 +67,11 @@ def tokens_udf(remove_stopwords: bool = True):
             ]
         )
 
-    return F.pandas_udf(batch, ArrayType(StringType()))
+    # asNondeterministic: pins ONE Arrow evaluation per row — without it,
+    # posexplode's implicit size()>0 pre-filter (and any caller-side filter
+    # on a derived column) makes Catalyst duplicate the tokenize pass, 2x
+    # the Python cost of every FTS index build. The UDF is pure.
+    return F.pandas_udf(batch, ArrayType(StringType())).asNondeterministic()
 
 
 def word_ngrams(tokens: Column, n: int) -> Column:

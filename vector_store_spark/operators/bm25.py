@@ -70,23 +70,29 @@ def _copartition(df: DataFrame, key: str = "doc_id") -> DataFrame:
 
 
 def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
-    """Tokenize once (Arrow-batched), posexplode to (term, doc, position),
-    aggregate postings. Both postings and doclens are cached hash-partitioned
-    on doc_id, so every downstream scoring join is exchange-free on both sides
-    (term filters and projections preserve the partitioning)."""
+    """Tokenize ONCE (Arrow-batched), posexplode to (term, doc, position),
+    aggregate postings; doclens then derive from the postings cache
+    (dl = Σ tf per doc) instead of a second tokenize pass — the corpus text
+    is scanned and tokenized exactly one time. Documents with zero tokens
+    drop out of doclens, which is harmless (they can never match a term),
+    but N for IDF still counts every document (a separate text-free count).
+    Both caches are hash-partitioned on doc_id so every downstream scoring
+    join is exchange-free on both sides (term filters and projections
+    preserve the partitioning)."""
     from vector_store_spark.functions.text import tokens_udf
 
     toks = docs.select(id_col, tokens_udf()(F.col(text_col)).alias("toks"))
-    doclens = _copartition(
-        toks.select(F.col(id_col).alias("doc_id"), F.size("toks").alias("dl"))
-    ).cache()
     exploded = toks.select(id_col, F.posexplode("toks").alias("pos", "term"))
     postings = _copartition(
         exploded.groupBy("term", id_col)
         .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("positions"))
         .withColumnRenamed(id_col, "doc_id")
     ).cache()
-    n_docs, sum_dl = doclens.agg(F.count("*"), F.sum("dl")).first()
+    # partitioning-preserving aggregation over the cache: no exchange, no
+    # second Python pass
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl")).cache()
+    n_docs = docs.select(id_col).count()  # all docs, incl. token-less (IDF's N)
+    sum_dl = doclens.agg(F.sum("dl")).first()[0] or 0
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
     df_by_term = postings.groupBy("term").agg(F.count("*").alias("df")).cache()
     return FtsIndex(postings, doclens, int(n_docs), avgdl, id_col, df_by_term)

@@ -137,7 +137,7 @@ def ivf_assign(
             # oracle's ORDER BY sim DESC, cid / ORDER BY l2 ASC, cid.
             return pd.Series(cids[np.argmax(scores(vecs), axis=1)])
 
-        assign_udf = F.pandas_udf(assign, LongType())
+        assign_udf = F.pandas_udf(assign, LongType()).asNondeterministic()
         return items.withColumn(
             "cluster", assign_udf(F.col(vec_col).cast("array<double>"))
         )
@@ -149,7 +149,7 @@ def ivf_assign(
         top = np.argsort(-s, axis=1, kind="stable")[:, :na]
         return pd.Series(list(cids[top]))
 
-    multi_udf = F.pandas_udf(assign_multi, ArrayType(LongType()))
+    multi_udf = F.pandas_udf(assign_multi, ArrayType(LongType())).asNondeterministic()
     return items.withColumn(
         "cluster",
         F.explode(multi_udf(F.col(vec_col).cast("array<double>"))),
@@ -369,7 +369,7 @@ def ivf_build_local(
             out[m] = cids[np.argmax(s, axis=1)]
         return pd.Series(out)
 
-    assign_udf = F.pandas_udf(assign, LongType())
+    assign_udf = F.pandas_udf(assign, LongType()).asNondeterministic()
     assigned = items.withColumn(
         "cluster", assign_udf(F.col(part_col), F.col(vec_col).cast("array<double>"))
     )

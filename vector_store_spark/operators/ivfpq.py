@@ -251,7 +251,7 @@ def residual_expr_udf(centroids: list):
             for c, v in zip(clusters, vecs)
         ])
 
-    return F.pandas_udf(batch, ArrayType(DoubleType()))
+    return F.pandas_udf(batch, ArrayType(DoubleType())).asNondeterministic()
 
 
 def ivfpq_residual_codebook(
@@ -300,7 +300,7 @@ def _adc_by_cluster_udf(luts: dict):
             out.append(s)
         return pd.Series(out, dtype="float64")
 
-    return F.pandas_udf(batch, DoubleType())
+    return F.pandas_udf(batch, DoubleType()).asNondeterministic()
 
 
 def ivfpq_residual_topk(

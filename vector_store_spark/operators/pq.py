@@ -111,7 +111,7 @@ def pq_encode(items: DataFrame, vec_col: str, codebook: np.ndarray, code_col: st
             out.append(d.argmin(axis=1).astype("int32"))
         return pd.Series(out)
 
-    udf = F.pandas_udf(encode, ArrayType(IntegerType()))
+    udf = F.pandas_udf(encode, ArrayType(IntegerType())).asNondeterministic()
     return items.withColumn(code_col, udf(F.col(vec_col)))
 
 
@@ -142,7 +142,7 @@ def pq_adc_distance(code_col: Column | str, lut: np.ndarray) -> Column:
             out[i] = s
         return pd.Series(out)
 
-    udf = F.pandas_udf(adc, DoubleType())
+    udf = F.pandas_udf(adc, DoubleType()).asNondeterministic()
     return udf(F.col(code_col) if isinstance(code_col, str) else code_col)
 
 
@@ -263,7 +263,7 @@ def pq_build_local(
                 out[i] = ((x - cb) ** 2).sum(axis=2).argmin(axis=1).astype("int32")
         return pd.Series(out)
 
-    udf = F.pandas_udf(encode, ArrayType(IntegerType()))
+    udf = F.pandas_udf(encode, ArrayType(IntegerType())).asNondeterministic()
     encoded = items.select(
         part_col, id_col,
         udf(F.col(part_col), F.col(vec_col).cast("array<double>")).alias("pq_code"),

@@ -93,7 +93,7 @@ def langid(text: Column | str) -> Column:
             out.append(best_lang)
         return pd.Series(out)
 
-    return F.pandas_udf(batch, StringType())(_col(text))
+    return F.pandas_udf(batch, StringType()).asNondeterministic()(_col(text))
 
 
 _FEATURE_DOC = """Per-document quality signals (the classic Gopher/C4-style rule inputs):
@@ -206,7 +206,7 @@ def _token_stats_udf(include_lang: bool = False):
             rows.append(row)
         return pd.DataFrame(rows, columns=fields)
 
-    return F.pandas_udf(batch, schema)
+    return F.pandas_udf(batch, schema).asNondeterministic()
 
 
 def quality_features(
@@ -228,7 +228,12 @@ def quality_features(
         guard(strip("[a-zA-Z]"), n_chars).alias("alpha_ratio"),
         guard(strip("[^a-zA-Z0-9 ]"), n_chars).alias("punct_ratio"),
         guard(strip("[0-9]"), n_chars).alias("digit_ratio"),
-        _token_stats_udf(include_lang)(text).alias("_ts"),
+        # asNondeterministic stops Catalyst's CollapseProject/filter-pushdown
+        # from DUPLICATING the Arrow pass (a downstream filter on a derived
+        # column would otherwise re-evaluate the UDF once for the predicate
+        # and again for the projection — 2x the Python cost in the curation
+        # hot path). The UDF is pure; the marker only pins one evaluation.
+        _token_stats_udf(include_lang).asNondeterministic()(text).alias("_ts"),
     )
     feats = base.select(
         F.col(id_col),
@@ -284,7 +289,7 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     def content_hash(texts):
         return pd.Series([_py_poly_hash(t or "") for t in texts], dtype="int64")
 
-    content_udf = F.pandas_udf(content_hash, LongType())
+    content_udf = F.pandas_udf(content_hash, LongType()).asNondeterministic()
     hs = shingle_hashes_udf(n)(F.col(text_col))
     return docs.select(
         F.col(id_col),
@@ -342,7 +347,7 @@ def repetition_udf():
             StructField("top_2gram_frac", DoubleType()),
             StructField("dup_2gram_frac", DoubleType()),
         ]),
-    )
+    ).asNondeterministic()
 
 
 def repetition_features(

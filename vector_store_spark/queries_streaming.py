@@ -403,7 +403,7 @@ def _mk_cluster_assign(cents):
             out[mask] = cids[np.argmax(s, axis=1)]
         return pd.Series(out)
 
-    udf = FF.pandas_udf(assign, LongType())
+    udf = FF.pandas_udf(assign, LongType()).asNondeterministic()
     return lambda df: udf(FF.col("emb").cast("array<double>"))
 
 
