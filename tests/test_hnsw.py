@@ -748,3 +748,41 @@ def test_upsert_with_dataframe_key_set(spark, items, tmp_path):
             for r in hnsw_search(spark, path, Q, 5, ef_search=N,
                                  predicate=pred, round_to=ROUND).collect()]
     assert gotf == _exact(final2, Q, 5, pred)
+
+
+def test_diskann_alpha_variant(spark, items, tmp_path):
+    """The DiskANN-class engine variant (vs_index/diskann.rs): same graph
+    surface, the differentiating knob is Vamana's RobustPrune slack alpha
+    (diskann.rs:452-464, default 1.2; validated finite/>0, lib.rs:161-168).
+    Exhaustive search stays exact regardless of alpha; the engine serves it
+    under strategy='diskann'."""
+    from vector_store_spark.engine import VectorStoreEngine
+
+    path = str(tmp_path / "ix")
+    with pytest.raises(ValueError, match="alpha"):
+        hnsw_build(items, "vec_id", "embedding", path, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        hnsw_build(items, "vec_id", "embedding", path, alpha=float("inf"))
+    meta = hnsw_build(items, "vec_id", "embedding", path, m=6,
+                      ef_construction=48, num_slices=3, alpha=1.2)
+    assert meta["alpha"] == 1.2
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == _exact(items, Q, 10)
+    # CRUD inherits the persisted alpha (meta-driven, like quantization)
+    new = spark.createDataFrame([(9001, Q)], "vec_id long, embedding array<float>")
+    hnsw_insert(spark, path, new)
+    top = hnsw_search(spark, path, Q, 1, ef_search=64).collect()
+    assert top[0].vec_id == 9001
+    # engine dispatch: strategy="diskann" serves the graph
+    emeta = IndexMetadata(
+        keyspace="ks", index="dk", table="t", primary_key_columns=("vec_id",),
+        partition_key_count=1, target_column="embedding", dimensions=DIMS,
+        expansion_search=N,
+    )
+    eng = VectorStoreEngine()
+    eng.register(items, emeta, strategy="diskann", strategy_opts={"path": path})
+    resp = eng.ann("ks", "t", "embedding", Q, limit=5)
+    want = _exact(items.unionByName(new.withColumn("label", F.lit(0))), Q, 5)
+    assert resp.primary_keys["vec_id"] == [v for v, _ in want]

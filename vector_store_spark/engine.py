@@ -61,7 +61,7 @@ class AnnResponse:
 #: per-query ``rescore`` strategy_opt (quantization_and_rescoring.rs:117-256).
 ANN_STRATEGIES = (
     "exact", "lsh", "ivf", "pq", "ivfpq", "ivfpq_residual", "i8", "f16", "bf16",
-    "hnsw",
+    "hnsw", "diskann",
 )
 
 
@@ -180,7 +180,7 @@ class VectorStoreEngine:
                 df, id_col, meta.target_column, list(vector), limit,
                 kind=ri.strategy, space=meta.space_type, select_cols=select, **opts,
             )
-        if ri.strategy == "hnsw":
+        if ri.strategy in ("hnsw", "diskann"):
             # the direct counterpart of the reference's default engine
             # (USearch HNSW): the three graph options map 1:1 —
             # connectivity ↦ build m, expansion_add ↦ build ef_construction
@@ -189,6 +189,13 @@ class VectorStoreEngine:
             # composed predicate (consumed partition Eq + residual) is
             # evaluated inside traversal via per-slice allow-bitmaps
             # (usearch.rs:1108-1154 semantics).
+            #
+            # "diskann" is the reference's DiskANN-class engine variant
+            # (vs_index/diskann.rs): same VsIndex surface (add/remove/ann),
+            # same serving path; the differentiating knob is the Vamana
+            # RobustPrune slack alpha (diskann.rs:452-464, default 1.2,
+            # validated finite/>0 per lib.rs:161-168), a BUILD option —
+            # register with a graph built via hnsw_build(..., alpha=1.2).
             from vector_store_spark.operators.hnsw import hnsw_search
 
             if "path" not in opts and "local_path" not in opts:

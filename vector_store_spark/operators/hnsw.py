@@ -213,7 +213,7 @@ def _greedy_descend(mat, adj, q, entry, from_level, to_level, space):
 
 
 def _build_graph(ids: np.ndarray, fvecs: np.ndarray, m: int, ef_construction: int,
-                 space: SpaceType):
+                 space: SpaceType, alpha: float = 1.0):
     """Incremental HNSW construction over one slice (numpy, deterministic).
 
     Insertion order is ascending id; neighbor selection is plain
@@ -233,7 +233,7 @@ def _build_graph(ids: np.ndarray, fvecs: np.ndarray, m: int, ef_construction: in
         return levels, adj, -1, -1
     entry, max_lvl = _insert_nodes(
         mat, adj, levels, 0, int(levels[0]), 1, m, ef_construction, space)
-    _repair_layer0(mat, adj, space, m)
+    _repair_layer0(mat, adj, space, m, alpha)
     return levels, adj, entry, max_lvl
 
 
@@ -274,13 +274,20 @@ def _insert_nodes(mat, adj, levels, entry, max_lvl, start, m, efc, space):
     return entry, max_lvl
 
 
-def _select_diverse(mat, u, nbrs, space, cap):
+def _select_diverse(mat, u, nbrs, space, cap, alpha: float = 1.0):
     """The HNSW neighbor-selection heuristic (Malkov & Yashunin Alg. 4, the
     rule USearch inherits): scan candidates nearest-first, keep c only if it
     is closer to u than to every already-kept neighbor — this preserves the
     long-range "diverse" links pure nearest-k destroys (the round-7 recall
     regression) — then fill remaining slots with the nearest pruned
-    candidates (keepPrunedConnections), so degrees stay at the cap."""
+    candidates (keepPrunedConnections), so degrees stay at the cap.
+
+    ``alpha`` is Vamana's RobustPrune slack (the reference's DiskANN-class
+    engine variant, diskann.rs:452-464; DiskannAlpha validation
+    lib.rs:161-168): a candidate is pruned only when some kept neighbor is
+    more than alpha-times closer to it than the node is — alpha=1.0 is the
+    plain HNSW rule, alpha>1 keeps more nearby candidates (denser local
+    neighborhoods, the DiskANN default 1.2)."""
     nd = _dists(mat, nbrs, mat[u], space)
     order = np.lexsort((nbrs, nd))
     kept: list[int] = []
@@ -289,7 +296,8 @@ def _select_diverse(mat, u, nbrs, space, cap):
         if len(kept) >= cap:
             break
         c = int(nbrs[t])
-        if kept and np.any(_dists(mat, kept, mat[c], space) < nd[t]):
+        if kept and np.any(
+                alpha * _dists(mat, kept, mat[c], space) < nd[t]):
             pruned.append(c)
             continue
         kept.append(c)
@@ -300,7 +308,8 @@ def _select_diverse(mat, u, nbrs, space, cap):
     return set(kept)
 
 
-def _repair_layer0(mat, adj, space, m: int | None = None) -> None:
+def _repair_layer0(mat, adj, space, m: int | None = None,
+                   alpha: float = 1.0) -> None:
     """Restore layer-0 navigability after back-link pruning: (1) symmetrize
     the bottom layer (beam search follows out-edges, so a pruned reverse
     link would leave nodes unreachable — the symmetric closure makes
@@ -333,7 +342,7 @@ def _repair_layer0(mat, adj, space, m: int | None = None) -> None:
         for u in range(n):
             nbrs = adj[u][0]
             if len(nbrs) > cap:
-                kept.append(_select_diverse(mat, u, nbrs, space, cap))
+                kept.append(_select_diverse(mat, u, nbrs, space, cap, alpha))
                 over = True
             else:
                 kept.append({int(x) for x in nbrs})
@@ -458,6 +467,7 @@ def hnsw_build(
     payload_cols: Sequence[str] = (),
     part_col: str | None = None,
     quantization: str = "f32",
+    alpha: float = 1.0,
 ) -> dict:
     """Build the sliced HNSW layout at ``path``.
 
@@ -491,6 +501,10 @@ def hnsw_build(
     from vector_store_spark.sources.index_store import fresh_dir
 
     _validate_space_quant(space, quantization)
+    # DiskannAlpha validation (lib.rs:161-168): finite and > 0
+    alpha = float(alpha)
+    if not np.isfinite(alpha) or alpha <= 0:
+        raise ValueError(f"alpha must be finite and > 0, got {alpha}")
     spark = items.sparkSession
     dims = None
     part_map = None
@@ -526,7 +540,7 @@ def hnsw_build(
         else:
             scored = fvecs
         levels, adj, entry, max_lvl = _build_graph(
-            ids, scored, m, ef_construction, space)
+            ids, scored, m, ef_construction, space, alpha)
         return pd.DataFrame([_encode(int(pdf["slice"].iloc[0]), ids, fvecs,
                                      levels, adj, entry, max_lvl,
                                      qscale=qscale, quant=quantization)])
@@ -549,6 +563,7 @@ def hnsw_build(
         "num_slices": num_slices, "dims": dims, "id_col": id_col,
         "vec_col": vec_col,  # upsert selects it explicitly (never inferred)
         "payload_cols": list(payload_cols), "quantization": quantization,
+        "alpha": alpha,  # Vamana RobustPrune slack (diskann.rs:452-464)
     }
     if part_map is not None:
         meta["part_col"] = part_col
@@ -875,6 +890,7 @@ def hnsw_upsert(
     id_col, num_slices = meta["id_col"], meta["num_slices"]
     pay_cols = meta["payload_cols"]
     quant = meta.get("quantization", "f32")
+    alpha = float(meta.get("alpha", 1.0))
     rem = None
     if isinstance(ids_removed, DataFrame):
         rem = ids_removed.select(
@@ -984,7 +1000,7 @@ def hnsw_upsert(
                 add_vecs = store = _b1_pack_rows(add_vecs)
             else:
                 store = add_vecs
-            levels, adj, entry, max_lvl = _build_graph(add_ids, add_vecs, m, efc, space)
+            levels, adj, entry, max_lvl = _build_graph(add_ids, add_vecs, m, efc, space, alpha)
             return pd.DataFrame([_encode(sl, add_ids, store, levels, adj,
                                          entry, max_lvl, qscale=qscale,
                                          quant=quant)])
@@ -1020,7 +1036,7 @@ def hnsw_upsert(
             mat, adj, levels, entry, max_lvl, n0, m, efc, space)
         # capped repair: CDC micro-batches must not grow hub degrees without
         # bound (the cap's motivating scenario IS this incremental path)
-        _repair_layer0(mat, adj, space, m)
+        _repair_layer0(mat, adj, space, m, alpha)
         enc_vecs = store if quant == "i8" else fvecs
         return pd.DataFrame([_encode(sl, ids, enc_vecs, levels, adj, entry,
                                      max_lvl, deleted, qscale=qscale,
@@ -1099,6 +1115,7 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
     efc, space = meta["ef_construction"], SpaceType(meta["space"])
     id_col = meta["id_col"]
     quant = meta.get("quantization", "f32")
+    alpha = float(meta.get("alpha", 1.0))
 
     graph_all = spark.read.parquet(os.path.join(path, "graph"))
 
@@ -1136,7 +1153,7 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
                 # allowed at compaction — it rebuilds the graph anyway)
                 store, qscale = _quantize_i8(lvecs)
                 lvecs = store.astype(np.float32) * np.float32(qscale)
-            lv, adj2, entry2, max2 = _build_graph(lids, lvecs, m, efc, space)
+            lv, adj2, entry2, max2 = _build_graph(lids, lvecs, m, efc, space, alpha)
             rows.append(_encode(int(row["slice"]), lids, store, lv, adj2,
                                 entry2, max2, qscale=qscale, quant=quant))
         return pd.DataFrame(rows)
