@@ -343,7 +343,7 @@ def embedding_neardup_pairs_lsh(
 
     Pass ``dims`` (index metadata always knows it) to keep the plan fully
     lazy; None falls back to peeking at one row."""
-    from vector_store_spark.operators.lsh import lsh_bucket_cols, lsh_hyperplanes
+    from vector_store_spark.operators.lsh import lsh_hyperplanes, with_lsh_buckets
 
     if dims is None:
         dims = len(items.select(vec_col).first()[0])
@@ -351,9 +351,10 @@ def embedding_neardup_pairs_lsh(
     e = items.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    bucketed = e.select(
-        "id", "v", *lsh_bucket_cols(F.col("v"), planes, bands)
-    ).cache()
+    # corpus-wide bucketing is the job's dominant cost: one Arrow GEMM per
+    # batch (with_lsh_buckets) instead of num_bits interpreted higher-order
+    # aggregates per row
+    bucketed = with_lsh_buckets(e, "v", planes, bands).cache()
     band_rows = bucketed.select(
         "id",
         F.explode(

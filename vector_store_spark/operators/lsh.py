@@ -69,6 +69,46 @@ def lsh_bucket_cols(vec: Column, planes: list[list[float]], bands: int) -> list[
     return out
 
 
+def with_lsh_buckets(df, vec_col: str, planes: list[list[float]], bands: int):
+    """Arrow twin of ``lsh_bucket_cols``: ONE numpy GEMM per batch computes
+    every plane's dot product at once (vs num_bits interpreted higher-order
+    aggregates per row — CodegenFallback, ~µs/element), then folds sign bits
+    into band buckets. Same integers on this data as the expression path
+    (cross-validated in tests); the scale path for corpus-wide bucketing
+    (near-dup candidate generation), where the per-row expression cost
+    dominates the whole job.
+
+    Returns ``df`` plus ``bucket_0..bucket_{bands-1}`` int columns. The UDF
+    lands in its own projection (nondeterministic blocks CollapseProject),
+    so the GEMM runs once per row no matter how many bucket columns the
+    caller consumes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    num_bits = len(planes)
+    if num_bits % bands:
+        raise ValueError("bands must divide num_bits")
+    r = num_bits // bands
+    pmat = np.asarray(planes, dtype=np.float64).T  # (dims, num_bits)
+    weights = 1 << np.arange(r - 1, -1, -1, dtype=np.int64)
+
+    def batch(vecs):
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ pmat > 0).astype(np.int64)             # (n, num_bits)
+        folded = bits.reshape(len(m), bands, r) @ weights  # (n, bands)
+        return pd.Series(list(folded.astype(np.int32)))
+
+    udf = F.pandas_udf(batch, ArrayType(IntegerType())).asNondeterministic()
+    out = df.withColumn("_lsh_bk", udf(F.col(vec_col)))
+    out = out.select(
+        "*", *[F.element_at("_lsh_bk", b + 1).alias(f"bucket_{b}")
+               for b in range(bands)]
+    )
+    return out.drop("_lsh_bk")
+
+
 def lsh_query_buckets(query: list[float], planes: list[list[float]], bands: int) -> list[int]:
     """Driver-side band buckets for a query vector (exact integer/float twin
     of the Column expressions — metadata-sized work)."""
