@@ -321,7 +321,7 @@ def ann_hnsw_updated_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
 
     def build(p):
-        from vector_store_spark.operators.hnsw import hnsw_build
+        from vector_store_spark.operators.hnsw import hnsw_build, hnsw_upsert
 
         hnsw_build(emb, "vec_id", "embedding", p, m=M, ef_construction=EFC,
                    num_slices=SLICES, payload_cols=["label"])
@@ -329,8 +329,9 @@ def ann_hnsw_updated_topk(spark, sf_dir):
             [(1000001, QI1, 7), (1000002, QI2, 8)],
             "vec_id long, embedding array<float>, label int",
         )
-        hnsw_insert(spark, p, new)
-        hnsw_delete(spark, p, list(range(25)))
+        # ONE fused tombstone-and-reinsert pass (the CDC maintenance shape)
+        # instead of separate insert + delete jobs
+        hnsw_upsert(spark, p, items=new, ids_removed=list(range(25)))
 
     path = _built(spark, sf_dir, "hnsw_crud", build)
     res = hnsw_search(spark, path, Q7, 10, ef_search=EF, round_to=ROUND)
