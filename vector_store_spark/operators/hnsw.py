@@ -698,31 +698,49 @@ def hnsw_search(
     id_col = meta["id_col"]
     quant = meta.get("quantization", "f32")
     graph = spark.read.parquet(os.path.join(path, "graph"))
-    if predicate is not None:
-        pay = spark.read.parquet(os.path.join(path, "payload")).where(predicate)
-        matches = pay.groupBy("slice").agg(F.collect_list("node").alias("_nodes"))
-        graph = graph.join(F.broadcast(matches), "slice", "inner")
     if cache:
         graph = graph.cache()
     q = [float(x) for x in query]
-    filtered = predicate is not None
     k_emit = max(1, rescore) * k
+    if predicate is not None:
+        # allow-list as DATA, not driver state: the matching payload rows
+        # (slice, node) COGROUP with the slice blobs, so a broad predicate's
+        # node set shuffles straight to its slice's task — no collect_list
+        # aggregation, no driver-sized broadcast (at 100 TB a 50% predicate
+        # would otherwise broadcast half the corpus's node ids)
+        pay = spark.read.parquet(os.path.join(path, "payload")).where(
+            predicate).select("slice", "node")
 
-    def run(iterator):
-        import pandas as pd
+        def run_filtered(key, nodes_pdf, graph_pdf):
+            import pandas as pd
 
-        for pdf in iterator:
-            out_ids, out_d = [], []
-            for _, row in pdf.iterrows():
-                nodes = row["_nodes"] if filtered else None
-                ids, dists = _slice_search(row, dims, q, k_emit, ef_search,
-                                           space, nodes, quant, round_to)
-                out_ids.extend(ids)
-                out_d.extend(dists)
-            yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
-                                "distance": pd.Series(out_d, dtype="float64")})
+            if len(graph_pdf) == 0 or len(nodes_pdf) == 0:
+                return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                     "distance": pd.Series(dtype="float64")})
+            row = graph_pdf.iloc[0]
+            ids, dists = _slice_search(
+                row, dims, q, k_emit, ef_search, space,
+                nodes_pdf["node"].to_numpy(), quant, round_to)
+            return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                 "distance": pd.Series(dists, dtype="float64")})
 
-    res = graph.mapInPandas(run, f"{id_col} long, distance double")
+        res = pay.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
+            run_filtered, f"{id_col} long, distance double")
+    else:
+        def run(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                out_ids, out_d = [], []
+                for _, row in pdf.iterrows():
+                    ids, dists = _slice_search(row, dims, q, k_emit, ef_search,
+                                               space, None, quant, round_to)
+                    out_ids.extend(ids)
+                    out_d.extend(dists)
+                yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
+                                    "distance": pd.Series(out_d, dtype="float64")})
+
+        res = graph.mapInPandas(run, f"{id_col} long, distance double")
     if rescore > 0:
         if rescore_with is None:
             raise ValueError("rescore needs rescore_with=(base_df, vec_col)")
@@ -774,29 +792,43 @@ def hnsw_search_local(
     quant = meta.get("quantization", "f32")
     graph = spark.read.parquet(os.path.join(path, "graph")).where(
         F.col("slice") == sid)
-    if predicate is not None:
-        pay = spark.read.parquet(os.path.join(path, "payload")).where(
-            (F.col("slice") == sid) & predicate)
-        matches = pay.groupBy("slice").agg(F.collect_list("node").alias("_nodes"))
-        graph = graph.join(F.broadcast(matches), "slice", "inner")
     q = [float(x) for x in query]
-    filtered = predicate is not None
+    if predicate is not None:
+        # same cogrouped allow-list shape as hnsw_search: the sub-graph's
+        # matching (slice, node) rows meet the one blob in its task
+        pay = spark.read.parquet(os.path.join(path, "payload")).where(
+            (F.col("slice") == sid) & predicate).select("slice", "node")
 
-    def run(iterator):
-        import pandas as pd
+        def run_filtered(key, nodes_pdf, graph_pdf):
+            import pandas as pd
 
-        for pdf in iterator:
-            out_ids, out_d = [], []
-            for _, row in pdf.iterrows():
-                nodes = row["_nodes"] if filtered else None
-                ids, dists = _slice_search(row, dims, q, k, ef_search, space,
-                                           nodes, quant, round_to)
-                out_ids.extend(ids)
-                out_d.extend(dists)
-            yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
-                                "distance": pd.Series(out_d, dtype="float64")})
+            if len(graph_pdf) == 0 or len(nodes_pdf) == 0:
+                return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                     "distance": pd.Series(dtype="float64")})
+            row = graph_pdf.iloc[0]
+            ids, dists = _slice_search(
+                row, dims, q, k, ef_search, space,
+                nodes_pdf["node"].to_numpy(), quant, round_to)
+            return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                 "distance": pd.Series(dists, dtype="float64")})
 
-    res = graph.mapInPandas(run, f"{id_col} long, distance double")
+        res = pay.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
+            run_filtered, f"{id_col} long, distance double")
+    else:
+        def run(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                out_ids, out_d = [], []
+                for _, row in pdf.iterrows():
+                    ids, dists = _slice_search(row, dims, q, k, ef_search, space,
+                                               None, quant, round_to)
+                    out_ids.extend(ids)
+                    out_d.extend(dists)
+                yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
+                                    "distance": pd.Series(out_d, dtype="float64")})
+
+        res = graph.mapInPandas(run, f"{id_col} long, distance double")
     if round_to is not None:
         res = res.withColumn("distance", F.round(F.col("distance"), round_to))
     res = res.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
