@@ -157,3 +157,51 @@ def test_cdc_maintained_index_answers_ann(spark, tmp_path):
     rows = ann_topk(sink.live_view("v"), "v", [1.0, 0.0], 2, tie_break=["id"]).collect()
     assert [r.id for r in rows] == [2, 3]
     assert rows[1].v == [0.9, 0.1]  # stale write did not clobber
+
+
+def test_admin_surface_matches_reference_routes(spark):
+    """The non-query routes (httproutes.rs): /indexes listing, per-index
+    describe (the full CREATE INDEX option set), per-index status
+    (state + live count + build progress), /info, and /status (node enum
+    with the two bootstrap phases folded, httproutes.rs:1497-1530)."""
+    from vector_store_spark.api import info_response, node_status_wire
+    from vector_store_spark.engine import VectorStoreEngine
+    from vector_store_spark.plans.catalog import NodeStatus
+    from vector_store_spark.types import IndexMetadata, IndexStatus
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(7)],
+        "vec_id long, emb array<float>")
+    eng = VectorStoreEngine()
+    meta = IndexMetadata(
+        keyspace="ks", index="ix1", table="t", primary_key_columns=("vec_id",),
+        partition_key_count=1, target_column="emb", dimensions=2,
+        filtering_columns=("lbl",), version="v2",
+    )
+    eng.register(df, meta, strategy="exact")
+    assert eng.list_indexes() == [{
+        "keyspace": "ks", "index": "ix1", "table": "t",
+        "target_columns": ["emb"],
+    }]
+    desc = eng.describe_index("ks", "ix1")
+    assert desc["dimensions"] == 2 and desc["version"] == "v2"
+    assert desc["space_type"] == "cosine" and desc["filtering_columns"] == ["lbl"]
+    st = eng.index_status("ks", "ix1")
+    assert st == {"status": "SERVING", "count": 7, "build_progress": 100.0}
+    # a bootstrapping index reports its scan progress, not 100
+    meta2 = IndexMetadata(
+        keyspace="ks", index="ix2", table="t", primary_key_columns=("vec_id",),
+        partition_key_count=1, target_column="emb", dimensions=2,
+    )
+    eng.register(df, meta2, status=IndexStatus.FULL_SCANNING)
+    eng.indexes["ix2"].state.scan_progress_pct = 42.5
+    assert eng.index_status("ks", "ix2")["build_progress"] == 42.5
+    assert eng.index_status("ks", "ix2")["status"] == "FULL_SCANNING"
+    with pytest.raises(KeyError):
+        eng.describe_index("ks", "nope")  # 404
+
+    info = info_response()
+    assert info["service"] == "vector-store-spark" and "engine" in info
+    assert node_status_wire(NodeStatus.DISCOVERING_INDEXES) == "BOOTSTRAPPING"
+    assert node_status_wire(NodeStatus.INDEXING_EMBEDDINGS) == "BOOTSTRAPPING"
+    assert node_status_wire(NodeStatus.SERVING) == "SERVING"

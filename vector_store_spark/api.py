@@ -114,3 +114,35 @@ def response_to_json(resp) -> str:
             "similarity_scores": [saturate_wire(s) for s in resp.similarity_scores],
         }
     )
+
+
+def info_response() -> dict:
+    """``GET /api/v1/info`` (httproutes.rs:1481-1495): service
+    identification — version, service name, and the index-engine version
+    string (here: the Spark runtime standing in for the USearch/DiskANN
+    engine id)."""
+    import pyspark
+
+    from vector_store_spark import __version__
+
+    return {
+        "version": __version__,
+        "service": "vector-store-spark",
+        "engine": f"spark-{pyspark.__version__}",
+    }
+
+
+def node_status_wire(status) -> str:
+    """``GET /api/v1/status`` (httproutes.rs:1497-1530): the node state
+    machine collapses to the wire enum — both DISCOVERING_INDEXES and
+    INDEXING_EMBEDDINGS report as BOOTSTRAPPING (the reference folds the
+    two internal phases into one public state)."""
+    from vector_store_spark.plans.catalog import NodeStatus
+
+    return {
+        NodeStatus.INITIALIZING: "INITIALIZING",
+        NodeStatus.CONNECTING_TO_DB: "CONNECTING_TO_DB",
+        NodeStatus.DISCOVERING_INDEXES: "BOOTSTRAPPING",
+        NodeStatus.INDEXING_EMBEDDINGS: "BOOTSTRAPPING",
+        NodeStatus.SERVING: "SERVING",
+    }[status]

@@ -333,6 +333,57 @@ class VectorStoreEngine:
         """A1: live row count of an index (usearch.rs:866-878)."""
         return self.indexes[index].df.count()
 
+    def list_indexes(self) -> list[dict]:
+        """`GET /api/v1/indexes` (httproutes.rs:292): every registered index
+        as its (keyspace, index) address plus the metadata echo the listing
+        carries per entry."""
+        return [
+            {
+                "keyspace": ri.state.metadata.keyspace,
+                "index": ri.state.metadata.index,
+                "table": ri.state.metadata.table,
+                "target_columns": list(ri.state.metadata.all_target_columns),
+            }
+            for ri in self.indexes.values()
+        ]
+
+    def _find(self, keyspace: str, index: str) -> RegisteredIndex:
+        for ri in self.indexes.values():
+            m = ri.state.metadata
+            if m.keyspace == keyspace and m.index == index:
+                return ri
+        raise KeyError(f"index not found: {keyspace}.{index}")  # 404
+
+    def describe_index(self, keyspace: str, index: str) -> dict:
+        """`GET /api/v1/indexes/{ks}/{ix}` (httproutes.rs:461): the full
+        CREATE INDEX option set the index was created with — the same
+        information as the listing entry, addressable per index."""
+        m = self._find(keyspace, index).state.metadata
+        return {
+            "keyspace": m.keyspace, "index": m.index, "table": m.table,
+            "target_columns": list(m.all_target_columns),
+            "filtering_columns": list(m.filtering_columns),
+            "partitioning": list(m.partitioning) if m.partitioning else None,
+            "version": m.version, "kind": m.kind.value,
+            "dimensions": m.dimensions, "space_type": m.space_type.value,
+            "quantization": m.quantization.value,
+            "connectivity": m.connectivity, "expansion_add": m.expansion_add,
+            "expansion_search": m.expansion_search,
+        }
+
+    def index_status(self, keyspace: str, index: str) -> dict:
+        """`GET /api/v1/indexes/{ks}/{ix}/status` (httproutes.rs:367): the
+        operational state, the count of live (non-tombstoned) items, and the
+        build progress — the readiness probe clients poll before querying."""
+        ri = self._find(keyspace, index)
+        st = ri.state
+        return {
+            "status": st.status.value.upper(),
+            "count": ri.df.count(),
+            "build_progress": (100.0 if st.status == IndexStatus.SERVING
+                               else float(st.scan_progress_pct)),
+        }
+
 
 @dataclass
 class Bm25Response:
