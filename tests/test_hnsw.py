@@ -786,3 +786,106 @@ def test_diskann_alpha_variant(spark, items, tmp_path):
     resp = eng.ann("ks", "t", "embedding", Q, limit=5)
     want = _exact(items.unionByName(new.withColumn("label", F.lit(0))), Q, 5)
     assert resp.primary_keys["vec_id"] == [v for v, _ in want]
+
+
+def test_randomized_crud_sweep_all_spaces():
+    """Seeded random state-machine sweep (the graph twin of the reference's
+    Table state-machine test, table/mod.rs:1420-1676): random
+    insert/delete/reinsert sequences over every space, checked after every
+    step — an exhaustive beam over the encoded blob must equal numpy brute
+    force over the live rows. Dozens of graph states per space in seconds,
+    Spark-free."""
+    import random
+
+    from vector_store_spark.operators.hnsw import (
+        _b1_pack_rows,
+        _encode,
+        _insert_nodes,
+        _prep,
+        _repair_layer0,
+        _slice_search,
+    )
+
+    dims, m, efc = 12, 5, 24
+
+    def vec(rng):
+        return [rng.uniform(-1, 1) for _ in range(dims)]
+
+    for space in (SpaceType.COSINE, SpaceType.EUCLIDEAN,
+                  SpaceType.DOT_PRODUCT, SpaceType.HAMMING):
+        quant = "b1" if space == SpaceType.HAMMING else "f32"
+        rng = random.Random(20260814 + hash(space.value) % 1000)
+        raw = {i: vec(rng) for i in range(30)}
+        next_id = 30
+        ids = np.array(sorted(raw), dtype=np.int64)
+        fv = np.array([raw[i] for i in sorted(raw)], dtype=np.float32)
+        store = _b1_pack_rows(fv) if quant == "b1" else fv
+        levels, adj, entry, maxl = _build_graph(ids, store, m, efc, space)
+        deleted = np.zeros(len(ids), np.uint8)
+
+        def brute(q):
+            live = deleted == 0
+            mat = _prep(store, space)
+            if space == SpaceType.HAMMING:
+                qq = _b1_pack_rows(np.asarray(q)[None, :])[0]
+                d = np.array([float(np.unpackbits(np.bitwise_xor(r, qq)).sum())
+                              for r in mat[live]])
+            elif space == SpaceType.COSINE:
+                qn = np.asarray(q, np.float64)
+                qn = qn / np.linalg.norm(qn)
+                d = 1.0 - mat[live] @ qn
+            elif space == SpaceType.DOT_PRODUCT:
+                d = 1.0 - mat[live] @ np.asarray(q, np.float64)
+            else:
+                d = ((mat[live] - np.asarray(q, np.float64)) ** 2).sum(1)
+            lid = ids[live]
+            d9 = np.floor(np.abs(d) * 1e9 + 0.5) / 1e9 * np.sign(d)
+            order = np.lexsort((lid, d9))[:8]
+            return [int(x) for x in lid[order]]
+
+        for step in range(12):
+            op = rng.choice(["ins", "del", "reinsert"])
+            if op == "ins":
+                k = rng.randrange(1, 8)
+                new_ids = np.arange(next_id, next_id + k, dtype=np.int64)
+                next_id += k
+                new_raw = np.array([vec(rng) for _ in new_ids], np.float32)
+            elif op == "reinsert":
+                dead = ids[deleted == 1]
+                if len(dead) == 0:
+                    continue
+                new_ids = np.sort(np.asarray(
+                    rng.sample(list(dead), min(3, len(dead))), dtype=np.int64))
+                new_raw = np.array([vec(rng) for _ in new_ids], np.float32)
+            else:
+                live_ids = ids[deleted == 0]
+                if len(live_ids) <= 8:
+                    continue
+                kill = rng.sample(list(live_ids), rng.randrange(1, 5))
+                deleted[np.isin(ids, np.asarray(kill, dtype=np.int64))] = 1
+                q = vec(rng)
+                row = _encode(0, ids, store, levels, adj, entry, maxl,
+                              deleted, quant=quant)
+                got, _ = _slice_search(row, dims, q, 8, len(ids), space,
+                                       None, quant=quant, round_to=9)
+                assert got == brute(q), (space, step, "del")
+                continue
+            # insert path (fresh or reinsert-with-epoch-bump)
+            deleted[np.isin(ids, new_ids)] = 1  # tombstone any old node
+            n0 = len(ids)
+            ids = np.concatenate([ids, new_ids])
+            new_store = _b1_pack_rows(new_raw) if quant == "b1" else new_raw
+            store = np.vstack([store, new_store])
+            levels = np.concatenate([levels, _levels_of(new_ids, m)])
+            deleted = np.concatenate(
+                [deleted, np.zeros(len(new_ids), np.uint8)])
+            mat = _prep(store, space)
+            entry, maxl = _insert_nodes(mat, adj, levels, entry, maxl, n0,
+                                        m, efc, space)
+            _repair_layer0(mat, adj, space, m)
+            q = vec(rng)
+            row = _encode(0, ids, store, levels, adj, entry, maxl, deleted,
+                          quant=quant)
+            got, _ = _slice_search(row, dims, q, 8, len(ids), space, None,
+                                   quant=quant, round_to=9)
+            assert got == brute(q), (space, step, op)
