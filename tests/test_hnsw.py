@@ -889,3 +889,16 @@ def test_randomized_crud_sweep_all_spaces():
             got, _ = _slice_search(row, dims, q, 8, len(ids), space, None,
                                    quant=quant, round_to=9)
             assert got == brute(q), (space, step, op)
+
+
+def test_filtered_search_plan_cogroups_not_broadcasts(spark, items, built):
+    """Scale regression: the filtered path must ship allow-lists as
+    COGROUPED data (FlatMapCoGroupsInPandas), never as a collect_list
+    aggregation broadcast onto the blobs — at 100 TB a broad predicate's
+    node set would funnel through the driver-sized broadcast."""
+    plan = hnsw_search(spark, built, Q, 10, ef_search=32,
+                       predicate=F.col("label") == 1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "collect_list" not in plan
+    assert "TakeOrderedAndProject" in plan
