@@ -354,7 +354,7 @@ def _extras(spark, sf_dir: str) -> dict:
         lsh_pairs = {
             (r.id_a, r.id_b) for r in embedding_neardup_pairs_lsh(
                 emb, "vec_id", "embedding", threshold=0.45,
-                num_bits=32, bands=8, dims=64).collect()
+                num_bits=32, bands=8, dims=64, probes=1).collect()
         }
         out["embedding_neardup_pairs_exact"] = len(exact_pairs)
         out["embedding_neardup_lsh_pair_recall"] = round(

@@ -132,6 +132,15 @@ def test_embedding_neardup_lsh_finds_gemm_pairs(spark, sf_dir):
     assert lsh <= exact  # precision 1 (exact verify)
     if exact:
         assert len(lsh) / len(exact) >= 0.3  # S-curve recall at cos>=0.45 is partial
+    # 1-bit multiprobe: still precision 1, and recall must dominate the
+    # plain band S-curve (Hamming-distance-1 band codes now collide too)
+    probed = {(r.id_a, r.id_b) for r in
+              embedding_neardup_pairs_lsh(emb, "vec_id", "embedding",
+                                          threshold=0.45, probes=1).collect()}
+    assert probed <= exact
+    assert probed >= lsh
+    if exact:
+        assert len(probed) / len(exact) >= 0.7
 
 
 def test_embedding_neardup(spark):

@@ -190,10 +190,11 @@ _EB_BUCKETS = _eb_sql_parts()
 
 @register(
     "dedup_embedding_lsh",
-    # full pipeline in SQL: sign bits → band buckets → per-(band,bucket)
-    # candidate self-join → exact-cosine verify. Precision is 1 (exact
-    # verify), recall follows the band S-curve — the oracle reproduces the
-    # SAME buckets so the result sets match exactly.
+    # full pipeline in SQL: sign bits → band buckets → 1-bit multiprobe
+    # expansion on one join side → per-(band,bucket) candidate self-join →
+    # exact-cosine verify. Precision is 1 (exact verify), recall follows the
+    # probed band S-curve — the oracle reproduces the SAME buckets and the
+    # SAME probe expansion so the result sets match exactly.
     f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 bandrows AS (
@@ -201,9 +202,14 @@ bandrows AS (
          unnest([{", ".join(_EB_BUCKETS)}]) AS bucket
   FROM e
 ),
+proberows AS (
+  SELECT id, band,
+         unnest([bucket, {", ".join(f"xor(bucket, {1 << j})" for j in range(_EB_R))}]) AS bucket
+  FROM bandrows
+),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bandrows a JOIN bandrows b
+  FROM proberows a JOIN bandrows b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 ),
 ver AS (
@@ -226,7 +232,7 @@ def dedup_embedding_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.45,
-        num_bits=_EB_BITS, bands=_EB_BANDS, dims=64,
+        num_bits=_EB_BITS, bands=_EB_BANDS, dims=64, probes=1,
     )
     return pairs.withColumn("cosine", F.round("cosine", ROUND))
 
