@@ -591,17 +591,27 @@ def _extras(spark, sf_dir: str) -> dict:
         # the headline-minus-steady delta is stream-machinery spin-up, and a
         # regression is attributable only if the steady band moves.
         from vector_store_spark.registry import all_queries as _aq
+        import vector_store_spark.queries_streaming as _qstream
 
         _specs = _aq()
         for sname in ("stream_cdc_ann_topk", "stream_fts_endstate",
                       "stream_cdc_ivf_topk", "stream_cdc_hnsw_topk"):
             spec = _specs[sname]
             reps_t = []
-            for _ in range(2):
+            for i in range(2):
+                # arm per-phase attribution on the steady-state repeat only:
+                # phase seconds then sum to (repeat total - serve collect),
+                # so a regression names its phase instead of just the total
+                _qstream.PHASE_LOG = {} if i == 1 else None
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).collect()
                 reps_t.append(round(time.perf_counter() - t0, 4))
+            phases, _qstream.PHASE_LOG = _qstream.PHASE_LOG, None
             out[f"{sname}_repeat_sec"] = reps_t
+            if phases:
+                phases["serve_collect"] = round(
+                    reps_t[-1] - sum(phases.values()), 4)
+                out[f"{sname}_phase_sec"] = phases
     except Exception as ex:
         print(f"bench extras (stream repeat) error: {ex}", file=sys.stderr)
 

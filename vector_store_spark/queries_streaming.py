@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import functions as F
 
@@ -30,6 +31,23 @@ _SCHEMA = "op string, pk bigint, v double, f int, ts bigint, seq bigint"
 
 def _await(q):
     q.awaitTermination(300)
+
+
+#: opt-in per-phase wall-clock attribution: bench points this at a dict
+#: before a streaming run; the instrumented queries then record their coarse
+#: phases (source prep, each stream start, compaction) so a latency
+#: regression is attributable to a phase, not just the end-to-end total.
+#: None (the default) keeps the hot path untimed.
+PHASE_LOG: dict | None = None
+
+
+def _mark(name: str, t0: float) -> float:
+    """Record ``now - t0`` under ``name`` when PHASE_LOG is armed; returns
+    the new phase start either way."""
+    now = time.perf_counter()
+    if PHASE_LOG is not None:
+        PHASE_LOG[name] = round(now - t0, 4)
+    return now
 
 
 @register(
@@ -313,15 +331,18 @@ def stream_fts_endstate(spark, sf_dir):
     os.makedirs(src)
     schema = "op string, doc_id bigint, text string, ts bigint, seq bigint"
 
+    t = time.perf_counter()
     base = docs.where(F.col("doc_id") < 400).select(
         F.lit("upsert").alias("op"), "doc_id", "text",
         F.lit(100).cast("bigint").alias("ts"), F.col("doc_id").alias("seq"),
     )
     # batch 1: bootstrap build of the store
     base.write.mode("append").json(os.path.join(src, "b1"))
+    t = _mark("prep_b1", t)
     sink = FtsStreamSink(spark, ix_dir, num_buckets=8)
     stream = spark.readStream.schema(schema).json(os.path.join(src, "*"))
     _await(sink.start(stream, checkpoint_dir=ckpt))
+    t = _mark("stream1_bootstrap", t)
 
     # batch 2: adds (ts=200), deletes (ts=300), stale text rewrites (ts=50,
     # must LOSE LWW and leave the original text in the index)
@@ -366,9 +387,11 @@ def stream_fts_endstate(spark, sf_dir):
         .unionByName(eq_replay).unionByName(dup_lo).unionByName(dup_hi)
         .write.mode("append").json(os.path.join(src, "b2"))
     )
+    t = _mark("prep_b2", t)
     # second start, same checkpoint: only b2 is processed (W8 resume)
     stream2 = spark.readStream.schema(schema).json(os.path.join(src, "*"))
     _await(sink.start(stream2, checkpoint_dir=ckpt))
+    _mark("stream2_incremental", t)
 
     return bm25_search(sink.serving_index(), "vector", 10, round_to=ROUND)
 
@@ -660,11 +683,14 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
         F.lit(100).cast("bigint").alias("ts"),
         F.col("vec_id").alias("seq"),
     )
+    t = time.perf_counter()
     base.write.mode("append").json(os.path.join(src, "b1"))
+    t = _mark("prep_b1", t)
     sink = CdcSnapshotSink(spark, snap, ["pk"], ["emb", "lbl"], num_buckets=8,
                            on_batch=maintain_graph)
     stream = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
     _await(sink.start(stream, checkpoint_dir=ckpt))
+    t = _mark("stream1_bootstrap_build", t)
 
     updates = base.where(F.col("pk") % 5 == 0).withColumn(
         "emb", F.transform(F.col("emb"), lambda x: -x)
@@ -681,8 +707,10 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
     updates.unionByName(stale).unionByName(deletes).write.mode("append").json(
         os.path.join(src, "b2")
     )
+    t = _mark("prep_b2", t)
     stream2 = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
     _await(sink.start(stream2, checkpoint_dir=ckpt))
+    t = _mark("stream2_graph_upsert", t)
 
     # the upserts left tombstones behind (every b2 key's old node) —
     # compact the garbage-heavy slices before serving; the hash gate then
@@ -691,6 +719,7 @@ def stream_cdc_hnsw_topk(spark, sf_dir):
     from vector_store_spark.operators.hnsw import hnsw_compact
 
     hnsw_compact(spark, gpath, min_deleted_frac=0.25)
+    _mark("compact", t)
 
     # serve from the GRAPH, not the snapshot — ef generous enough that the
     # beam is exhaustive at gate scale (recall-vs-ef is a bench metric)
