@@ -925,9 +925,11 @@ def hnsw_upsert(
     alpha = float(meta.get("alpha", 1.0))
     rem = None
     if isinstance(ids_removed, DataFrame):
+        # consumed by three jobs (touched collect, cogroup markers, payload
+        # anti-join) and typically backed by a micro-batch source — cache
         rem = ids_removed.select(
             F.col(ids_removed.columns[0]).cast("long").alias(id_col)
-        ).distinct()
+        ).distinct().cache()
         gone, gone_arr = [], np.empty(0, dtype=np.int64)
     else:
         gone = sorted(int(g) for g in (ids_removed or []))
@@ -938,6 +940,7 @@ def hnsw_upsert(
             _tombstone_only(spark, path, meta, gone)
         elif rem is not None:
             _tombstone_only_df(spark, path, meta, rem)
+            rem.unpersist()
         return
 
     if "partitions" in meta:  # local layout: slice = partition-key mapping
@@ -970,6 +973,11 @@ def hnsw_upsert(
     # slice-tagged the same way as inserts — the removals never touch the
     # driver (the streaming maintenance shape); a literal list stays a
     # broadcast closure (gone_arr)
+    # the insert lineage can be expensive (CDC maintenance feeds a
+    # snapshot-read + LWW-merge + semi-join plan here) and is consumed by
+    # THREE jobs: the touched-slice collect, the cogroup rewrite, and the
+    # payload merge. Cache it once; unpersist after the payload write.
+    sliced = sliced.cache()
     grouped = sliced
     if rem is not None:
         if "partitions" in meta:
@@ -1116,6 +1124,9 @@ def hnsw_upsert(
     _rm_emptied_partitions(spark, os.path.join(path, "payload"),
                            touched, merged)
     merged.unpersist()
+    sliced.unpersist()
+    if rem is not None:
+        rem.unpersist()
 
 
 def hnsw_insert(spark, path: str, items: DataFrame) -> None:
