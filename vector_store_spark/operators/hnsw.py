@@ -522,6 +522,9 @@ def hnsw_build(
     else:
         sliced = items.withColumn(
             "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
+    # three consumers (graph build, payload write, dims probe) — under CDC
+    # maintenance `items` is a snapshot-read + LWW-merge plan; cache once
+    sliced = sliced.cache()
 
     def build(pdf):
         import pandas as pd
@@ -556,8 +559,9 @@ def hnsw_build(
     payload.repartition("slice").write.partitionBy("slice").parquet(
         os.path.join(path, "payload"))
 
-    sample = items.select(vec_col).first()
+    sample = sliced.select(vec_col).first()
     dims = len(sample[0]) if sample else 0
+    sliced.unpersist()
     meta = {
         "space": space.value, "m": m, "ef_construction": ef_construction,
         "num_slices": num_slices, "dims": dims, "id_col": id_col,
@@ -1171,7 +1175,9 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
                          for b in pdf["deleted"]],
             })
 
-    fracs = graph_all.mapInPandas(
+    # select BEFORE the UDF so parquet column pruning skips the big blob
+    # columns (vecs/nbr_flat dominate the bytes; the census needs 3 smalls)
+    fracs = graph_all.select("slice", "n", "deleted").mapInPandas(
         dead_counts, "slice int, n int, dead long").collect()
     todo = sorted(r["slice"] for r in fracs
                   if r["n"] > 0 and r["dead"] / r["n"] >= min_deleted_frac)
