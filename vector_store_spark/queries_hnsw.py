@@ -126,6 +126,28 @@ def ann_hnsw_topk(spark, sf_dir):
 
 
 @register(
+    "ann_hnsw_diskann_topk",
+    _exact_topk_sql(),
+    "DiskANN-class graph variant (diskann.rs:66; Vamana RobustPrune slack "
+    "alpha=1.2, diskann.rs:452-464): same sliced-graph serving path, denser "
+    "alpha-pruned layer-0 neighborhoods; verified to return the exact "
+    "brute-force top-k at this scale",
+)
+def ann_hnsw_diskann_topk(spark, sf_dir):
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "hnsw_diskann",
+        lambda p: hnsw_build(emb, "vec_id", "embedding", p, m=M,
+                             ef_construction=EFC, num_slices=SLICES,
+                             payload_cols=["label"], alpha=1.2),
+    )
+    res = hnsw_search(spark, path, Q7, 10, ef_search=EF, round_to=ROUND)
+    return _back_join(spark, sf_dir, res)
+
+
+@register(
     "ann_hnsw_filtered_topk",
     _exact_topk_sql(where="WHERE label IN (1, 2)"),
     "Filtered graph ANN (usearch.rs:1108-1154): the predicate is evaluated on "
