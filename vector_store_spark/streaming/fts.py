@@ -130,9 +130,12 @@ class FtsStreamSink:
         new_docs = winner.where(F.col("_op") == "upsert").select(
             "doc_id", F.col("_text").alias("_t"), "_ts"
         )
+        # cache: doclens AND postings both consume the tokenized batch, and
+        # each is materialized by its own bucket write — without the cache
+        # the Arrow tokenize UDF runs twice per micro-batch
         toks = new_docs.select(
             "doc_id", "_ts", tokens_udf()(F.col("_t")).alias("toks")
-        )
+        ).cache()
         new_doclens = toks.select(
             "doc_id", F.size("toks").alias("dl"), F.col("_ts").alias("ts")
         )
@@ -191,6 +194,7 @@ class FtsStreamSink:
                 shutil.rmtree(
                     os.path.join(d, f"{BUCKET_COL}={b}"), ignore_errors=True
                 )
+        toks.unpersist()
         winner.unpersist()
         latest.unpersist()
 
