@@ -168,3 +168,25 @@ def test_connected_components_multi_hop(spark):
         10: (2, [10, 11]),
         20: (3, [20, 21, 22]),
     }
+
+
+def test_decontaminate_flags_embedded_eval_doc(spark):
+    from vector_store_spark.operators.dedup import decontaminate_ngram
+
+    # train doc 1 embeds the whole eval prompt inside a longer text: the
+    # eval-relative containment must be 1.0 even though symmetric Jaccard
+    # would dilute; train doc 2 shares nothing.
+    prompt = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words before " + prompt + " and plenty of trailing filler text here"),
+            (2, "completely different content with no overlap at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, prompt)], "doc_id long, text string")
+    rows = decontaminate_ngram(train, ev, "doc_id", "text",
+                               n=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 1 and rows[0]["eval_id"] == 100
+    assert rows[0]["containment"] == 1.0

@@ -126,6 +126,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate_ngram(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose n-gram overlap
+    CONTAINS an eval/benchmark doc at ≥ threshold —
+    containment = |shingles(train) ∩ shingles(eval)| / |shingles(eval)|,
+    the asymmetric overlap used for test-set leakage: it is relative to the
+    EVAL doc, so a short benchmark prompt embedded verbatim in a long
+    training doc scores 1.0 where symmetric Jaccard would dilute to ~0.
+
+    Same inverted-index shape as ngram_jaccard_pairs: explode both sides'
+    shingles, equi-join on the shingle hash, count shared per (train, eval)
+    pair — no cross join; work is bounded by shingle co-occurrence.  The
+    eval set is benchmark-sized (thousands of docs), so its exploded side is
+    small; the train side streams through the join at corpus scale.
+
+    Returns (id, eval_id, containment) for every flagged (train, eval) pair."""
+    tsets = shingle_sets(train, id_col, text_col, n)
+    esets = shingle_sets(eval_docs, id_col, text_col, n).withColumn(
+        "esz", F.size("hs"))
+    tinv = tsets.select("id", F.explode("hs").alias("h"))
+    einv = esets.select(F.col("id").alias("eval_id"), "esz",
+                        F.explode("hs").alias("h"))
+    pairs = (
+        tinv.join(einv, "h")
+        .groupBy("id", "eval_id", "esz")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.withColumn("containment", F.col("shared") / F.col("esz"))
+        .where(F.col("containment") >= threshold)
+        .select("id", "eval_id", "containment")
+    )
+
+
 def minhash_signature(hash_set: Column, num_hashes: int) -> Column:
     coeffs = minhash_coeffs(num_hashes)
     return F.array(*[minhash_expr(hash_set, a, b) for a, b in coeffs])

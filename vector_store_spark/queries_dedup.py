@@ -360,3 +360,51 @@ def dedup_drop_list(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("chars_dropped"),
         )
     )
+
+
+@register(
+    "text_decontaminate",
+    # containment (asymmetric overlap, relative to the EVAL doc) of each
+    # training doc against the benchmark set: |∩| / |eval_shingles|. The
+    # eval set is a deterministic "leaked benchmark": 120-char excerpts of
+    # every 37th doc — their source docs must flag at containment 1.0.
+    # Same inverted-index join as dedup_ngram_jaccard — no cross join.
+    f"""
+WITH evdocs AS (
+  SELECT doc_id + 900000 AS doc_id, substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+tsets AS ({_SETS}),
+esets AS (
+  SELECT id, list_distinct(list_transform({word_ngrams_sql('toks', 3)},
+         g -> {poly_hash_sql('g')})) AS hs
+  FROM (SELECT doc_id AS id, {tokenize_sql('text')} AS toks FROM evdocs)
+),
+train AS (SELECT id, hs FROM tsets WHERE len(hs) > 0),
+ev AS (SELECT id AS eval_id, hs, len(hs) AS esz FROM esets WHERE len(hs) > 0),
+tinv AS (SELECT id, unnest(hs) AS h FROM train),
+einv AS (SELECT eval_id, esz, unnest(hs) AS h FROM ev),
+pairs AS (
+  SELECT tinv.id, einv.eval_id, einv.esz, count(*) AS shared
+  FROM tinv JOIN einv USING (h)
+  GROUP BY tinv.id, einv.eval_id, einv.esz
+)
+SELECT id, eval_id, round(CAST(shared AS DOUBLE) / esz, {ROUND}) AS containment
+FROM pairs WHERE CAST(shared AS DOUBLE) / esz >= 0.5
+""",
+    "Benchmark decontamination (training-pipeline op, beyond the reference): "
+    "flag training docs containing >= 50% of any eval doc's 3-grams — the "
+    "asymmetric overlap (relative to the eval doc) that catches a short "
+    "benchmark prompt embedded in a long training doc; inverted-index join, "
+    "eval side benchmark-sized",
+)
+def text_decontaminate(spark, sf_dir):
+    from vector_store_spark.operators.dedup import decontaminate_ngram
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    flagged = decontaminate_ngram(docs, ev, "doc_id", "text", n=3, threshold=0.5)
+    return flagged.withColumn("containment", F.round("containment", ROUND))

@@ -291,3 +291,107 @@ def text_top_terms(spark, sf_dir):
         .limit(25)
         .select("term", "n_occurrences", "n_docs")
     )
+
+
+# --- PII scan / redaction -------------------------------------------------
+# documents are synthetic word-salad with no natural PII, so both sides
+# inject the SAME deterministic PII spans first (emails for doc_id%7,
+# phones for %11, dotted quads for %13) — the gate then checks the actual
+# regex scan/redact machinery end-to-end on nonzero counts.
+_PII_INJECT_SQL = (
+    "text"
+    " || (CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 = 0 THEN ' call +1 555-867-5309' ELSE '' END)"
+    " || (CASE WHEN doc_id % 13 = 0 THEN ' from host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END)"
+)
+
+
+def _pii_inject_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" reach me at user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" call +1 555-867-5309")).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.concat(F.lit(" from host 192.168."),
+                        (did % 256).cast("string"), F.lit(".17"))).otherwise(F.lit("")),
+    )
+
+
+def _pii_scan_sql() -> str:
+    from vector_store_spark.operators.pii import pii_count_sql
+
+    return f"""
+WITH injected AS (SELECT doc_id, lang, {_PII_INJECT_SQL} AS text FROM documents),
+scanned AS (
+  SELECT lang,
+         {pii_count_sql("text", "email")} AS n_email,
+         {pii_count_sql("text", "phone")} AS n_phone,
+         {pii_count_sql("text", "ipv4")} AS n_ipv4
+  FROM injected
+)
+SELECT lang,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(count_if(n_email + n_phone + n_ipv4 > 0) AS BIGINT) AS docs_with_pii
+FROM scanned GROUP BY lang
+"""
+
+
+@register(
+    "text_pii_scan",
+    _pii_scan_sql(),
+    "PII scan (training-pipeline op, beyond the reference): conservative "
+    "format-anchored email/phone/IPv4 regexes via built-in regexp_count — "
+    "whole-stage codegen, zero UDF, no shuffle until the per-lang rollup",
+)
+def text_pii_scan(spark, sf_dir):
+    from vector_store_spark.operators.pii import pii_counts
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _pii_inject_col().alias("text"))
+    prof = pii_counts(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", "lang").join(prof, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_phone").cast("long").alias("phones"),
+            F.sum("n_ipv4").cast("long").alias("ipv4s"),
+            F.count_if(F.col("pii_total") > 0).cast("long").alias("docs_with_pii"),
+        )
+    )
+
+
+def _pii_redact_sql() -> str:
+    from vector_store_spark.operators.pii import pii_redact_sql
+
+    return f"""
+WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents WHERE doc_id < 100),
+red AS (SELECT doc_id, {pii_redact_sql("text")} AS redacted FROM injected)
+SELECT doc_id, redacted FROM red
+WHERE redacted LIKE '%<EMAIL>%' OR redacted LIKE '%<PHONE>%' OR redacted LIKE '%<IP>%'
+"""
+
+
+@register(
+    "text_pii_redacted",
+    _pii_redact_sql(),
+    "PII redaction: every match replaced with a typed placeholder "
+    "(<EMAIL>/<PHONE>/<IP>), most specific pattern first; the gate "
+    "hash-compares the redacted strings themselves",
+)
+def text_pii_redacted(spark, sf_dir):
+    from vector_store_spark.operators.pii import pii_redact
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", _pii_inject_col().alias("text"))
+    red = docs.select("doc_id", pii_redact("text").alias("redacted"))
+    return red.where(
+        F.col("redacted").contains("<EMAIL>")
+        | F.col("redacted").contains("<PHONE>")
+        | F.col("redacted").contains("<IP>")
+    )
