@@ -277,14 +277,19 @@ def ivf_update(
 
     assigned_new = None
     if items_added is not None:
+        # consumed twice (touched-cluster collect + the merged write) and the
+        # CDC maintenance path feeds a snapshot+LWW plan in — cache the
+        # assignment once
         assigned_new = ivf_assign(
             items_added, id_col, vec_col, cents,
             space=space, n_assign=meta["n_assign"],
-        )
+        ).cache()
         touched.update(
             r.cluster for r in assigned_new.select("cluster").distinct().collect()
         )
     if not touched:
+        if assigned_new is not None:
+            assigned_new.unpersist()
         return
 
     kept = index.where(F.col("cluster").isin(list(touched)))
@@ -297,6 +302,8 @@ def ivf_update(
     remaining = {r.cluster for r in out.select("cluster").distinct().collect()}
     write_local_index(out, path, ["cluster"])
     out.unpersist()
+    if assigned_new is not None:
+        assigned_new.unpersist()
     # dynamic overwrite only rewrites partitions PRESENT in the output — a
     # cluster emptied by removals must have its directory dropped explicitly
     # (the W4 partition-lifecycle delete)
@@ -448,11 +455,15 @@ def ivf_update_local(
         touched.update(r.cluster for r in gone)
     assigned_new = None
     if items_added is not None:
-        assigned_new = ivf_assign(items_added, id_col, vec_col, cents, space=space)
+        # same two-consumer shape as ivf_update — cache the assignment once
+        assigned_new = ivf_assign(
+            items_added, id_col, vec_col, cents, space=space).cache()
         touched.update(
             r.cluster for r in assigned_new.select("cluster").distinct().collect()
         )
     if not touched:
+        if assigned_new is not None:
+            assigned_new.unpersist()
         return
 
     kept = part_rows.where(F.col("cluster").isin(list(touched)))
@@ -465,6 +476,8 @@ def ivf_update_local(
     remaining = {r.cluster for r in out.select("cluster").distinct().collect()}
     write_local_index(out, path, [part_col, "cluster"])
     out.unpersist()
+    if assigned_new is not None:
+        assigned_new.unpersist()
     for cid in touched - remaining:
         shutil.rmtree(
             os.path.join(path, f"{part_col}={part_value}", f"cluster={cid}"),

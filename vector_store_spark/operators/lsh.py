@@ -236,13 +236,18 @@ def lsh_update(
     banded_new = None
     if items_added is not None:
         buckets = lsh_bucket_cols(F.col(vec_col).cast("array<double>"), planes, bands)
+        # cache: consumed by the touched-leaf collect AND the merged write,
+        # and the bucket expressions are interpreted higher-order aggregates
+        # (CodegenFallback) — recomputing them is the expensive part
         banded_new = items_added.select(
             "*", F.posexplode(F.array(*buckets)).alias("band", "bucket")
-        )
+        ).cache()
         touched.update(
             r._leaf for r in banded_new.select(leaf_key.alias("_leaf")).distinct().collect()
         )
     if not touched:
+        if banded_new is not None:
+            banded_new.unpersist()
         return
 
     kept = index.where(leaf_key.isin(list(touched)))
@@ -257,6 +262,8 @@ def lsh_update(
     }
     write_local_index(out, path, ["band", "bucket"])
     out.unpersist()
+    if banded_new is not None:
+        banded_new.unpersist()
     for leaf in touched - remaining:
         shutil.rmtree(
             os.path.join(path, f"band={leaf // span}", f"bucket={leaf % span}"),
