@@ -156,3 +156,29 @@ def test_chunk_documents_validation(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", 4, 4)
+
+
+def test_unigram_logprob_orders_gibberish_below_modal_text(spark):
+    from vector_store_spark.operators.textstats import unigram_logprob
+
+    # doc 1/2 reuse the corpus's modal words; doc 3 is one-off gibberish —
+    # its terms have tf=1, so its mean logprob must be the lowest
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again"),
+            (2, "the cat sat on the mat once more today"),
+            (3, "zxqv wopr fnord blarg quux"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs, "doc_id", "text").collect()}
+    assert rows[3]["mean_logprob"] < rows[1]["mean_logprob"]
+    assert rows[3]["mean_logprob"] < rows[2]["mean_logprob"]
+    assert rows[1]["n_tokens"] == 10 and rows[3]["n_tokens"] == 5
+    # MLE sanity: a doc of one repeated term w has mean_logprob = ln(tf_w/N)
+    import math
+    one = spark.createDataFrame([(1, "a a a"), (2, "b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"]
+           for r in unigram_logprob(one, "doc_id", "text").collect()}
+    assert abs(got[1] - math.log(3 / 4)) < 1e-12
+    assert abs(got[2] - math.log(1 / 4)) < 1e-12

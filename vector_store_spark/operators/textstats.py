@@ -275,6 +275,42 @@ def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram LM (MLE, no smoothing needed — every scored term is in the
+    vocabulary by construction): the standard model-free fluency/quality
+    proxy; gibberish, boilerplate, and SEO keyword-stuffing land far from
+    the corpus mode, so thresholding mean_logprob is a cheap quality gate.
+
+    Two passes: (1) corpus term frequencies — a vocabulary-sized aggregate
+    with map-side partial combine; (2) explode + broadcast-join the term
+    log-probs + per-doc mean (one shuffle on the doc key).  At 100 TB the
+    vocab table stays broadcastable (natural-language vocabulary, not
+    corpus-scale) and the token stream never materializes to the driver.
+
+    Returns (id, n_tokens, mean_logprob)."""
+    from vector_store_spark.functions.text import tokens_udf
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_udf(remove_stopwords=False)(_col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf")).cache()
+    total = tf.agg(F.sum("tf")).collect()[0][0]  # one driver scalar
+    lp = tf.select(
+        "term", (F.log(F.col("tf").cast("double")) - F.log(F.lit(float(total)))).alias("logp")
+    )
+    out = (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg("logp").alias("mean_logprob"),
+        )
+    )
+    return out
+
+
 def fingerprints(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Document fingerprints: full-content rolling hash (exact-dup key) and
     the min shingle hash (a 1-wide MinHash, the winnowing primitive)."""

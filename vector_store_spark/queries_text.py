@@ -395,3 +395,37 @@ def text_pii_redacted(spark, sf_dir):
         | F.col("redacted").contains("<PHONE>")
         | F.col("redacted").contains("<IP>")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    # the corpus's own unigram LM re-derived in SQL: term freqs -> ln(tf/N)
+    # -> per-doc mean; lowest-probability docs are the quality-gate outliers
+    f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS_KEEP_STOP}) AS term FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+n AS (SELECT sum(tf) AS total FROM tf),
+lp AS (SELECT term, ln(CAST(tf AS DOUBLE)) - ln(CAST((SELECT total FROM n) AS DOUBLE)) AS logp FROM tf),
+doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, avg(logp) AS mean_logprob
+  FROM t JOIN lp USING (term) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(mean_logprob, {ROUND}) AS mean_logprob
+FROM doc ORDER BY round(mean_logprob, {ROUND}), doc_id LIMIT 15
+""",
+    "Unigram log-probability quality proxy (training-pipeline op, beyond the "
+    "reference): score every doc under the corpus's own unigram LM — "
+    "vocabulary-sized frequency aggregate, broadcast term-logprob join, "
+    "per-doc mean; the 15 lowest-probability docs are the gate outliers",
+)
+def text_unigram_logprob(spark, sf_dir):
+    from vector_store_spark.operators.textstats import unigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text")
+    scored = scored.withColumn("mean_logprob", F.round("mean_logprob", ROUND))
+    return (
+        scored.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+        .limit(15)
+        .select("doc_id", "n_tokens", "mean_logprob")
+    )
