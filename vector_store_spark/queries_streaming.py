@@ -511,13 +511,16 @@ def stream_cdc_ivf_topk(spark, sf_dir):
         F.lit(100).cast("bigint").alias("ts"),
         F.col("vec_id").alias("seq"),
     )
+    t = time.perf_counter()
     base.write.mode("append").json(os.path.join(src, "b1"))
+    t = _mark("prep_b1", t)
     sink = CdcSnapshotSink(
         spark, snap, ["pk"], ["emb", "lbl"], num_buckets=8,
         derived_partition_cols={"cluster": _mk_cluster_assign(cents)},
     )
     stream = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
     _await(sink.start(stream, checkpoint_dir=ckpt))
+    t = _mark("stream1_bootstrap", t)
 
     updates = base.where(F.col("pk") % 5 == 0).withColumn(
         "emb", F.transform(F.col("emb"), lambda x: -x)
@@ -534,8 +537,10 @@ def stream_cdc_ivf_topk(spark, sf_dir):
     updates.unionByName(stale).unionByName(deletes).write.mode("append").json(
         os.path.join(src, "b2")
     )
+    t = _mark("prep_b2", t)
     stream2 = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
     _await(sink.start(stream2, checkpoint_dir=ckpt))
+    _mark("stream2_incremental", t)
 
     # serving: probe the fixed centroids, scan ONLY those cluster directories
     probes = ivf_probe(cents, det_query_vector(7, 64), _IVF_NPROBE)
@@ -598,10 +603,13 @@ def stream_cdc_ann_topk(spark, sf_dir):
         F.lit(100).cast("bigint").alias("ts"),
         F.col("vec_id").alias("seq"),
     )
+    t = time.perf_counter()
     base.write.mode("append").json(os.path.join(src, "b1"))
+    t = _mark("prep_b1", t)
     sink = CdcSnapshotSink(spark, snap, ["pk"], ["emb", "lbl"], num_buckets=8)
     stream = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
     _await(sink.start(stream, checkpoint_dir=ckpt))
+    t = _mark("stream1_bootstrap", t)
 
     updates = base.where(F.col("pk") % 5 == 0).withColumn(
         "emb", F.transform(F.col("emb"), lambda x: -x)
@@ -618,8 +626,10 @@ def stream_cdc_ann_topk(spark, sf_dir):
     updates.unionByName(stale).unionByName(deletes).write.mode("append").json(
         os.path.join(src, "b2")
     )
+    t = _mark("prep_b2", t)
     stream2 = spark.readStream.schema(_ANN_SCHEMA).json(os.path.join(src, "*"))
     _await(sink.start(stream2, checkpoint_dir=ckpt))
+    _mark("stream2_incremental", t)
 
     live = sink.live_view("emb")
     return ann_topk(
