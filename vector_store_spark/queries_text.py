@@ -349,20 +349,22 @@ FROM scanned GROUP BY lang
     "whole-stage codegen, zero UDF, no shuffle until the per-lang rollup",
 )
 def text_pii_scan(spark, sf_dir):
-    from vector_store_spark.operators.pii import pii_counts
+    from vector_store_spark.operators.pii import pii_count_cols
 
+    # counts inline next to the group key — a per-row map then ONE rollup
+    # shuffle; joining a pii_counts profile back on doc_id would be a
+    # needless fact-fact self-join
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _pii_inject_col().alias("text"))
-    prof = pii_counts(docs, "doc_id", "text")
-    return (
-        docs.select("doc_id", "lang").join(prof, "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.sum("n_email").cast("long").alias("emails"),
-            F.sum("n_phone").cast("long").alias("phones"),
-            F.sum("n_ipv4").cast("long").alias("ipv4s"),
-            F.count_if(F.col("pii_total") > 0).cast("long").alias("docs_with_pii"),
-        )
+        "lang", _pii_inject_col().alias("text"))
+    scanned = docs.select(
+        "lang", *[cnt.alias(f"n_{kind}") for kind, cnt in pii_count_cols("text")])
+    return scanned.groupBy("lang").agg(
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("n_ipv4").cast("long").alias("ipv4s"),
+        F.count_if(
+            F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0
+        ).cast("long").alias("docs_with_pii"),
     )
 
 
