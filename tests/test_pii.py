@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from vector_store_spark.operators.pii import (
     PII_PATTERNS,
+    pii_count_cols,
     pii_count_sql,
     pii_counts,
     pii_redact,
@@ -81,3 +82,35 @@ def test_spark_duckdb_redact_agreement(spark):
             f"SELECT {pii_redact_sql('t')} FROM (SELECT ? AS t)", params=[t]
         ).fetchone()[0]
         assert duck == spark_red[i], t
+
+
+def test_spark_duckdb_agreement_on_random_strings(spark):
+    """Fuzz the oracle contract: 300 deterministic random strings over a
+    PII-adjacent alphabet (digits, @, dots, dashes, plus signs) must count
+    and redact identically under Java regex and RE2."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = list("abcXYZ0123456789@.-+ ()_%") + ["  ", "..", "@@"]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    out_cols = [cnt.alias(f"n_{kind}") for kind, cnt in pii_count_cols("text")]
+    spark_rows = {r["id"]: r for r in
+                  df.select("id", *out_cols, pii_redact("text").alias("r")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        row = con.sql(
+            f"""SELECT {pii_count_sql('t', 'email')},
+                       {pii_count_sql('t', 'phone')},
+                       {pii_count_sql('t', 'ipv4')},
+                       {pii_redact_sql('t')}
+                FROM (SELECT ? AS t)""",
+            params=[t],
+        ).fetchone()
+        sr = spark_rows[i]
+        assert (row[0], row[1], row[2]) == (
+            sr["n_email"], sr["n_phone"], sr["n_ipv4"]), (i, t)
+        assert row[3] == sr["r"], (i, t)

@@ -131,3 +131,19 @@ def test_pack_sequences_boundaries(spark):
     assert got[2] == (5, 0, 1, True)    # crosses the 8-token cut
     assert got[3] == (9, 1, 2, True)    # crosses the 16-token cut
     assert got[4] == (17, 2, 2, False)
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    from vector_store_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)],
+                               "doc_id long, text string")
+    a = [r["doc_id"] for r in global_shuffle(df, "doc_id").collect()]
+    b = [r["doc_id"] for r in
+         global_shuffle(df.repartition(7), "doc_id").collect()]
+    assert a == b  # reproducible under any input partitioning
+    assert sorted(a) == list(range(200))  # a permutation, nothing lost
+    assert a != list(range(200))  # and actually shuffled
+    # a different salt gives a different epoch order over the same rows
+    c = [r["doc_id"] for r in global_shuffle(df, "doc_id", salt=1).collect()]
+    assert sorted(c) == list(range(200)) and c != a

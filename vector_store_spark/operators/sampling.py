@@ -60,6 +60,23 @@ def hash_sample(
     return df.where(hash_bucket(id_col, 1000, salt) < rate_permille)
 
 
+def global_shuffle(df: DataFrame, id_col: str, salt: int = 0) -> DataFrame:
+    """Deterministic global shuffle for training order: a total sort on a
+    multiplicative-hash key of the row id (ties broken by id, so the order
+    is a permutation, not bucket-grouped).  Reproducible under ANY input
+    partitioning or epoch re-run — the key depends only on the id and the
+    salt (bump the salt per epoch for a fresh order).  At scale Spark plans
+    this as a range-partitioned sort (sampled boundaries), producing ordered
+    non-overlapping output files — the standard shuffle-before-packing step
+    of a training-data pipeline, with no RNG state to coordinate across
+    executors."""
+    key = hash_bucket(id_col, _MOD, salt).alias("shuffle_key")
+    return df.select("*", key).orderBy(
+        F.col("shuffle_key").asc(),
+        F.col(id_col) if isinstance(id_col, str) else id_col,
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

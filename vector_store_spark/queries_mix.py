@@ -175,3 +175,27 @@ def mix_pack_sequences(spark, sf_dir):
         F.sum(F.when(F.col("spans_boundary"), 1).otherwise(0)).cast("long").alias("n_boundary_docs"),
         F.max("offset").cast("long").alias("last_offset"),
     )
+
+
+@register(
+    "mix_global_shuffle",
+    # total order on the multiplicative-hash key, id tie-break — the first
+    # 15 docs of the deterministic training order, re-derived in SQL
+    f"""
+SELECT doc_id, source, CAST({hash_bucket_sql("doc_id", 100_003)} AS BIGINT) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id LIMIT 15
+""",
+    "Deterministic global shuffle (training order): total sort on a "
+    "multiplicative-hash key of the id — reproducible under any input "
+    "partitioning, salt-per-epoch for fresh orders; at scale a "
+    "range-partitioned sort producing ordered non-overlapping files",
+)
+def mix_global_shuffle(spark, sf_dir):
+    from vector_store_spark.operators.sampling import global_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    out = global_shuffle(docs, "doc_id")
+    return out.select(
+        "doc_id", "source", F.col("shuffle_key").cast("long").alias("shuffle_key")
+    ).limit(15)
