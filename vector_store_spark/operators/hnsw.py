@@ -994,7 +994,17 @@ def hnsw_upsert(
                 "slice", F.pmod(F.col(id_col), F.lit(num_slices)).cast("int"))
         grouped = sliced.withColumn("_del", F.lit(False)).unionByName(
             dels.withColumn("_del", F.lit(True)), allowMissingColumns=True)
-    touched = {r[0] for r in grouped.select("slice").distinct().collect()}
+    graph_all = spark.read.parquet(os.path.join(path, "graph"))
+    # ONE job resolves both driver-side facts: the touched slice set AND the
+    # pre-insert blob sizes (metadata-sized: one row per touched slice; the
+    # n column is tiny, parquet prunes the blob columns). Snapshotting n NOW
+    # matters — a lazy read would see post-overwrite state. Insert numbering
+    # only needs pre_n for slices that receive inserts, which all appear in
+    # `grouped`, so gone-only slices (added below) don't need a second pass.
+    info = grouped.select("slice").distinct().join(
+        graph_all.select("slice", "n"), "slice", "left").collect()
+    touched = {r["slice"] for r in info}
+    pre_n = {r["slice"]: r["n"] for r in info if r["n"] is not None}
     if gone:
         if "partitions" in meta:
             # an id does not determine its partition — sweep every sub-graph
@@ -1002,11 +1012,7 @@ def hnsw_upsert(
         else:
             touched.update(int(g) % num_slices for g in gone)
     touched = sorted(touched)
-    graph = spark.read.parquet(os.path.join(path, "graph")).where(
-        F.col("slice").isin(touched))
-    # snapshot pre-insert blob sizes NOW (metadata-sized: one row per touched
-    # slice) — the lazy `graph` frame would re-read post-overwrite state
-    pre_n = {r["slice"]: r["n"] for r in graph.select("slice", "n").collect()}
+    graph = graph_all.where(F.col("slice").isin(touched))
 
     def ins(key, new, right):
         import pandas as pd
