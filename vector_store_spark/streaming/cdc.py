@@ -197,9 +197,13 @@ class CdcSnapshotSink:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch = batch.withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets))
+        # cache: the affected-bucket collect AND the merge lineage both
+        # re-evaluate the micro-batch through its source read otherwise
+        batch = batch.withColumn(
+            BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets)).cache()
         affected = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
         if not affected:
+            batch.unpersist()
             return
         snapshot = self.read_snapshot(buckets=affected)
         if snapshot is not None and self.derived_partition_cols:
@@ -276,7 +280,10 @@ class CdcSnapshotSink:
                     _prune_stale(bdir, (str(b),))
 
         if self.on_batch is not None:
+            # the hook (index maintenance) reads the batch again — keep the
+            # cache live through it
             self.on_batch(self, batch.drop(BUCKET_COL), batch_id)
+        batch.unpersist()
 
     def start(
         self,
