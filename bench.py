@@ -375,6 +375,11 @@ def _extras(spark, sf_dir: str) -> dict:
         # repeat runs with the MEDIAN as the headline: r5's driver recorded
         # 339 QPS where an uncontended rerun of identical code measured 509 —
         # environment noise reads as regression without a distribution
+        # one discarded warmup per batch engine: the first execution pays
+        # python-worker spin-up + JIT, which the median otherwise absorbs
+        # only if an earlier query happened to warm the same path (observed
+        # 180-vs-330 QPS swings on the graph row from exactly this)
+        knn_join(emb, "embedding", queries_, 10, id_cols=["vec_id"]).count()
         qps_reps = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -393,6 +398,8 @@ def _extras(spark, sf_dir: str) -> dict:
 
         cents = ivf_centroids_trained(emb, "embedding", 16, space=SpaceType.COSINE)
         qnamed = [(str(i), v) for i, v in queries_]
+        ivf_knn_join(emb, "vec_id", "embedding", qnamed, 10,
+                     nprobe=4, centroids=cents, n_assign=2).count()  # warmup
         qps2_reps = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -418,6 +425,7 @@ def _extras(spark, sf_dir: str) -> dict:
         hpath_b = _tf3.mkdtemp(prefix="bench_hnsw_batch_")
         _hb(emb, "vec_id", "embedding", hpath_b, m=8, ef_construction=64,
             num_slices=4)
+        _hkb(spark, hpath_b, qnamed, 10, ef_search=64).count()  # warmup
         qps3_reps = []
         for _ in range(3):
             t0 = time.perf_counter()
