@@ -23,6 +23,14 @@ CASES = [
     ("bob@x.io pinged 127.0.0.1 from +44 123-456-7890", 1, 1, 1),
     ("no pii here, just words and 12345 numbers", 0, 0, 0),
     ("two mails a@b.org c@d.net one line", 2, 0, 0),
+    # \b guards: a 3-3-4 window inside a longer final digit group or an
+    # unbroken digit run must NOT match (was a partial redact before r9)
+    ("acct +44 123-456-78901 ok", 0, 0, 0),
+    ("card 1234567890123456 on file", 0, 0, 0),
+    ("id 555-123-45678 here", 0, 0, 0),
+    # documented RE2 limitation: \b cannot see across '-', so the
+    # phone-shaped tail of a longer dash-separated code still matches
+    ("ext 12345-123-456-7890", 0, 1, 0),
 ]
 
 

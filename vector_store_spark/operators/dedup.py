@@ -395,6 +395,13 @@ def embedding_neardup_pairs_lsh(
     lazy; None falls back to peeking at one row."""
     from vector_store_spark.operators.lsh import lsh_hyperplanes, with_lsh_buckets
 
+    if probes not in (0, 1):
+        # only 1-bit flips are implemented; silently treating probes=2 as
+        # probes=1 would misreport the recall the caller thinks they bought
+        raise ValueError(
+            f"probes={probes}: only 0 (exact bucket) and 1 (1-bit multiprobe) "
+            "are supported; multi-bit probing is not implemented"
+        )
     if dims is None:
         dims = len(items.select(vec_col).first()[0])
     planes = lsh_hyperplanes(dims, num_bits)

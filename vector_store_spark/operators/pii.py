@@ -12,6 +12,20 @@ The patterns are deliberately conservative, format-anchored matchers (the
 high-precision tier of a production PII pass); they use only syntax with
 identical semantics in Java regex (Spark) and RE2 (DuckDB), so the oracle
 re-derives the same matches character-for-character.
+
+Semantics notes (count vs redact):
+- Counts are per-pattern and independent: a span that matches two kinds
+  (a phone-shaped email local part) counts once under EACH kind in
+  ``pii_counts``, while ``pii_redact`` replaces it once — with the first
+  (most specific) pattern in ``PII_PATTERNS`` order.  ``pii_total`` is
+  therefore an upper bound on distinct PII spans, not an exact span count.
+- The phone matcher is word-boundary guarded on both ends (``\\b`` is the
+  strongest guard RE2 supports — no lookarounds in DuckDB), so it no longer
+  fires inside unbroken digit runs (16-digit account numbers) or grabs a
+  4-digit window of a longer final group.  A *dash-separated* longer code
+  (``12345-123-456-7890``) can still match its phone-shaped tail: ``-`` is
+  a non-word char, so ``\\b`` cannot see across it; excluding that needs
+  lookbehind, which RE2 lacks.
 """
 
 from __future__ import annotations
@@ -24,7 +38,10 @@ from pyspark.sql import functions as F
 #: specific shape first so later patterns never match inside a placeholder.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d?[ -]?\d{3}[ -]\d{3}[ -]\d{4}",
+    # (\b|\+): a boundary before the first digit, OR a literal '+' (space→'+'
+    # is not a \b transition, so plus-prefixed numbers need the alternation);
+    # trailing \b rejects a 4-digit window cut out of a longer digit run
+    "phone": r"(\b|\+)\d?[ -]?\d{3}[ -]\d{3}[ -]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

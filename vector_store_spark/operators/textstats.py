@@ -295,10 +295,16 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(tokens_udf(remove_stopwords=False)(_col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("term").agg(F.count("*").alias("tf")).cache()
-    total = tf.agg(F.sum("tf")).collect()[0][0]  # one driver scalar
-    lp = tf.select(
-        "term", (F.log(F.col("tf").cast("double")) - F.log(F.lit(float(total)))).alias("logp")
+    # the vocab table is broadcast into the scoring join, which already pulls
+    # it through the driver — collect it once (one job, no lingering cache)
+    # and derive the corpus total driver-side from the same rows
+    import math
+
+    tf_rows = toks.groupBy("term").agg(F.count("*").alias("tf")).collect()
+    log_total = math.log(float(sum(r["tf"] for r in tf_rows)))
+    lp = docs.sparkSession.createDataFrame(
+        [(r["term"], math.log(float(r["tf"])) - log_total) for r in tf_rows],
+        "term string, logp double",
     )
     out = (
         toks.join(F.broadcast(lp), "term")

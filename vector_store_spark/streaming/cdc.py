@@ -201,9 +201,17 @@ class CdcSnapshotSink:
         # re-evaluate the micro-batch through its source read otherwise
         batch = batch.withColumn(
             BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets)).cache()
+        try:
+            self._process_cached_batch(batch, batch_id)
+        finally:
+            # a failing bucket write / on_batch hook must not leak the cached
+            # micro-batch: one leaked frame per failed attempt accumulates in
+            # a long-lived stream
+            batch.unpersist()
+
+    def _process_cached_batch(self, batch: DataFrame, batch_id: int) -> None:
         affected = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
         if not affected:
-            batch.unpersist()
             return
         snapshot = self.read_snapshot(buckets=affected)
         if snapshot is not None and self.derived_partition_cols:
@@ -281,9 +289,8 @@ class CdcSnapshotSink:
 
         if self.on_batch is not None:
             # the hook (index maintenance) reads the batch again — keep the
-            # cache live through it
+            # cache live through it (released by process_batch's finally)
             self.on_batch(self, batch.drop(BUCKET_COL), batch_id)
-        batch.unpersist()
 
     def start(
         self,

@@ -92,9 +92,20 @@ class FtsStreamSink:
             .withColumn(BUCKET_COL, _bucket_expr(did, self.num_buckets))
         )
         latest = latest.cache()
+        # a failing bucket write must not leak cached micro-batch frames: every
+        # cache taken past this point is registered here and released in the
+        # finally, success or not
+        cached = [latest]
+        try:
+            self._commit_batch(latest, cached)
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    def _commit_batch(self, latest: DataFrame, cached: list) -> None:
+        ts, seq, op, did = self.ts_col, self.seq_col, self.op_col, self.id_col
         affected = [r[0] for r in latest.select(BUCKET_COL).distinct().collect()]
         if not affected:
-            latest.unpersist()
             return
 
         # ---- doc-level LWW across {stored doclens} ∪ {batch} --------------
@@ -123,6 +134,7 @@ class FtsStreamSink:
             ).alias("w")
         ).select("doc_id", "w.*")
         winner = winner.cache()
+        cached.append(winner)
 
         # ---- postings: keep survivors, tokenize new winning upserts -------
         from vector_store_spark.functions.text import tokens_udf
@@ -136,6 +148,7 @@ class FtsStreamSink:
         toks = new_docs.select(
             "doc_id", "_ts", tokens_udf()(F.col("_t")).alias("toks")
         ).cache()
+        cached.append(toks)
         new_doclens = toks.select(
             "doc_id", F.size("toks").alias("dl"), F.col("_ts").alias("ts")
         )
@@ -179,6 +192,7 @@ class FtsStreamSink:
             df = df.withColumn(
                 BUCKET_COL, _bucket_expr("doc_id", self.num_buckets)
             ).cache()
+            cached.append(df)
             (
                 df.repartition(max(1, len(affected)), F.col(BUCKET_COL))
                 .write.mode("overwrite")
@@ -189,14 +203,10 @@ class FtsStreamSink:
             # an affected bucket whose last row disappeared (all docs removed
             # / tombstones GC'd) would keep stale files; drop those leaves
             present = {r[0] for r in df.select(BUCKET_COL).distinct().collect()}
-            df.unpersist()
             for b in set(affected) - present:
                 shutil.rmtree(
                     os.path.join(d, f"{BUCKET_COL}={b}"), ignore_errors=True
                 )
-        toks.unpersist()
-        winner.unpersist()
-        latest.unpersist()
 
     def start(self, stream: DataFrame, checkpoint_dir: str,
               trigger_available_now: bool = True, processing_time: str | None = None):
