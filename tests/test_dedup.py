@@ -190,3 +190,113 @@ def test_decontaminate_flags_embedded_eval_doc(spark):
     assert len(rows) == 1
     assert rows[0]["id"] == 1 and rows[0]["eval_id"] == 100
     assert rows[0]["containment"] == 1.0
+
+
+def test_hot_bucket_identical_mass_bounded_candidates(spark):
+    """The hot-bucket pathology: 1 000 identical docs (mass-duplicated
+    boilerplate) + a near-dup pair + distinct filler. The exact-dup pre-pass
+    must (a) return the SAME verified pair set the semantics demand — every
+    intra-group pair at jaccard 1.0 plus the near-dup pair — while (b) the
+    banded candidate stage sees one representative per distinct set, so its
+    row count is bounded by C(n_distinct, 2), not C(1000, 2)·bands."""
+    from vector_store_spark.operators.dedup import (
+        identical_set_members,
+        minhash_band_candidates,
+        shingle_sets,
+    )
+
+    boiler = "subscribe to our newsletter for updates and offers every week"
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango"]
+    near_a = " ".join(words) + " end today"     # jaccard 10/11 with near_b —
+    near_b = " ".join(words) + " end tonight"   # candidate w.p. ≈1 at r=3,b=4
+    filler = [f"unique document number {i} about topic {i * 17} and subject {i * 31}"
+              for i in range(20)]
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [(2000, near_a), (2001, near_b)]
+    rows += [(2100 + i, t) for i, t in enumerate(filler)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_hashes=12,
+                              bands=4, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    intra = {(a, b) for a in range(1000) for b in range(a + 1, 1000)}
+    assert set(got) >= intra
+    assert all(got[p] == 1.0 for p in intra)
+    assert (2000, 2001) in got and abs(got[(2000, 2001)] - 10 / 11) < 1e-12
+    # nothing else: fillers are pairwise distinct and dissimilar
+    extra = set(got) - intra - {(2000, 2001)}
+    assert not extra, extra
+
+    # candidate-stage row count is representative-bounded
+    sets = shingle_sets(docs, "doc_id", "text", 2)
+    members = identical_set_members(sets)
+    assert members.count() == 1000  # the boilerplate group; nothing else
+    drop_ids = members.where(F.col("id") != F.col("rep")).select("id")
+    n_reps = docs.count() - drop_ids.count()
+    assert n_reps == 23  # 1 boilerplate rep + 2 near-dups + 20 fillers
+    n_cands = minhash_band_candidates(sets, 12, 4, 4096, drop_ids=drop_ids).count()
+    assert n_cands <= n_reps * (n_reps - 1) // 2
+
+
+def test_hot_bucket_salting_keeps_precision(spark):
+    """Force the salt to engage (tiny max_bucket_width) on a corpus of many
+    DISTINCT near-dup docs: every returned pair must still verify at the
+    exact threshold (precision 1 by construction), and pairs found must be a
+    subset of the exhaustive (uncapped) run."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i % 7}") for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=12, bands=4,
+        threshold=0.5, max_bucket_width=None).collect()}
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=12, bands=4,
+        threshold=0.5, max_bucket_width=10).collect()
+    assert {(r.id_a, r.id_b) for r in capped} <= uncapped
+    assert all(r.jaccard >= 0.5 for r in capped)
+    # the pre-pass already routed identical docs (same i%7 tail) out, so the
+    # capped run still finds every identical-content pair
+    same_tail = {(a, b) for a in range(120) for b in range(a + 1, 120)
+                 if a % 7 == b % 7}
+    assert same_tail <= {(r.id_a, r.id_b) for r in capped}
+
+
+def test_simhash_identical_mass_routed_out(spark):
+    """SimHash twin of the hot-bucket guard: identical fingerprints collapse
+    to a representative; all intra pairs return at hamming 0."""
+    rows = [(i, "repeated boilerplate text appears many many times") for i in range(200)]
+    rows += [(500, "completely different content about other things entirely")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=2, bands=3,
+                          ngram=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    intra = {(a, b) for a in range(200) for b in range(a + 1, 200)}
+    assert set(got) >= intra
+    assert all(got[p] == 0 for p in intra)
+
+
+def test_connected_components_mega_component_capped(spark):
+    """A degenerate mega-component (one big clique chain) must not build an
+    unbounded member array: member_ids is capped, group_size is exact, and
+    the row form keeps every member."""
+    from vector_store_spark.operators.dedup import (
+        dedup_component_members,
+        dedup_connected_components,
+    )
+
+    n = 5000
+    # star around id 0 — the shallow shape dedup components actually take
+    # (label propagation is O(diameter); a 5000-deep chain is out of model)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    groups = dedup_connected_components(pairs, max_members=64).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.group_id == 0 and g.group_size == n
+    assert len(g.member_ids) == 64 and g.member_ids == list(range(64))
+    members = dedup_component_members(pairs)
+    assert members.count() == n
+    assert members.agg(F.min("group_id"), F.max("group_id")).collect()[0] == (0, 0)

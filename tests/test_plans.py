@@ -117,3 +117,27 @@ def test_every_topk_query_uses_k_heaps(plans):
     topk_queries.remove("ann_topk_per_partition")
     missing = [n for n in topk_queries if "TakeOrderedAndProject" not in plans[n]]
     assert not missing, f"top-k queries without TakeOrderedAndProject: {missing}"
+
+
+def test_dedup_drop_list_never_broadcasts_the_keepset(plans):
+    """100 TB posture for the dedup keep-set: the drop list scales with the
+    duplicate count (30 % dup rate on 100 TB = tens of billions of ids), so
+    it is fact-classed — applied via shuffle-hash semi-join, never broadcast.
+    (Pair generation sits behind the label-propagation localCheckpoint, so
+    the visible plan IS the drop-list application.)"""
+    plan = plans["dedup_drop_list"]
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan, (
+        "drop-list apply must be a shuffle-hash semi-join"
+    )
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan, (
+        "the drop list (fact-sized) is being broadcast"
+    )
+
+
+def test_dedup_groups_row_form_no_broadcast_no_fat_agg(plans):
+    """dedup_groups_minhash emits (group_id, member_id, group_size) rows —
+    no collect_list over an unbounded component, no broadcast of the member
+    set."""
+    plan = plans["dedup_groups_minhash"]
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "collect_list" not in plan

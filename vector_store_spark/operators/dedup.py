@@ -171,31 +171,160 @@ def minhash_signature(hash_set: Column, num_hashes: int) -> Column:
     return F.array(*[minhash_expr(hash_set, a, b) for a, b in coeffs])
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash + LSH banding + exact verify. rows-per-band = num_hashes/bands
-    sets the S-curve: P(candidate) = 1 − (1 − s^r)^b for true Jaccard s.
+def identical_set_members(sets: DataFrame) -> DataFrame:
+    """(id, rep) rows for every doc in a DUPLICATE group — docs whose
+    shingle SET is identical (fingerprint of the sorted hash array) to at
+    least one other doc's; rep = the group's min id. Docs with a unique set
+    do not appear (they are implicitly their own representative), so on a
+    dup-free corpus this frame is EMPTY and every downstream join against
+    it is a no-op.
 
-    Plan shape: signatures (narrow map) → explode bands (b rows/doc) → groupBy
-    bucket (shuffle on band keys) → pairs within buckets → distinct →
-    broadcast-join signatures back? No: exact verify re-joins the (small
-    relative to corpus) candidate set against the shingle sets, keeping the
-    big table traversals to two scans."""
-    if num_hashes % bands != 0:
-        raise ValueError("bands must divide num_hashes")
+    The exact-duplicate pre-pass of the banded dedup paths: mass-duplicated
+    boilerplate (the hot-bucket pathology — k identical docs put k rows in
+    every band bucket, k²/2 candidates per band) collapses to one
+    representative per distinct set BEFORE banding, so duplicate mass costs
+    one groupBy + one hash-join instead of a quadratic bucket self-join.
+    Identical sets have identical signatures, so collapsing them changes no
+    candidate decision — pairs are reconstructed exactly afterwards.
+
+    Shuffle posture: only (id, fp) pairs move (fixed 16 bytes/row — the
+    shingle arrays never enter the pre-pass), and the join's build side is
+    duplicate-GROUPS-sized, not corpus-sized."""
+    fps = sets.select("id", F.xxhash64(F.sort_array("hs")).alias("fp"))
+    dup_groups = (
+        fps.groupBy("fp")
+        .agg(F.min("id").alias("rep"), F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .drop("_c")
+    )
+    # fact-fact equi-join on the fingerprint; AQE splits a skewed (mega-dup)
+    # fingerprint if one appears
+    return fps.join(dup_groups.hint("SHUFFLE_HASH"), "fp").select("id", "rep")
+
+
+def _intra_group_pairs(members: DataFrame, score: Column, score_name: str) -> DataFrame:
+    """All (id_a < id_b) pairs within each identical-content group, scored by
+    a constant (jaccard 1.0 / hamming 0). Output-bounded: the join result IS
+    the required pair set; groups of size 1 (the overwhelming majority)
+    contribute nothing because the non-rep side is empty for them."""
+    nonreps = members.where(F.col("id") != F.col("rep"))
+    return (
+        members.alias("a")
+        .join(
+            nonreps.alias("b").hint("SHUFFLE_HASH"),
+            (F.col("a.rep") == F.col("b.rep")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            score.alias(score_name),
+        )
+    )
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame, score_name: str) -> DataFrame:
+    """Expand verified representative pairs to member pairs. Exact: every
+    member has the same set/fingerprint as its rep, so the score carries
+    over unchanged. ``members`` holds duplicate groups only, so the joins
+    are LEFT (an endpoint with no duplicates expands to itself) and their
+    build side is duplicate-members-sized; output-bounded."""
+    return (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("id_a"), F.col("id").alias("_ma"))
+            .hint("SHUFFLE_HASH"),
+            "id_a",
+            "left",
+        )
+        .join(
+            members.select(F.col("rep").alias("id_b"), F.col("id").alias("_mb"))
+            .hint("SHUFFLE_HASH"),
+            "id_b",
+            "left",
+        )
+        .withColumn("_ma", F.coalesce(F.col("_ma"), F.col("id_a")))
+        .withColumn("_mb", F.coalesce(F.col("_mb"), F.col("id_b")))
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            score_name,
+        )
+    )
+
+
+def _salted_band_rows(band_rows: DataFrame, max_bucket_width: int | None) -> DataFrame:
+    """Split band buckets wider than ``max_bucket_width`` into ceil(w/W)
+    hash-derived sub-buckets (the hot-bucket guard). Buckets at or under the
+    cap get salt 0, so the common case is untouched. A pair split apart in
+    one band's oversized bucket can still collide in every other band, so
+    the recall loss is bounded by the band S-curve with one band removed —
+    and only for pairs inside pathological buckets. Exact-duplicate mass
+    never reaches here (identical_set_members routes it out first)."""
+    if not max_bucket_width:
+        return band_rows.withColumn("salt", F.lit(0))
+    from pyspark.sql import Window
+
+    # one exchange on (band, bucket) — the width count is a whole-partition
+    # window over the same key the self-join clusters on, so the join can
+    # reuse this partitioning instead of a separate agg + join-back
+    w = Window.partitionBy("band", "bucket")
+    return (
+        band_rows.withColumn("_w", F.count("*").over(w))
+        .withColumn(
+            "_nsub", F.ceil(F.col("_w") / F.lit(max_bucket_width)).cast("int")
+        )
+        .withColumn(
+            # the salt hash includes the band so sub-bucket assignment is
+            # independent across bands: a pair split apart in one oversized
+            # bucket still collides in another band with prob 1/n_sub there,
+            # instead of being split identically everywhere
+            "salt",
+            F.when(F.col("_nsub") <= 1, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("band", "id"), F.col("_nsub")).cast("int")
+            ),
+        )
+        .drop("_w", "_nsub")
+    )
+
+
+def _bucket_self_join_candidates(band_rows: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) candidates from the (band, bucket, salt)
+    self-join — the shared candidate stage of the MinHash and SimHash paths;
+    factored out so tests can count its rows directly."""
+    return (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b").hint("SHUFFLE_HASH"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_band_candidates(
+    sets: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_width: int | None,
+    drop_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Banded MinHash candidate generation over (id, hs) rows: signatures →
+    explode bands → salted bucket self-join → distinct (id_a, id_b).
+
+    ``drop_ids`` (single ``id`` column) removes rows AFTER the signature
+    projection — the exact-dup pre-pass drops non-representative duplicates
+    here, on the narrow fixed-width signature frame, so the fat shingle
+    arrays never shuffle through the filter."""
     r = num_hashes // bands
-    sets = shingle_sets(docs, id_col, text_col, n)
     sig = sets.select(
         "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
-    ).cache()
-
+    )
+    if drop_ids is not None:
+        sig = sig.join(drop_ids.hint("SHUFFLE_HASH"), "id", "left_anti")
+    sig = sig.cache()
     band_rows = sig.select(
         "id",
         F.explode(
@@ -208,20 +337,54 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    return _bucket_self_join_candidates(_salted_band_rows(band_rows, max_bucket_width))
 
-    cands = (
-        band_rows.alias("a")
-        .join(
-            band_rows.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_width: int | None = 4096,
+) -> DataFrame:
+    """MinHash + LSH banding + exact verify. rows-per-band = num_hashes/bands
+    sets the S-curve: P(candidate) = 1 − (1 − s^r)^b for true Jaccard s.
+
+    Plan shape (hot-bucket hardened):
+    1. exact-duplicate pre-pass — identical shingle sets collapse to one
+       representative (identical_set_members); their pairs are emitted
+       directly with jaccard 1.0, output-bounded, never entering a bucket
+       self-join. This removes the k²-per-bucket pathology of
+       mass-duplicated boilerplate at the root.
+    2. representatives only: signatures (narrow map) → explode bands →
+       salted bucket self-join (_salted_band_rows caps residual hot buckets
+       at ``max_bucket_width``) → distinct candidates → exact-Jaccard verify
+       against the shingle sets (two scans of the big table total).
+    3. verified representative pairs expand back to member pairs — exact,
+       since members share their rep's set.
+
+    With ``max_bucket_width=None`` the candidate stage is exhaustive (the
+    oracle shape); the default cap only engages on buckets wider than 4096
+    distinct (non-identical) sets, which the pre-pass makes pathological by
+    construction."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    sets = shingle_sets(docs, id_col, text_col, n)
+    members = identical_set_members(sets).cache()
+    intra = _intra_group_pairs(members, F.lit(1.0), "jaccard")
+    # non-representative duplicates leave the banding path on the NARROW
+    # signature frame (drop_ids inside minhash_band_candidates) — the fat
+    # shingle arrays are never re-shuffled by the pre-pass
+    drop_ids = members.where(F.col("id") != F.col("rep")).select("id")
+    cands = minhash_band_candidates(
+        sets, num_hashes, bands, max_bucket_width, drop_ids=drop_ids
     )
-    # exact verify on the candidate set
-    verified = (
+    # exact verify on the (representative) candidate set; keying the full
+    # sets frame is fine — candidate ids are representatives by construction
+    rep_pairs = (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
         .withColumn("shared", F.size(F.array_intersect("hs_a", "hs_b")))
@@ -230,8 +393,9 @@ def minhash_lsh_pairs(
             F.col("shared") / (F.size("hs_a") + F.size("hs_b") - F.col("shared")),
         )
         .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    return intra.unionByName(_expand_rep_pairs(rep_pairs, members, "jaccard"))
 
 
 def simhash_pairs(
@@ -241,6 +405,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 3,
     ngram: int = 1,
+    max_bucket_width: int | None = 4096,
 ) -> DataFrame:
     """SimHash near-dup pairs: 30-bit fingerprint over word-n-gram feature
     hashes (duplicate features vote with their multiplicity), banded blocking
@@ -248,28 +413,49 @@ def simhash_pairs(
     equal 10-bit chunks when max_hamming < bands), exact Hamming verify.
     ``ngram=3`` is the Manku-et-al. web-dedup feature choice — on small
     vocabularies unigram features saturate the bit votes and everything
-    collides."""
+    collides.
+
+    Hot-bucket hardened like minhash_lsh_pairs: docs with an IDENTICAL
+    fingerprint (the exact-dup mass that floods every chunk bucket) collapse
+    to one representative before banding — their pairs are emitted directly
+    with Hamming 0 and reconstructed exactly afterwards (Hamming depends
+    only on the fingerprints, which group members share) — and residual
+    oversized chunk buckets are salted at ``max_bucket_width``."""
     bits_per_band = 30 // bands
     fp = docs.select(F.col(id_col).alias("id"), simhash_udf(ngram)(F.col(text_col)).alias("fp"))
     fp = fp.cache()
-    chunks = fp.select(
+    groups = fp.groupBy("fp").agg(
+        F.min("id").alias("rep"), F.count("*").alias("_c")
+    )
+    # duplicate-group membership only (empty on a collision-free corpus), so
+    # the intra/expand joins are no-ops in the common case
+    members = (
+        fp.join(groups.where(F.col("_c") > 1).drop("_c").hint("SHUFFLE_HASH"), "fp")
+        .select("id", "rep")
+        .cache()
+    )
+    intra = _intra_group_pairs(members, F.lit(0), "hamming")
+    rfp = groups.select(F.col("rep").alias("id"), "fp")
+    chunks = rfp.select(
         "id", "fp",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    (F.shiftright("fp", bi * bits_per_band) % F.lit(1 << bits_per_band)).alias("chunk"),
+                    (F.shiftright("fp", bi * bits_per_band) % F.lit(1 << bits_per_band)).alias("bucket"),
                 )
                 for bi in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "fp", "bb.band", "bb.chunk")
+    ).select("id", "fp", "bb.band", "bb.bucket")
+    salted = _salted_band_rows(chunks, max_bucket_width)
     cands = (
-        chunks.alias("a")
+        salted.alias("a")
         .join(
-            chunks.alias("b"),
+            salted.alias("b").hint("SHUFFLE_HASH"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -279,11 +465,12 @@ def simhash_pairs(
         .distinct()
     )
     ham = hamming64_expr(F.col("fp_a"), F.col("fp_b"))
-    return (
+    rep_pairs = (
         cands.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return intra.unionByName(_expand_rep_pairs(rep_pairs, members, "hamming"))
 
 
 def embedding_neardup_pairs(
@@ -480,6 +667,7 @@ def dedup_connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    max_members: int = 128,
 ) -> DataFrame:
     """Duplicate GROUPS from near-dup pairs: connected components by min-label
     propagation — the step real dedup pipelines run between pair generation
@@ -492,7 +680,34 @@ def dedup_connected_components(
     Deterministic: the fixed point is min-id-per-component regardless of
     join/partition order.
 
-    Returns (group_id = min member id, group_size, member_ids sorted)."""
+    Returns (group_id = min member id, group_size, member_ids sorted and
+    CAPPED at ``max_members`` — the cap bounds the widest row a degenerate
+    mega-component (all-boilerplate corpus) can produce; group_size is
+    always the true count. For the uncapped, unbounded-scale row form use
+    ``dedup_component_members``."""
+    members = dedup_component_members(pairs, id_a, id_b, max_iter)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id").orderBy("member_id")
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("group_id").agg(
+        F.count("*").alias("group_size"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_members, F.col("member_id")))
+        ).alias("member_ids"),
+    )
+
+
+def dedup_component_members(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components in ROW form: one (group_id, member_id) row per
+    member — the shape that survives any component size (no per-group array
+    is ever materialized, so a degenerate mega-component costs rows, not one
+    giant cell). Same min-label propagation as dedup_connected_components."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint()
@@ -525,10 +740,6 @@ def dedup_connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return (
-        labels.groupBy(F.col("label").alias("group_id"))
-        .agg(
-            F.count("*").alias("group_size"),
-            F.sort_array(F.collect_list("id")).alias("member_ids"),
-        )
+    return labels.select(
+        F.col("label").alias("group_id"), F.col("id").alias("member_id")
     )

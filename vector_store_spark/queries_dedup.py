@@ -273,25 +273,29 @@ reach AS (
 ),
 labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src)
 SELECT group_id,
-       CAST(count(*) AS BIGINT) AS group_size,
-       array_to_string(list(id ORDER BY id), ',') AS member_ids
-FROM labels GROUP BY group_id
+       id AS member_id,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM labels
 """,
     "Near-dup GROUPS: connected components over verified MinHash pairs "
-    "(min-label propagation / recursive-closure oracle) - the step between "
-    "pair generation and the keep-one-per-group decision",
+    "(min-label propagation / recursive-closure oracle) in ROW form — one "
+    "(group_id, member_id) row per member plus the true group size, the "
+    "shape that survives a degenerate mega-component (no per-group array)",
 )
 def dedup_groups_minhash(spark, sf_dir):
-    from vector_store_spark.operators.dedup import dedup_connected_components
+    from pyspark.sql import Window
+
+    from vector_store_spark.operators.dedup import dedup_component_members
 
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
     )
-    groups = dedup_connected_components(pairs)
-    # String-encode the member list: the driver's value hasher operates on
-    # pandas cells and cannot hash array-typed values.
-    return groups.withColumn("member_ids", F.concat_ws(",", F.col("member_ids")))
+    members = dedup_component_members(pairs)
+    return members.withColumn(
+        "group_size",
+        F.count("*").over(Window.partitionBy("group_id")).cast("long"),
+    )
 
 
 @register(
@@ -336,24 +340,24 @@ FROM drops JOIN documents d ON d.doc_id = drops.id
 GROUP BY d.source
 """,
     "The dedup keep-set decision: drop every non-minimum member of each "
-    "near-dup component; removal volume per source (broadcast join of the "
-    "tiny drop list against the corpus)",
+    "near-dup component; removal volume per source. The drop list scales "
+    "with the duplicate count (NOT a constant), so it is applied as a "
+    "shuffle-hash semi-join — never broadcast",
 )
 def dedup_drop_list(spark, sf_dir):
-    from vector_store_spark.operators.dedup import dedup_connected_components
+    from vector_store_spark.operators.dedup import dedup_component_members
 
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
     )
-    groups = dedup_connected_components(pairs)
     drops = (
-        groups.select(F.explode("member_ids").alias("doc_id"), "group_id")
-        .where(F.col("doc_id") != F.col("group_id"))
-        .select("doc_id")
+        dedup_component_members(pairs)
+        .where(F.col("member_id") != F.col("group_id"))
+        .select(F.col("member_id").alias("doc_id"))
     )
     return (
-        docs.join(F.broadcast(drops), "doc_id")
+        docs.join(drops.hint("SHUFFLE_HASH"), "doc_id", "left_semi")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_dropped"),
