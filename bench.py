@@ -492,11 +492,30 @@ def _extras(spark, sf_dir: str) -> dict:
                 sub, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
             ).collect()}
             cents_b = ivf_centroids_trained(sub, "embedding", 16, space=SpaceType.COSINE)
+            # adaptive probe: one count of the filtered set, then exact
+            # fallback / escalated nprobe so a selective predicate cannot
+            # starve the candidate pool (reference guarantee: top-k OF the
+            # filtered set, usearch.rs:224-248)
+            t_ad = time.perf_counter()
             got_ivf = {r.vec_id for r in ivf_topk(
                 sub, "vec_id", "embedding", q, k, nprobe=8,
                 centroids=cents_b, n_assign=2, select_cols=["vec_id"],
+                min_candidates=32 * k,
             ).collect()}
+            t_ad = time.perf_counter() - t_ad
             ivf_buckets[f"{pct}pct"] = round(len(got_ivf & truth) / k, 4)
+            if pct == 50:
+                # the adaptive guard must be ~free where the filter is NOT
+                # selective: compare against the fixed-probe run
+                t_fx = time.perf_counter()
+                ivf_topk(
+                    sub, "vec_id", "embedding", q, k, nprobe=8,
+                    centroids=cents_b, n_assign=2, select_cols=["vec_id"],
+                ).collect()
+                t_fx = time.perf_counter() - t_fx
+                out["ivf_adaptive_latency_ratio_50pct"] = round(
+                    t_ad / max(t_fx, 1e-9), 4
+                )
             truth_l2 = {r.vec_id for r in ann_topk(
                 sub, "embedding", q, k, space=SpaceType.EUCLIDEAN,
                 tie_break=["vec_id"], select_cols=["vec_id"],
@@ -507,7 +526,7 @@ def _extras(spark, sf_dir: str) -> dict:
             ).collect()}
             pq_buckets[f"{pct}pct"] = round(len(got_pq & truth_l2) / k, 4)
             sub.unpersist()
-        out["recall_at_10_ivf_trained_ma2_np8_by_selectivity"] = ivf_buckets
+        out["recall_at_10_ivf_trained_ma2_np8min320_by_selectivity"] = ivf_buckets
         out["recall_at_10_pq_trained_8x256_rescored4x_by_selectivity"] = pq_buckets
     except Exception as ex:
         print(f"bench extras (selectivity) error: {ex}", file=sys.stderr)
@@ -624,6 +643,44 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (stream repeat) error: {ex}", file=sys.stderr)
 
     try:
+        # Composite-query phase attribution (the streaming pattern applied to
+        # the persisted-index CRUD/serving rows): evict the memoized artifact,
+        # run once cold with PHASE_LOG armed (build/crud/index_write seconds),
+        # run again warm (pure serve). A regression in the headline total now
+        # names its phase. first_total ≈ sum(phases) + serve-side work.
+        import vector_store_spark.phases as _ph
+        import vector_store_spark.queries_fts as _qfts
+        import vector_store_spark.queries_ivf as _qivf
+        from vector_store_spark.registry import all_queries as _aq
+
+        _specs = _aq()
+        for sname, cache, keypred in (
+            ("bm25_persisted_term", _qfts._INDEX_CACHE,
+             lambda k: str(k).startswith("path:")),
+            ("ann_hnsw_updated_topk", _qivf._BUILD_CACHE,
+             lambda k: str(k).endswith(":hnsw_crud")),
+            ("ann_lsh_updated_topk", _qivf._BUILD_CACHE,
+             lambda k: str(k).endswith(":lsh_crud")),
+        ):
+            for k in [k for k in cache if keypred(k)]:
+                cache.pop(k)
+            _ph.PHASE_LOG = {}
+            t0 = time.perf_counter()
+            _specs[sname].fn(spark, sf_dir).collect()
+            t_first = round(time.perf_counter() - t0, 4)
+            phases, _ph.PHASE_LOG = _ph.PHASE_LOG, None
+            t0 = time.perf_counter()
+            _specs[sname].fn(spark, sf_dir).collect()
+            phases["serve"] = round(time.perf_counter() - t0, 4)
+            phases["first_total"] = t_first
+            out[f"{sname}_phase_sec"] = phases
+        # short alias for the FTS row (its serve phase is the regression
+        # comparator against the pre-split totals)
+        out["bm25_persisted_phase_sec"] = out.get("bm25_persisted_term_phase_sec")
+    except Exception as ex:
+        print(f"bench extras (composite phases) error: {ex}", file=sys.stderr)
+
+    try:
         import shutil as _sh
         import tempfile as _tf
 
@@ -737,6 +794,93 @@ def _extras(spark, sf_dir: str) -> dict:
             out["scaling_sf001_vs_big"] = scaling
     except Exception as ex:
         print(f"bench extras (scaling) error: {ex}", file=sys.stderr)
+
+    try:
+        # Real-dataset recall harness through the BENCHMARK READERS
+        # (crates/benchmark/src/data/{mod,parquet,fbin}.rs re-expressed in
+        # sources/bench_datasets.py). The container is offline, so the
+        # "dataset slice" is a deterministic export of the sf embeddings
+        # into BOTH shipped layouts — VectorDBBench parquet and big-ann
+        # fbin/ibin — with exact cosine ground truth computed once and
+        # SHIPPED inside the layout (neighbors.parquet / groundtruth.ibin),
+        # the same contract as a public slice. Every number below flows
+        # exclusively through the dataset readers: train_dataframe feeds
+        # the index builds, load_queries supplies queries + ground truth.
+        # exact recall MUST be 1.0 — it validates the reader/GT pipeline.
+        import shutil as _sh
+        import tempfile as _tf
+
+        import numpy as _np
+
+        from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search
+        from vector_store_spark.operators.ivf import (
+            ivf_centroids_trained as _ict,
+            ivf_topk as _ivt,
+        )
+        from vector_store_spark.operators.lsh import lsh_build, lsh_search
+        from vector_store_spark.operators.topk import ann_topk as _at
+        from vector_store_spark.registry import det_query_vector as _dqv
+        from vector_store_spark.sources import bench_datasets as _bd
+        from vector_store_spark.types import SpaceType as _St
+
+        rows = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .select("embedding").orderBy("vec_id").collect())
+        train = _np.array([r.embedding for r in rows], dtype="f4")
+        queries = _np.stack(
+            [_dqv(s, train.shape[1]) for s in (7, 13, 21, 33)]
+        ).astype("f4")
+        # exact cosine ground truth in dataset-id space (fbin ids are the
+        # implicit row positions, so both layouts share it), ties -> min id
+        tn = train / _np.maximum(
+            _np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+        qn = queries / _np.maximum(
+            _np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        dist = 1.0 - qn @ tn.T
+        order = _np.lexsort((_np.arange(train.shape[0])[None, :].repeat(
+            len(queries), 0), dist), axis=1)
+        gt = order[:, :10].astype("i4")
+
+        root = _tf.mkdtemp(prefix="bench_datasets_")
+        layouts = {}
+        _bd.write_parquet_dataset(os.path.join(root, "vdb"), train, queries, gt)
+        layouts["vdbbench_parquet"] = os.path.join(root, "vdb")
+        _bd.write_fbin_dataset(os.path.join(root, "bigann"), train, queries, gt)
+        layouts["bigann_fbin"] = os.path.join(root, "bigann")
+
+        for tag, dpath in layouts.items():
+            tdf = _bd.train_dataframe(spark, dpath).cache()
+            tdf.count()
+            qs = _bd.load_queries(dpath, limit=10)
+            hdir = _tf.mkdtemp(prefix="bench_ds_hnsw_")
+            hnsw_build(tdf, "vec_id", "embedding", hdir, m=8,
+                       ef_construction=64, num_slices=2)
+            ldir = _tf.mkdtemp(prefix="bench_ds_lsh_")
+            lsh_build(tdf, "vec_id", "embedding", ldir, num_bits=16, bands=4)
+            cents = _ict(tdf, "embedding", 16, space=_St.COSINE)
+            rec: dict[str, list] = {"exact": [], "hnsw_ef64": [],
+                                    "ivf_trained_ma2_np8": [], "lsh_mp2": []}
+            for _qid, qv, truth in qs:
+                rec["exact"].append(len({r.vec_id for r in _at(
+                    tdf, "embedding", qv, 10, tie_break=["vec_id"],
+                    select_cols=["vec_id"]).collect()} & truth) / 10)
+                rec["hnsw_ef64"].append(len({r.vec_id for r in hnsw_search(
+                    spark, hdir, qv, 10, ef_search=64).collect()} & truth) / 10)
+                rec["ivf_trained_ma2_np8"].append(len({r.vec_id for r in _ivt(
+                    tdf, "vec_id", "embedding", qv, 10, nprobe=8,
+                    centroids=cents, n_assign=2, select_cols=["vec_id"],
+                ).collect()} & truth) / 10)
+                rec["lsh_mp2"].append(len({r.vec_id for r in lsh_search(
+                    spark, ldir, "vec_id", "embedding", qv, 10,
+                    multiprobe=2, select_cols=["vec_id"]).collect()} & truth) / 10)
+            out[f"recall_at_10_{tag}"] = {
+                s: round(sum(v) / len(v), 4) for s, v in rec.items()
+            }
+            tdf.unpersist()
+            _sh.rmtree(hdir, ignore_errors=True)
+            _sh.rmtree(ldir, ignore_errors=True)
+        _sh.rmtree(root, ignore_errors=True)
+    except Exception as ex:
+        print(f"bench extras (dataset readers) error: {ex}", file=sys.stderr)
     return out
 
 

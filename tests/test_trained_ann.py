@@ -642,3 +642,66 @@ def test_lsh_update_rewrites_only_touched_leaves(spark, emb, tmp_path):
     assert untouched, "test needs at least one untouched leaf"
     for leaf in untouched:
         assert after[leaf] == before[leaf], f"untouched leaf rewritten: {leaf}"
+
+
+def test_adaptive_nprobe_arithmetic():
+    from vector_store_spark.operators.ivf import adaptive_nprobe
+
+    # tiny filtered set → exact fallback
+    assert adaptive_nprobe(100, 16, 8, 320) is None
+    assert adaptive_nprobe(320, 16, 8, 320) is None
+    # escalation: expected pool n·np/kc must reach min_candidates
+    assert adaptive_nprobe(400, 16, 8, 320) == 13   # ceil(320·16/400)
+    assert adaptive_nprobe(640, 16, 8, 320) == 8    # floor at the base nprobe
+    assert adaptive_nprobe(321, 16, 8, 320) == 16   # clamped to k_centroids
+    assert adaptive_nprobe(10_000, 16, 8, 320) == 8  # large set: unchanged
+
+
+def test_ivf_filtered_recall_by_selectivity(emb):
+    """The reference guarantees top-k OF the filtered set (usearch.rs:224-248);
+    the adaptive probe must hold recall@10 ≥ 0.9 at EVERY selectivity bucket,
+    including ones where a fixed nprobe starves the candidate pool."""
+    from vector_store_spark.operators.ivf import adaptive_nprobe
+
+    k = 10
+    q = det_query_vector(7, 64)
+    for pct in (50, 20, 10, 5, 2):
+        sub = emb.where((F.col("vec_id") % 1000) < pct * 10)
+        n = sub.count()
+        if n < k:
+            continue
+        truth = {r.vec_id for r in ann_topk(
+            sub, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+        ).collect()}
+        cents = ivf_centroids_trained(sub, "embedding", min(16, n), seed=42,
+                                      space=SpaceType.COSINE)
+        got = {r.vec_id for r in ivf_topk(
+            sub, "vec_id", "embedding", q, k, nprobe=2,
+            centroids=cents, n_assign=2, select_cols=["vec_id"],
+            min_candidates=32 * k,
+        ).collect()}
+        recall = len(got & truth) / k
+        assert recall >= 0.9, (pct, n, recall)
+        # and the highly selective buckets are answered exactly
+        if n <= 32 * k:
+            assert got == truth, (pct, n)
+
+
+def test_ivf_persisted_filtered_adaptive(spark, emb, tmp_path):
+    """Persisted-index twin: a selective predicate over ivf_search with
+    min_candidates set must return the exact filtered top-k."""
+    from vector_store_spark.operators.ivf import ivf_build, ivf_search
+
+    path = str(tmp_path / "ivf_adaptive")
+    ivf_build(emb, "vec_id", "embedding", path, k_centroids=8)
+    q = det_query_vector(13, 64)
+    pred = F.col("vec_id") % 17 == 0  # ~6 % of rows
+    truth = {r.vec_id for r in ann_topk(
+        emb.where(pred), "embedding", q, 10,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()}
+    got = {r.vec_id for r in ivf_search(
+        spark, path, "vec_id", "embedding", q, 10, nprobe=2,
+        predicate=pred, min_candidates=100, select_cols=["vec_id"],
+    ).collect()}
+    assert got == truth

@@ -541,6 +541,7 @@ def ivf_search(
     select_cols: list[str] | None = None,
     round_to: int | None = None,
     predicate=None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: probe against the sidecar centroids
     (driver-side, metadata-sized), scan ONLY the probed cluster directories
@@ -553,7 +554,13 @@ def ivf_search(
     (crates/vector-store/src/vs_index/usearch.rs:1108-1154 evaluates
     restrictions inside traversal; here the predicate is a pushed parquet
     filter composed WITH the cluster partition pruning, and the top-k is of
-    the filtered candidate set — T2 semantics)."""
+    the filtered candidate set — T2 semantics).
+
+    ``min_candidates`` (with a predicate) arms the adaptive probe: one
+    pushed, column-pruned count of the filtered index decides between exact
+    ranking over the filtered rows (highly selective predicate) and an
+    escalated nprobe (see :func:`adaptive_nprobe`) — the selective filter
+    can no longer starve the candidate pool below k."""
     import json
     import os
 
@@ -561,6 +568,20 @@ def ivf_search(
         meta = json.load(f)
     space = SpaceType(meta["space"])
     cents = [(cid, cv) for cid, cv in meta["centroids"]]
+    if min_candidates is not None and predicate is not None:
+        filtered = spark.read.parquet(path).where(predicate)
+        if meta["n_assign"] > 1:
+            filtered = filtered.dropDuplicates([id_col])
+        np_eff = adaptive_nprobe(
+            filtered.count(), len(cents), nprobe, min_candidates
+        )
+        if np_eff is None:
+            return ann_topk(
+                filtered, vec_col, query, k,
+                space=space, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        nprobe = np_eff
     probes = ivf_probe(cents, query, nprobe, space=space)
     candidates = spark.read.parquet(path).where(F.col("cluster").isin(probes))
     if predicate is not None:
@@ -571,6 +592,30 @@ def ivf_search(
         candidates, vec_col, query, k,
         space=space, tie_break=[id_col],
         select_cols=select_cols or [id_col], round_to=round_to,
+    )
+
+
+def adaptive_nprobe(
+    n_rows: int, k_centroids: int, nprobe: int, min_candidates: int
+) -> int | None:
+    """Escalate ``nprobe`` so the expected candidate pool stays above
+    ``min_candidates`` when the (filtered) row set is small — the guarantee
+    the reference's graph search gives for free (top-k OF the filtered set,
+    usearch.rs:224-248): a selective predicate must not silently starve the
+    probe. Returns None when the set is so small the caller should skip IVF
+    and rank exactly (the filtered count is already known from the pruned
+    scan, so exact costs one candidate-sized pass).
+
+    Driver-side arithmetic only: expected pool ≈ n_rows · nprobe/k_centroids
+    under the uniform-cluster approximation, so the escalated value is
+    ceil(min_candidates · k_centroids / n_rows), clamped to
+    [nprobe, k_centroids]."""
+    if n_rows <= min_candidates:
+        return None
+    import math
+
+    return min(
+        k_centroids, max(nprobe, math.ceil(min_candidates * k_centroids / n_rows))
     )
 
 
@@ -587,6 +632,7 @@ def ivf_topk(
     round_to: int | None = None,
     centroids: list | None = None,
     n_assign: int = 1,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Build-and-search in one call (batch-engine shape: the 'index' is the
     assigned DataFrame; a persisted deployment would write it partitioned by
@@ -594,7 +640,23 @@ def ivf_topk(
     ranking all run in ``space``. ``centroids`` overrides the deterministic
     smallest-id build — pass :func:`ivf_centroids_trained` output for the
     data-adaptive (recall-bearing) index; ``n_assign > 1`` adds multiple
-    assignment (see :func:`ivf_assign`)."""
+    assignment (see :func:`ivf_assign`).
+
+    ``min_candidates`` arms the adaptive probe (see :func:`adaptive_nprobe`):
+    one count of ``items`` (the filtered set — callers restrict BEFORE
+    calling, T2 semantics), then exact ranking if the set is tiny, else an
+    escalated nprobe. Default off: fixed-probe behavior is unchanged."""
+    if min_candidates is not None:
+        n_rows = items.count()
+        kc = len(centroids) if centroids is not None else k_centroids
+        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates)
+        if np_eff is None:
+            return ann_topk(
+                items, vec_col, query, k,
+                space=space, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        nprobe = np_eff
     cents = centroids if centroids is not None else ivf_centroids(
         items, id_col, vec_col, k_centroids
     )

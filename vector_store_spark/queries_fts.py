@@ -237,8 +237,14 @@ def bm25_persisted_term(spark, sf_dir):
     # times) — memoize the write like the in-memory _INDEX_CACHE above
     key = f"path:{id(spark)}:{sf_dir}"
     if key not in _INDEX_CACHE:
+        import time as _t
+
+        from vector_store_spark import phases
+
+        t0 = _t.perf_counter()
         path = tempfile.mkdtemp(prefix="fts_ix_")
         write_fts_index(_index(spark, sf_dir), path)
+        phases.mark("index_write", t0)
         _INDEX_CACHE[key] = path
     path = _INDEX_CACHE[key]
     ix = read_fts_index(spark, path)  # doclens + metadata-sized stats

@@ -343,10 +343,15 @@ def ann_hnsw_updated_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
 
     def build(p):
+        import time as _t
+
+        from vector_store_spark import phases
         from vector_store_spark.operators.hnsw import hnsw_build, hnsw_upsert
 
+        t0 = _t.perf_counter()
         hnsw_build(emb, "vec_id", "embedding", p, m=M, ef_construction=EFC,
                    num_slices=SLICES, payload_cols=["label"])
+        t0 = phases.mark("build", t0)
         new = spark.createDataFrame(
             [(1000001, QI1, 7), (1000002, QI2, 8)],
             "vec_id long, embedding array<float>, label int",
@@ -354,6 +359,7 @@ def ann_hnsw_updated_topk(spark, sf_dir):
         # ONE fused tombstone-and-reinsert pass (the CDC maintenance shape)
         # instead of separate insert + delete jobs
         hnsw_upsert(spark, p, items=new, ids_removed=list(range(25)))
+        phases.mark("crud", t0)
 
     path = _built(spark, sf_dir, "hnsw_crud", build)
     res = hnsw_search(spark, path, Q7, 10, ef_search=EF, round_to=ROUND)

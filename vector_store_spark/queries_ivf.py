@@ -813,6 +813,40 @@ def ann_ivf_filtered_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_filtered_adaptive_topk",
+    # a highly selective predicate (~5 % of rows) with the adaptive probe
+    # armed: the filtered count lands under min_candidates, so the engine
+    # ranks the filtered set EXACTLY — the oracle is the exact filtered
+    # top-k, the reference's restricted-search guarantee (top-k OF the
+    # filtered set, usearch.rs:224-248) rather than the probe S-curve
+    f"""
+SELECT vec_id, label,
+       round(1.0 - list_inner_product(CAST(embedding AS DOUBLE[]), {sql_vec(Q7)}) /
+             (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+FROM embeddings WHERE vec_id % 19 = 0
+ORDER BY distance, vec_id LIMIT 10
+""",
+    "T2 under a HIGHLY selective predicate: the adaptive probe counts the "
+    "filtered set (one pushed scan), sees it below min_candidates, and falls "
+    "back to exact ranking — a fixed nprobe here would starve the candidate "
+    "pool below k (the round-8 recall hole at the 2-5 pct buckets)",
+)
+def ann_ivf_filtered_adaptive_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 19 == 0)
+    # similarity is derived from the ROUNDED distance (F2 contract), whose
+    # halved value sits exactly on a rounding boundary — covered by the
+    # other ANN oracles; dropped here to keep this oracle mode-independent
+    return ivf_topk(
+        emb, "vec_id", "embedding", Q7, 10,
+        k_centroids=K_CENTROIDS, nprobe=NPROBE, min_candidates=320,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    ).drop("similarity")
+
+
 # T2 on the PERSISTED serving layouts (the reference's bread-and-butter
 # `WHERE ... ANN OF` against a committed index, usearch.rs:1108-1154): the
 # index is built on the FULL set, the probe prunes cluster/bucket
@@ -1129,15 +1163,22 @@ def ann_lsh_updated_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
 
     def build(p):
+        import time as _t
+
+        from vector_store_spark import phases
+
+        t0 = _t.perf_counter()
         lsh_build(
             emb.where(SF.col("vec_id") < 800), "vec_id", "embedding", p,
             num_bits=_BITS, bands=_LSH_BANDS,
         )
+        t0 = phases.mark("build", t0)
         lsh_update(
             spark, p, "vec_id", "embedding",
             items_added=emb.where(SF.col("vec_id") >= 800),
             ids_removed=list(range(50)),
         )
+        phases.mark("crud", t0)
 
     path = _built(spark, sf_dir, "lsh_crud", build)
     return lsh_search(
