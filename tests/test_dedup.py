@@ -300,3 +300,24 @@ def test_connected_components_mega_component_capped(spark):
     members = dedup_component_members(pairs)
     assert members.count() == n
     assert members.agg(F.min("group_id"), F.max("group_id")).collect()[0] == (0, 0)
+
+
+def test_embedding_lsh_multibit_probing_widens_recall(spark, sf_dir):
+    """probes=2 must probe Hamming distance ≤ 2 (superset of probes=1
+    candidates), and every extra pair still verifies at the exact
+    threshold. probes capped at r behaves like full band enumeration."""
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sets = {}
+    for p in (0, 1, 2):
+        rows = embedding_neardup_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.45,
+            num_bits=16, bands=4, dims=64, probes=p,
+        ).collect()
+        sets[p] = {(r.id_a, r.id_b) for r in rows}
+        assert all(r.cosine >= 0.45 for r in rows)
+    assert sets[0] <= sets[1] <= sets[2]
+    with pytest.raises(ValueError):
+        embedding_neardup_pairs_lsh(
+            emb, "vec_id", "embedding", dims=64, probes=-1)

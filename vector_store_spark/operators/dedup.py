@@ -569,26 +569,25 @@ def embedding_neardup_pairs_lsh(
     MinHash path, replacing the blocked all-pairs GEMM when even B² blocks is
     too much. Recall follows the band S-curve; exact verify keeps precision 1.
 
-    ``probes=1`` turns on 1-bit multiprobe: ONE join side additionally emits
-    every 1-bit-flip variant of each band bucket, so a pair collides when any
-    band's codes are within Hamming distance 1 — the same trick the serving
-    LSH's query-aware multiprobe uses, applied to the self-join.  At a
-    moderate threshold (e.g. cosine 0.45, where per-bit agreement is only
-    ~0.65) the plain band S-curve tops out near 0.8 recall; 1-flip probing
-    lifts it to ~0.999 while the join stays bucket-bounded (probe-side rows
-    grow by (1+r)×, NOT the candidate blowup of halving band width).
+    ``probes=p`` turns on Hamming-≤p multiprobe: ONE join side additionally
+    emits every ≤p-bit-flip variant of each band bucket, so a pair collides
+    when any band's codes are within Hamming distance p — the same trick
+    the serving LSH's query-aware multiprobe uses, applied to the
+    self-join. Flipping on one side covers the distance symmetrically: if
+    codes differ exactly in bit set S (|S| ≤ p), a's flip of S lands in b's
+    exact bucket. At a moderate threshold (e.g. cosine 0.45, where per-bit
+    agreement is only ~0.65) the plain band S-curve tops out near 0.8
+    recall; 1-flip probing lifts it to ~0.999. Probe-side rows grow by
+    Σ_{{i≤p}} C(r, i)× (r = band width; 1+r for p=1, +C(r,2) more for p=2)
+    — NOT the candidate blowup of halving band width; p is capped at r
+    (all-bit flips = full band enumeration).
 
     Pass ``dims`` (index metadata always knows it) to keep the plan fully
     lazy; None falls back to peeking at one row."""
     from vector_store_spark.operators.lsh import lsh_hyperplanes, with_lsh_buckets
 
-    if probes not in (0, 1):
-        # only 1-bit flips are implemented; silently treating probes=2 as
-        # probes=1 would misreport the recall the caller thinks they bought
-        raise ValueError(
-            f"probes={probes}: only 0 (exact bucket) and 1 (1-bit multiprobe) "
-            "are supported; multi-bit probing is not implemented"
-        )
+    if probes < 0:
+        raise ValueError(f"probes must be >= 0, got {probes}")
     if dims is None:
         dims = len(items.select(vec_col).first()[0])
     planes = lsh_hyperplanes(dims, num_bits)
@@ -610,15 +609,19 @@ def embedding_neardup_pairs_lsh(
     ).select("id", "bb.band", "bb.bucket")
     probe_rows = band_rows
     if probes >= 1:
-        # probe side only: exact bucket + every 1-bit flip (r = band width).
-        # Flipping on one side covers Hamming distance ≤ 1 symmetrically —
-        # if codes differ in bit j, a's flip of j lands in b's exact bucket.
+        # probe side only: exact bucket + every flip of up to `probes` bits
+        # (r = band width) — Σ C(r, i) xor masks, enumerated at plan time
+        import itertools
+
         r = num_bits // bands
+        masks = [0]
+        for nb in range(1, min(probes, r) + 1):
+            for combo in itertools.combinations(range(r), nb):
+                masks.append(sum(1 << j for j in combo))
         probe_rows = band_rows.select(
             "id", "band",
             F.explode(F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(r)]
+                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
             )).alias("bucket"),
         )
     cands = (

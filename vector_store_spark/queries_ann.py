@@ -339,3 +339,84 @@ def emb_norm_profile(spark, sf_dir):
         F.round(F.max("nrm"), ROUND).alias("max_norm"),
         F.round(F.percentile("nrm", 0.5), ROUND).alias("p50_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark dataset layouts (crates/benchmark/src/data/{parquet,fbin}.rs):
+# the embeddings table exported once into each shipped layout (a
+# benchmark-sized fixture, memoized like the persisted indexes), then read
+# back EXCLUSIVELY through sources/bench_datasets readers and ranked
+# exactly. Ids are the layouts' implicit/explicit row positions, so the
+# oracle re-derives them with a row_number over the export order.
+# ---------------------------------------------------------------------------
+
+_DATASET_TOPK_SQL = f"""
+WITH e AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+FROM e ORDER BY distance, vec_id LIMIT 10
+"""
+
+
+def _dataset_export(spark, sf_dir: str, kind: str) -> str:
+    """Memoized export of the embeddings table into a benchmark layout dir."""
+    import numpy as np
+
+    from vector_store_spark.queries_ivf import _built
+    from vector_store_spark.sources import bench_datasets as bd
+
+    def build(p):
+        rows = (
+            load(spark, sf_dir, "embeddings")
+            .select("embedding").orderBy("vec_id").collect()
+        )
+        train = np.array([r.embedding for r in rows], dtype="f4")
+        queries = np.array([Q7], dtype="f4")
+        gt = np.zeros((1, 1), dtype="i4")  # GT unused here; exactness is the oracle
+        if kind == "fbin":
+            bd.write_fbin_dataset(p, train, queries, gt)
+        else:
+            bd.write_parquet_dataset(p, train, queries, gt)
+
+    return _built(spark, sf_dir, f"dataset_{kind}", build)
+
+
+@register(
+    "dataset_fbin_roundtrip_topk",
+    _DATASET_TOPK_SQL,
+    "big-ann fbin layout round-trip: export -> header-framed dense f32 file "
+    "-> distributed per-slice memory-mapped read (fbin_dataframe) -> exact "
+    "cosine top-k; value-hash-equal to ranking the source table",
+)
+def dataset_fbin_roundtrip_topk(spark, sf_dir):
+    from vector_store_spark.sources import bench_datasets as bd
+
+    path = _dataset_export(spark, sf_dir, "fbin")
+    tdf = bd.train_dataframe(spark, path)
+    return ann_topk(
+        tdf, "embedding", Q7, 10, tie_break=["vec_id"],
+        select_cols=["vec_id"], round_to=ROUND,
+    ).drop("similarity")
+
+
+@register(
+    "dataset_vdbbench_roundtrip_topk",
+    _DATASET_TOPK_SQL,
+    "VectorDBBench parquet layout round-trip: export -> train/test/neighbors "
+    "files -> train_dataframe (native parquet scan, pushdown intact) -> "
+    "exact cosine top-k; value-hash-equal to ranking the source table",
+)
+def dataset_vdbbench_roundtrip_topk(spark, sf_dir):
+    from vector_store_spark.sources import bench_datasets as bd
+
+    path = _dataset_export(spark, sf_dir, "parquet")
+    tdf = bd.train_dataframe(spark, path)
+    return ann_topk(
+        tdf, "embedding", Q7, 10, tie_break=["vec_id"],
+        select_cols=["vec_id"], round_to=ROUND,
+    ).drop("similarity")
