@@ -2,7 +2,12 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
 names, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [name ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [name ...]
+
+``--json`` additionally writes a machine-readable record per entry —
+the full-surface insurance file committed each round
+(CORRECTNESS_local_rN.json) so coverage outside the driver's rotating
+window stays a standing fact.
 """
 
 from __future__ import annotations
@@ -72,9 +77,11 @@ def normalize(rows, cols):
     return sorted(out)
 
 
-def main(names=None):
+def main(names=None, json_out=None):
     import __spark_entry__ as e
     from vector_store_spark.session import get_spark
+
+    records = {}
 
     spark = get_spark("correctness-check", shuffle_partitions=8)
     con = duckdb.connect()
@@ -93,6 +100,7 @@ def main(names=None):
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            records[name] = {"status": "fail", "detail": f"spark error: {ex}"}
             n_fail += 1
             continue
         # The driver's value hasher runs on pandas cells and dies on
@@ -109,10 +117,13 @@ def main(names=None):
                 f"FAIL  {name}: complex output columns (driver hasher can't "
                 "hash them): " + ", ".join(complex_cols)
             )
+            records[name] = {"status": "fail",
+                             "detail": "complex output columns: " + ", ".join(complex_cols)}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK  {name}: rows={len(srows)} (no oracle)")
+            records[name] = {"status": "weak", "rows": len(srows)}
             n_weak += 1
             continue
         try:
@@ -127,6 +138,7 @@ def main(names=None):
             drows = list(zip(*dcol_arrays)) if dcol_arrays else []
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
+            records[name] = {"status": "fail", "detail": f"duckdb error: {ex}"}
             n_fail += 1
             continue
         problems = []
@@ -142,14 +154,35 @@ def main(names=None):
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            records[name] = {"status": "fail", "detail": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(srows)} rows)")
+            records[name] = {"status": "pass", "rows": len(srows)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({
+                "sf_dir": SF_DIR,
+                "total": len(selected),
+                "pass": n_pass,
+                "weak_rows_only": n_weak,
+                "fail": n_fail,
+                "entries": records,
+            }, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or None))
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv or None, json_out=json_out))
