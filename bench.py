@@ -460,7 +460,7 @@ def _extras(spark, sf_dir: str) -> dict:
             ).collect()}
             got = {r.vec_id for r in lsh_topk(
                 sub, "vec_id", "embedding", q, k, num_bits=16, bands=4,
-                select_cols=["vec_id"]
+                select_cols=["vec_id"], min_candidates=32 * k,
             ).collect()}
             buckets[f"{pct}pct"] = round(len(got & truth) / k, 4)
             # the multiprobe recall knob (t=2 smallest-margin bit flips per

@@ -705,3 +705,24 @@ def test_ivf_persisted_filtered_adaptive(spark, emb, tmp_path):
         predicate=pred, min_candidates=100, select_cols=["vec_id"],
     ).collect()}
     assert got == truth
+
+
+def test_lsh_filtered_adaptive_exact_fallback(emb):
+    """LSH twin of the adaptive filtered-search guard: a selective subset at
+    or under min_candidates is ranked exactly (bucket probing at 2 %
+    selectivity recalled only ~0.5 before)."""
+    from vector_store_spark.operators.lsh import lsh_topk
+
+    q = det_query_vector(19, 64)
+    sub = emb.where((F.col("vec_id") % 1000) < 20)  # 2 pct stratum
+    n = sub.count()
+    if n < 10:
+        return
+    truth = {r.vec_id for r in ann_topk(
+        sub, "embedding", q, 10, tie_break=["vec_id"], select_cols=["vec_id"]
+    ).collect()}
+    got = {r.vec_id for r in lsh_topk(
+        sub, "vec_id", "embedding", q, 10, num_bits=16, bands=4,
+        select_cols=["vec_id"], min_candidates=320,
+    ).collect()}
+    assert got == truth

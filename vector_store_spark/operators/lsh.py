@@ -427,12 +427,26 @@ def lsh_topk(
     select_cols: list[str] | None = None,
     round_to: int | None = None,
     multiprobe: int = 0,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Candidates = rows sharing ≥1 band bucket with the query (computed
     driver-side — the query's buckets are literals, so the candidate filter is
     an OR of equality predicates that prunes partitions/row-groups), then
     exact cosine top-k over candidates only. ``multiprobe`` widens each
-    band's probe to 1+t buckets (smallest-margin bit flips)."""
+    band's probe to 1+t buckets (smallest-margin bit flips).
+
+    ``min_candidates`` is the adaptive guard of the filtered-search path
+    (same contract as ivf_topk's): ``items`` is the already-filtered set
+    (T2 semantics); one count decides whether bucket probing can feed k at
+    all — a set at or under the floor is ranked exactly instead, matching
+    the reference's top-k-OF-the-filtered-set guarantee under selective
+    predicates."""
+    if min_candidates is not None and items.count() <= min_candidates:
+        return ann_topk(
+            items, vec_col, query, k,
+            space=SpaceType.COSINE, tie_break=[id_col],
+            select_cols=select_cols or [id_col], round_to=round_to,
+        )
     planes = lsh_hyperplanes(len(query), num_bits)
     qbl = lsh_multiprobe_buckets(query, planes, bands, multiprobe)
     bucketed = items.select(
