@@ -450,7 +450,7 @@ def _extras(spark, sf_dir: str) -> dict:
         n_rows = emb.count()
         k = 10
         q = det_query_vector(19, 64)
-        buckets, buckets_mp = {}, {}
+        buckets, buckets_mp, buckets_ad = {}, {}, {}
         for pct in (50, 20, 10, 5, 2):
             sub = emb.where((F.col("vec_id") % 1000) < pct * 10)
             if sub.count() < k:
@@ -460,9 +460,17 @@ def _extras(spark, sf_dir: str) -> dict:
             ).collect()}
             got = {r.vec_id for r in lsh_topk(
                 sub, "vec_id", "embedding", q, k, num_bits=16, bands=4,
-                select_cols=["vec_id"], min_candidates=32 * k,
+                select_cols=["vec_id"]
             ).collect()}
             buckets[f"{pct}pct"] = round(len(got & truth) / k, 4)
+            # adaptive tier (exact fallback / widened multiprobe): a NEW key
+            # — the plain key keeps its round-over-round meaning (the raw
+            # band S-curve), the guarded key records the shipped guarantee
+            got_ad = {r.vec_id for r in lsh_topk(
+                sub, "vec_id", "embedding", q, k, num_bits=16, bands=4,
+                select_cols=["vec_id"], min_candidates=32 * k,
+            ).collect()}
+            buckets_ad[f"{pct}pct"] = round(len(got_ad & truth) / k, 4)
             # the multiprobe recall knob (t=2 smallest-margin bit flips per
             # band) — recovers the selective-filter recall loss without
             # rebuilding; probes stay ≤ bands·3 bucket literals
@@ -472,6 +480,7 @@ def _extras(spark, sf_dir: str) -> dict:
             ).collect()}
             buckets_mp[f"{pct}pct"] = round(len(got_mp & truth) / k, 4)
         out["recall_at_10_lsh_by_selectivity"] = buckets
+        out["recall_at_10_lsh_min320_by_selectivity"] = buckets_ad
         out["recall_at_10_lsh_multiprobe2_by_selectivity"] = buckets_mp
 
         # the same strata for the trained memory-tier strategies (the

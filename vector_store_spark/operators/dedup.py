@@ -187,19 +187,31 @@ def identical_set_members(sets: DataFrame) -> DataFrame:
     Identical sets have identical signatures, so collapsing them changes no
     candidate decision — pairs are reconstructed exactly afterwards.
 
-    Shuffle posture: only (id, fp) pairs move (fixed 16 bytes/row — the
+    Shuffle posture: only (id, fp) pairs move (fixed 24 bytes/row — the
     shingle arrays never enter the pre-pass), and the join's build side is
     duplicate-GROUPS-sized, not corpus-sized."""
-    fps = sets.select("id", F.xxhash64(F.sort_array("hs")).alias("fp"))
+    # 128-bit effective fingerprint (two independently-seeded xxhash64 legs):
+    # a grouped pair here is emitted at jaccard 1.0 WITHOUT exact verify, so
+    # the collision budget must match content_fingerprint's 128-bit standard
+    # (one 64-bit leg expects ~n²/2⁶⁵ false merges at the 10¹²-doc posture)
+    sorted_hs = F.sort_array("hs")
+    fps = sets.select(
+        "id",
+        F.xxhash64(sorted_hs).alias("fp_a"),
+        F.xxhash64(F.lit(101), sorted_hs).alias("fp_b"),
+    )
     dup_groups = (
-        fps.groupBy("fp")
+        fps.groupBy("fp_a", "fp_b")
         .agg(F.min("id").alias("rep"), F.count("*").alias("_c"))
         .where(F.col("_c") > 1)
         .drop("_c")
     )
     # fact-fact equi-join on the fingerprint; AQE splits a skewed (mega-dup)
     # fingerprint if one appears
-    return fps.join(dup_groups.hint("SHUFFLE_HASH"), "fp").select("id", "rep")
+    return (
+        fps.join(dup_groups.hint("SHUFFLE_HASH"), ["fp_a", "fp_b"])
+        .select("id", "rep")
+    )
 
 
 def _intra_group_pairs(members: DataFrame, score: Column, score_name: str) -> DataFrame:
@@ -424,9 +436,11 @@ def simhash_pairs(
     bits_per_band = 30 // bands
     fp = docs.select(F.col(id_col).alias("id"), simhash_udf(ngram)(F.col(text_col)).alias("fp"))
     fp = fp.cache()
+    # cached: both the duplicate-membership join and the banding input (rfp)
+    # consume this distinct-fingerprint-sized aggregate
     groups = fp.groupBy("fp").agg(
         F.min("id").alias("rep"), F.count("*").alias("_c")
-    )
+    ).cache()
     # duplicate-group membership only (empty on a collision-free corpus), so
     # the intra/expand joins are no-ops in the common case
     members = (

@@ -123,13 +123,17 @@ def lsh_multiprobe_buckets(
     query: list[float], planes: list[list[float]], bands: int, t: int
 ) -> list[list[int]]:
     """Query-aware multiprobe (Lv et al., VLDB'07): per band, the primary
-    bucket plus ``t`` perturbed buckets flipping the sign bits whose
-    hyperplane margin |<q, p>| is smallest — the bits most likely to differ
-    for true near neighbors. Recovers recall lost to unlucky bucket
-    boundaries (the known LSH failure under selective filters) WITHOUT
-    rebuilding or adding hash tables: probes stay driver-side literals, the
-    candidate scan just matches ≤ 1+t buckets per band. Returns one bucket
-    list per band, primary first."""
+    bucket plus the ``t`` cheapest perturbation SETS — bit subsets ranked by
+    the total hyperplane margin Σ|<q, p>| of the flipped bits, so the probes
+    most likely to hold true near neighbors come first (a pair of
+    razor-thin margins can rank above one wide single flip, per the paper).
+    Recovers recall lost to unlucky bucket boundaries (the known LSH
+    failure under selective filters) WITHOUT rebuilding or adding hash
+    tables: probes stay driver-side literals, the candidate scan just
+    matches ≤ 1+t buckets per band; t ranges up to 2^r − 1 (full band
+    enumeration). Returns one bucket list per band, primary first."""
+    import itertools
+
     r = len(planes) // bands
     dots = [sum(x * y for x, y in zip(query, p)) for p in planes]
     bits = [1 if d > 0 else 0 for d in dots]
@@ -137,12 +141,17 @@ def lsh_multiprobe_buckets(
     for b in range(bands):
         seg = bits[b * r : (b + 1) * r]
         primary = int("".join(map(str, seg)), 2)
-        margins = sorted(
-            range(r), key=lambda i: (abs(dots[b * r + i]), i)
+        ranked = sorted(
+            (s for size in range(1, r + 1)
+             for s in itertools.combinations(range(r), size)),
+            key=lambda s: (sum(abs(dots[b * r + i]) for i in s), len(s), s),
         )[: max(0, t)]
         probes = [primary]
-        for i in margins:
-            probes.append(primary ^ (1 << (r - 1 - i)))  # bit i is MSB-first
+        for flips in ranked:
+            mask = 0
+            for i in flips:
+                mask |= 1 << (r - 1 - i)  # bit i is MSB-first
+            probes.append(primary ^ mask)
         out.append(probes)
     return out
 
@@ -416,6 +425,27 @@ def lsh_search_local(
     )
 
 
+def adaptive_multiprobe(
+    n_rows: int, num_bits: int, bands: int, multiprobe: int, min_candidates: int
+) -> int | None:
+    """Pick the multiprobe width that keeps the expected candidate pool
+    above ``min_candidates`` on a filtered set of ``n_rows`` — the LSH
+    analogue of :func:`~vector_store_spark.operators.ivf.adaptive_nprobe`.
+    Returns None when the set is at/under the floor (rank exactly instead).
+
+    Driver arithmetic under the uniform-bucket approximation: a query probes
+    (1+t) buckets in each of ``bands`` bands of width r = num_bits/bands, so
+    expected pool ≈ n·bands·(1+t)/2^r; solve for t and clamp to
+    [multiprobe, 2^r − 1] (the full band enumeration)."""
+    if n_rows <= min_candidates:
+        return None
+    import math
+
+    r = num_bits // bands
+    t = math.ceil(min_candidates * (1 << r) / (n_rows * bands)) - 1
+    return min((1 << r) - 1, max(multiprobe, t))
+
+
 def lsh_topk(
     items: DataFrame,
     id_col: str,
@@ -437,16 +467,22 @@ def lsh_topk(
 
     ``min_candidates`` is the adaptive guard of the filtered-search path
     (same contract as ivf_topk's): ``items`` is the already-filtered set
-    (T2 semantics); one count decides whether bucket probing can feed k at
-    all — a set at or under the floor is ranked exactly instead, matching
-    the reference's top-k-OF-the-filtered-set guarantee under selective
-    predicates."""
-    if min_candidates is not None and items.count() <= min_candidates:
-        return ann_topk(
-            items, vec_col, query, k,
-            space=SpaceType.COSINE, tie_break=[id_col],
-            select_cols=select_cols or [id_col], round_to=round_to,
+    (T2 semantics); one count decides the tier — exact ranking at or under
+    the floor, a WIDENED multiprobe in the band just above it (see
+    :func:`adaptive_multiprobe` — the LSH analogue of nprobe escalation, so
+    recall does not cliff at n = min_candidates + 1), untouched probing on
+    large sets."""
+    if min_candidates is not None:
+        mp_eff = adaptive_multiprobe(
+            items.count(), num_bits, bands, multiprobe, min_candidates
         )
+        if mp_eff is None:
+            return ann_topk(
+                items, vec_col, query, k,
+                space=SpaceType.COSINE, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        multiprobe = mp_eff
     planes = lsh_hyperplanes(len(query), num_bits)
     qbl = lsh_multiprobe_buckets(query, planes, bands, multiprobe)
     bucketed = items.select(

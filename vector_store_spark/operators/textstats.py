@@ -297,14 +297,16 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     # the vocab table is broadcast into the scoring join, which already pulls
     # it through the driver — collect it once (one job, no lingering cache)
-    # and derive the corpus total driver-side from the same rows
-    import math
+    # and derive the corpus total driver-side from the same rows. Arrow on
+    # both hops: toPandas out, createDataFrame(pandas) back in — a
+    # vocabulary-sized numpy log, not a py4j row loop.
+    import numpy as np
 
-    tf_rows = toks.groupBy("term").agg(F.count("*").alias("tf")).collect()
-    log_total = math.log(float(sum(r["tf"] for r in tf_rows)))
+    tf_pdf = toks.groupBy("term").agg(F.count("*").alias("tf")).toPandas()
+    tf_arr = tf_pdf["tf"].to_numpy(dtype="float64")
+    tf_pdf["logp"] = np.log(tf_arr) - np.log(tf_arr.sum())
     lp = docs.sparkSession.createDataFrame(
-        [(r["term"], math.log(float(r["tf"])) - log_total) for r in tf_rows],
-        "term string, logp double",
+        tf_pdf[["term", "logp"]], "term string, logp double"
     )
     out = (
         toks.join(F.broadcast(lp), "term")
