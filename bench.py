@@ -55,11 +55,11 @@ def main() -> int:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    # lossless per-query record FIRST (its own compact line) so truncated log
-    # captures still carry every timing; the full protocol record follows as
-    # the final line.
-    print(json.dumps({"per_query_sec": timings}, separators=(",", ":")))
-    sys.stdout.flush()
+    # a compact per-query copy goes to STDERR only (log-capture insurance);
+    # stdout carries exactly ONE JSON object — the driver parses it whole.
+    print(json.dumps({"per_query_sec": timings}, separators=(",", ":")),
+          file=sys.stderr)
+    sys.stderr.flush()
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -199,11 +199,16 @@ def _extras(spark, sf_dir: str) -> dict:
         # 8 subspaces × 256 codes = the standard one-byte-per-code PQ config
         cb_tr = pq_codebook_trained(emb, "vec_id", "embedding", 8, 256)
         out["pq_train_sec"] = round(time.perf_counter() - t0, 4)
+        # finer sub-quantizers: 16 subspaces × 256 codes (d_sub=4) — halves
+        # the per-subspace quantization error at 2× code bytes; the config
+        # that saturates the probe-coverage ceiling at rescore 8×
+        cb_tr16 = pq_codebook_trained(emb, "vec_id", "embedding", 16, 256)
 
         recalls_ivf_tr: dict[int, list] = {2: [], 4: [], 8: []}
         recalls_ivf_tr_ma2: dict[int, list] = {2: [], 4: [], 8: []}
-        recalls_pq_tr: list = []
-        recalls_pq_tr_rescored: list = []
+        recalls_pq_raw: dict[str, list] = {"8x256": [], "16x256": []}
+        recalls_pq_tr_r8: list = []
+        recalls_pq_tr16_r4: list = []
         for seed in (7, 13, 21, 33):
             q = det_query_vector(seed, 64)
             truth = {r.vec_id for r in ann_topk(
@@ -226,14 +231,21 @@ def _extras(spark, sf_dir: str) -> dict:
                 emb, "embedding", q, k, space=SpaceType.EUCLIDEAN,
                 tie_break=["vec_id"], select_cols=["vec_id"],
             ).collect()}
-            pq_tr = {r.vec_id for r in pq_topk(
-                emb, "vec_id", "embedding", q, k, m_sub=8, codebook=cb_tr
+            for cfg, (ms, cbk) in {"8x256": (8, cb_tr), "16x256": (16, cb_tr16)}.items():
+                raw = {r.vec_id for r in pq_topk(
+                    emb, "vec_id", "embedding", q, k, m_sub=ms, codebook=cbk
+                ).collect()}
+                recalls_pq_raw[cfg].append(len(raw & truth_l2) / k)
+            # served configs: rescoring restores full-precision ranking
+            # (the reference contract, quantization_and_rescoring.rs:117-256)
+            pq_r8 = {r.vec_id for r in pq_topk(
+                emb, "vec_id", "embedding", q, k, m_sub=8, codebook=cb_tr, rescore=8
             ).collect()}
-            recalls_pq_tr.append(len(pq_tr & truth_l2) / k)
-            pq_rr = {r.vec_id for r in pq_topk(
-                emb, "vec_id", "embedding", q, k, m_sub=8, codebook=cb_tr, rescore=4
+            recalls_pq_tr_r8.append(len(pq_r8 & truth_l2) / k)
+            pq16_r4 = {r.vec_id for r in pq_topk(
+                emb, "vec_id", "embedding", q, k, m_sub=16, codebook=cb_tr16, rescore=4
             ).collect()}
-            recalls_pq_tr_rescored.append(len(pq_rr & truth_l2) / k)
+            recalls_pq_tr16_r4.append(len(pq16_r4 & truth_l2) / k)
         out["recall_at_10_ivf_trained_by_nprobe"] = {
             str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_ivf_tr.items()
         }
@@ -241,11 +253,15 @@ def _extras(spark, sf_dir: str) -> dict:
             str(np_): round(sum(rs) / len(rs), 4)
             for np_, rs in recalls_ivf_tr_ma2.items()
         }
-        out["recall_at_10_pq_trained_8x256"] = round(
-            sum(recalls_pq_tr) / len(recalls_pq_tr), 4
+        # raw-ADC curve (diagnostic — why the served path always rescores)
+        out["recall_at_10_pq_raw_adc_by_config"] = {
+            cfg: round(sum(rs) / len(rs), 4) for cfg, rs in recalls_pq_raw.items()
+        }
+        out["recall_at_10_pq_trained_8x256_rescored_8x"] = round(
+            sum(recalls_pq_tr_r8) / len(recalls_pq_tr_r8), 4
         )
-        out["recall_at_10_pq_trained_8x256_rescored_4x"] = round(
-            sum(recalls_pq_tr_rescored) / len(recalls_pq_tr_rescored), 4
+        out["recall_at_10_pq_trained_16x256_rescored_4x"] = round(
+            sum(recalls_pq_tr16_r4) / len(recalls_pq_tr16_r4), 4
         )
 
         # IVF-PQ composition, trained + ma2 + rescore: the full memory-tier
@@ -264,12 +280,12 @@ def _extras(spark, sf_dir: str) -> dict:
             ).collect()}
             for nprobe in recalls_ivfpq:
                 got = {r.vec_id for r in ivfpq_topk(
-                    emb, "vec_id", "embedding", q, k, nprobe=nprobe,
-                    centroids=cents_l2, codebook=cb_tr, n_assign=2, rescore=8,
+                    emb, "vec_id", "embedding", q, k, nprobe=nprobe, m_sub=16,
+                    centroids=cents_l2, codebook=cb_tr16, n_assign=2, rescore=8,
                     select_cols=["vec_id"],
                 ).collect()}
                 recalls_ivfpq[nprobe].append(len(got & truth_l2) / k)
-        out["recall_at_10_ivfpq_trained_ma2_rescored8x_by_nprobe"] = {
+        out["recall_at_10_ivfpq_trained_16x256_ma2_rescored8x_by_nprobe"] = {
             str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_ivfpq.items()
         }
 
@@ -280,8 +296,11 @@ def _extras(spark, sf_dir: str) -> dict:
             ivfpq_residual_topk,
         )
 
+        # finer residual sub-quantizers + in-distribution training: the
+        # sample's residuals cover BOTH multiple-assignment centroids
+        # (train_n_assign matches the search-time n_assign=2)
         cb_res = ivfpq_residual_codebook_trained(
-            emb, "vec_id", "embedding", cents_l2, 8, 256
+            emb, "vec_id", "embedding", cents_l2, 16, 256, train_n_assign=2
         )
         recalls_res: dict[int, list] = {4: [], 8: []}
         for seed in (7, 13, 21, 33):
@@ -292,12 +311,12 @@ def _extras(spark, sf_dir: str) -> dict:
             ).collect()}
             for nprobe in recalls_res:
                 got = {r.vec_id for r in ivfpq_residual_topk(
-                    emb, "vec_id", "embedding", q, k, nprobe=nprobe,
+                    emb, "vec_id", "embedding", q, k, nprobe=nprobe, m_sub=16,
                     centroids=cents_l2, codebook=cb_res, n_assign=2, rescore=8,
                     select_cols=["vec_id"],
                 ).collect()}
                 recalls_res[nprobe].append(len(got & truth_l2) / k)
-        out["recall_at_10_ivfpq_residual_trained_ma2_rescored8x_by_nprobe"] = {
+        out["recall_at_10_ivfpq_residual_trained_16x256_ma2_rescored8x_by_nprobe"] = {
             str(np_): round(sum(rs) / len(rs), 4) for np_, rs in recalls_res.items()
         }
     except Exception as ex:

@@ -297,6 +297,12 @@ def test_connected_components_mega_component_capped(spark):
     g = groups[0]
     assert g.group_id == 0 and g.group_size == n
     assert len(g.member_ids) == 64 and g.member_ids == list(range(64))
+    assert g.truncated is True  # capped rows are explicitly marked
+    # an under-cap group is complete and says so
+    small = dedup_connected_components(
+        spark.createDataFrame([(10, 11)], ["id_a", "id_b"]), max_members=64
+    ).collect()[0]
+    assert small.truncated is False and small.member_ids == [10, 11]
     members = dedup_component_members(pairs)
     assert members.count() == n
     assert members.agg(F.min("group_id"), F.max("group_id")).collect()[0] == (0, 0)

@@ -386,6 +386,15 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     sets = shingle_sets(docs, id_col, text_col, n)
     members = identical_set_members(sets).cache()
+    # one narrow driver-side probe on the cached membership frame decides
+    # the plan: a duplicate-free corpus (the common clean-data case) skips
+    # the intra/drop/expand joins entirely — the hardening then costs this
+    # probe and nothing else
+    has_dups = bool(members.head(1))
+    if not has_dups:
+        members.unpersist()
+        cands = minhash_band_candidates(sets, num_hashes, bands, max_bucket_width)
+        return _verify_jaccard_pairs(cands, sets, threshold)
     intra = _intra_group_pairs(members, F.lit(1.0), "jaccard")
     # non-representative duplicates leave the banding path on the NARROW
     # signature frame (drop_ids inside minhash_band_candidates) — the fat
@@ -396,7 +405,17 @@ def minhash_lsh_pairs(
     )
     # exact verify on the (representative) candidate set; keying the full
     # sets frame is fine — candidate ids are representatives by construction
-    rep_pairs = (
+    rep_pairs = _verify_jaccard_pairs(cands, sets, threshold)
+    # NB ``members`` stays cached: the returned plan consumes it in the
+    # intra + expand joins. Caller owns the cache lifetime (same contract
+    # as shingle_sets) — unpersist after materializing the result.
+    return intra.unionByName(_expand_rep_pairs(rep_pairs, members, "jaccard"))
+
+
+def _verify_jaccard_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of (id_a, id_b) candidates against the shingle
+    sets — the shared final stage of both minhash_lsh_pairs plans."""
+    return (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
         .withColumn("shared", F.size(F.array_intersect("hs_a", "hs_b")))
@@ -407,7 +426,6 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return intra.unionByName(_expand_rep_pairs(rep_pairs, members, "jaccard"))
 
 
 def simhash_pairs(
@@ -441,14 +459,19 @@ def simhash_pairs(
     groups = fp.groupBy("fp").agg(
         F.min("id").alias("rep"), F.count("*").alias("_c")
     ).cache()
-    # duplicate-group membership only (empty on a collision-free corpus), so
-    # the intra/expand joins are no-ops in the common case
-    members = (
-        fp.join(groups.where(F.col("_c") > 1).drop("_c").hint("SHUFFLE_HASH"), "fp")
-        .select("id", "rep")
-        .cache()
-    )
-    intra = _intra_group_pairs(members, F.lit(0), "hamming")
+    # one narrow driver-side probe on the cached groups frame decides the
+    # plan: a collision-free corpus (no two docs share a fingerprint) skips
+    # the membership/intra/expand joins entirely
+    dup_groups = groups.where(F.col("_c") > 1).drop("_c")
+    has_dups = bool(dup_groups.head(1))
+    members = None
+    if has_dups:
+        members = (
+            fp.join(dup_groups.hint("SHUFFLE_HASH"), "fp")
+            .select("id", "rep")
+            .cache()
+        )
+        intra = _intra_group_pairs(members, F.lit(0), "hamming")
     rfp = groups.select(F.col("rep").alias("id"), "fp")
     chunks = rfp.select(
         "id", "fp",
@@ -484,6 +507,10 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if members is None:
+        return rep_pairs
+    # ``fp``/``groups``/``members`` stay cached: the returned plan consumes
+    # them (caller owns the cache lifetime, as with shingle_sets)
     return intra.unionByName(_expand_rep_pairs(rep_pairs, members, "hamming"))
 
 
@@ -700,18 +727,22 @@ def dedup_connected_components(
     Returns (group_id = min member id, group_size, member_ids sorted and
     CAPPED at ``max_members`` — the cap bounds the widest row a degenerate
     mega-component (all-boilerplate corpus) can produce; group_size is
-    always the true count. For the uncapped, unbounded-scale row form use
-    ``dedup_component_members``."""
+    always the true count, and ``truncated`` is true exactly on capped rows
+    so a partial member list is never mistaken for a complete one. For the
+    uncapped, unbounded-scale row form use ``dedup_component_members``."""
     members = dedup_component_members(pairs, id_a, id_b, max_iter)
     from pyspark.sql import Window
 
     w = Window.partitionBy("group_id").orderBy("member_id")
     ranked = members.withColumn("_rn", F.row_number().over(w))
-    return ranked.groupBy("group_id").agg(
+    out = ranked.groupBy("group_id").agg(
         F.count("*").alias("group_size"),
         F.sort_array(
             F.collect_list(F.when(F.col("_rn") <= max_members, F.col("member_id")))
         ).alias("member_ids"),
+    )
+    return out.withColumn(
+        "truncated", F.col("group_size") > F.size("member_ids")
     )
 
 

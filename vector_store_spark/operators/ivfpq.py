@@ -337,12 +337,26 @@ def ivfpq_residual_topk(
     )
     probes = ivf_probe(cents, query, nprobe, space=SpaceType.EUCLIDEAN)
     cand = assigned.where(F.col("cluster").isin(probes))
-    if n_assign > 1:
-        cand = cand.dropDuplicates([id_col])
     cand = cand.withColumn(
         "_res",
         residual_expr_udf(cents)(F.col("cluster"), F.col(vec_col).cast("array<double>")),
     )
+    if n_assign > 1:
+        # keep ONE replica per id, deterministically the best-quantized one:
+        # the smallest-residual copy (= nearest probed centroid; ties by
+        # cluster). A bare dropDuplicates could keep a 2nd-assignment replica
+        # whose larger residual quantizes worse — same shuffle, better ADC.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.aggregate("_res", F.lit(0.0), lambda s, x: s + x * x).asc(),
+            F.col("cluster").asc(),
+        )
+        cand = (
+            cand.withColumn("_rep_rn", F.row_number().over(w))
+            .where(F.col("_rep_rn") == 1)
+            .drop("_rep_rn")
+        )
     encoded = pq_encode(cand, "_res", cb)
 
     q = np.asarray(query, dtype=np.float64)
@@ -389,18 +403,28 @@ def ivfpq_residual_codebook_trained(
     seed: int = 42,
     n_iter: int = 25,
     sample_rows: int = 16384,
+    train_n_assign: int = 1,
 ) -> np.ndarray:
     """Data-adaptive residual codebook: per-subspace Lloyd k-means over the
     residuals of a deterministic sample (same train-on-sample recipe as
-    pq_codebook_trained, applied to v − centroid(v))."""
+    pq_codebook_trained, applied to v − centroid(v)).
+
+    ``train_n_assign > 1`` trains on residuals to each of the top-n nearest
+    centroids (the sample is stacked n×): when the index is built with
+    FLANN-style multiple assignment, replica rows encode residuals to their
+    2nd..n-th centroid, which are larger and out-of-distribution for a
+    codebook trained only on nearest-centroid residuals — match this to the
+    search-time ``n_assign`` so every stored code is in-distribution."""
     rows = (
         items.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     )
     mat = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
     cmat = np.array([v for _, v in centroids], dtype=np.float64)
     c2 = (cmat * cmat).sum(axis=1)
-    assign = np.argmax(2.0 * (mat @ cmat.T) - c2[None, :], axis=1)
-    res = mat - cmat[assign]
+    d2 = c2[None, :] - 2.0 * (mat @ cmat.T)  # + ||v||², constant per row
+    na = max(1, min(train_n_assign, cmat.shape[0]))
+    top = np.argsort(d2, axis=1, kind="stable")[:, :na]
+    res = np.concatenate([mat - cmat[top[:, a]] for a in range(na)], axis=0)
     dims = res.shape[1]
     if dims % m_sub:
         raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")

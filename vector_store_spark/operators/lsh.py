@@ -131,9 +131,13 @@ def lsh_multiprobe_buckets(
     failure under selective filters) WITHOUT rebuilding or adding hash
     tables: probes stay driver-side literals, the candidate scan just
     matches ≤ 1+t buckets per band; t ranges up to 2^r − 1 (full band
-    enumeration). Returns one bucket list per band, primary first."""
-    import itertools
+    enumeration). Returns one bucket list per band, primary first.
 
+    The t cheapest perturbation sets are generated with the paper's
+    best-first heap expansion (shift/expand successors over margin-sorted
+    bits), NOT a full 2^r enumeration — O(t·r log t) per band, so wide
+    bands (r=32 → ~4B subsets) stay cheap, and t<=0 skips the walk
+    entirely (the default lsh_topk/lsh_search path)."""
     r = len(planes) // bands
     dots = [sum(x * y for x, y in zip(query, p)) for p in planes]
     bits = [1 if d > 0 else 0 for d in dots]
@@ -141,19 +145,50 @@ def lsh_multiprobe_buckets(
     for b in range(bands):
         seg = bits[b * r : (b + 1) * r]
         primary = int("".join(map(str, seg)), 2)
-        ranked = sorted(
-            (s for size in range(1, r + 1)
-             for s in itertools.combinations(range(r), size)),
-            key=lambda s: (sum(abs(dots[b * r + i]) for i in s), len(s), s),
-        )[: max(0, t)]
         probes = [primary]
-        for flips in ranked:
-            mask = 0
-            for i in flips:
-                mask |= 1 << (r - 1 - i)  # bit i is MSB-first
-            probes.append(primary ^ mask)
+        if t > 0:
+            for flips in _cheapest_flip_sets(
+                [abs(dots[b * r + i]) for i in range(r)], t
+            ):
+                mask = 0
+                for i in flips:
+                    mask |= 1 << (r - 1 - i)  # bit i is MSB-first
+                probes.append(primary ^ mask)
         out.append(probes)
     return out
+
+
+def _cheapest_flip_sets(costs: list[float], t: int) -> list[tuple[int, ...]]:
+    """The ``t`` non-empty subsets of ``range(len(costs))`` with the smallest
+    total cost, in (sum, len, subset) order — Lv et al.'s shift/expand
+    successor walk over cost-sorted positions, each subset generated once
+    from a parent of no greater sum, so a heap pop sequence is globally
+    sum-ordered without materializing the 2^r lattice."""
+    import heapq
+
+    r = len(costs)
+    if r == 0 or t <= 0:
+        return []
+    order = sorted(range(r), key=lambda i: (costs[i], i))
+    csorted = [costs[i] for i in order]
+
+    def key(state: tuple[int, ...]):
+        orig = tuple(sorted(order[p] for p in state))
+        return (sum(csorted[p] for p in state), len(state), orig), orig
+
+    heap = []
+    k0, o0 = key((0,))
+    heapq.heappush(heap, (k0, (0,), o0))
+    picked: list[tuple[int, ...]] = []
+    while heap and len(picked) < t:
+        _, state, orig = heapq.heappop(heap)
+        picked.append(orig)
+        m = state[-1]
+        if m + 1 < r:
+            for nxt in (state[:-1] + (m + 1,), state + (m + 1,)):  # shift, expand
+                kn, on = key(nxt)
+                heapq.heappush(heap, (kn, nxt, on))
+    return picked
 
 
 def lsh_build(

@@ -116,8 +116,13 @@ SELECT id_a, id_b, round(j, {ROUND}) AS jaccard FROM ver WHERE j >= 0.8
 )
 def dedup_minhash_lsh(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
+    # max_bucket_width=None: the DuckDB oracle's banding is exhaustive, so
+    # the engine side must be too — the hot-bucket salting cap could
+    # otherwise silently drop candidate pairs at scale factors where a band
+    # bucket exceeds the cap, breaking engine-vs-oracle parity
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
+        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8,
+        max_bucket_width=None,
     )
     return pairs.withColumn("jaccard", F.round("jaccard", ROUND))
 
@@ -141,7 +146,11 @@ WHERE bit_count(xor(a.f, b.f)) <= 2
 )
 def dedup_simhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=2, bands=3, ngram=3)
+    # max_bucket_width=None: exhaustive banding to match the exhaustive oracle
+    return simhash_pairs(
+        docs, "doc_id", "text", max_hamming=2, bands=3, ngram=3,
+        max_bucket_width=None,
+    )
 
 
 @register(
@@ -288,8 +297,10 @@ def dedup_groups_minhash(spark, sf_dir):
     from vector_store_spark.operators.dedup import dedup_component_members
 
     docs = load(spark, sf_dir, "documents")
+    # exhaustive banding (oracle parity — see dedup_minhash_lsh)
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
+        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8,
+        max_bucket_width=None,
     )
     members = dedup_component_members(pairs)
     return members.withColumn(
@@ -348,8 +359,10 @@ def dedup_drop_list(spark, sf_dir):
     from vector_store_spark.operators.dedup import dedup_component_members
 
     docs = load(spark, sf_dir, "documents")
+    # exhaustive banding (oracle parity — see dedup_minhash_lsh)
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8
+        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8,
+        max_bucket_width=None,
     )
     drops = (
         dedup_component_members(pairs)
