@@ -366,6 +366,14 @@ def test_compact_reclaims_tombstones(spark, items, tmp_path):
     assert gotf == _exact(final, Q, 5, pred)
     # idempotent: nothing left above threshold
     assert hnsw_compact(spark, path, min_deleted_frac=0.2) == []
+    # the sidecar dead census (the free driver-side trigger) tracks every
+    # blob write: all-live after the rebuild, and n matches the blobs
+    import json
+
+    with open(os.path.join(path, "_hnsw_meta.json")) as f:
+        stats = json.load(f)["dead_stats"]
+    assert {int(s): v[0] for s, v in stats.items()} == post
+    assert all(v[1] == 0 for v in stats.values())
 
 
 def test_i8_quantized_graph_rescore(spark, items, tmp_path):

@@ -726,3 +726,93 @@ def test_lsh_filtered_adaptive_exact_fallback(emb):
         select_cols=["vec_id"], min_candidates=320,
     ).collect()}
     assert got == truth
+
+
+def test_lsh_persisted_filtered_adaptive(spark, emb, tmp_path):
+    """Persisted-LSH twin of the adaptive guard: exact tier under
+    min_candidates, escalated multiprobe above it (count-then-tier as in
+    ivf_search)."""
+    from vector_store_spark.operators.lsh import lsh_build, lsh_search
+
+    path = str(tmp_path / "lsh_adaptive")
+    lsh_build(emb, "vec_id", "embedding", path, num_bits=16, bands=4)
+    q = det_query_vector(13, 64)
+    pred = F.col("vec_id") % 17 == 0  # ~6 % of rows: under min_candidates
+    truth = {r.vec_id for r in ann_topk(
+        emb.where(pred), "embedding", q, 10,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()}
+    got = {r.vec_id for r in lsh_search(
+        spark, path, "vec_id", "embedding", q, 10,
+        predicate=pred, min_candidates=100, select_cols=["vec_id"],
+    ).collect()}
+    assert got == truth
+    # escalation tier: filtered set above the floor -> multiprobe widens,
+    # candidates are a superset of the unguarded probe's
+    pred_wide = F.col("vec_id") % 2 == 0
+    plain = {r.vec_id for r in lsh_search(
+        spark, path, "vec_id", "embedding", q, 10,
+        predicate=pred_wide, select_cols=["vec_id"],
+    ).collect()}
+    wide_truth = {r.vec_id for r in ann_topk(
+        emb.where(pred_wide), "embedding", q, 10,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()}
+    guarded = {r.vec_id for r in lsh_search(
+        spark, path, "vec_id", "embedding", q, 10,
+        predicate=pred_wide, min_candidates=64, select_cols=["vec_id"],
+    ).collect()}
+    assert len(guarded & wide_truth) >= len(plain & wide_truth)
+
+
+def test_ivfpq_persisted_filtered_adaptive(spark, emb, tmp_path):
+    """IVF-PQ twin: the exact tier back-joins filtered ids to the source
+    vectors and ranks by TRUE L2 (no ADC error in the result)."""
+    from vector_store_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+
+    path = str(tmp_path / "ivfpq_adaptive")
+    ivfpq_build(emb, "vec_id", "embedding", path, k_centroids=8,
+                filtering_cols=["label"])
+    q = det_query_vector(13, 64)
+    pred = F.col("vec_id") % 17 == 0
+    truth = {r.vec_id for r in ann_topk(
+        emb.where(pred), "embedding", q, 10, space=SpaceType.EUCLIDEAN,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()}
+    got = {r.vec_id for r in ivfpq_search(
+        spark, path, emb, "vec_id", "embedding", q, 10, nprobe=2,
+        predicate=pred, min_candidates=100, select_cols=["vec_id"],
+    ).collect()}
+    assert got == truth
+
+
+def test_local_filtered_adaptive(spark, emb, tmp_path):
+    """Local sub-index twins: the partition Eq composes into the count scan
+    and the exact fallback for both the IVF and LSH local layouts."""
+    from vector_store_spark.operators.ivf import ivf_build_local, ivf_search_local
+    from vector_store_spark.operators.lsh import lsh_build_local, lsh_search_local
+
+    q = det_query_vector(13, 64)
+    part = 3
+    pred = F.col("vec_id") % 3 == 0
+    sub = emb.where((F.col("label") == part) & pred)
+    truth = {r.vec_id for r in ann_topk(
+        sub, "embedding", q, 10, tie_break=["vec_id"], select_cols=["vec_id"]
+    ).collect()}
+
+    ipath = str(tmp_path / "ivf_local_adaptive")
+    ivf_build_local(emb, "label", "vec_id", "embedding", ipath, k_centroids=4)
+    got_ivf = {r.vec_id for r in ivf_search_local(
+        spark, ipath, part, "vec_id", "embedding", q, 10, nprobe=2,
+        predicate=pred, min_candidates=320, select_cols=["vec_id"],
+    ).collect()}
+    assert got_ivf == truth
+
+    lpath = str(tmp_path / "lsh_local_adaptive")
+    lsh_build_local(emb, "label", "vec_id", "embedding", lpath,
+                    num_bits=16, bands=4)
+    got_lsh = {r.vec_id for r in lsh_search_local(
+        spark, lpath, part, "vec_id", "embedding", q, 10,
+        predicate=pred, min_candidates=320, select_cols=["vec_id"],
+    ).collect()}
+    assert got_lsh == truth

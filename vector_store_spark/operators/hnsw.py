@@ -572,6 +572,13 @@ def hnsw_build(
     if part_map is not None:
         meta["part_col"] = part_col
         meta["partitions"] = [[v, i] for v, i in part_map.items()]
+    # seed the per-slice tombstone census (all live at build time): a tiny
+    # pruned read-back of (slice, n) — blob columns never load
+    meta["dead_stats"] = {
+        str(r["slice"]): [int(r["n"]), 0]
+        for r in items.sparkSession.read.parquet(os.path.join(path, "graph"))
+        .select("slice", "n").collect()
+    }
     with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -601,6 +608,41 @@ def _validate_space_quant(space: SpaceType, quantization: str) -> None:
 def _read_meta(path: str) -> dict:
     with open(os.path.join(path, "_hnsw_meta.json")) as f:
         return json.load(f)
+
+
+def _dead_stats_from_blobs(blobs: DataFrame) -> dict:
+    """{slice: [n, dead]} for every slice in a blob frame — the popcount
+    runs executor-side over the (usually cached) blobs, only one tiny row
+    per slice comes back."""
+    import pandas as pd
+
+    def counts(iterator):
+        for pdf in iterator:
+            yield pd.DataFrame({
+                "slice": pdf["slice"],
+                "n": pdf["n"],
+                "dead": [int(np.frombuffer(b, dtype=np.uint8).sum())
+                         for b in pdf["deleted"]],
+            })
+
+    return {
+        int(r["slice"]): [int(r["n"]), int(r["dead"])]
+        for r in blobs.select("slice", "n", "deleted")
+        .mapInPandas(counts, "slice int, n int, dead long").collect()
+    }
+
+
+def _update_dead_stats(path: str, meta: dict, updates: dict) -> None:
+    """Merge per-slice {slice: [n, dead]} updates into the sidecar's
+    ``dead_stats`` and persist the meta. Every blob write keeps the stats
+    current, so the compaction TRIGGER (hnsw_compact's per-slice dead
+    fraction) is driver-side arithmetic on the sidecar — no graph scan —
+    and a maintenance loop can poll it per batch for free."""
+    stats = {int(k): list(v) for k, v in meta.get("dead_stats", {}).items()}
+    stats.update({int(k): list(v) for k, v in updates.items()})
+    meta["dead_stats"] = {str(k): v for k, v in sorted(stats.items())}
+    with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
+        json.dump(meta, f)
 
 
 def _rm_emptied_partitions(spark, base: str, touched, written: DataFrame) -> None:
@@ -1098,8 +1140,15 @@ def hnsw_upsert(
     # materialize before overwriting the directory the plan reads from
     out = out.cache()
     out.count()
+    # census the touched slices' tombstones from the cached blobs BEFORE
+    # the overwrite (writing the graph path uncaches every plan that reads
+    # it — a post-write pass would recompute the upsert against the NEW
+    # directory and double-count); one tiny job, then the compaction
+    # trigger stays free driver arithmetic
+    new_stats = _dead_stats_from_blobs(out)
     out.write.partitionBy("slice").mode("overwrite").parquet(
         os.path.join(path, "graph"))
+    _update_dead_stats(path, meta, new_stats)
     out.unpersist()
 
     # payload rows for the new nodes: node index continues after each
@@ -1172,19 +1221,29 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
 
     graph_all = spark.read.parquet(os.path.join(path, "graph"))
 
-    def dead_counts(iterator):
-        for pdf in iterator:
-            yield pd.DataFrame({
-                "slice": pdf["slice"],
-                "n": pdf["n"],
-                "dead": [int(np.frombuffer(b, dtype=np.uint8).sum())
-                         for b in pdf["deleted"]],
-            })
+    # compaction TRIGGER: driver-side arithmetic on the sidecar census that
+    # every blob write (build/upsert/tombstone/compact) keeps current — a
+    # maintenance loop can call this per batch and pay nothing until a
+    # slice actually crosses the garbage threshold. Indexes written before
+    # the census existed fall back to one pruned graph scan.
+    stats = meta.get("dead_stats")
+    if stats:
+        fracs = [{"slice": int(s), "n": n, "dead": dead}
+                 for s, (n, dead) in stats.items()]
+    else:
+        def dead_counts(iterator):
+            for pdf in iterator:
+                yield pd.DataFrame({
+                    "slice": pdf["slice"],
+                    "n": pdf["n"],
+                    "dead": [int(np.frombuffer(b, dtype=np.uint8).sum())
+                             for b in pdf["deleted"]],
+                })
 
-    # select BEFORE the UDF so parquet column pruning skips the big blob
-    # columns (vecs/nbr_flat dominate the bytes; the census needs 3 smalls)
-    fracs = graph_all.select("slice", "n", "deleted").mapInPandas(
-        dead_counts, "slice int, n int, dead long").collect()
+        # select BEFORE the UDF so parquet column pruning skips the big blob
+        # columns (vecs/nbr_flat dominate the bytes; the census needs 3 smalls)
+        fracs = graph_all.select("slice", "n", "deleted").mapInPandas(
+            dead_counts, "slice int, n int, dead long").collect()
     todo = sorted(r["slice"] for r in fracs
                   if r["n"] > 0 and r["dead"] / r["n"] >= min_deleted_frac)
     if not todo:
@@ -1217,8 +1276,12 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
     out = graph.groupBy("slice").applyInPandas(rebuild, _GRAPH_SCHEMA)
     out = out.cache()
     out.count()
+    # census BEFORE the overwrite (the write uncaches plans reading the
+    # graph path); rebuilt slices are all-live again
+    new_stats = _dead_stats_from_blobs(out)
     out.write.partitionBy("slice").mode("overwrite").parquet(
         os.path.join(path, "graph"))
+    _update_dead_stats(path, meta, new_stats)
     out.unpersist()
 
     # renumber the touched slices' payload: live nodes sorted by id get
@@ -1278,8 +1341,12 @@ def _tombstone_only_df(spark, path: str, meta: dict, rem: DataFrame) -> None:
         mark, _GRAPH_SCHEMA)
     out = out.cache()
     out.count()
+    # census BEFORE the overwrite (the write uncaches plans reading the
+    # graph path)
+    new_stats = _dead_stats_from_blobs(out)
     out.write.partitionBy("slice").mode("overwrite").parquet(
         os.path.join(path, "graph"))
+    _update_dead_stats(path, meta, new_stats)
     out.unpersist()
 
     pay = spark.read.parquet(os.path.join(path, "payload")).where(
@@ -1326,8 +1393,12 @@ def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:
     out = graph.groupBy("slice").applyInPandas(mark, _GRAPH_SCHEMA)
     out = out.cache()
     out.count()
+    # census BEFORE the overwrite (the write uncaches plans reading the
+    # graph path)
+    new_stats = _dead_stats_from_blobs(out)
     out.write.partitionBy("slice").mode("overwrite").parquet(
         os.path.join(path, "graph"))
+    _update_dead_stats(path, meta, new_stats)
     out.unpersist()
 
     pay = spark.read.parquet(os.path.join(path, "payload")).where(

@@ -497,13 +497,19 @@ def ivf_search_local(
     select_cols: list[str] | None = None,
     round_to: int | None = None,
     predicate=None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query ONE partition's sub-index: probe that partition's own centroids
     (driver-side, metadata-sized), scan only (part, probed clusters)
     directories — the partition Eq AND the cluster probe are both partition
     pruning — then exact re-rank. The local twin of ivf_search; ``predicate``
     adds a residual payload filter (pushed, composing with both pruning
-    levels) for restricted local search."""
+    levels) for restricted local search.
+
+    ``min_candidates`` (with a predicate) arms the adaptive probe over the
+    PARTITION's filtered rows — the same count-then-tier contract as
+    ivf_search, with the partition Eq composed into both the count scan and
+    the exact fallback."""
     import json
     import os
 
@@ -517,6 +523,19 @@ def ivf_search_local(
             break
     if cents is None:
         raise KeyError(f"no sub-index for partition {part_value!r}")
+    if min_candidates is not None and predicate is not None:
+        part_eq = F.col(meta["part_col"]) == part_value
+        filtered = spark.read.parquet(path).where(part_eq & predicate)
+        np_eff = adaptive_nprobe(
+            filtered.count(), len(cents), nprobe, min_candidates
+        )
+        if np_eff is None:
+            return ann_topk(
+                filtered, vec_col, query, k,
+                space=space, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        nprobe = np_eff
     probes = ivf_probe(cents, query, nprobe, space=space)
     candidates = spark.read.parquet(path).where(
         (F.col(meta["part_col"]) == part_value) & F.col("cluster").isin(probes)

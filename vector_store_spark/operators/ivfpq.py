@@ -175,6 +175,7 @@ def ivfpq_search(
     select_cols: list | None = None,
     round_to: int | None = None,
     predicate=None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: probe the sidecar centroids (driver-
     side), scan ONLY the probed cluster directories' (id, pq_code) rows
@@ -185,14 +186,53 @@ def ivfpq_search(
 
     ``predicate`` filters the pruned code scan (over columns the build stored
     via ``filtering_cols``) BEFORE ADC — restricted ANN on the memory tier,
-    top-k OF the filtered candidates (T2)."""
+    top-k OF the filtered candidates (T2).
+
+    ``min_candidates`` (with a predicate) arms the adaptive probe — the same
+    count-then-tier contract as ivf.ivf_search: one pushed, column-pruned
+    count of the filtered code rows decides between exact ranking (the
+    filtered ids back-join to the source vectors — a min_candidates-bounded,
+    broadcastable set — and rank by true distance, the reference's
+    restricted-search guarantee) and an escalated nprobe."""
     import json
     import os
+
+    from vector_store_spark.operators.ivf import adaptive_nprobe
 
     with open(os.path.join(path, "_ivfpq_meta.json")) as f:
         meta = json.load(f)
     cents = [(cid, cv) for cid, cv in meta["centroids"]]
     cb = np.asarray(meta["codebook"], dtype=np.float64)
+    if min_candidates is not None and predicate is not None:
+        filtered = spark.read.parquet(path).where(predicate)
+        if meta["n_assign"] > 1:
+            filtered = filtered.dropDuplicates([id_col])
+        n_filtered = filtered.count()
+        np_eff = adaptive_nprobe(
+            n_filtered, meta["k_centroids"], nprobe, min_candidates
+        )
+        if np_eff is None:
+            from vector_store_spark.functions.distance import (
+                distance_expr,
+                vector_lit,
+            )
+
+            exact = distance_expr(
+                SpaceType.EUCLIDEAN,
+                F.col(vec_col).cast("array<double>"),
+                vector_lit(query),
+            )
+            if round_to is not None:
+                exact = F.round(exact, round_to)
+            cols = select_cols or [id_col]
+            back = items.join(F.broadcast(filtered.select(id_col)), id_col)
+            return (
+                back.withColumn("distance", exact)
+                .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+                .limit(k)
+                .select(*cols, "distance")
+            )
+        nprobe = np_eff
     probes = ivf_probe(cents, query, nprobe, space=SpaceType.EUCLIDEAN)
     cand = spark.read.parquet(path).where(F.col("cluster").isin(probes))
     if predicate is not None:

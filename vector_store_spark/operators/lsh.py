@@ -326,6 +326,7 @@ def lsh_search(
     round_to: int | None = None,
     predicate=None,
     multiprobe: int = 0,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query a persisted LSH index: compute the query's band buckets
     driver-side (metadata-sized), scan ONLY the matching (band, bucket)
@@ -339,13 +340,43 @@ def lsh_search(
     band/bucket partition pruning; the top-k is of the filtered candidate
     set (T2). ``multiprobe`` adds t perturbed buckets per band
     (lsh_multiprobe_buckets) — the recall knob for selective filters,
-    still pure partition pruning (≤ bands·(1+t) directories)."""
+    still pure partition pruning (≤ bands·(1+t) directories).
+
+    ``min_candidates`` (with a predicate) arms the adaptive probe — the
+    same count-then-tier contract as ivf.ivf_search: one pushed,
+    column-pruned count of the filtered index (band 0 only, so each item
+    counts once) decides between exact ranking over the filtered rows
+    (highly selective predicate — the reference's restricted-search
+    guarantee, top-k OF the filtered set) and an escalated multiprobe
+    width (see :func:`adaptive_multiprobe`)."""
     import json
     import os
 
     with open(os.path.join(path, "_lsh_meta.json")) as f:
         meta = json.load(f)
     planes = lsh_hyperplanes(meta["dims"], meta["num_bits"], meta["seed"])
+    if min_candidates is not None and predicate is not None:
+        # every item is stored once per band: band 0 alone is one full copy,
+        # so the count scan prunes to 1/bands of the layout and needs no
+        # distinct
+        n_filtered = (
+            spark.read.parquet(path)
+            .where((F.col("band") == 0) & predicate)
+            .count()
+        )
+        mp_eff = adaptive_multiprobe(
+            n_filtered, meta["num_bits"], meta["bands"], multiprobe, min_candidates
+        )
+        if mp_eff is None:
+            filtered = spark.read.parquet(path).where(
+                (F.col("band") == 0) & predicate
+            )
+            return ann_topk(
+                filtered, vec_col, query, k,
+                space=SpaceType.COSINE, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        multiprobe = mp_eff
     qbl = lsh_multiprobe_buckets(query, planes, meta["bands"], multiprobe)
     cond = None
     for b, qvs in enumerate(qbl):
@@ -429,19 +460,44 @@ def lsh_search_local(
     round_to: int | None = None,
     predicate=None,
     multiprobe: int = 0,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query ONE partition's LSH sub-index: the partition Eq and the band
     probe prune directories (PartitionFilters), the bucket probe is a
     pushed filter answered by row-group stats on the bucket-sorted files,
     then cross-band dedupe and exact cosine re-rank. ``predicate`` adds a
     pushed residual payload filter (restricted local search, T2);
-    ``multiprobe`` widens the bucket probe per band."""
+    ``multiprobe`` widens the bucket probe per band.
+
+    ``min_candidates`` (with a predicate) arms the adaptive probe over the
+    PARTITION's filtered rows — count-then-tier as in lsh_search, with the
+    partition Eq composed into both the count scan and the exact fallback."""
     import json
     import os
 
     with open(os.path.join(path, "_lsh_local_meta.json")) as f:
         meta = json.load(f)
     planes = lsh_hyperplanes(meta["dims"], meta["num_bits"], meta["seed"])
+    if min_candidates is not None and predicate is not None:
+        part_eq = F.col(meta["part_col"]) == part_value
+        n_filtered = (
+            spark.read.parquet(path)
+            .where(part_eq & (F.col("band") == 0) & predicate)
+            .count()
+        )
+        mp_eff = adaptive_multiprobe(
+            n_filtered, meta["num_bits"], meta["bands"], multiprobe, min_candidates
+        )
+        if mp_eff is None:
+            filtered = spark.read.parquet(path).where(
+                part_eq & (F.col("band") == 0) & predicate
+            )
+            return ann_topk(
+                filtered, vec_col, query, k,
+                space=SpaceType.COSINE, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        multiprobe = mp_eff
     qbl = lsh_multiprobe_buckets(query, planes, meta["bands"], multiprobe)
     cond = None
     for b, qvs in enumerate(qbl):

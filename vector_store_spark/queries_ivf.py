@@ -1066,6 +1066,170 @@ def ann_ivfpq_persisted_filtered_topk(spark, sf_dir):
     )
 
 
+# --- adaptive filtered search on PERSISTED + LOCAL layouts -----------------
+# The r9 adaptive guard (count-then-tier, ivf.adaptive_nprobe /
+# lsh.adaptive_multiprobe) extended to every serving layout: a HIGHLY
+# selective predicate (~5 % of rows, under min_candidates) makes each engine
+# rank the filtered set EXACTLY, so the oracle is the exact filtered top-k —
+# the reference's restricted-search guarantee (top-k OF the filtered set,
+# usearch.rs:224-248) on the committed index, not the probe S-curve.
+
+_ADAPT_FILT = "vec_id % 19 = 0"
+_ADAPT_COS_ORACLE = f"""
+SELECT vec_id, label,
+       round(1.0 - list_inner_product(CAST(embedding AS DOUBLE[]), {sql_vec(Q7)}) /
+             (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+FROM embeddings WHERE {_ADAPT_FILT}
+ORDER BY distance, vec_id LIMIT 10
+"""
+
+
+@register(
+    "ann_ivf_persisted_filtered_adaptive_topk",
+    _ADAPT_COS_ORACLE,
+    "Adaptive T2 on the persisted IVF layout: one pushed, column-pruned "
+    "count of the filtered index decides the tier — here the set is under "
+    "min_candidates, so the engine ranks it exactly instead of probing",
+)
+def ann_ivf_persisted_filtered_adaptive_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivf import ivf_build, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "ivf",
+        lambda p: ivf_build(emb, "vec_id", "embedding", p, k_centroids=K_CENTROIDS),
+    )
+    return ivf_search(
+        spark, path, "vec_id", "embedding", Q7, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("vec_id") % 19 == 0, min_candidates=320,
+    ).drop("similarity")
+
+
+@register(
+    "ann_lsh_persisted_filtered_adaptive_topk",
+    _ADAPT_COS_ORACLE,
+    "Adaptive T2 on the persisted LSH layout: the filtered count (band-0 "
+    "scan = one full copy of the items) lands under min_candidates, so the "
+    "engine ranks the filtered rows exactly instead of probing buckets",
+)
+def ann_lsh_persisted_filtered_adaptive_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.lsh import lsh_build, lsh_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "lsh",
+        lambda p: lsh_build(emb, "vec_id", "embedding", p, num_bits=_BITS, bands=_LSH_BANDS),
+    )
+    return lsh_search(
+        spark, path, "vec_id", "embedding", Q7, 10,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("vec_id") % 19 == 0, min_candidates=320,
+    ).drop("similarity")
+
+
+@register(
+    "ann_ivfpq_persisted_filtered_adaptive_topk",
+    # exact tier at the quantized layout: the filtered ids back-join to the
+    # source vectors and rank by TRUE L2² — no ADC error in the result
+    f"""
+SELECT vec_id, label,
+       round({_L2S.format(a="CAST(embedding AS DOUBLE[])", b=sql_vec(Q31))}, {ROUND}) AS distance
+FROM embeddings WHERE {_ADAPT_FILT}
+ORDER BY distance, vec_id LIMIT 10
+""",
+    "Adaptive T2 on the persisted IVF-PQ memory tier: the filtered code "
+    "count lands under min_candidates, so the engine back-joins the "
+    "filtered ids to the source vectors and ranks by exact L2 — the "
+    "restricted-search guarantee without ADC error",
+)
+def ann_ivfpq_persisted_filtered_adaptive_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "ivfpq_filt",
+        lambda p: ivfpq_build(
+            emb, "vec_id", "embedding", p,
+            k_centroids=K_CENTROIDS, m_sub=M_SUB, k_codes=K_CODES,
+            filtering_cols=["label"],
+        ),
+    )
+    return ivfpq_search(
+        spark, path, emb, "vec_id", "embedding", Q31, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("vec_id") % 19 == 0, min_candidates=320,
+    )
+
+
+_ADAPT_LOCAL_ORACLE = f"""
+SELECT vec_id, label,
+       round(1.0 - list_inner_product(CAST(embedding AS DOUBLE[]), {sql_vec(Q7)}) /
+             (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+FROM embeddings WHERE label = {_PART} AND vec_id % 3 = 0
+ORDER BY distance, vec_id LIMIT 10
+"""
+
+
+@register(
+    "local_partition_ann_ivf_adaptive",
+    _ADAPT_LOCAL_ORACLE,
+    "Adaptive restricted search on ONE partition's IVF sub-index: the "
+    "partition Eq composes into the count scan and the exact fallback — "
+    "the partition's filtered rows are under min_candidates, so the "
+    "sub-index ranks them exactly",
+)
+def local_partition_ann_ivf_adaptive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivf import ivf_build_local, ivf_search_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "ivf_local",
+        lambda p: ivf_build_local(emb, "label", "vec_id", "embedding", p, k_centroids=_K_LOC),
+    )
+    return ivf_search_local(
+        spark, path, _PART, "vec_id", "embedding", Q7, 10, nprobe=_NPROBE_LOC,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("vec_id") % 3 == 0, min_candidates=320,
+    ).drop("similarity")
+
+
+@register(
+    "local_partition_ann_lsh_adaptive",
+    _ADAPT_LOCAL_ORACLE,
+    "Adaptive restricted search on ONE partition's LSH sub-index: "
+    "count-then-tier over the partition's filtered rows (partition Eq + "
+    "band-0 scan), exact ranking under min_candidates",
+)
+def local_partition_ann_lsh_adaptive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.lsh import lsh_build_local, lsh_search_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "lsh_local",
+        lambda p: lsh_build_local(
+            emb, "label", "vec_id", "embedding", p, num_bits=_BITS, bands=_LSH_BANDS,
+        ),
+    )
+    return lsh_search_local(
+        spark, path, _PART, "vec_id", "embedding", Q7, 10,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+        predicate=F.col("vec_id") % 3 == 0, min_candidates=320,
+    ).drop("similarity")
+
+
 @register(
     "local_partition_ann_pq",
     # one PQ sub-index per partition (lib.rs:677-680): the codebook is the
