@@ -130,3 +130,42 @@ def test_ivf_assign_expr_matches_arrow_twin(emb):
         expr = {r.vec_id: r.cluster for r in
                 ivf_assign_expr(emb, "vec_id", "embedding", cents, space=space).collect()}
         assert arrow == expr, f"space={space}"
+
+
+def test_multiprobe_flip_sets_bounded_and_ordered():
+    """The heap-expansion perturbation generator must (a) match the full
+    2^r enumeration's (margin-sum, size, subset) order exactly on small
+    bands and (b) stay O(t·r) on wide bands where enumeration is ~4B
+    subsets (the multiprobe-disabled default must do no work at all)."""
+    import itertools
+    import random
+    import time
+
+    from vector_store_spark.operators.lsh import (
+        _cheapest_flip_sets,
+        lsh_hyperplanes,
+        lsh_multiprobe_buckets,
+        lsh_query_buckets,
+    )
+
+    rng = random.Random(7)
+    for _ in range(50):
+        r = rng.randint(1, 9)
+        costs = [rng.random() for _ in range(r)]
+        t = rng.randint(0, 2**r - 1)
+        ref = sorted(
+            (s for size in range(1, r + 1)
+             for s in itertools.combinations(range(r), size)),
+            key=lambda s: (sum(costs[i] for i in s), len(s), s),
+        )[:t]
+        assert _cheapest_flip_sets(costs, t) == ref
+
+    # wide band: num_bits=64, bands=2 -> r=32; t=0 and small t must be instant
+    planes = lsh_hyperplanes(64, 64, seed=7)
+    q = [rng.gauss(0, 1) for _ in range(64)]
+    t0 = time.perf_counter()
+    mp0 = lsh_multiprobe_buckets(q, planes, 2, 0)
+    mp3 = lsh_multiprobe_buckets(q, planes, 2, 3)
+    assert time.perf_counter() - t0 < 1.0
+    assert [p[0] for p in mp0] == lsh_query_buckets(q, planes, 2)
+    assert all(len(p) == 1 for p in mp0) and all(len(p) == 4 for p in mp3)

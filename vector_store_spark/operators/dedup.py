@@ -336,6 +336,10 @@ def minhash_band_candidates(
     )
     if drop_ids is not None:
         sig = sig.join(drop_ids.hint("SHUFFLE_HASH"), "id", "left_anti")
+    # cached because the bucket self-join consumes the banded rows twice
+    # (sides a and b); caller owns the cache lifetime, as with shingle_sets
+    # — unpersist via spark.catalog.clearCache() or let LRU evict it after
+    # the returned plan is materialized
     sig = sig.cache()
     band_rows = sig.select(
         "id",
