@@ -540,6 +540,31 @@ def _extras(spark, sf_dir: str) -> dict:
         out["recall_at_10_ivf_persisted_trained_ma2_min320_by_selectivity"] = pb_ivf
         out["recall_at_10_lsh_persisted_min320_by_selectivity"] = pb_lsh
 
+        # the graph engine under the same strata with the adaptive guard
+        # (exhaustive tier under the floor, widened beam above it) — the
+        # canonical filtered-HNSW failure mode, guarded
+        from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search
+
+        h_p = tempfile.mkdtemp(prefix="bench_hnsw_sel_")
+        hnsw_build(emb, "vec_id", "embedding", h_p, m=8, ef_construction=64,
+                   num_slices=4)
+        pb_hnsw = {}
+        for pct in (50, 20, 10, 5, 2):
+            pred = (F.col("vec_id") % 1000) < pct * 10
+            sub = emb.where(pred)
+            if sub.count() < k:
+                continue
+            truth = {r.vec_id for r in ann_topk(
+                sub, "embedding", q, k, tie_break=["vec_id"], select_cols=["vec_id"]
+            ).collect()}
+            got_h = {r.vec_id for r in hnsw_search(
+                spark, h_p, q, k, ef_search=64,
+                predicate=pred, min_candidates=32 * k,
+            ).collect()}
+            pb_hnsw[f"{pct}pct"] = round(len(got_h & truth) / k, 4)
+        shutil.rmtree(h_p, ignore_errors=True)
+        out["recall_at_10_hnsw_ef64min320_by_selectivity"] = pb_hnsw
+
         # the same strata for the trained memory-tier strategies (the
         # reference strata recall by filter selectivity for its engine;
         # crates/benchmark/src/main.rs:44-48 build-buckets) — each bucket gets
@@ -831,7 +856,33 @@ def _extras(spark, sf_dir: str) -> dict:
             # ratio tracks corpus size; bm25_persisted_term is the SERVE
             # leg the reference measures (committed index, term-bucket
             # partition pruning) — that row is the serving-scalability claim
-            for name in ("ann_cosine_topk", "dedup_minhash_lsh", "bm25_term",
+            #
+            # the minhash row times the pair-generation PIPELINE directly
+            # (operators.dedup.minhash_lsh_pairs), not the registry query:
+            # the registry memoizes verified pairs per corpus, so the query
+            # row would measure a cache-residency artifact (trivial on
+            # whichever side the memo survives clearCache), not scaling
+            from vector_store_spark.operators.dedup import (
+                minhash_lsh_pairs as _mlp,
+            )
+
+            rec = {}
+            for tag, d in (("sf001_sec", small_dir), ("big_sec", sf_dir)):
+                docs_d = spark.read.parquet(f"{d}/documents.parquet")
+                _mlp(docs_d, "doc_id", "text", n=3, num_hashes=12, bands=4,
+                     threshold=0.8, max_bucket_width=None).count()
+                reps = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _mlp(docs_d, "doc_id", "text", n=3, num_hashes=12,
+                         bands=4, threshold=0.8,
+                         max_bucket_width=None).count()
+                    reps.append(time.perf_counter() - t0)
+                rec[tag] = round(min(reps), 4)
+            rec["ratio"] = round(rec["big_sec"] / max(rec["sf001_sec"], 1e-9), 2)
+            scaling["minhash_pairs_pipeline"] = rec
+
+            for name in ("ann_cosine_topk", "bm25_term",
                          "bm25_persisted_term", "text_token_counts",
                          "ann_hnsw_topk"):
                 if name not in _specs:

@@ -910,3 +910,43 @@ def test_filtered_search_plan_cogroups_not_broadcasts(spark, items, built):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "collect_list" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_adaptive_guard(spark, items, built):
+    """min_candidates arms the count-then-tier guard on the graph engine:
+    a selective predicate at/under the floor is scored exhaustively (exact
+    top-k OF the filtered set — the unguarded beam's canonical failure
+    mode), and above the floor the beam widens so allowed nodes keep
+    filling the result heap."""
+    # exact tier: ~6 % of rows, far under the floor
+    pred = F.col("vec_id") % 17 == 0
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, built, Q, 10, ef_search=8,
+                                predicate=pred, min_candidates=100,
+                                round_to=ROUND).collect()]
+    assert got == _exact(items, Q, 10, pred)
+    # escalation tier: the guarded beam's hits are a superset of the
+    # narrow unguarded beam's
+    pred_wide = F.col("vec_id") % 2 == 0
+    truth = {v for v, _ in _exact(items, Q, 10, pred_wide)}
+    plain = {r.vec_id for r in hnsw_search(
+        spark, built, Q, 10, ef_search=8, predicate=pred_wide,
+        round_to=ROUND).collect()}
+    guarded = {r.vec_id for r in hnsw_search(
+        spark, built, Q, 10, ef_search=8, predicate=pred_wide,
+        min_candidates=60, round_to=ROUND).collect()}
+    assert len(guarded & truth) >= len(plain & truth)
+
+
+def test_filtered_adaptive_guard_local(spark, items, tmp_path):
+    from vector_store_spark.operators.hnsw import hnsw_search_local
+
+    path = str(tmp_path / "ix_local")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               part_col="label", payload_cols=["label"])
+    pred = F.col("vec_id") % 3 == 0
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search_local(spark, path, 2, Q, 10, ef_search=8,
+                                      predicate=pred, min_candidates=320,
+                                      round_to=ROUND).collect()]
+    assert got == _exact(items, Q, 10, (F.col("label") == 2) & pred)

@@ -666,7 +666,7 @@ def _rm_emptied_partitions(spark, base: str, touched, written: DataFrame) -> Non
 
 
 def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32",
-                  round_to=None):
+                  round_to=None, exhaustive=False):
     ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(row, dims, quant)
     n = len(ids)
     if n == 0 or entry < 0:
@@ -679,12 +679,21 @@ def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32",
         valid = np.asarray(allowed_nodes, dtype=np.int64)
         mask[valid[valid < n]] = True
         allowed &= mask
-    if entry >= n:
-        entry = 0
-    cur, _ = _greedy_descend(mat, adj, q, entry, max_lvl, 0, space)
-    ef_eff = max(ef, k)
-    nodes, dists = _search_layer(
-        mat, lambda v: adj[v][0], q, [cur], ef_eff, space, allowed=allowed)
+    if exhaustive:
+        # exact tier of the adaptive filtered guard: score every allowed
+        # node directly (one BLAS batch over a min_candidates-bounded set)
+        # instead of traversing — exact top-k OF the filtered set even if
+        # the graph leaves an allowed node unreachable
+        node_arr = np.nonzero(allowed)[0]
+        dists = list(_dists(mat, list(node_arr), q, space)) if len(node_arr) else []
+        nodes = [int(v) for v in node_arr]
+    else:
+        if entry >= n:
+            entry = 0
+        cur, _ = _greedy_descend(mat, adj, q, entry, max_lvl, 0, space)
+        ef_eff = max(ef, k)
+        nodes, dists = _search_layer(
+            mat, lambda v: adj[v][0], q, [cur], ef_eff, space, allowed=allowed)
     # k-boundary ties break on the ROUNDED distance then ID — two reasons:
     # (1) after CRUD the node order diverges from id order (fresh nodes
     # append), and (2) the beam evaluates distances in per-expansion BLAS
@@ -714,10 +723,23 @@ def hnsw_search(
     cache: bool = False,
     rescore: int = 0,
     rescore_with=None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Search every slice's graph, merge per-slice top-k (one
     TakeOrderedAndProject; no shuffle — the scan is ``num_slices`` blob
     rows).  ``ef_search`` = the reference's `expansion_search` beam width.
+
+    ``min_candidates`` (with a predicate) arms the adaptive filtered guard
+    — the graph twin of ivf.adaptive_nprobe's count-then-tier contract: ONE
+    payload aggregation resolves the live total AND the filtered count
+    (payload rows are exactly the live nodes), then either (a) the filtered
+    set is at/under the floor → every allowed node is scored directly (one
+    BLAS batch per slice, exact top-k OF the filtered set even for
+    graph-unreachable nodes), or (b) the beam widens to
+    ef ≈ min_candidates · live/filtered so the expected number of allowed
+    nodes entering the result heap stays above the floor — a selective
+    predicate cannot starve the beam (the known filtered-HNSW failure
+    mode).
 
     ``predicate``: boolean Column over the payload columns.  It is
     evaluated on the columnar payload table (pushed parquet filters) and
@@ -748,6 +770,21 @@ def hnsw_search(
         graph = graph.cache()
     q = [float(x) for x in query]
     k_emit = max(1, rescore) * k
+    exhaustive = False
+    if predicate is not None and min_candidates is not None:
+        # one pushed, column-pruned aggregation resolves both tier inputs
+        totals = spark.read.parquet(os.path.join(path, "payload")).agg(
+            F.count("*").alias("live"),
+            F.count(F.when(predicate, 1)).alias("matched"),
+        ).first()
+        n_live, n_filtered = int(totals["live"]), int(totals["matched"])
+        if n_filtered <= min_candidates:
+            exhaustive = True
+        elif n_live > 0:
+            import math
+
+            ef_search = min(n_live, max(
+                ef_search, math.ceil(min_candidates * n_live / n_filtered)))
     if predicate is not None:
         # allow-list as DATA, not driver state: the matching payload rows
         # (slice, node) COGROUP with the slice blobs, so a broad predicate's
@@ -766,7 +803,8 @@ def hnsw_search(
             row = graph_pdf.iloc[0]
             ids, dists = _slice_search(
                 row, dims, q, k_emit, ef_search, space,
-                nodes_pdf["node"].to_numpy(), quant, round_to)
+                nodes_pdf["node"].to_numpy(), quant, round_to,
+                exhaustive=exhaustive)
             return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
                                  "distance": pd.Series(dists, dtype="float64")})
 
@@ -816,13 +854,18 @@ def hnsw_search_local(
     ef_search: int = 64,
     predicate=None,
     round_to: int | None = None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query ONE partition's HNSW sub-graph (the reference's LOCAL index
     search: the partition restriction selects a whole per-partition USearch
     index, usearch.rs:815-864 + lib.rs:677-680).  The slice Eq prunes the
     blob read to that partition's single graph directory (PartitionFilters);
     ``predicate`` composes as an allow-bitmap inside that sub-graph's
-    traversal."""
+    traversal.
+
+    ``min_candidates`` (with a predicate) arms the adaptive filtered guard
+    over the PARTITION's payload — count-then-tier as in hnsw_search, with
+    the slice Eq composed into the counting aggregation."""
     meta = _read_meta(path)
     if "partitions" not in meta:
         raise ValueError("not a local HNSW layout; use hnsw_search")
@@ -839,6 +882,22 @@ def hnsw_search_local(
     graph = spark.read.parquet(os.path.join(path, "graph")).where(
         F.col("slice") == sid)
     q = [float(x) for x in query]
+    exhaustive = False
+    if predicate is not None and min_candidates is not None:
+        totals = spark.read.parquet(os.path.join(path, "payload")).where(
+            F.col("slice") == sid
+        ).agg(
+            F.count("*").alias("live"),
+            F.count(F.when(predicate, 1)).alias("matched"),
+        ).first()
+        n_live, n_filtered = int(totals["live"]), int(totals["matched"])
+        if n_filtered <= min_candidates:
+            exhaustive = True
+        elif n_live > 0:
+            import math
+
+            ef_search = min(n_live, max(
+                ef_search, math.ceil(min_candidates * n_live / n_filtered)))
     if predicate is not None:
         # same cogrouped allow-list shape as hnsw_search: the sub-graph's
         # matching (slice, node) rows meet the one blob in its task
@@ -854,7 +913,8 @@ def hnsw_search_local(
             row = graph_pdf.iloc[0]
             ids, dists = _slice_search(
                 row, dims, q, k, ef_search, space,
-                nodes_pdf["node"].to_numpy(), quant, round_to)
+                nodes_pdf["node"].to_numpy(), quant, round_to,
+                exhaustive=exhaustive)
             return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
                                  "distance": pd.Series(dists, dtype="float64")})
 

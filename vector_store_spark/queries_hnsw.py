@@ -167,6 +167,79 @@ def ann_hnsw_filtered_topk(spark, sf_dir):
 
 
 @register(
+    "ann_hnsw_filtered_adaptive_topk",
+    # HIGHLY selective predicate (~5 % of rows) with the adaptive guard
+    # armed: the payload count lands under min_candidates, so every allowed
+    # node is scored directly (exact top-k OF the filtered set, even for
+    # graph-unreachable nodes) — the restricted-search guarantee
+    # (usearch.rs:224-248) on the graph engine, where an unguarded beam is
+    # the canonical filtered-HNSW failure mode. Oracle = exact filtered
+    # top-k; similarity dropped (derived-from-rounded-distance is checked
+    # by the other graph oracles).
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 19 = 0)
+SELECT vec_id, label, {_COS.format(q=sql_vec(Q7))}
+FROM e ORDER BY distance, vec_id LIMIT 10
+""",
+    "Adaptive T2 on the graph engine: one payload aggregation resolves the "
+    "live total and the filtered count, then the filtered set (under "
+    "min_candidates) is scored exhaustively instead of beam-searched — a "
+    "selective predicate cannot starve the beam's result heap",
+)
+def ann_hnsw_filtered_adaptive_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.hnsw import hnsw_search
+
+    path = _hnsw_path(spark, sf_dir)
+    res = hnsw_search(spark, path, Q7, 10, ef_search=EF,
+                      predicate=F.col("vec_id") % 19 == 0,
+                      min_candidates=320, round_to=ROUND)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        emb.join(F.broadcast(res.drop("similarity")), "vec_id")
+        .select("vec_id", "label", "distance")
+        .orderBy("distance", "vec_id")
+    )
+
+
+@register(
+    "local_partition_ann_hnsw_adaptive",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE label = 3 AND vec_id % 3 = 0)
+SELECT vec_id, label, {_COS.format(q=sql_vec(Q7))}
+FROM e ORDER BY distance, vec_id LIMIT 10
+""",
+    "Adaptive restricted search on ONE partition's HNSW sub-graph: "
+    "count-then-tier over the partition's payload (slice Eq composed into "
+    "the aggregation), exhaustive scoring under min_candidates",
+)
+def local_partition_ann_hnsw_adaptive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_search_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "hnsw_local",
+        lambda p: hnsw_build(emb, "vec_id", "embedding", p, m=M,
+                             ef_construction=EFC, part_col="label",
+                             payload_cols=["label"]),
+    )
+    res = hnsw_search_local(spark, path, 3, Q7, 10, ef_search=EF,
+                            predicate=F.col("vec_id") % 3 == 0,
+                            min_candidates=320, round_to=ROUND)
+    emb2 = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        emb2.join(F.broadcast(res.drop("similarity")), "vec_id")
+        .select("vec_id", "label", "distance")
+        .orderBy("distance", "vec_id")
+    )
+
+
+@register(
     "ann_hnsw_dot_topk",
     # USearch "IP": distance = 1 - <a,b> on RAW vectors (magnitudes matter);
     # similarity = (2 - d) / 2 (similarity.rs:26-37)
