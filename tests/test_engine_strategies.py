@@ -326,3 +326,43 @@ def test_routing_group_keys_on_target_column_list(spark):
 
     with pytest.raises(Exception):
         eng.ann("ks", "t", "nope", q, limit=5)
+
+
+def test_engine_forwards_adaptive_guard(spark, emb, tmp_path):
+    """The adaptive filtered guard is reachable from the engine surface:
+    strategy_opts={'min_candidates': ...} forwards to the persisted
+    ivf/lsh/hnsw search paths, so a selective restriction returns the
+    EXACT filtered top-k through the full query lifecycle (route →
+    validate → gate → top-k)."""
+    import dataclasses
+
+    from vector_store_spark.operators.hnsw import hnsw_build
+    from vector_store_spark.operators.ivf import ivf_build
+    from vector_store_spark.operators.lsh import lsh_build
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.types import Filter, Restriction, SpaceType
+
+    q = det_query_vector(7, 64)
+    ivf_path = str(tmp_path / "g_ivf")
+    ivf_build(emb, "vec_id", "embedding", ivf_path, k_centroids=8)
+    lsh_path = str(tmp_path / "g_lsh")
+    lsh_build(emb, "vec_id", "embedding", lsh_path, num_bits=16, bands=4)
+    h_path = str(tmp_path / "g_hnsw")
+    hnsw_build(emb, "vec_id", "embedding", h_path, m=6, ef_construction=48,
+               num_slices=2, payload_cols=["label"])
+
+    # label IN (2,): ~1/8 of rows — under the floor, exact tier everywhere
+    flt = Filter(restrictions=(Restriction.eq("label", 2),), allow_filtering=True)
+    exact = [r.vec_id for r in ann_topk(
+        emb.where("label = 2"), "embedding", q, 5, space=SpaceType.COSINE,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()]
+    for strategy, opts in (
+        ("ivf", {"path": ivf_path, "nprobe": 2, "min_candidates": 1000}),
+        ("lsh", {"path": lsh_path, "min_candidates": 1000}),
+        ("hnsw", {"path": h_path, "ef_search": 8, "min_candidates": 1000}),
+    ):
+        eng = VectorStoreEngine()
+        eng.register(emb, _filtering_meta(), strategy=strategy, strategy_opts=opts)
+        out = eng.ann("ks", "t", "embedding", q, 5, flt=flt)
+        assert out.primary_keys["vec_id"] == exact, strategy
