@@ -147,3 +147,61 @@ def test_global_shuffle_is_deterministic_permutation(spark):
     # a different salt gives a different epoch order over the same rows
     c = [r["doc_id"] for r in global_shuffle(df, "doc_id", salt=1).collect()]
     assert sorted(c) == list(range(200)) and c != a
+
+
+def test_temperature_sample_rebalances_sources(spark):
+    """Temperature mixing (keep ∝ n^(1/2)/n): a 100× heavier source gets a
+    ~10× LOWER keep rate, expected kept mass tracks the budget, and the
+    kept set is a deterministic function of (id, salt)."""
+    from vector_store_spark.operators.sampling import (
+        temperature_sample,
+        temperature_sample_rates,
+    )
+
+    rows = [(i, "heavy", 100) for i in range(10_000)]
+    rows += [(100_000 + i, "light", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+
+    budget = 200_000  # 1/5 of the 1.01M total mass
+    rates = {r["source"]: r["rate_ppm"]
+             for r in temperature_sample_rates(df, "source", "n_chars", budget).collect()}
+    # sqrt weighting: heavy/light mass ratio 100 ⇒ weight ratio 10 ⇒ the
+    # light source's uncapped keep rate is ~10× the heavy source's — which
+    # exceeds 100%, so it clamps at 1M ppm (keep everything)
+    assert rates["light"] == 1_000_000, rates
+    assert 150_000 <= rates["heavy"] <= 220_000, rates
+    kept = temperature_sample(df, "source", "doc_id", "n_chars", budget)
+    got = {r["source"]: (r["n"], r["mass"]) for r in kept.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("mass")).collect()}
+    total_kept = sum(m for _, m in got.values())
+    # hash sampling: expected mass = budget (±20% tolerance at this n)
+    assert abs(total_kept - budget) / budget < 0.2, got
+    # determinism: same inputs ⇒ same kept set
+    again = temperature_sample(df, "source", "doc_id", "n_chars", budget)
+    assert kept.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").subtract(kept.select("doc_id")).count() == 0
+
+
+def test_epoch_repeat_emits_target_mass(spark):
+    """Upsampling by repetition: target 3.2× mass ⇒ 3 full copies + ~0.2
+    partial; emitted mass tracks the target, full copies are exact."""
+    from vector_store_spark.operators.sampling import epoch_repeat, epoch_repeat_plan
+
+    rows = [(i, "s", 10) for i in range(1_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    targets = spark.createDataFrame([("s", 32_000)], "source string, target long")
+
+    plan = epoch_repeat_plan(df, "source", "n_chars", targets).collect()[0]
+    assert plan["full_copies"] == 3 and plan["frac_ppm"] == 200_000
+
+    out = epoch_repeat(df, "source", "doc_id", "n_chars", targets)
+    agg = out.groupBy("copy_id").count().collect()
+    by_copy = {r["copy_id"]: r["count"] for r in agg}
+    assert by_copy[0] == by_copy[1] == by_copy[2] == 1_000  # full copies exact
+    assert 100 <= by_copy[3] <= 320  # ~20% hash stratum
+    emitted = out.agg(F.sum("n_chars")).collect()[0][0]
+    assert abs(emitted - 32_000) / 32_000 < 0.1
+    # determinism
+    again = epoch_repeat(df, "source", "doc_id", "n_chars", targets)
+    assert out.select("doc_id", "copy_id").subtract(
+        again.select("doc_id", "copy_id")).count() == 0

@@ -266,3 +266,128 @@ def pack_sequences(
         .withColumn("seq_end_id", F.floor(end / seq_len).cast("long"))
         .withColumn("spans_boundary", F.col("seq_end_id") != F.col("seq_id"))
     )
+
+
+def temperature_sample_rates(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group keep rates (ppm) for **temperature-weighted mixing** — the
+    standard multilingual/multi-source rebalancing step (sample source s
+    with probability ∝ n_s^α, α = 1/2 here): low-resource groups are
+    up-weighted relative to their mass, heavy groups down-weighted, and the
+    expected kept mass sums to ``total_budget``.
+
+    All arithmetic after the mass aggregate is INTEGER (floor-sqrt weights,
+    BIGINT sums, truncating division), so the rates — and therefore the
+    kept set — are bit-identical across engines (float pow/sum ordering
+    never enters; IEEE sqrt is exactly rounded, so floor(sqrt(x)) agrees
+    everywhere). Returns one row per group: (group, _n mass, rate_ppm).
+
+    Scale shape: one map-side-combined aggregate to group-dimension size;
+    everything downstream of it is dimension-sized arithmetic."""
+    mass = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_n")
+    )
+    # integer sqrt-weight: floor(sqrt(n · 1e6)) keeps 3 fractional digits of
+    # sqrt(n) without leaving BIGINT space
+    weights = mass.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1_000_000.0))).cast("long")
+    )
+    z = weights.agg(F.sum("_w")).first()[0] or 1  # group-dimension collect
+    return weights.select(
+        group_col,
+        "_n",
+        F.expr(
+            f"least(CAST(1000000 AS BIGINT), "
+            f"(((CAST({int(total_budget)} AS BIGINT) * _w) div CAST({int(z)} AS BIGINT))"
+            f" * CAST(1000000 AS BIGINT)) div _n)"
+        ).alias("rate_ppm"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    total_budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep a deterministic hash sample of each group at its temperature
+    rate (see :func:`temperature_sample_rates`): the per-group rates are a
+    group-dimension frame broadcast onto the fact scan, the kept set is a
+    pure narrow filter — reproducible under any partitioning, no shuffle of
+    the fact table."""
+    rates = temperature_sample_rates(df, group_col, weight_col, total_budget, salt)
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate_ppm")), group_col)
+        .where(hash_bucket(id_col, 1_000_000, salt) < F.col("rate_ppm"))
+    )
+
+
+def epoch_repeat_plan(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    targets: DataFrame,
+    target_col: str = "target",
+) -> DataFrame:
+    """Per-group **repetition plan** for mixture targets that exceed a
+    group's mass — the upsampling half of data mixing (published LLM
+    mixtures quote exactly this: "epochs per source"): a group with target
+    3.2× its mass contributes 3 full copies plus a 0.2 hash-sampled
+    partial copy. ``targets`` is a group-dimension frame (group, target
+    mass). Integer arithmetic throughout (truncating division), so the
+    plan — and any engine re-deriving it — is bit-identical.
+
+    Returns (group, _n mass, full_copies, frac_ppm): ``full_copies``
+    whole passes over the group plus a partial pass keeping ``frac_ppm``
+    of ids. Downstream expansion is :func:`epoch_repeat`."""
+    mass = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_n")
+    )
+    j = mass.join(F.broadcast(targets), group_col)
+    t = F.col(target_col).cast("long")
+    return j.select(
+        group_col,
+        "_n",
+        F.expr(f"CAST({target_col} AS BIGINT) div _n").alias("full_copies"),
+        (
+            (t % F.col("_n")) * F.lit(1_000_000)
+        ).cast("long").alias("_rem6"),
+    ).select(
+        group_col, "_n", "full_copies",
+        F.expr("_rem6 div _n").alias("frac_ppm"),
+    )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    targets: DataFrame,
+    target_col: str = "target",
+    salt: int = 0,
+) -> DataFrame:
+    """Materialize the repetition plan: each row is emitted once per full
+    copy (``copy_id`` 0..full_copies−1) plus once more in the partial copy
+    when its (salted) hash clears ``frac_ppm`` — the partial copy is the
+    deterministic hash-lowest stratum of the group. The plan frame is
+    group-dimension-sized and broadcast; expansion is a narrow
+    explode-and-filter over the fact scan — row multiplication is the
+    intended output (the materialized mixture), not overhead."""
+    plan = epoch_repeat_plan(df, group_col, weight_col, targets, target_col)
+    out = df.join(
+        F.broadcast(plan.select(group_col, "full_copies", "frac_ppm")), group_col
+    ).withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(0).cast("long"), F.col("full_copies")))
+    )
+    keep = (F.col("copy_id") < F.col("full_copies")) | (
+        hash_bucket(id_col, 1_000_000, salt) < F.col("frac_ppm")
+    )
+    return out.where(keep).drop("full_copies", "frac_ppm")

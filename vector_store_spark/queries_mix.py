@@ -199,3 +199,117 @@ def mix_global_shuffle(spark, sf_dir):
     return out.select(
         "doc_id", "source", F.col("shuffle_key").cast("long").alias("shuffle_key")
     ).limit(15)
+
+
+_TEMP_BUDGET = 500_000  # target kept chars across all sources
+
+
+@register(
+    "mix_temperature_sample",
+    # temperature-weighted source mixing (sample source s ∝ n_s^(1/2)):
+    # the oracle re-derives the integer-arithmetic rate pipeline — floor-
+    # sqrt weights, BIGINT sums, truncating division — so both engines
+    # compute the exact same ppm thresholds and therefore the same kept set
+    f"""
+WITH mass AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS wgt
+  FROM mass
+),
+z AS (SELECT CAST(sum(wgt) AS BIGINT) AS zz FROM w),
+r AS (
+  SELECT source, n,
+         least(CAST(1000000 AS BIGINT),
+               (((CAST({_TEMP_BUDGET} AS BIGINT) * wgt) // zz) * 1000000) // n)
+           AS rate_ppm
+  FROM w CROSS JOIN z
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_kept,
+       max(r.rate_ppm) AS rate_ppm
+FROM documents d JOIN r USING (source)
+WHERE {hash_bucket_sql("d.doc_id", 1_000_000)} < r.rate_ppm
+GROUP BY d.source
+""",
+    "Temperature-weighted source mixing (keep rate ∝ mass^(1/2)/mass): "
+    "low-resource sources up-weighted, heavy sources capped, expected kept "
+    "mass = the budget. One dimension-sized aggregate derives per-source "
+    "ppm rates in pure integer arithmetic; the kept set is a broadcast-"
+    "rates narrow filter over the fact scan — no fact shuffle",
+)
+def mix_temperature_sample(spark, sf_dir):
+    from vector_store_spark.operators.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "source", "doc_id", "n_chars", _TEMP_BUDGET)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        F.max("rate_ppm").alias("rate_ppm"),
+    )
+
+
+@register(
+    "mix_epoch_repeat",
+    # upsampling-by-repetition: per-source targets = 3x its mass for light
+    # sources (src0..src4), 0.4x for the rest — the oracle re-derives the
+    # integer plan (full copies + partial-copy ppm) and the expansion with
+    # generate_series, so both engines emit the identical multiset
+    f"""
+WITH mass AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n FROM documents GROUP BY source
+),
+tgt AS (
+  SELECT source, n,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN n * 3 ELSE (n * 2) // 5 END AS target
+  FROM mass
+),
+plan AS (
+  SELECT source, n, target // n AS full_copies,
+         ((target % n) * 1000000) // n AS frac_ppm
+  FROM tgt
+),
+expanded AS (
+  SELECT d.source, d.doc_id, d.n_chars, gs.copy_id
+  FROM documents d
+  JOIN plan p USING (source)
+  CROSS JOIN LATERAL (SELECT unnest(range(0, p.full_copies + 1)) AS copy_id) gs
+  WHERE gs.copy_id < p.full_copies
+     OR {hash_bucket_sql("d.doc_id", 1_000_000)} < p.frac_ppm
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS chars_emitted,
+       CAST(max(copy_id) AS BIGINT) AS max_copy
+FROM expanded GROUP BY source
+""",
+    "Upsampling by repetition (epochs-per-source, the published-LLM-mixture "
+    "shape): integer plan = full copies + a hash-sampled partial copy per "
+    "source; plan broadcast, expansion a narrow explode over the fact scan "
+    "— emitted mass tracks each source's target",
+)
+def mix_epoch_repeat(spark, sf_dir):
+    from vector_store_spark.operators.sampling import epoch_repeat
+
+    docs = load(spark, sf_dir, "documents")
+    light = {f"src{i}" for i in range(5)}
+    targets = (
+        docs.groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("long")).alias("_mass"))
+        .select(
+            "source",
+            F.when(F.col("source").isin(*light), F.col("_mass") * 3)
+            .otherwise(F.expr("(_mass * 2) div 5")).cast("long").alias("target"),
+        )
+    )
+    out = epoch_repeat(docs, "source", "doc_id", "n_chars", targets)
+    return out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("chars_emitted"),
+        F.max("copy_id").cast("long").alias("max_copy"),
+    )
