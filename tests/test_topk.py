@@ -128,3 +128,32 @@ def test_knn_join_hamming_matches_single_query_udf(spark, embeddings):
             .collect()
         )
         assert by_q[qid] == [(r.vec_id, r.distance) for r in single]
+
+
+def test_rrf_fuse_combines_result_lists(spark):
+    """Reciprocal-rank fusion: ids on both legs outrank single-leg ids with
+    comparable ranks; an absent leg contributes 0; the fused frame is
+    result-sized (no fact-table work)."""
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.topk import ranked_top_n, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double")
+    vec = spark.createDataFrame(
+        [(2, 0.1), (4, 0.2), (1, 0.3)], "doc_id long, distance double")
+    l = ranked_top_n(lex, [F.col("score").desc(), F.col("doc_id").asc()], 10)
+    v = ranked_top_n(vec, [F.col("distance").asc(), F.col("doc_id").asc()], 10)
+    assert [r.doc_id for r in l.orderBy("rank").collect()] == [1, 2, 3]
+    assert [r.doc_id for r in v.orderBy("rank").collect()] == [2, 4, 1]
+
+    fused = rrf_fuse([l.select("doc_id", "rank"), v.select("doc_id", "rank")],
+                     "doc_id", k_const=60, limit=10).collect()
+    order = [r.doc_id for r in fused]
+    scores = {r.doc_id: r.rrf_score for r in fused}
+    # both-leg ids first: 1 (ranks 1,3), 2 (ranks 2,1); then single-leg
+    assert set(order[:2]) == {1, 2}
+    assert order[2:] == sorted(scores, key=lambda d: (-scores[d], d))[2:]
+    assert abs(scores[2] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(scores[3] - 1 / 63) < 1e-12  # lex-only: vec leg contributes 0
+    assert abs(scores[4] - 1 / 62) < 1e-12  # vec-only

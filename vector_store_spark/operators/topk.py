@@ -255,3 +255,61 @@ def knn_join(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str,
+    k_const: int = 60,
+    limit: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of result lists —
+    the standard hybrid-search combiner (lexical BM25 leg + vector ANN leg,
+    the two families this engine serves): each input frame carries
+    (``id_col``, ``rank``) with 1-based ranks over its own top-N, and the
+    fused score is Σ 1/(k_const + rank) over the legs that returned the id
+    (an absent leg contributes 0). Deterministic and float-stable across
+    engines: ranks are integers, each contribution is one correctly-rounded
+    division, the sum is one addition per leg.
+
+    Scale shape: the inputs are top-N frames (result-sized), so the full
+    outer join and the final sort are metadata-sized — fusion adds no
+    fact-table work beyond the legs themselves."""
+    tagged = []
+    for i, df in enumerate(ranked):
+        tagged.append(df.select(
+            id_col,
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank").cast("double"))
+             ).alias(f"_rrf{i}"),
+        ))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.join(t, id_col, "full_outer")
+    score = None
+    for i in range(len(tagged)):
+        c = F.coalesce(F.col(f"_rrf{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        out.withColumn("rrf_score", score)
+        .select(id_col, "rrf_score")
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+
+
+def ranked_top_n(
+    df: DataFrame, order_cols: Sequence[Column], n: int
+) -> DataFrame:
+    """df + 1-based ``rank`` over ``order_cols``, truncated to the top ``n``
+    — the per-leg input shape of :func:`rrf_fuse`. The window is single-
+    partition by design: it runs over a leg's TOP-N candidates (result-
+    sized), never the fact table — rank the output of a top-k operator,
+    not a raw scan."""
+    w = Window.orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+    )

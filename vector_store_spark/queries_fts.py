@@ -268,3 +268,69 @@ def bm25_persisted_term(spark, sf_dir):
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "hybrid_rrf_topk",
+    # Hybrid search: the engine's two top-k families fused with reciprocal-
+    # rank fusion (Cormack et al., SIGIR'09) — lexical BM25 leg over the
+    # documents table + vector cosine leg over the embeddings table, joined
+    # on the shared key space. Ranks are taken over ROUNDED scores (the
+    # cross-engine-stable values the other oracles already pin), so both
+    # engines derive identical integer ranks and therefore identical fused
+    # scores.
+    f"""
+WITH {_BASE_CTES},
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(score, {6}) DESC, doc_id) AS r
+    FROM term_scores WHERE term = 'vector'
+  ) WHERE r <= 25
+),
+vec AS (
+  SELECT doc_id, r FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY d, vec_id) AS r
+    FROM (
+      SELECT vec_id,
+             round(1.0 - list_inner_product(CAST(embedding AS DOUBLE[]), CAST([-0.5208333333333334, 0.25, -1.0, -0.22916666666666666, 0.5416666666666666, -0.7083333333333334, 0.0625, 0.8333333333333334, -0.4166666666666667, 0.3541666666666667, -0.8958333333333334, -0.125, 0.6458333333333334, -0.6041666666666666, 0.16666666666666666, 0.9375, -0.3125, 0.4583333333333333, -0.7916666666666666, -0.020833333333333332, 0.75, -0.5, 0.2708333333333333, -0.9791666666666666, -0.20833333333333334, 0.5625, -0.6875, 0.08333333333333333, 0.8541666666666666, -0.3958333333333333, 0.375, -0.875, -0.10416666666666667, 0.6666666666666666, -0.5833333333333334, 0.1875, 0.9583333333333334, -0.2916666666666667, 0.4791666666666667, -0.7708333333333334, 0.0, 0.7708333333333334, -0.4791666666666667, 0.2916666666666667, -0.9583333333333334, -0.1875, 0.5833333333333334, -0.6666666666666666, 0.10416666666666667, 0.875, -0.375, 0.3958333333333333, -0.8541666666666666, -0.08333333333333333, 0.6875, -0.5625, 0.20833333333333334, 0.9791666666666666, -0.2708333333333333, 0.5, -0.75, 0.020833333333333332, 0.7916666666666666, -0.4583333333333333] AS DOUBLE[])) /
+                   (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                    sqrt(list_inner_product(CAST([-0.5208333333333334, 0.25, -1.0, -0.22916666666666666, 0.5416666666666666, -0.7083333333333334, 0.0625, 0.8333333333333334, -0.4166666666666667, 0.3541666666666667, -0.8958333333333334, -0.125, 0.6458333333333334, -0.6041666666666666, 0.16666666666666666, 0.9375, -0.3125, 0.4583333333333333, -0.7916666666666666, -0.020833333333333332, 0.75, -0.5, 0.2708333333333333, -0.9791666666666666, -0.20833333333333334, 0.5625, -0.6875, 0.08333333333333333, 0.8541666666666666, -0.3958333333333333, 0.375, -0.875, -0.10416666666666667, 0.6666666666666666, -0.5833333333333334, 0.1875, 0.9583333333333334, -0.2916666666666667, 0.4791666666666667, -0.7708333333333334, 0.0, 0.7708333333333334, -0.4791666666666667, 0.2916666666666667, -0.9583333333333334, -0.1875, 0.5833333333333334, -0.6666666666666666, 0.10416666666666667, 0.875, -0.375, 0.3958333333333333, -0.8541666666666666, -0.08333333333333333, 0.6875, -0.5625, 0.20833333333333334, 0.9791666666666666, -0.2708333333333333, 0.5, -0.75, 0.020833333333333332, 0.7916666666666666, -0.4583333333333333] AS DOUBLE[]), CAST([-0.5208333333333334, 0.25, -1.0, -0.22916666666666666, 0.5416666666666666, -0.7083333333333334, 0.0625, 0.8333333333333334, -0.4166666666666667, 0.3541666666666667, -0.8958333333333334, -0.125, 0.6458333333333334, -0.6041666666666666, 0.16666666666666666, 0.9375, -0.3125, 0.4583333333333333, -0.7916666666666666, -0.020833333333333332, 0.75, -0.5, 0.2708333333333333, -0.9791666666666666, -0.20833333333333334, 0.5625, -0.6875, 0.08333333333333333, 0.8541666666666666, -0.3958333333333333, 0.375, -0.875, -0.10416666666666667, 0.6666666666666666, -0.5833333333333334, 0.1875, 0.9583333333333334, -0.2916666666666667, 0.4791666666666667, -0.7708333333333334, 0.0, 0.7708333333333334, -0.4791666666666667, 0.2916666666666667, -0.9583333333333334, -0.1875, 0.5833333333333334, -0.6666666666666666, 0.10416666666666667, 0.875, -0.375, 0.3958333333333333, -0.8541666666666666, -0.08333333333333333, 0.6875, -0.5625, 0.20833333333333334, 0.9791666666666666, -0.2708333333333333, 0.5, -0.75, 0.020833333333333332, 0.7916666666666666, -0.4583333333333333] AS DOUBLE[])))), {6}) AS d
+      FROM embeddings
+    )
+  ) WHERE r <= 25
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60.0 + lex.r), 0.0) +
+               coalesce(1.0 / (60.0 + vec.r), 0.0), {6}) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+    "Hybrid lexical+vector search: BM25 top-25 and cosine top-25 fused by "
+    "reciprocal-rank fusion (score = sum 1/(60+rank)) — the combiner real "
+    "deployments put in front of the two index families; fusion is "
+    "result-sized (full-outer join of two top-N frames), no fact work "
+    "beyond the legs",
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.topk import ann_topk, ranked_top_n, rrf_fuse
+    from vector_store_spark.registry import det_query_vector
+
+    q7 = det_query_vector(7, 64)
+    lex = ranked_top_n(
+        bm25_search(_index(spark, sf_dir), "vector", 25, round_to=ROUND),
+        [F.col("score").desc(), F.col("doc_id").asc()], 25,
+    ).select("doc_id", "rank")
+    emb = load(spark, sf_dir, "embeddings")
+    vec = ranked_top_n(
+        ann_topk(emb, "embedding", q7, 25, tie_break=["vec_id"],
+                 select_cols=["vec_id"], round_to=ROUND),
+        [F.col("distance").asc(), F.col("vec_id").asc()], 25,
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], "doc_id", k_const=60, limit=10, round_to=ROUND)
