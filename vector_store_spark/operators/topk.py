@@ -285,7 +285,9 @@ def rrf_fuse(
         ))
     out = tagged[0]
     for t in tagged[1:]:
-        out = out.join(t, id_col, "full_outer")
+        # full outer can't broadcast; shuffle-hash over the top-N frames
+        # keeps the merge sort-free (both sides are result-sized)
+        out = out.join(t.hint("SHUFFLE_HASH"), id_col, "full_outer")
     score = None
     for i in range(len(tagged)):
         c = F.coalesce(F.col(f"_rrf{i}"), F.lit(0.0))
