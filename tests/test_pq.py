@@ -55,3 +55,47 @@ def test_pq_recall_reasonable(spark, sf_dir):
     got = {r.vec_id for r in pq_topk(emb, "vec_id", "embedding", q, 10).collect()}
     # 16 codes x 8 subspaces on near-uniform data: coarse, but far above chance
     assert len(got & truth) >= 2
+
+
+def test_ivfpq_residual_persisted_roundtrip(spark, tmp_path):
+    """The persisted residual-IVFADC layout serves the same answer as the
+    in-memory ivfpq_residual_topk at the same config, and the adaptive
+    guard's exact tier works on it."""
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_residual_topk,
+        ivfpq_search,
+    )
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.registry import det_query_vector
+    from vector_store_spark.types import SpaceType
+
+    rows = [(i, [float((i * 7 + j * 3) % 19 - 9) / 9.0 for j in range(16)], i % 4)
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = det_query_vector(5, 16)
+    path = str(tmp_path / "ivfpq_res")
+    ivfpq_build(emb, "vec_id", "embedding", path, k_centroids=8, m_sub=4,
+                k_codes=16, residual=True, filtering_cols=["label"])
+    got = [(r.vec_id, r.distance) for r in ivfpq_search(
+        spark, path, emb, "vec_id", "embedding", q, 10, nprobe=4,
+        select_cols=["vec_id"], round_to=6,
+    ).collect()]
+    mem = [(r.vec_id, r.distance) for r in ivfpq_residual_topk(
+        emb, "vec_id", "embedding", q, 10, k_centroids=8, nprobe=4,
+        m_sub=4, k_codes=16, select_cols=["vec_id"], round_to=6,
+    ).collect()]
+    assert got == mem
+    # adaptive exact tier over the stored filtering column
+    pred = F.col("vec_id") % 13 == 0
+    truth = {r.vec_id for r in ann_topk(
+        emb.where(pred), "embedding", q, 10, space=SpaceType.EUCLIDEAN,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()}
+    guard = {r.vec_id for r in ivfpq_search(
+        spark, path, emb, "vec_id", "embedding", q, 10, nprobe=2,
+        predicate=pred, min_candidates=100, select_cols=["vec_id"],
+    ).collect()}
+    assert guard == truth

@@ -112,6 +112,7 @@ def ivfpq_build(
     n_assign: int = 1,
     seed: int = 42,
     filtering_cols: list | None = None,
+    residual: bool = False,
 ) -> tuple:
     """Persist the IVF-PQ memory-tier layout: parquet ``partitionBy(cluster)``
     storing ONLY (id, pq_code) — m_sub bytes per vector instead of the full-
@@ -138,22 +139,49 @@ def ivfpq_build(
         cents = ivf_centroids_trained(
             items, vec_col, k_centroids, space=SpaceType.EUCLIDEAN, seed=seed
         )
-        cb = pq_codebook_trained(items, id_col, vec_col, m_sub, k_codes, seed=seed)
     else:
         cents = ivf_centroids(items, id_col, vec_col, k_centroids)
+    if residual:
+        # IVFADC layout (Jégou et al. 2011 §IV): codes encode v − centroid
+        # of the row's OWN cluster, so the same byte budget quantizes the
+        # residual distribution (concentrated near the origin) instead of
+        # the raw vectors — the composition real quantized tiers persist
+        cb = (
+            ivfpq_residual_codebook_trained(
+                items, id_col, vec_col, cents, m_sub, k_codes, seed=seed,
+                train_n_assign=n_assign,
+            )
+            if trained
+            else ivfpq_residual_codebook(items, id_col, vec_col, cents, m_sub, k_codes)
+        )
+    elif trained:
+        cb = pq_codebook_trained(items, id_col, vec_col, m_sub, k_codes, seed=seed)
+    else:
         cb = pq_codebook(items, id_col, vec_col, m_sub, k_codes)
     assigned = ivf_assign(
         items, id_col, vec_col, cents, space=SpaceType.EUCLIDEAN, n_assign=n_assign
     )
-    encoded = pq_encode(assigned, vec_col, cb).select(
-        id_col, "cluster", "pq_code", *(filtering_cols or [])
-    )
+    if residual:
+        assigned = assigned.withColumn(
+            "_res",
+            residual_expr_udf(cents)(
+                F.col("cluster"), F.col(vec_col).cast("array<double>")
+            ),
+        )
+        encoded = pq_encode(assigned, "_res", cb).select(
+            id_col, "cluster", "pq_code", *(filtering_cols or [])
+        )
+    else:
+        encoded = pq_encode(assigned, vec_col, cb).select(
+            id_col, "cluster", "pq_code", *(filtering_cols or [])
+        )
     fresh_dir(path)
     write_local_index(encoded, path, ["cluster"])
     meta = {
         "m_sub": m_sub,
         "n_assign": n_assign,
         "k_centroids": k_centroids,
+        "residual": bool(residual),
         "centroids": [[cid, list(map(float, cv))] for cid, cv in cents],
         "codebook": np.asarray(cb, dtype=np.float64).tolist(),
     }
@@ -239,8 +267,16 @@ def ivfpq_search(
         cand = cand.where(predicate)
     if meta["n_assign"] > 1:
         cand = cand.dropDuplicates([id_col])
-    lut = pq_adc_lut(cb, query)
-    dist = pq_adc_distance("pq_code", lut)
+    if meta.get("residual"):
+        # IVFADC serving: one LUT per probed cluster from the query's OWN
+        # residual q − centroid_c (driver-side, nprobe × m_sub × k_codes)
+        qv = np.asarray(query, dtype=np.float64)
+        cmap = {cid: np.asarray(cv, dtype=np.float64) for cid, cv in cents}
+        luts = {c: pq_adc_lut(cb, (qv - cmap[c]).tolist()) for c in probes}
+        dist = _adc_by_cluster_udf(luts)(F.col("cluster"), F.col("pq_code"))
+    else:
+        lut = pq_adc_lut(cb, query)
+        dist = pq_adc_distance("pq_code", lut)
     if round_to is not None:
         dist = F.round(dist, round_to)
     cols = select_cols or [id_col]

@@ -1349,3 +1349,37 @@ def ann_lsh_updated_topk(spark, sf_dir):
         spark, path, "vec_id", "embedding", Q7, 10,
         select_cols=["vec_id", "label"], round_to=ROUND,
     )
+
+
+# Persisted residual IVFADC: the SAME algorithm contract as the in-memory
+# ann_ivfpq_residual_topk (deterministic centroids, residual codebook,
+# per-cluster query LUTs), served from the committed partitionBy(cluster)
+# codes layout — so the oracle is shared verbatim.
+from vector_store_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "ann_ivfpq_residual_persisted_topk",
+    _REG["ann_ivfpq_residual_topk"].oracle,
+    "Residual IVFADC on the persisted memory tier: codes encode v - "
+    "centroid(v) and live partitionBy(cluster); probes prune cluster dirs, "
+    "per-cluster LUTs ADC-score the residual codes, the back-join fetches "
+    "payload by id — completing the persisted layout matrix at the "
+    "residual-quantized tier",
+)
+def ann_ivfpq_residual_persisted_topk(spark, sf_dir):
+    from vector_store_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _built(
+        spark, sf_dir, "ivfpq_res",
+        lambda p: ivfpq_build(
+            emb, "vec_id", "embedding", p,
+            k_centroids=K_CENTROIDS, m_sub=M_SUB, k_codes=K_CODES,
+            residual=True,
+        ),
+    )
+    return ivfpq_search(
+        spark, path, emb, "vec_id", "embedding", Q31, 10, nprobe=NPROBE,
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
