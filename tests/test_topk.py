@@ -157,3 +157,30 @@ def test_rrf_fuse_combines_result_lists(spark):
     assert abs(scores[2] - (1 / 62 + 1 / 61)) < 1e-12
     assert abs(scores[3] - 1 / 63) < 1e-12  # lex-only: vec leg contributes 0
     assert abs(scores[4] - 1 / 62) < 1e-12  # vec-only
+
+
+def test_knn_label_vote(spark):
+    """kNN classification: the majority label of the k nearest neighbors
+    wins; vote ties break by smallest label."""
+    from vector_store_spark.operators.topk import knn_label_vote
+
+    # cluster A near (1,0), labels mostly 1; cluster B near (0,1), label 2
+    rows = [(i, [1.0, 0.01 * i], 1) for i in range(6)]
+    rows += [(10 + i, [1.0, 0.01 * i + 0.002], 3) for i in range(4)]
+    rows += [(20 + i, [0.01 * i, 1.0], 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.query_id: (r.predicted_label, r.votes) for r in knn_label_vote(
+        df, "embedding", "label", [("qa", [1.0, 0.0]), ("qb", [0.0, 1.0])],
+        k=10, round_to=6,
+    ).collect()}
+    assert out["qa"] == (1, 6)  # 6 of the 10 nearest carry label 1
+    assert out["qb"] == (2, 10)
+    # vote tie: 5 of each -> smallest label wins
+    tie = spark.createDataFrame(
+        [(i, [1.0, 0.0], 7) for i in range(5)]
+        + [(10 + i, [1.0, 0.0], 4) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = knn_label_vote(tie, "embedding", "label", [("q", [1.0, 0.0])],
+                         k=10, round_to=6).collect()[0]
+    assert got.predicted_label == 4 and got.votes == 5

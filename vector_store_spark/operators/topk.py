@@ -315,3 +315,35 @@ def ranked_top_n(
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= n)
     )
+
+
+def knn_label_vote(
+    items: DataFrame,
+    vector_col: str,
+    label_col: str,
+    queries: "list[tuple]",
+    k: int,
+    space: SpaceType = SpaceType.COSINE,
+    id_cols: Sequence[str] = ("vec_id",),
+    round_to: int | None = None,
+) -> DataFrame:
+    """kNN classification (the semi-supervised labeling step of a training-
+    data pipeline: propagate labels from a labeled pool to query points):
+    each query's label is the majority vote of its k nearest labeled
+    neighbors, ties broken by (votes desc, label asc). Built directly on
+    :func:`knn_join` — the label rides the neighbor rows as a payload
+    column, so voting is one result-sized aggregation (n_queries · k rows)
+    after the broadcast-GEMM kNN; no extra pass over the table."""
+    nn = knn_join(
+        items, vector_col, queries, k, space=space,
+        id_cols=[*id_cols, label_col], round_to=round_to,
+    )
+    votes = nn.groupBy("query_id", label_col).agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("query_id", F.col(label_col).alias("predicted_label"), "votes")
+    )

@@ -420,3 +420,47 @@ def dataset_vdbbench_roundtrip_topk(spark, sf_dir):
         tdf, "embedding", Q7, 10, tie_break=["vec_id"],
         select_cols=["vec_id"], round_to=ROUND,
     ).drop("similarity")
+
+
+@register(
+    "knn_label_vote",
+    # kNN classification: each query point takes the majority label of its
+    # 10 nearest neighbors (rounded-distance ranks, ties by vec_id — the
+    # cross-engine-stable ordering); vote ties break by smallest label
+    f"""
+WITH queries(query_id, qv) AS (VALUES
+  {", ".join(f"('{name}', {sql_vec(vec)})" for name, vec in _KNN_QUERIES)}
+),
+base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.query_id, b.vec_id, b.label,
+         round(1.0 - list_inner_product(b.e, q.qv) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(q.qv, q.qv))), {ROUND}) AS distance
+  FROM queries q CROSS JOIN base b
+),
+nn AS (
+  SELECT query_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes FROM nn GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+""",
+    "kNN classification (semi-supervised label propagation): majority vote "
+    "of the 10 nearest labeled neighbors per query — the label rides the "
+    "kNN join as payload, voting is a result-sized aggregation",
+)
+def knn_label_vote(spark, sf_dir):
+    from vector_store_spark.operators.topk import knn_label_vote as _klv
+
+    emb = load(spark, sf_dir, "embeddings")
+    return _klv(
+        emb, "embedding", "label", [(n, v) for n, v in _KNN_QUERIES], k=10,
+        round_to=ROUND,
+    )
