@@ -60,14 +60,37 @@ def main() -> int:
     print(json.dumps({"per_query_sec": timings}, separators=(",", ":")),
           file=sys.stderr)
     sys.stderr.flush()
+    extras = {"fts_index_build_sec": fts_build_s, **_extras(spark, sf_dir)}
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": extras,
+    }
+    # The FULL record (with extras) goes to a file: the driver's stdout capture
+    # truncates long output (BENCH_r10.json's tail ends mid-JSON at rc 0), so
+    # stdout must stay small. It gets the contract keys only, compact-encoded,
+    # plus a pointer to the full record.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(record, fh, separators=(",", ":"))
+            fh.write("\n")
+    except OSError as ex:
+        print(f"bench: could not write {full_path}: {ex}", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "extras": {"fts_index_build_sec": fts_build_s, **_extras(spark, sf_dir)},
-    }))
+        "extras_file": os.path.basename(full_path),
+    }, separators=(",", ":")))
     spark.stop()
     return 0
 

@@ -376,6 +376,43 @@ def test_compact_reclaims_tombstones(spark, items, tmp_path):
     assert all(v[1] == 0 for v in stats.values())
 
 
+def test_compact_distrusts_partial_census(spark, items, tmp_path):
+    """A PARTIAL sidecar census (an index built before the census existed
+    gets only touched slices recorded; a crash between blob overwrite and
+    census write leaves the same shape) must NOT exempt unrecorded slices:
+    compaction falls back to the pruned scan, still reclaims the garbage
+    slice, and backfills the census (ADVICE r10)."""
+    import json
+    import os
+
+    from vector_store_spark.operators.hnsw import hnsw_compact
+
+    path = str(tmp_path / "ix")
+    hnsw_build(items, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=3, payload_cols=["label"])
+    gone = [i for i in range(0, N, 3)][: N // 6]   # ~half of slice 0
+    hnsw_delete(spark, path, gone)
+    meta_path = os.path.join(path, "_hnsw_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # simulate the pre-census/partial shape: the garbage slice is missing
+    del meta["dead_stats"]["0"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    done = hnsw_compact(spark, path, min_deleted_frac=0.2)
+    assert done == [0]
+    got = [(r.vec_id, r.distance)
+           for r in hnsw_search(spark, path, Q, 10, ef_search=N,
+                                round_to=ROUND).collect()]
+    assert got == _exact(items.where(~F.col("vec_id").isin(gone)), Q, 10)
+    # the fallback scan backfilled the census: complete and all-live
+    with open(meta_path) as f:
+        stats = json.load(f)["dead_stats"]
+    assert set(stats) == {"0", "1", "2"}
+    assert all(v[1] == 0 for v in stats.values())
+
+
 def test_i8_quantized_graph_rescore(spark, items, tmp_path):
     """The quantization index option composed with the graph engine
     (usearch.rs:503-513 + quantization_and_rescoring.rs): int8 blobs are

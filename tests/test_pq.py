@@ -99,3 +99,55 @@ def test_ivfpq_residual_persisted_roundtrip(spark, tmp_path):
         predicate=pred, min_candidates=100, select_cols=["vec_id"],
     ).collect()}
     assert guard == truth
+
+
+def test_ivfpq_residual_multiassign_survivor_is_min_adc(spark, tmp_path):
+    """Residual layout + n_assign>1: replica pq_codes differ per assigned
+    cluster, so the persisted search must keep the MIN-ADC replica per id
+    deterministically (ADVICE r10: a bare dropDuplicates kept whichever
+    replica the hash-agg saw first, making top-k run-dependent). Verified
+    against a numpy recomputation of every id's per-replica ADC."""
+    import json
+    import os
+
+    import numpy as np
+
+    from vector_store_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+    from vector_store_spark.operators.pq import pq_adc_lut
+    from vector_store_spark.registry import det_query_vector
+
+    rows = [(i, [float((i * 7 + j * 3) % 19 - 9) / 9.0 for j in range(16)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = det_query_vector(9, 16)
+    path = str(tmp_path / "ivfpq_res_ma2")
+    ivfpq_build(emb, "vec_id", "embedding", path, k_centroids=8, m_sub=4,
+                k_codes=16, residual=True, n_assign=2)
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    cmap = {int(c): np.asarray(v, dtype=np.float64) for c, v in meta["centroids"]}
+    cb = np.asarray(meta["codebook"], dtype=np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    # nprobe=8 probes every cluster, so each id has BOTH replicas in scope
+    stored = spark.read.parquet(path).collect()
+    luts = {c: pq_adc_lut(cb, (qv - cmap[c]).tolist()) for c in cmap}
+    best: dict[int, float] = {}
+    for r in stored:
+        lut = luts[int(r["cluster"])]
+        adc = float(sum(lut[j, r["pq_code"][j]] for j in range(lut.shape[0])))
+        vid = int(r["vec_id"])
+        if vid not in best or adc < best[vid]:
+            best[vid] = adc
+    got = ivfpq_search(spark, path, emb, "vec_id", "embedding", q, 10,
+                       nprobe=8, select_cols=["vec_id"]).collect()
+    for r in got:
+        assert abs(r.distance - best[int(r.vec_id)]) < 1e-9
+    expect_ids = [vid for vid, _ in sorted(best.items(),
+                                           key=lambda kv: (kv[1], kv[0]))[:10]]
+    assert [int(r.vec_id) for r in got] == expect_ids
+    # stable across repeated execution (fresh plan each time)
+    again = ivfpq_search(spark, path, emb, "vec_id", "embedding", q, 10,
+                         nprobe=8, select_cols=["vec_id"]).collect()
+    assert [(r.vec_id, r.distance) for r in got] == \
+           [(r.vec_id, r.distance) for r in again]

@@ -158,6 +158,12 @@ def test_rrf_fuse_combines_result_lists(spark):
     assert abs(scores[3] - 1 / 63) < 1e-12  # lex-only: vec leg contributes 0
     assert abs(scores[4] - 1 / 62) < 1e-12  # vec-only
 
+    import pytest
+
+    from vector_store_spark.operators.topk import rrf_fuse as _fuse
+    with pytest.raises(ValueError, match="at least one ranked input"):
+        _fuse([], "doc_id")
+
 
 def test_knn_label_vote(spark):
     """kNN classification: the majority label of the k nearest neighbors

@@ -1288,6 +1288,20 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
     # the census existed fall back to one pruned graph scan.
     stats = meta.get("dead_stats")
     if stats:
+        # guard against a PARTIAL census: an index built before the census
+        # existed gets only its touched slices recorded by the first upsert /
+        # tombstone write — trusting that as complete would silently exempt
+        # every untouched garbage-heavy slice from compaction forever. The
+        # slice listing is a partition-directory walk (no blob bytes read);
+        # any slice missing from the census forces the pruned-scan fallback,
+        # which also backfills the census via _update_dead_stats below.
+        layout_slices = {
+            int(r["slice"])
+            for r in graph_all.select("slice").distinct().collect()
+        }
+        if not layout_slices <= {int(s) for s in stats}:
+            stats = None
+    if stats:
         fracs = [{"slice": int(s), "n": n, "dead": dead}
                  for s, (n, dead) in stats.items()]
     else:
@@ -1304,6 +1318,12 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
         # columns (vecs/nbr_flat dominate the bytes; the census needs 3 smalls)
         fracs = graph_all.select("slice", "n", "deleted").mapInPandas(
             dead_counts, "slice int, n int, dead long").collect()
+        # backfill the sidecar from the full scan so the NEXT maintenance
+        # call is driver-side arithmetic again (self-heal for pre-census
+        # indexes and for a crash between a blob overwrite and its census)
+        _update_dead_stats(path, meta, {
+            int(r["slice"]): [int(r["n"]), int(r["dead"])] for r in fracs
+        })
     todo = sorted(r["slice"] for r in fracs
                   if r["n"] > 0 and r["dead"] / r["n"] >= min_deleted_frac)
     if not todo:

@@ -265,8 +265,6 @@ def ivfpq_search(
     cand = spark.read.parquet(path).where(F.col("cluster").isin(probes))
     if predicate is not None:
         cand = cand.where(predicate)
-    if meta["n_assign"] > 1:
-        cand = cand.dropDuplicates([id_col])
     if meta.get("residual"):
         # IVFADC serving: one LUT per probed cluster from the query's OWN
         # residual q − centroid_c (driver-side, nprobe × m_sub × k_codes)
@@ -279,6 +277,30 @@ def ivfpq_search(
         dist = pq_adc_distance("pq_code", lut)
     if round_to is not None:
         dist = F.round(dist, round_to)
+    if meta["n_assign"] > 1:
+        if meta.get("residual"):
+            # replica codes differ per assigned cluster (each encodes the
+            # residual to ITS centroid), so the survivor must be picked
+            # deterministically: keep the min-ADC replica (ties by cluster) —
+            # same contract as ivfpq_residual_topk's smallest-residual window.
+            # A bare dropDuplicates keeps whichever replica a partition scan
+            # hands the hash-agg first, making top-k run-dependent.
+            from pyspark.sql import Window
+
+            cand = cand.withColumn("_adc", dist)
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("_adc").asc(), F.col("cluster").asc()
+            )
+            cand = (
+                cand.withColumn("_rep_rn", F.row_number().over(w))
+                .where(F.col("_rep_rn") == 1)
+                .drop("_rep_rn")
+            )
+            dist = F.col("_adc")
+        else:
+            # flat PQ: every replica carries the SAME code (it encodes the raw
+            # vector), so any survivor scores identically — dedupe is cheap
+            cand = cand.dropDuplicates([id_col])
     cols = select_cols or [id_col]
     shortlist = (
         cand.withColumn("distance", dist)

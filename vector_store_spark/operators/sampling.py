@@ -273,7 +273,6 @@ def temperature_sample_rates(
     group_col: str,
     weight_col: str,
     total_budget: int,
-    salt: int = 0,
 ) -> DataFrame:
     """Per-group keep rates (ppm) for **temperature-weighted mixing** — the
     standard multilingual/multi-source rebalancing step (sample source s
@@ -286,6 +285,11 @@ def temperature_sample_rates(
     kept set — are bit-identical across engines (float pow/sum ordering
     never enters; IEEE sqrt is exactly rounded, so floor(sqrt(x)) agrees
     everywhere). Returns one row per group: (group, _n mass, rate_ppm).
+
+    Exactness bound: the sqrt argument n·1e6 is formed in double, exact only
+    while n·1e6 ≤ 2^53, i.e. per-group mass n ≲ 9.0e9 (9 billion tokens in a
+    group — beyond it the last of the 3 fractional sqrt digits can differ by
+    1 ulp across engines). Rates are clamped to ≤ 1e6 ppm either way.
 
     Scale shape: one map-side-combined aggregate to group-dimension size;
     everything downstream of it is dimension-sized arithmetic."""
@@ -322,7 +326,7 @@ def temperature_sample(
     group-dimension frame broadcast onto the fact scan, the kept set is a
     pure narrow filter — reproducible under any partitioning, no shuffle of
     the fact table."""
-    rates = temperature_sample_rates(df, group_col, weight_col, total_budget, salt)
+    rates = temperature_sample_rates(df, group_col, weight_col, total_budget)
     return (
         df.join(F.broadcast(rates.select(group_col, "rate_ppm")), group_col)
         .where(hash_bucket(id_col, 1_000_000, salt) < F.col("rate_ppm"))

@@ -276,6 +276,8 @@ def rrf_fuse(
     Scale shape: the inputs are top-N frames (result-sized), so the full
     outer join and the final sort are metadata-sized — fusion adds no
     fact-table work beyond the legs themselves."""
+    if not ranked:
+        raise ValueError("rrf_fuse requires at least one ranked input")
     tagged = []
     for i, df in enumerate(ranked):
         tagged.append(df.select(

@@ -38,7 +38,10 @@ _PAIRS_CACHE: dict[str, "object"] = {}
 
 
 def _minhash_pairs(spark, sf_dir, num_hashes, bands):
-    key = f"{id(spark)}:{sf_dir}:{num_hashes}:{bands}"
+    # keyed by applicationId, not id(spark): CPython reuses object ids after
+    # GC, so a fresh session could collide with a dead one's key and hand
+    # back a frame bound to a stopped SparkContext
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{num_hashes}:{bands}"
     if key not in _PAIRS_CACHE:
         docs = load(spark, sf_dir, "documents")
         # max_bucket_width=None: the DuckDB oracles' banding is exhaustive,

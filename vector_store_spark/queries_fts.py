@@ -43,7 +43,7 @@ _INDEX_CACHE: dict[str, "object"] = {}
 
 
 def _index(spark, sf_dir):
-    key = f"{id(spark)}:{sf_dir}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = build_fts_index(
             load(spark, sf_dir, "documents"), "doc_id", "text"
@@ -235,7 +235,7 @@ def bm25_persisted_term(spark, sf_dir):
 
     # the persisted layout is a standing artifact (built once, served many
     # times) — memoize the write like the in-memory _INDEX_CACHE above
-    key = f"path:{id(spark)}:{sf_dir}"
+    key = f"path:{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _INDEX_CACHE:
         import time as _t
 

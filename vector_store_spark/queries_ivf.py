@@ -24,7 +24,7 @@ _BUILD_CACHE: dict[str, str] = {}
 
 
 def _built(spark, sf_dir, kind: str, build_fn) -> str:
-    key = f"{id(spark)}:{sf_dir}:{kind}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{kind}"
     if key not in _BUILD_CACHE:
         import tempfile
 
