@@ -1,0 +1,190 @@
+"""Diversified serving + embedding-graph operators: MMR greedy correctness
+vs an independent numpy reference, capped-top-k greedy equivalence, blocked
+kNN-graph exactness (single block) and block-respecting semantics
+(multi-block), label-centroid outlier ranking.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.diversify import ann_topk_capped, mmr_rerank
+from vector_store_spark.operators.knn_graph import (
+    knn_graph,
+    label_centroids,
+    label_outliers,
+)
+from vector_store_spark.operators.topk import _round_half_up
+from vector_store_spark.registry import ROUND
+
+N, DIMS = 120, 8
+
+
+def _vec(i):
+    # multiples of 1/16: exactly representable in float32, so the table's
+    # array<float> storage and the float64 test reference see identical values
+    return [(((i * 17 + j * 11) % 33) - 16) / 16.0 for j in range(DIMS)]
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    rows = [(i, _vec(i), i % 4) for i in range(N)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def _cos_matrix(X):
+    n = np.linalg.norm(X, axis=1)
+    n[n == 0] = 1.0
+    return (X @ X.T) / np.outer(n, n)
+
+
+def _mmr_reference(ids, X, q, k, pool, lam, rnd):
+    """Independent matrix-based MMR (numpy throughout, vs the operator's
+    sequential-sum scalar loops)."""
+    qn = np.linalg.norm(q) or 1.0
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    rel = (X @ q) / (xn * qn)
+    dist = _round_half_up(1.0 - rel, rnd)
+    order = np.lexsort((ids, dist))[:pool]
+    cids, crel = ids[order], rel[order]
+    S = _cos_matrix(X[order])
+    picked = []
+    for _ in range(k):
+        best = None
+        for i in range(len(cids)):
+            if i in picked:
+                continue
+            div = max((S[i][j] for j in picked), default=0.0)
+            score = float(_round_half_up(np.float64(lam * crel[i] - (1 - lam) * div), rnd))
+            key = (-score, cids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        picked.append(best[1])
+    return [(r + 1, int(cids[i])) for r, i in enumerate(picked)]
+
+
+def test_mmr_matches_reference_and_diversifies(spark, items):
+    q = [1.0, 0.5, 0.0, -0.5, 0.25, 0.0, 0.5, -0.25]
+    got = mmr_rerank(items, "vec_id", "embedding", q, k=6, pool=25,
+                     lam=0.6, round_to=ROUND).collect()
+    X = np.array([_vec(i) for i in range(N)], dtype=np.float64)
+    ids = np.arange(N, dtype=np.int64)
+    ref = _mmr_reference(ids, X, np.asarray(q), 6, 25, 0.6, ROUND)
+    assert [(r["rank"], r["vec_id"]) for r in got] == ref
+    # rank 1 is the pure-relevance argmax; its score is exactly lam*rel
+    assert abs(got[0]["mmr_score"] - round(0.6 * got[0]["relevance"], ROUND)) <= 1e-6
+    # diversification engaged: picks differ from the plain top-6
+    top6 = [ref2[1] for ref2 in _mmr_reference(ids, X, np.asarray(q), 6, 25, 1.0, ROUND)]
+    assert [r["vec_id"] for r in got] != top6
+
+
+def test_mmr_rejects_nonpositive_k(spark, items):
+    with pytest.raises(ValueError, match="positive"):
+        mmr_rerank(items, "vec_id", "embedding", [0.0] * DIMS, k=0)
+
+
+def test_capped_topk_equals_greedy_scan(spark, items):
+    q = [0.3, -0.7, 0.2, 0.9, -0.1, 0.4, 0.0, 0.6]
+    k, cap = 8, 2
+    got = [(r["vec_id"], r["label"], r["distance"]) for r in ann_topk_capped(
+        items, "embedding", q, k, cap_col="label", cap=cap,
+        id_col="vec_id", select_cols=["vec_id", "label"], round_to=ROUND,
+    ).collect()]
+    # greedy reference: scan in (rounded distance, id) order, skip label-full
+    X = np.array([_vec(i) for i in range(N)], dtype=np.float64)
+    qv = np.asarray(q)
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    d = _round_half_up(1.0 - (X @ qv) / (xn * (np.linalg.norm(qv) or 1.0)), ROUND)
+    order = np.lexsort((np.arange(N), d))
+    taken, per_label = [], {}
+    for i in order:
+        lbl = i % 4
+        if per_label.get(lbl, 0) >= cap:
+            continue
+        per_label[lbl] = per_label.get(lbl, 0) + 1
+        taken.append((int(i), lbl, float(d[i])))
+        if len(taken) == k:
+            break
+    assert got == taken
+    labels = [t[1] for t in got]
+    assert all(labels.count(x) <= cap for x in set(labels))
+
+
+def test_knn_graph_single_block_is_exact(spark, items):
+    """k_centroids=1 puts everything in one block: the graph must equal the
+    exact brute-force kNN graph."""
+    m = 3
+    got = {(r["vec_id"], r["nbr_id"]): r["distance"] for r in knn_graph(
+        items, "vec_id", "embedding", m, k_centroids=1, n_assign=1,
+        round_to=ROUND,
+    ).collect()}
+    X = np.array([_vec(i) for i in range(N)], dtype=np.float64)
+    D = _round_half_up(1.0 - _cos_matrix(X), ROUND)
+    expect = {}
+    for i in range(N):
+        d = D[i].copy()
+        d[i] = np.inf
+        for j in np.lexsort((np.arange(N), d))[:m]:
+            expect[(i, int(j))] = float(d[j])
+    assert got == expect
+
+
+def test_knn_graph_blocked_respects_block_semantics(spark, items):
+    """Multi-block: every edge's pair shares >= 1 assigned cluster, <= m
+    edges per id, distances exact for the emitted pairs."""
+    from vector_store_spark.operators.ivf import ivf_assign, ivf_centroids
+
+    m, kc, na = 3, 5, 2
+    out = knn_graph(items, "vec_id", "embedding", m, k_centroids=kc,
+                    n_assign=na, round_to=ROUND).collect()
+    cents = ivf_centroids(items, "vec_id", "embedding", kc)
+    asg = ivf_assign(items, "vec_id", "embedding", cents, n_assign=na)
+    clusters = {}
+    for r in asg.collect():
+        clusters.setdefault(r["vec_id"], set()).add(r["cluster"])
+    X = np.array([_vec(i) for i in range(N)], dtype=np.float64)
+    D = _round_half_up(1.0 - _cos_matrix(X), ROUND)
+    per_id = {}
+    for r in out:
+        s, t = r["vec_id"], r["nbr_id"]
+        assert s != t
+        assert clusters[s] & clusters[t], "edge pair shares no block"
+        assert r["distance"] == pytest.approx(D[s][t], abs=1e-12)
+        per_id[s] = per_id.get(s, 0) + 1
+    assert max(per_id.values()) <= m
+    # and it matches the blocked reference exactly: per-src top-m over
+    # all in-block pairs under (distance, nbr) order
+    expect = {}
+    for s in range(N):
+        cand = [t for t in range(N)
+                if t != s and clusters[s] & clusters[t]]
+        cand.sort(key=lambda t: (D[s][t], t))
+        for t in cand[:m]:
+            expect[(s, t)] = float(D[s][t])
+    assert {(r["vec_id"], r["nbr_id"]): r["distance"] for r in out} == expect
+
+
+def test_label_centroids_and_outliers(spark, items):
+    cents = {r["label"]: r["centroid"] for r in
+             label_centroids(items, "label", "embedding").collect()}
+    X = np.array([_vec(i) for i in range(N)], dtype=np.float64)
+    labels = np.arange(N) % 4
+    for lbl in range(4):
+        ref = X[labels == lbl].mean(axis=0)
+        assert np.allclose(cents[lbl], ref, atol=1e-12)
+    top = label_outliers(items, "vec_id", "label", "embedding",
+                         top_n=5, round_to=ROUND).collect()
+    d2 = {}
+    for i in range(N):
+        c = np.asarray(cents[labels[i]])
+        d2[i] = float(_round_half_up(((X[i] - c) ** 2).sum(), ROUND))
+    expect = sorted(d2, key=lambda i: (-d2[i], i))[:5]
+    assert [r["vec_id"] for r in top] == expect
+    assert all(math.isclose(r["dist_sq"], d2[r["vec_id"]], abs_tol=1e-9)
+               for r in top)

@@ -115,6 +115,10 @@ def test_every_topk_query_uses_k_heaps(plans):
     # per-group top-k is a window (one shuffle on the group key), not a
     # global k-heap — the right plan for that shape
     topk_queries.remove("ann_topk_per_partition")
+    # MMR's returned frame is the driver-side greedy's result (result-sized
+    # createDataFrame); the k-heap ran inside its shortlist ann_topk collect,
+    # which this plan snapshot can't see
+    topk_queries.remove("ann_mmr_topk")
     missing = [n for n in topk_queries if "TakeOrderedAndProject" not in plans[n]]
     assert not missing, f"top-k queries without TakeOrderedAndProject: {missing}"
 

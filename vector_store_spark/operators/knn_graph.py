@@ -1,0 +1,177 @@
+"""All-pairs kNN graph and embedding-space label diagnostics.
+
+Two embedding-pipeline operators the reference's point-query API doesn't
+cover but its data model (id, vector, label) makes natural:
+
+- :func:`knn_graph` — every row's ``m`` nearest neighbors, the edge list
+  that near-dup clustering, label propagation, and graph-index builds
+  (HNSW/NSG literature) consume. A naive formulation is an O(n²)
+  cross-join; the scale shape here is IVF blocking: assign each vector to
+  its ``n_assign`` nearest centroids (same FLANN-style multiple assignment
+  as operators/ivf.ivf_assign), run one exact GEMM per cluster block, keep
+  per-block top-m, and merge per id. Work is Σ_c |block_c|² instead of n² —
+  with k_centroids ∝ √n this is ~n^1.5, and each block is an independent
+  task. Recall follows multiple assignment: a true neighbor is found iff
+  the pair shares ≥1 of their n_assign clusters (n_assign=2 captures
+  boundary pairs single assignment loses).
+- :func:`label_centroids` / :func:`label_outliers` — per-label mean vector
+  and distance-to-own-centroid ranking: the standard embedding-space
+  mislabel/outlier sweep a training-data audit runs (CLIP-filtering style).
+  Centroids via posexplode + partial-aggregated avg per (label, dim): the
+  shuffle carries labels × dims rows, never the fact table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.ivf import ivf_assign, ivf_centroids
+from vector_store_spark.types import SpaceType
+
+
+def knn_graph(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k_centroids: int = 8,
+    n_assign: int = 2,
+    round_to: int | None = None,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Blocked all-pairs kNN (cosine): per-cluster exact GEMM → per-block
+    top-m → min-merge across blocks → per-id top-m. Returns
+    (``id_col``, nbr_id, distance), ≤ m rows per id.
+
+    Determinism: distances are HALF_UP-rounded *before* every cut and ties
+    break on ascending neighbor id, so the per-block exact-m cut composes
+    with the global window without boundary ambiguity (a neighbor cut in
+    its block has ≥ m better-(distance, nbr) candidates that are all
+    present globally). Cross-block duplicates of a pair carry the same
+    rounded distance; ``min`` makes the merge deterministic even if the
+    two blocks' GEMMs differ in the last float bit.
+    """
+    import numpy as np  # noqa: F401  (validated here, used in the UDF)
+
+    if m <= 0:
+        raise ValueError("m must be positive")
+    cents = centroids if centroids is not None else ivf_centroids(
+        items, id_col, vec_col, k_centroids
+    )
+    assigned = ivf_assign(
+        items, id_col, vec_col, cents, space=SpaceType.COSINE, n_assign=n_assign
+    ).select(id_col, vec_col, "cluster")
+
+    id_type = dict(items.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, nbr_id {id_type}, distance double"
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from vector_store_spark.operators.topk import _round_half_up
+
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0], "nbr_id": ids[:0],
+                                 "distance": np.zeros(0)})
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        D = 1.0 - (X @ X.T) / np.outer(norms, norms)
+        if round_to is not None:
+            D = _round_half_up(D, round_to)
+        src, dst, dist = [], [], []
+        mm = min(m, n - 1)
+        for i in range(n):
+            d = D[i].copy()
+            d[i] = np.inf  # exclude self
+            order = np.lexsort((ids, d))[:mm]
+            src.extend([ids[i]] * mm)
+            dst.extend(ids[order])
+            dist.extend(d[order])
+        return pd.DataFrame({id_col: src, "nbr_id": dst, "distance": dist})
+
+    per_block = assigned.groupBy("cluster").applyInPandas(block, out_schema)
+    merged = per_block.groupBy(id_col, "nbr_id").agg(
+        F.min("distance").alias("distance")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("distance").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= m)
+        .drop("_rn")
+    )
+
+
+def label_centroids(
+    items: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label mean vector as (``label_col``, centroid array<double>).
+    posexplode → avg per (label, pos) → re-assemble: the partial aggregate
+    collapses the dims× blow-up map-side, so the exchange carries
+    labels × dims rows regardless of table size."""
+    exploded = items.select(
+        label_col, F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("pos", "val")
+    )
+    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("val").alias("c"))
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def label_outliers(
+    items: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    top_n: int = 15,
+    round_to: int | None = None,
+) -> DataFrame:
+    """The ``top_n`` vectors farthest (L2²) from their own label's centroid
+    — ranked mislabel/outlier candidates for an embedding-space audit.
+    The centroid frame is label-dimension-sized and broadcast; scoring is
+    one Arrow-batched numpy pass over the fact scan; only the global
+    ``top_n`` rows survive the final sort."""
+    import numpy as np  # noqa: F401
+
+    cents = label_centroids(items, label_col, vec_col)
+    joined = items.select(id_col, label_col, vec_col).join(
+        F.broadcast(cents), label_col
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vector_store_spark.operators.topk import _round_half_up
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            C = np.asarray([np.asarray(c, dtype=np.float64) for c in pdf["centroid"]])
+            d2 = ((X - C) ** 2).sum(axis=1)
+            if round_to is not None:
+                d2 = _round_half_up(d2, round_to)
+            out = pdf[[id_col, label_col]].copy()
+            out["dist_sq"] = d2
+            yield out
+
+    id_type = dict(items.dtypes)[id_col]
+    lbl_type = dict(items.dtypes)[label_col]
+    scored = joined.mapInPandas(
+        score, schema=f"{id_col} {id_type}, {label_col} {lbl_type}, dist_sq double"
+    )
+    return scored.orderBy(F.col("dist_sq").desc(), F.col(id_col).asc()).limit(top_n)

@@ -20,6 +20,7 @@ from vector_store_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from vector_store_spark.queries_text import quality_score_sql
 from vector_store_spark.registry import ROUND, load, register
 
 _TOKS = f"SELECT doc_id AS id, {tokenize_sql('text')} AS toks FROM documents"
@@ -264,13 +265,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     return pairs.withColumn("cosine", F.round("cosine", ROUND))
 
 
-@register(
-    "dedup_groups_minhash",
-    # WITH RECURSIVE: transitive closure over the verified near-dup pairs,
-    # then min-reachable-id = component label (what the Spark side's
-    # min-label propagation converges to)
-    f"""
-WITH RECURSIVE sets AS ({_SETS}),
+# transitive closure over verified MinHash near-dup pairs — the shared
+# CTE chain of every group-consuming oracle (groups / drop list / keep-best)
+_CLOSURE_CTES = f"""sets AS ({_SETS}),
 sets2 AS (SELECT id, hs FROM sets WHERE len(hs) > 0),
 sig AS (SELECT id, hs, {_SIG_SQL} AS sig FROM sets2),
 bandrows AS (
@@ -298,7 +295,16 @@ reach AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
-labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src)
+labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src)"""
+
+
+@register(
+    "dedup_groups_minhash",
+    # WITH RECURSIVE: transitive closure over the verified near-dup pairs,
+    # then min-reachable-id = component label (what the Spark side's
+    # min-label propagation converges to)
+    f"""
+WITH RECURSIVE {_CLOSURE_CTES}
 SELECT group_id,
        id AS member_id,
        CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
@@ -327,35 +333,7 @@ def dedup_groups_minhash(spark, sf_dir):
     # keep-one-per-component: drop everything that is not its component's
     # min id; report the removal volume per source
     f"""
-WITH RECURSIVE sets AS ({_SETS}),
-sets2 AS (SELECT id, hs FROM sets WHERE len(hs) > 0),
-sig AS (SELECT id, hs, {_SIG_SQL} AS sig FROM sets2),
-bandrows AS (
-  SELECT id, unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band,
-         unnest([{_BUCKETS_SQL}]) AS bucket
-  FROM sig
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bandrows a JOIN bandrows b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-),
-ver AS (
-  SELECT id_a, id_b
-  FROM cand JOIN sets2 sa ON sa.id = cand.id_a JOIN sets2 sb ON sb.id = cand.id_b
-  WHERE len(list_intersect(sa.hs, sb.hs)) /
-        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM ver
-  UNION SELECT id_b, id_a FROM ver
-),
-reach AS (
-  SELECT src, src AS dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src),
+WITH RECURSIVE {_CLOSURE_CTES},
 drops AS (SELECT id FROM labels WHERE id <> group_id)
 SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_dropped,
@@ -434,3 +412,63 @@ def text_decontaminate(spark, sf_dir):
     )
     flagged = decontaminate_ngram(docs, ev, "doc_id", "text", n=3, threshold=0.5)
     return flagged.withColumn("containment", F.round("containment", ROUND))
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_CLOSURE_CTES},
+q AS ({quality_score_sql()}),
+ranked AS (
+  SELECT l.group_id, l.id AS member_id, q.q,
+         row_number() OVER (PARTITION BY l.group_id ORDER BY q.q DESC, l.id ASC) AS rn,
+         count(*) OVER (PARTITION BY l.group_id) AS gs
+  FROM labels l JOIN q ON q.doc_id = l.id
+)
+SELECT group_id, member_id AS keep_id, q AS keep_quality, CAST(gs AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_keep_best",
+    # canonical-by-QUALITY instead of min-id: real pipelines keep the best
+    # member of each near-dup cluster, not an arbitrary one. The oracle
+    # chains the shared transitive closure with the text_quality composite
+    # (imported from queries_text so the formula cannot drift) and picks
+    # rn = 1 per group under (quality DESC, id ASC).
+    _KEEP_BEST_SQL,
+    "Near-dup canonical selection by quality: per-component arg-max of the "
+    "text_quality composite (ties -> smallest id), with group size",
+)
+def dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vector_store_spark.operators.dedup import dedup_component_members
+    from vector_store_spark.operators.textstats import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir, _NH, _BANDS)
+    members = dedup_component_members(pairs)  # (group_id, member_id)
+    q = quality_features(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("member_id"),
+        F.round("quality_score", ROUND).alias("q"),
+    )
+    # members is duplicate-volume-sized (NOT broadcastable — same contract
+    # as dedup_drop_list); shuffle-hash keeps the fact-side join sort-free
+    j = members.hint("SHUFFLE_HASH").join(q, "member_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("q").desc(), F.col("member_id").asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "group_size",
+            F.count("*").over(Window.partitionBy("group_id")).cast("long"),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "group_id",
+            F.col("member_id").alias("keep_id"),
+            F.col("q").alias("keep_quality"),
+            "group_size",
+        )
+    )

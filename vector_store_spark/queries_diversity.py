@@ -1,0 +1,196 @@
+"""Diversified serving + embedding-graph registry entries: MMR re-ranking,
+per-group capped top-k, blocked all-pairs kNN graph, and label-centroid
+outlier ranking.
+
+The reference serves raw nearest-neighbor lists; these are the standard
+post-processing / audit layers production retrieval and training-data
+pipelines put on top of the same (id, vector, label) model. Each entry
+carries a full DuckDB re-derivation — the MMR oracle re-runs the greedy
+selection itself with a recursive CTE, so the driver checks the iterative
+algorithm, not just output shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_store_spark.operators.diversify import ann_topk_capped, mmr_rerank
+from vector_store_spark.operators.knn_graph import knn_graph, label_outliers
+from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
+
+DIMS = 64
+Q7 = det_query_vector(7, DIMS)
+Q13 = det_query_vector(13, DIMS)
+
+_POOL, _MMR_K, _LAM = 20, 5, 0.7
+_Q7SQL = sql_vec(Q7)
+
+
+def _cos_sim(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+@register(
+    "ann_mmr_topk",
+    # The oracle replays the GREEDY itself: a recursive CTE carries the
+    # picked-id list; each step appends the argmax of the rounded MMR
+    # objective (ties -> smallest id) among unpicked shortlist rows.
+    # Engine/oracle float parity: every dot product on the Spark side is a
+    # sequential float64 sum (operators/diversify._seq_dot), bit-identical
+    # to DuckDB's list_inner_product on DOUBLE[].
+    f"""
+WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rels AS (
+  SELECT vec_id, v, {_cos_sim("v", _Q7SQL)} AS rel FROM base
+),
+cand AS (
+  SELECT vec_id, v, rel FROM rels
+  ORDER BY round(1.0 - rel, {ROUND}) ASC, vec_id ASC LIMIT {_POOL}
+),
+sel(step, picked) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT step + 1, list_append(picked, (
+    SELECT c.vec_id FROM cand c
+    WHERE coalesce(list_position(sel.picked, c.vec_id), 0) = 0
+    ORDER BY round({_LAM} * c.rel - {1.0 - _LAM} * coalesce((
+        SELECT max({_cos_sim("c.v", "p.v")})
+        FROM cand p WHERE list_position(sel.picked, p.vec_id) > 0), 0.0), {ROUND}) DESC,
+      c.vec_id ASC
+    LIMIT 1))
+  FROM sel WHERE step < {_MMR_K}
+),
+final_picked AS (SELECT picked FROM sel WHERE step = {_MMR_K})
+SELECT CAST(list_position(fp.picked, c.vec_id) AS INTEGER) AS rank,
+       c.vec_id,
+       round(c.rel, {ROUND}) AS relevance,
+       round({_LAM} * c.rel - {1.0 - _LAM} * coalesce((
+         SELECT max({_cos_sim("c.v", "p.v")})
+         FROM cand p
+         WHERE list_position(fp.picked, p.vec_id) > 0
+           AND list_position(fp.picked, p.vec_id) < list_position(fp.picked, c.vec_id)), 0.0), {ROUND}) AS mmr_score
+FROM cand c, final_picked fp
+WHERE list_position(fp.picked, c.vec_id) > 0
+""",
+    "MMR-diversified top-k (Carbonell & Goldstein '98): distributed top-pool "
+    "shortlist, driver-side greedy over the result-sized pool; oracle replays "
+    "the greedy with a recursive CTE",
+)
+def ann_mmr_topk(spark, sf_dir):
+    return mmr_rerank(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", Q7,
+        k=_MMR_K, pool=_POOL, lam=_LAM, round_to=ROUND,
+    )
+
+
+_CAP = 2
+
+
+@register(
+    "ann_capped_topk",
+    f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         round(1.0 - {_cos_sim("CAST(embedding AS DOUBLE[])", sql_vec(Q13))}, {ROUND}) AS distance
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, label, distance,
+         row_number() OVER (PARTITION BY label ORDER BY distance, vec_id) AS rn
+  FROM scored
+)
+SELECT vec_id, label, distance FROM ranked WHERE rn <= {_CAP}
+ORDER BY distance, vec_id LIMIT 10
+""",
+    "Diversity-capped top-k: global top-10 with <= 2 results per label "
+    "(greedy cap == per-group-top-cap -> global top-k; Arrow-batch pruning "
+    "keeps the window input result-sized)",
+)
+def ann_capped_topk(spark, sf_dir):
+    return ann_topk_capped(
+        load(spark, sf_dir, "embeddings"), "embedding", Q13, 10,
+        cap_col="label", cap=_CAP, id_col="vec_id",
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+
+
+_KG_CENTROIDS, _KG_ASSIGN, _KG_M = 8, 2, 3
+
+# same deterministic assignment CTE family as queries_ivf._ASG, with
+# rn <= n_assign (FLANN multiple assignment) instead of rn = 1
+_KG_ASG = f"""
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_KG_CENTROIDS}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, c.cid, {_cos_sim("v", "cv")} AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn <= {_KG_ASSIGN}
+)
+"""
+
+
+@register(
+    "knn_graph_blocked",
+    f"""
+WITH {_KG_ASG},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT p.src, p.dst,
+         round(1.0 - {_cos_sim("ea.v", "eb.v")}, {ROUND}) AS distance
+  FROM pairs p JOIN e ea ON ea.vec_id = p.src JOIN e eb ON eb.vec_id = p.dst
+),
+ranked AS (
+  SELECT src, dst, distance,
+         row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rn
+  FROM d
+)
+SELECT src AS vec_id, dst AS nbr_id, distance FROM ranked WHERE rn <= {_KG_M}
+""",
+    "Blocked all-pairs kNN graph: IVF multiple-assignment blocking, exact "
+    "per-block GEMM, per-id top-m merge — Sigma |block|^2 work instead of n^2",
+)
+def knn_graph_blocked(spark, sf_dir):
+    return knn_graph(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", _KG_M,
+        k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
+    )
+
+
+@register(
+    "emb_label_outliers",
+    f"""
+WITH cent AS (
+  SELECT label, g AS pos, avg(CAST(embedding[g] AS DOUBLE)) AS c
+  FROM embeddings, generate_series(1, {DIMS}) t(g)
+  GROUP BY label, g
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.c)
+             * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c)) AS d2
+  FROM embeddings e JOIN cent c ON e.label = c.label
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, round(d2, {ROUND}) AS dist_sq FROM d
+ORDER BY dist_sq DESC, vec_id LIMIT 15
+""",
+    "Embedding-space label audit: top-15 vectors farthest (L2^2) from their "
+    "own label centroid — the CLIP-filtering-style mislabel/outlier sweep",
+)
+def emb_label_outliers(spark, sf_dir):
+    return label_outliers(
+        load(spark, sf_dir, "embeddings"), "vec_id", "label", "embedding",
+        top_n=15, round_to=ROUND,
+    )

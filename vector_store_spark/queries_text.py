@@ -101,6 +101,28 @@ def text_quality(spark, sf_dir):
     return out
 
 
+def quality_score_sql(round_to: int = ROUND) -> str:
+    """(doc_id, q) subquery: the text_quality composite score, same
+    expressions as the text_quality oracle above (raw-ratio inputs, one
+    final rounding) — importable by other query families that rank or pick
+    canonicals by quality (e.g. dedup keep-best)."""
+    return f"""
+SELECT doc_id, round(greatest(least(
+         0.3 * least(n_tokens / 50.0, 1.0) + 0.25 * alpha_ratio
+         + 0.2 * least(stopword_ratio * 4.0, 1.0) + 0.25 * uniq_token_ratio
+         - 0.5 * punct_ratio, 1.0), 0.0), {round_to}) AS q
+FROM (
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS n_tokens,
+    CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n_chars ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains([{_STOP_LIST}], t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS uniq_token_ratio
+  FROM (SELECT doc_id, text, {_TOKS_KEEP_STOP} AS toks, CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
+)
+"""
+
+
 @register(
     "text_token_counts",
     f"""
