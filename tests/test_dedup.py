@@ -327,3 +327,40 @@ def test_embedding_lsh_multibit_probing_widens_recall(spark, sf_dir):
     with pytest.raises(ValueError):
         embedding_neardup_pairs_lsh(
             emb, "vec_id", "embedding", dims=64, probes=-1)
+
+
+def test_split_leakage_query_flags_cross_split_neardups(spark):
+    """split_leakage_cosine semantics on a planted corpus: an eval vector
+    near-identical to a train vector is flagged with its argmax train
+    neighbor; same-split near-dups are NOT flagged."""
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # ids % 4 == 0 are "eval". 4 ~ 1 (cross-split, cosine ~1); 8 ~ 12
+    # (BOTH eval -> must not flag); 2 ~ 3 (both train -> must not flag).
+    base = [1.0, 0.5, -0.25, 0.125]
+    far = [-1.0, 0.5, 0.25, -0.125]
+    mid = [0.0, 1.0, 0.5, 0.25]
+    rows = [
+        (1, base), (4, [x * 1.001 for x in base]),
+        (8, mid), (12, [x * 1.001 for x in mid]),
+        (2, far), (3, [x * 1.001 for x in far]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    a_eval = F.col("id_a") % 4 == 0
+    b_eval = F.col("id_b") % 4 == 0
+    cross = pairs.where(a_eval != b_eval).select(
+        F.when(a_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc())
+    got = {(r["eval_id"], r["train_id"]) for r in
+           cross.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).collect()}
+    assert (4, 1) in got
+    assert all(e % 4 == 0 and t % 4 != 0 for e, t in got)
+    assert not any(e in (8, 12) and t in (8, 12) for e, t in got)

@@ -170,6 +170,25 @@ def test_knn_graph_blocked_respects_block_semantics(spark, items):
     assert {(r["vec_id"], r["nbr_id"]): r["distance"] for r in out} == expect
 
 
+def test_knn_graph_grid_subblocking_is_lossless(spark, items):
+    """The skew guard (max_block grid sub-blocking) must return the
+    IDENTICAL graph: same edges, same distances — including on the
+    pathological shape it exists for (k_centroids=1 ⇒ one mega-cluster,
+    which unsplit would be a single |n|² task)."""
+    for kc, na in ((1, 1), (5, 2)):
+        base = {(r["vec_id"], r["nbr_id"]): r["distance"] for r in knn_graph(
+            items, "vec_id", "embedding", 3, k_centroids=kc, n_assign=na,
+            round_to=ROUND,
+        ).collect()}
+        grid = {(r["vec_id"], r["nbr_id"]): r["distance"] for r in knn_graph(
+            items, "vec_id", "embedding", 3, k_centroids=kc, n_assign=na,
+            round_to=ROUND, max_block=17,
+        ).collect()}
+        assert grid == base
+    with pytest.raises(ValueError, match="max_block"):
+        knn_graph(items, "vec_id", "embedding", 3, max_block=0)
+
+
 def test_label_centroids_and_outliers(spark, items):
     cents = {r["label"]: r["centroid"] for r in
              label_centroids(items, "label", "embedding").collect()}

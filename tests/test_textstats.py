@@ -182,3 +182,38 @@ def test_unigram_logprob_orders_gibberish_below_modal_text(spark):
            for r in unigram_logprob(one, "doc_id", "text").collect()}
     assert abs(got[1] - math.log(3 / 4)) < 1e-12
     assert abs(got[2] - math.log(1 / 4)) < 1e-12
+
+
+def test_bigram_logprob_conditional_mle(spark):
+    from vector_store_spark.operators.textstats import bigram_logprob
+
+    import math
+
+    # corpus bigrams: "a b" x2, "b a" x1, "a c" x1  ->  c(a .) = 3, c(b .) = 1
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    # doc 1: bigrams (a b), (b a), (a b): mean = (2*ln(2/3) + ln(1/1)) / 3
+    assert rows[1]["n_bigrams"] == 3
+    assert abs(rows[1]["mean_logprob"] - (2 * math.log(2 / 3)) / 3) < 1e-12
+    # doc 2: one bigram (a c): ln(1/3)
+    assert rows[2]["n_bigrams"] == 1
+    assert abs(rows[2]["mean_logprob"] - math.log(1 / 3)) < 1e-12
+    # a single-token doc has no bigrams and is absent
+    single = spark.createDataFrame([(9, "word")], "doc_id long, text string")
+    assert bigram_logprob(single, "doc_id", "text").count() == 0
+
+
+def test_bigram_logprob_penalizes_shuffled_transitions(spark):
+    """The order-sensitivity the unigram scorer lacks: a token-shuffled doc
+    keeps its unigram profile but loses its bigram one."""
+    from vector_store_spark.operators.textstats import bigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the and rug cat the on sat the"
+    corpus = [(i, fluent) for i in range(1, 9)] + [(9, shuffled)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r["doc_id"]: r["mean_logprob"]
+            for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    assert rows[9] < rows[1]

@@ -41,6 +41,7 @@ def knn_graph(
     n_assign: int = 2,
     round_to: int | None = None,
     centroids: list | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Blocked all-pairs kNN (cosine): per-cluster exact GEMM → per-block
     top-m → min-merge across blocks → per-id top-m. Returns
@@ -53,11 +54,26 @@ def knn_graph(
     present globally). Cross-block duplicates of a pair carry the same
     rounded distance; ``min`` makes the merge deterministic even if the
     two blocks' GEMMs differ in the last float bit.
-    """
+
+    ``max_block`` is the skew guard: IVF clusters are data-sized, so one hot
+    cluster would otherwise become one task holding |cluster|² GEMM work.
+    With ``max_block`` set, every cluster is hash-split into
+    ceil(|cluster|/max_block) chunks and processed as a grid of chunk-pair
+    cells ((a, b), a ≤ b — diagonal cells carry the within-chunk pairs), so
+    per-task memory is ≤ 2·max_block rows whatever the skew; the same
+    per-cell top-m → min-merge chain keeps the result IDENTICAL to the
+    unsplit path (pinned by test). The total GEMM work is unchanged — the
+    grid only bounds how much of it lands in one task. Replication cost is
+    one extra copy of each row per chunk in its cluster (the standard
+    theta-join grid trade)."""
+    import math
+
     import numpy as np  # noqa: F401  (validated here, used in the UDF)
 
     if m <= 0:
         raise ValueError("m must be positive")
+    if max_block is not None and max_block <= 0:
+        raise ValueError("max_block must be positive when set")
     cents = centroids if centroids is not None else ivf_centroids(
         items, id_col, vec_col, k_centroids
     )
@@ -98,7 +114,87 @@ def knn_graph(
             dist.extend(d[order])
         return pd.DataFrame({id_col: src, "nbr_id": dst, "distance": dist})
 
-    per_block = assigned.groupBy("cluster").applyInPandas(block, out_schema)
+    if max_block is None:
+        per_block = assigned.groupBy("cluster").applyInPandas(block, out_schema)
+    else:
+        # grid sub-blocking: chunk = hash(id) mod ceil(|cluster|/max_block);
+        # the per-cluster chunk counts are a k_centroids-row aggregate
+        # (driver-side, like the centroid table itself), and the cell map
+        # (cluster, chunk) -> (cell_a, cell_b) is metadata-sized — broadcast.
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster").agg(
+                F.count("*").alias("n")).collect()
+        }
+        cell_rows = []
+        for c, n in sizes.items():
+            nc = max(1, math.ceil(n / max_block))
+            for chunk in range(nc):
+                for other in range(nc):
+                    cell_rows.append(
+                        (c, chunk, min(chunk, other), max(chunk, other))
+                    )
+        cluster_type = dict(assigned.dtypes)["cluster"]
+        cells = assigned.sparkSession.createDataFrame(
+            sorted(set(cell_rows)),
+            f"cluster {cluster_type}, _chunk int, _ca int, _cb int",
+        )
+        nchunk_expr = F.create_map(*[
+            x for c, n in sorted(sizes.items())
+            for x in (F.lit(c), F.lit(max(1, math.ceil(n / max_block))))
+        ])
+        chunked = assigned.withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col(id_col)), nchunk_expr[F.col("cluster")])
+            .cast("int"),
+        )
+        gridded = chunked.join(F.broadcast(cells), ["cluster", "_chunk"])
+
+        def grid_cell(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            from vector_store_spark.operators.topk import _round_half_up
+
+            _, ca, cb = key
+            empty = pd.DataFrame({id_col: pdf[id_col][:0],
+                                  "nbr_id": pdf[id_col][:0],
+                                  "distance": np.zeros(0)})
+            if ca == cb:
+                return block(pdf)
+            A = pdf[pdf["_chunk"] == ca]
+            B = pdf[pdf["_chunk"] == cb]
+            if A.empty or B.empty:
+                return empty
+            XA = np.asarray([np.asarray(v, dtype=np.float64) for v in A[vec_col]])
+            XB = np.asarray([np.asarray(v, dtype=np.float64) for v in B[vec_col]])
+            na = np.linalg.norm(XA, axis=1)
+            nb = np.linalg.norm(XB, axis=1)
+            na[na == 0.0] = 1.0
+            nb[nb == 0.0] = 1.0
+            D = 1.0 - (XA @ XB.T) / np.outer(na, nb)
+            if round_to is not None:
+                D = _round_half_up(D, round_to)
+            ia = A[id_col].to_numpy()
+            ib = B[id_col].to_numpy()
+            src, dst, dist = [], [], []
+            ma = min(m, len(ib))
+            for i in range(len(ia)):
+                order = np.lexsort((ib, D[i]))[:ma]
+                src.extend([ia[i]] * ma)
+                dst.extend(ib[order])
+                dist.extend(D[i][order])
+            mb = min(m, len(ia))
+            for j in range(len(ib)):
+                order = np.lexsort((ia, D[:, j]))[:mb]
+                src.extend([ib[j]] * mb)
+                dst.extend(ia[order])
+                dist.extend(D[:, j][order])
+            return pd.DataFrame({id_col: src, "nbr_id": dst, "distance": dist})
+
+        per_block = gridded.groupBy("cluster", "_ca", "_cb").applyInPandas(
+            grid_cell, out_schema
+        )
     merged = per_block.groupBy(id_col, "nbr_id").agg(
         F.min("distance").alias("distance")
     )

@@ -319,6 +319,55 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out
 
 
+def bigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram CONDITIONAL log-probability ln P(w2|w1) =
+    ln c(w1 w2) − ln c(w1 ·) under the corpus's own bigram LM — one order up
+    from :func:`unigram_logprob`: fluency now penalizes improbable token
+    *transitions* (shuffled/templated text keeps its unigram profile but
+    loses its bigram one), the mechanism KenLM-style quality gates rely on.
+    MLE without smoothing is total because every scored bigram is in the
+    corpus by construction.
+
+    Same two-pass shape as the unigram scorer: (1) bigram + left-context
+    frequencies — one aggregate to bigram-vocabulary size (larger than the
+    unigram vocab but still vocabulary-scale, not corpus-scale: natural
+    language bigram types grow ~Heaps-sublinearly); (2) broadcast the
+    log-prob table onto the exploded bigram stream, per-doc mean.
+
+    Returns (id, n_bigrams, mean_logprob); docs with < 2 tokens are absent.
+    """
+    import numpy as np
+
+    from vector_store_spark.functions.text import tokens_udf
+
+    toked = docs.select(
+        F.col(id_col), tokens_udf(remove_stopwords=False)(_col(text_col)).alias("_toks")
+    )
+    bg = toked.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, concat(x, ' ', _toks[i + 1]) AS bigram))"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    cnt = bg.groupBy("w1", "bigram").agg(F.count("*").alias("n2")).toPandas()
+    n1 = cnt.groupby("w1")["n2"].transform("sum").to_numpy(dtype="float64")
+    cnt["logp"] = np.log(cnt["n2"].to_numpy(dtype="float64")) - np.log(n1)
+    lp = docs.sparkSession.createDataFrame(
+        cnt[["bigram", "logp"]], "bigram string, logp double"
+    )
+    return (
+        bg.join(F.broadcast(lp), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg("logp").alias("mean_logprob"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Document fingerprints: full-content rolling hash (exact-dup key) and
     the min shingle hash (a 1-wide MinHash, the winnowing primitive)."""

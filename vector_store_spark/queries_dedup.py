@@ -472,3 +472,55 @@ def dedup_keep_best(spark, sf_dir):
             "group_size",
         )
     )
+
+
+@register(
+    "split_leakage_cosine",
+    # SEMANTIC split leakage: an eval doc whose embedding near-duplicates a
+    # training doc leaks even when no n-gram matches (paraphrase leakage) —
+    # the embedding-space counterpart of text_decontaminate. Oracle is the
+    # exhaustive cross-split pair scan; the engine reuses the blocked-GEMM
+    # exact pair generator, so candidate work is B-bounded, never a crossJoin.
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+         list_inner_product(ev.v, tr.v) /
+         (sqrt(list_inner_product(ev.v, ev.v)) * sqrt(list_inner_product(tr.v, tr.v))) AS c
+  FROM e ev JOIN e tr
+    ON ev.vec_id % 4 = 0 AND tr.vec_id % 4 <> 0
+),
+hits AS (SELECT eval_id, train_id, round(c, {ROUND}) AS cosine FROM pairs WHERE c >= 0.45),
+ranked AS (
+  SELECT eval_id, train_id, cosine,
+         row_number() OVER (PARTITION BY eval_id ORDER BY cosine DESC, train_id) AS rn
+  FROM hits
+)
+SELECT eval_id, train_id, cosine FROM ranked WHERE rn = 1
+""",
+    "Embedding-space split decontamination: for each eval-split doc, its "
+    "nearest training-split near-duplicate (cosine >= 0.45) — catches "
+    "paraphrase leakage that n-gram overlap misses",
+)
+def split_leakage_cosine(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    a_eval = F.col("id_a") % 4 == 0
+    b_eval = F.col("id_b") % 4 == 0
+    cross = pairs.where(a_eval != b_eval).select(
+        F.when(a_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+        F.round("cosine", ROUND).alias("cosine"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc()
+    )
+    return (
+        cross.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("eval_id", "train_id", "cosine")
+    )

@@ -162,9 +162,13 @@ SELECT src AS vec_id, dst AS nbr_id, distance FROM ranked WHERE rn <= {_KG_M}
     "per-block GEMM, per-id top-m merge — Sigma |block|^2 work instead of n^2",
 )
 def knn_graph_blocked(spark, sf_dir):
+    # max_block: the grid skew guard is LOSSLESS (pinned by
+    # test_knn_graph_grid_subblocking_is_lossless), so unlike the dedup
+    # salting cap it can stay armed in the oracle-checked query
     return knn_graph(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", _KG_M,
         k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
+        max_block=256,
     )
 
 

@@ -453,3 +453,46 @@ def text_unigram_logprob(spark, sf_dir):
         .limit(15)
         .select("doc_id", "n_tokens", "mean_logprob")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    # the corpus's own bigram LM re-derived in SQL: ln P(w2|w1) =
+    # ln c(w1 w2) - ln c(w1 .) over the bigram stream, per-doc mean
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_KEEP_STOP} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+c2 AS (SELECT w1, bigram, count(*) AS n2 FROM bg GROUP BY w1, bigram),
+c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+lp AS (
+  SELECT bigram, ln(CAST(n2 AS DOUBLE)) - ln(CAST(n1 AS DOUBLE)) AS logp
+  FROM c2 JOIN c1 USING (w1)
+),
+doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(logp) AS mean_logprob
+  FROM bg JOIN lp USING (bigram) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(mean_logprob, {ROUND}) AS mean_logprob
+FROM doc ORDER BY round(mean_logprob, {ROUND}), doc_id LIMIT 15
+""",
+    "Bigram conditional log-probability quality proxy (KenLM-style fluency "
+    "gate, one order above text_unigram_logprob): improbable token "
+    "TRANSITIONS sink a doc even when its unigram profile is normal; the 15 "
+    "lowest-probability docs are the gate outliers",
+)
+def text_bigram_logprob(spark, sf_dir):
+    from vector_store_spark.operators.textstats import bigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    scored = bigram_logprob(docs, "doc_id", "text")
+    scored = scored.withColumn("mean_logprob", F.round("mean_logprob", ROUND))
+    return (
+        scored.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+        .limit(15)
+        .select("doc_id", "n_bigrams", "mean_logprob")
+    )
