@@ -341,7 +341,18 @@ def minhash_band_candidates(
     # — unpersist via spark.catalog.clearCache() or let LRU evict it after
     # the returned plan is materialized
     sig = sig.cache()
-    band_rows = sig.select(
+    band_rows = minhash_band_rows(sig, num_hashes, bands)
+    return _bucket_self_join_candidates(_salted_band_rows(band_rows, max_bucket_width))
+
+
+def minhash_band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows from an (id, sig) frame — one row per band,
+    bucket = the band's signature slice joined with '_'. Shared by the batch
+    candidate stage above and the streaming near-dup index
+    (streaming/neardup.py), so the on-disk bucket encoding can never drift
+    between the two."""
+    r = num_hashes // bands
+    return sig.select(
         "id",
         F.explode(
             F.array(*[
@@ -353,7 +364,6 @@ def minhash_band_candidates(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    return _bucket_self_join_candidates(_salted_band_rows(band_rows, max_bucket_width))
 
 
 def minhash_lsh_pairs(

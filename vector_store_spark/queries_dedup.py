@@ -115,9 +115,10 @@ _BUCKETS_SQL = ", ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+#: the full batch MinHash+LSH pipeline in SQL — also the END-STATE oracle of
+#: the streaming near-dup index (queries_streaming.stream_neardup_endstate):
+#: the incremental index must accumulate exactly this pair set
+MINHASH_PAIRS_SQL = f"""
 WITH sets AS ({_SETS}),
 sets2 AS (SELECT id, hs FROM sets WHERE len(hs) > 0),
 sig AS (SELECT id, hs, {_SIG_SQL} AS sig FROM sets2),
@@ -138,7 +139,12 @@ ver AS (
   FROM cand JOIN sets2 sa ON sa.id = cand.id_a JOIN sets2 sb ON sb.id = cand.id_b
 )
 SELECT id_a, id_b, round(j, {ROUND}) AS jaccard FROM ver WHERE j >= 0.8
-""",
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    MINHASH_PAIRS_SQL,
     "MinHash+LSH: signature → banded buckets → candidate join → exact verify",
 )
 def dedup_minhash_lsh(spark, sf_dir):

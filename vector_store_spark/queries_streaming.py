@@ -862,3 +862,52 @@ def stream_alternator_endstate(spark, sf_dir):
         sink.live_view("emb"), "emb", det_query_vector(7, 64), 10,
         tie_break=["pk"], select_cols=["pk"], round_to=ROUND,
     )
+
+
+def _neardup_oracle():
+    from vector_store_spark.queries_dedup import MINHASH_PAIRS_SQL
+
+    return MINHASH_PAIRS_SQL
+
+
+@register(
+    "stream_neardup_endstate",
+    _neardup_oracle(),
+    "Streaming near-dup ingest, hash-checked: documents stream in across two "
+    "batches + a checkpoint resume into an incrementally-maintained "
+    "MinHash/LSH band index (new docs join only the buckets they land in); "
+    "the accumulated verified pair set must equal the batch pipeline's "
+    "exhaustive-banding output over the full corpus — including the jaccard "
+    "values, which come from the same exact-verify stage",
+)
+def stream_neardup_endstate(spark, sf_dir):
+    from vector_store_spark.registry import ROUND
+    from vector_store_spark.streaming.neardup import NearDupStreamSink
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="neardup_stream_")
+    src, store, ckpt = (os.path.join(root, d) for d in ("src", "store", "ckpt"))
+    os.makedirs(src)
+
+    t = time.perf_counter()
+    # batch 1: two thirds of the corpus (cross-batch pairs are the point:
+    # a planted near-dup whose twin arrives later must be found at arrival)
+    docs.where(F.col("doc_id") % 3 != 0).write.mode("append").json(
+        os.path.join(src, "b1"))
+    t = _mark("prep_b1", t)
+    sink = NearDupStreamSink(spark, store, id_col="doc_id", text_col="text",
+                             n=3, num_hashes=12, bands=4, threshold=0.8)
+    schema = "doc_id bigint, text string"
+    _await(sink.start(spark.readStream.schema(schema).json(os.path.join(src, "*")),
+                      checkpoint_dir=ckpt))
+    t = _mark("stream1_bootstrap", t)
+
+    # batch 2: the remaining third; second start, same checkpoint (W8 resume)
+    docs.where(F.col("doc_id") % 3 == 0).write.mode("append").json(
+        os.path.join(src, "b2"))
+    t = _mark("prep_b2", t)
+    _await(sink.start(spark.readStream.schema(schema).json(os.path.join(src, "*")),
+                      checkpoint_dir=ckpt))
+    _mark("stream2_incremental", t)
+
+    return sink.pairs().withColumn("jaccard", F.round("jaccard", ROUND))
