@@ -736,7 +736,8 @@ def _extras(spark, sf_dir: str) -> dict:
 
         _specs = _aq()
         for sname in ("stream_cdc_ann_topk", "stream_fts_endstate",
-                      "stream_cdc_ivf_topk", "stream_cdc_hnsw_topk"):
+                      "stream_cdc_ivf_topk", "stream_cdc_hnsw_topk",
+                      "stream_neardup_endstate"):
             spec = _specs[sname]
             reps_t = []
             for i in range(2):

@@ -147,3 +147,62 @@ def test_buckets_bin_roundtrip(tmp_path):
     assert (i, b) == (first_claimed, buckets[first_claimed])
     back = read_buckets_bin(str(tmp_path))
     assert back == {i: int(b) for i, b in enumerate(buckets) if b != NO_BUCKET}
+
+
+def test_fvecs_roundtrip_and_distributed_read(spark, tmp_path):
+    import numpy as np
+
+    from vector_store_spark.sources import bench_datasets as bd
+
+    a = (np.arange(60, dtype="f4").reshape(10, 6) - 30) / 7
+    p = str(tmp_path / "t.fvecs")
+    bd.write_fvecs(p, a)
+    assert bd.fvecs_header(p) == (10, 6)
+    assert np.array_equal(bd.read_fvecs(p), a)
+    # distributed slice reader: multiple partitions, implicit ids, exact f32
+    rows = (
+        bd.fvecs_dataframe(spark, p, rows_per_partition=3)
+        .orderBy("vec_id").collect()
+    )
+    assert [r.vec_id for r in rows] == list(range(10))
+    got = np.array([r.embedding for r in rows], dtype="f4")
+    assert np.array_equal(got, a)
+
+
+def test_ivecs_roundtrip(tmp_path):
+    import numpy as np
+
+    from vector_store_spark.sources import bench_datasets as bd
+
+    gt = np.arange(12, dtype="i4").reshape(4, 3)
+    p = str(tmp_path / "gt.ivecs")
+    bd.write_ivecs(p, gt)
+    assert np.array_equal(bd.read_ivecs(p), gt)
+
+
+def test_fvecs_rejects_malformed_files(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    from vector_store_spark.sources import bench_datasets as bd
+
+    # truncated file: size not a stride multiple
+    p = str(tmp_path / "bad.fvecs")
+    bd.write_fvecs(p, np.ones((3, 4), dtype="f4"))
+    with open(p, "ab") as f:
+        f.write(b"\x00\x00")
+    with pytest.raises(ValueError, match="stride"):
+        bd.fvecs_header(p)
+    # mixed dimensions: a row whose prefix disagrees fails the reading TASK
+    # (misalignment must not silently shift every later row)
+    p2 = str(tmp_path / "mixed.fvecs")
+    ok = np.ones((4, 4), dtype="<f4")
+    with open(p2, "wb") as f:
+        for i, row in enumerate(ok):
+            dim = 4 if i != 2 else 3
+            np.array([dim], dtype="<i4").tofile(f)
+            row[: 4 if i != 2 else 3].astype("<f4").tofile(f)
+        f.write(b"\x00" * 4)  # pad back to a stride multiple
+    with pytest.raises(Exception) as ei:
+        bd.fvecs_dataframe(spark, p2, rows_per_partition=10).collect()
+    assert "dim" in str(ei.value)

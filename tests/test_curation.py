@@ -59,3 +59,55 @@ def test_curate_plan_is_single_combining_aggregate(spark):
     assert "Join" not in plan
     assert "partial_min_by" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_quantile_thresholds_matches_rank_definition(spark):
+    """Histogram-cumulative threshold == the score at rank ceil(n*p) under
+    (score, id) ordering, including heavy ties and the odd/even cases."""
+    from vector_store_spark.operators.curation import quantile_thresholds
+    from pyspark.sql import functions as F
+
+    rows = [("a", i, s) for i, s in enumerate([0.1, 0.1, 0.2, 0.5, 0.9])]   # odd n
+    rows += [("b", i, s) for i, s in enumerate([0.3, 0.3, 0.3, 0.7])]       # even n, ties at median
+    rows += [("c", 0, 0.42)]                                                # n = 1
+    df = spark.createDataFrame(rows, "g string, id int, s double")
+    got = {r["g"]: (r["n_docs"], r["threshold"]) for r in
+           quantile_thresholds(df, "g", "s").collect()}
+    # python reference: sorted scores, element at ceil(n/2) - 1
+    import math
+    for g in ("a", "b", "c"):
+        scores = sorted(s for gg, _, s in rows if gg == g)
+        pos = math.ceil(len(scores) / 2)
+        assert got[g] == (len(scores), scores[pos - 1])
+    # upper-quartile position: ceil(n * 3/4)
+    got75 = {r["g"]: r["threshold"] for r in
+             quantile_thresholds(df, "g", "s", 3, 4).collect()}
+    for g in ("a", "b", "c"):
+        scores = sorted(s for gg, _, s in rows if gg == g)
+        assert got75[g] == scores[math.ceil(len(scores) * 3 / 4) - 1]
+
+
+def test_jsonl_quarantine_forks(spark, tmp_path):
+    """PERMISSIVE ingestion: well-formed rows parse, malformed lines land
+    raw in the quarantine fork, type drift quarantines too."""
+    import os
+
+    from vector_store_spark.sources.ingest import read_jsonl_quarantine
+
+    lines = [
+        '{"doc_id": 1, "text": "hello", "source": "web"}',
+        '{"doc_id": 2, "text": "world", "source": "book"}',
+        '{"doc_id": 3, "text": "truncat',            # malformed JSON
+        '{"doc_id": "not-a-number", "text": "x", "source": "web"}',  # type drift
+        "not json at all",
+    ]
+    src = str(tmp_path / "corpus")
+    os.makedirs(src)
+    with open(os.path.join(src, "part-0.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    parsed, quarantined = read_jsonl_quarantine(
+        spark, src, "doc_id bigint, text string, source string"
+    )
+    assert {(r.doc_id, r.text) for r in parsed.collect()} == {(1, "hello"), (2, "world")}
+    raw = {r.raw_line for r in quarantined.collect()}
+    assert raw == set(lines[2:])  # bad bytes preserved verbatim for replay

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_store_spark.operators.dedup import content_fingerprint
@@ -62,4 +62,47 @@ def curate(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality_score") >= min_quality)
+    )
+
+
+def quantile_thresholds(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    position_num: int = 1,
+    position_den: int = 2,
+) -> DataFrame:
+    """Per-group score threshold at rank position ceil(n·num/den) — the
+    exact quantile a rank-window would produce, computed WITHOUT a
+    corpus-wide window: aggregate a (group, score) histogram (bounded by
+    groups × distinct scores — scores arrive pre-rounded, so this is
+    metadata-sized at any corpus size), then a cumulative window over the
+    HISTOGRAM finds the smallest score whose cumulative count reaches the
+    position. Equivalent to ordering each group by (score, id) and reading
+    the score at that rank: tie order within a score value cannot change
+    the score at any rank.
+
+    Returns (group, n_docs, threshold)."""
+    hist = scored.groupBy(group_col, score_col).agg(
+        F.count("*").alias("_c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(wn)
+    )
+    pos = F.expr(f"CAST((_n * {int(position_num)} + {int(position_den)} - 1) "
+                 f"div {int(position_den)} AS BIGINT)")
+    return (
+        cum.where(F.col("_cum") >= pos)
+        .groupBy(group_col)
+        .agg(
+            F.min(score_col).alias("threshold"),
+            F.max("_n").cast("long").alias("n_docs"),
+        )
+        .select(group_col, "n_docs", "threshold")
     )

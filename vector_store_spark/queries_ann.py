@@ -9,6 +9,8 @@ recomputes the same math in DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from vector_store_spark.operators.topk import ann_topk, knn_join
@@ -380,6 +382,11 @@ def _dataset_export(spark, sf_dir: str, kind: str) -> str:
         gt = np.zeros((1, 1), dtype="i4")  # GT unused here; exactness is the oracle
         if kind == "fbin":
             bd.write_fbin_dataset(p, train, queries, gt)
+        elif kind == "fvecs":
+            os.makedirs(p, exist_ok=True)
+            bd.write_fvecs(os.path.join(p, "train.fvecs"), train)
+            bd.write_fvecs(os.path.join(p, "query.fvecs"), queries)
+            bd.write_ivecs(os.path.join(p, "gt.ivecs"), gt)
         else:
             bd.write_parquet_dataset(p, train, queries, gt)
 
@@ -416,6 +423,25 @@ def dataset_vdbbench_roundtrip_topk(spark, sf_dir):
 
     path = _dataset_export(spark, sf_dir, "parquet")
     tdf = bd.train_dataframe(spark, path)
+    return ann_topk(
+        tdf, "embedding", Q7, 10, tie_break=["vec_id"],
+        select_cols=["vec_id"], round_to=ROUND,
+    ).drop("similarity")
+
+
+@register(
+    "dataset_fvecs_roundtrip_topk",
+    _DATASET_TOPK_SQL,
+    "TEXMEX fvecs layout round-trip (the SIFT/GIST corpus format: per-row "
+    "[i32 dim][dim f32], no global header): export -> distributed per-slice "
+    "memory-mapped read with per-row dim validation (fvecs_dataframe) -> "
+    "exact cosine top-k; value-hash-equal to ranking the source table",
+)
+def dataset_fvecs_roundtrip_topk(spark, sf_dir):
+    from vector_store_spark.sources import bench_datasets as bd
+
+    path = _dataset_export(spark, sf_dir, "fvecs")
+    tdf = bd.fvecs_dataframe(spark, os.path.join(path, "train.fvecs"))
     return ann_topk(
         tdf, "embedding", Q7, 10, tie_break=["vec_id"],
         select_cols=["vec_id"], round_to=ROUND,

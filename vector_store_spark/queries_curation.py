@@ -113,3 +113,111 @@ def curation_kept_topk(spark, sf_dir):
         .orderBy(F.desc("quality_score"), "doc_id")
         .limit(50)
     )
+
+
+from vector_store_spark.queries_text import quality_score_sql  # noqa: E402
+
+
+@register(
+    "curation_quantile_gate",
+    # per-language median-quality gate: keep docs at or above their OWN
+    # language's median quality. The oracle computes the threshold the
+    # straightforward way (rank window over the corpus); the engine computes
+    # the same value from a (lang, score) HISTOGRAM with a histogram-sized
+    # cumulative window — identical by construction (tie order within a
+    # score cannot move the score at a rank), corpus-window-free at scale.
+    f"""
+WITH q AS ({quality_score_sql()}),
+j AS (SELECT d.doc_id, d.lang, q.q FROM documents d JOIN q USING (doc_id)),
+r AS (
+  SELECT lang, q,
+         row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+),
+thr AS (SELECT lang, q AS median_q FROM r WHERE rn = (n + 1) // 2)
+SELECT j.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN j.q >= t.median_q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       t.median_q
+FROM j JOIN thr t USING (lang)
+GROUP BY j.lang, t.median_q
+""",
+    "Per-language quality-quantile gate: keep docs >= their language's "
+    "median text_quality score; threshold from a histogram cumulative "
+    "(no corpus-wide rank window), gate as a broadcast threshold join",
+)
+def curation_quantile_gate(spark, sf_dir):
+    from vector_store_spark.operators.curation import quantile_thresholds
+    from vector_store_spark.operators.textstats import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_features(docs, "doc_id", "text").select(
+        "doc_id", F.round("quality_score", ROUND).alias("q")
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    thr = quantile_thresholds(scored, "lang", "q")  # (lang, n_docs, threshold)
+    gated = scored.join(
+        F.broadcast(thr.select("lang", F.col("threshold").alias("median_q"))),
+        "lang",
+    )
+    return gated.groupBy("lang", "median_q").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("q") >= F.col("median_q"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+    ).select("lang", "n_docs", "n_kept", "median_q")
+
+
+@register(
+    "ingest_jsonl_quarantine",
+    # the fixture plants a deterministic defect: every 13th doc's JSON line
+    # is truncated by 5 bytes (always severing the closing quote/brace).
+    # PERMISSIVE parsing must keep exactly the well-formed rows and
+    # quarantine exactly the planted ones — the oracle re-derives both
+    # populations from the doc-id arithmetic.
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM documents WHERE doc_id % 13 <> 0 GROUP BY source
+UNION ALL
+SELECT '_quarantined', CAST(count(*) AS BIGINT), CAST(-1 AS BIGINT)
+FROM documents WHERE doc_id % 13 = 0
+""",
+    "Raw-corpus ingestion gate: schema-enforced JSONL read in PERMISSIVE "
+    "mode — malformed lines land intact in a quarantine fork (replayable "
+    "audit trail) instead of failing the job (FAILFAST) or vanishing "
+    "(DROPMALFORMED); per-source parsed volume + quarantine count",
+)
+def ingest_jsonl_quarantine(spark, sf_dir):
+    import os
+    import tempfile
+
+    from vector_store_spark.sources.ingest import read_jsonl_quarantine
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    js = docs.select(
+        F.to_json(F.struct("doc_id", "text", "source")).alias("line"),
+        "doc_id",
+    )
+    dirty = js.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.expr("substring(line, 1, length(line) - 5)"),
+        ).otherwise(F.col("line")).alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="ingest_jsonl_")
+    src = os.path.join(root, "corpus")
+    dirty.write.mode("overwrite").text(src)
+
+    parsed, quarantined = read_jsonl_quarantine(
+        spark, src, "doc_id bigint, text string, source string"
+    )
+    per_source = parsed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+    )
+    qrow = quarantined.agg(
+        F.lit("_quarantined").alias("source"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.lit(-1).cast("long").alias("chars"),
+    )
+    return per_source.unionByName(qrow)

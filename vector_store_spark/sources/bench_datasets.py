@@ -378,3 +378,109 @@ def write_fbin_dataset(
             f'query_fbin = "{cfg.query_fbin}"\n'
             f'query_ibin = "{cfg.query_ibin}"\n'
         )
+
+
+# ---------------------------------------------------------------------------
+# TEXMEX fvecs/ivecs (the SIFT/GIST corpus format: no global header — every
+# row is [i32 dim][dim little-endian values]; f32 for .fvecs, i32 for .ivecs;
+# ids are implicit row positions, like fbin)
+# ---------------------------------------------------------------------------
+
+
+def fvecs_header(path: str, item_size: int = 4) -> tuple[int, int]:
+    """(count, dim) of a uniform-dimension fvecs/ivecs file: dim from the
+    first row's prefix, count from the file size (every row is
+    4 + dim·item_size bytes; a size not divisible by the stride means a
+    mixed-dimension or truncated file and is rejected)."""
+    with open(path, "rb") as f:
+        (dim,) = struct.unpack("<i", f.read(4))
+    if dim <= 0:
+        raise ValueError(f"{path}: non-positive fvecs dimension {dim}")
+    stride = 4 + dim * item_size
+    size = os.path.getsize(path)
+    if size % stride:
+        raise ValueError(
+            f"{path}: size {size} not a multiple of row stride {stride} "
+            "(mixed dimensions or truncated file)"
+        )
+    return size // stride, dim
+
+
+def write_fvecs(path: str, arr: np.ndarray) -> None:
+    a = np.asarray(arr, dtype="<f4")
+    out = np.empty((a.shape[0], a.shape[1] + 1), dtype="<f4")
+    out[:, 0] = np.full(a.shape[0], a.shape[1], dtype="<i4").view("<f4")
+    out[:, 1:] = a
+    with open(path, "wb") as f:
+        out.tofile(f)
+
+
+def write_ivecs(path: str, arr: np.ndarray) -> None:
+    a = np.asarray(arr, dtype="<i4")
+    out = np.empty((a.shape[0], a.shape[1] + 1), dtype="<i4")
+    out[:, 0] = a.shape[1]
+    out[:, 1:] = a
+    with open(path, "wb") as f:
+        out.tofile(f)
+
+
+def read_fvecs(path: str) -> np.ndarray:
+    """Driver-side full read (benchmark-sized files)."""
+    count, dim = fvecs_header(path)
+    raw = np.fromfile(path, dtype="<f4").reshape(count, dim + 1)
+    return raw[:, 1:]
+
+
+def read_ivecs(path: str) -> np.ndarray:
+    count, dim = fvecs_header(path)
+    raw = np.fromfile(path, dtype="<i4").reshape(count, dim + 1)
+    return raw[:, 1:]
+
+
+def fvecs_dataframe(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_partition: int = 100_000,
+) -> DataFrame:
+    """Distributed fvecs reader — same per-slice memory-map shape as
+    fbin_dataframe (each task maps only its own byte range); the per-row
+    i32 dim prefixes are validated against the file-level dimension inside
+    the slice, so a corrupt row fails its task instead of silently
+    misaligning every later row."""
+    count, dim = fvecs_header(path)
+    stride_vals = dim + 1  # f4 slots per row incl. the prefix
+    n_parts = max(1, (count + rows_per_partition - 1) // rows_per_partition)
+
+    def read_slice(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for part in pdf["id"].to_numpy():
+                lo = int(part) * rows_per_partition
+                hi = min(lo + rows_per_partition, count)
+                if lo >= hi:
+                    continue
+                mm = np.memmap(
+                    path, dtype="<f4", mode="r",
+                    offset=lo * stride_vals * 4, shape=(hi - lo, stride_vals),
+                )
+                rows = np.asarray(mm)
+                dims = rows[:, 0].copy().view("<i4")
+                if not (dims == dim).all():
+                    bad = int(np.nonzero(dims != dim)[0][0])
+                    raise ValueError(
+                        f"{path}: row {lo + bad} has dim {int(dims[bad])}, "
+                        f"expected {dim}"
+                    )
+                yield pd.DataFrame({
+                    id_col: np.arange(lo, hi, dtype="int64"),
+                    vec_col: [row.astype("float32") for row in rows[:, 1:]],
+                })
+
+    return (
+        spark.range(n_parts).toDF("id")
+        .repartition(n_parts)
+        .mapInPandas(read_slice, f"{id_col} long, {vec_col} array<float>")
+    )
