@@ -198,3 +198,74 @@ def emb_label_outliers(spark, sf_dir):
         load(spark, sf_dir, "embeddings"), "vec_id", "label", "embedding",
         top_n=15, round_to=ROUND,
     )
+
+
+@register(
+    "knn_graph_label_prop",
+    # one label-propagation step over the blocked kNN graph: every node in
+    # the synthetic "unlabeled" stratum (vec_id % 5 == 0) takes the majority
+    # label of its labeled graph neighbors (ties -> smallest label); nodes
+    # whose neighborhood is entirely unlabeled get no row. The oracle chains
+    # the graph CTE with the vote window.
+    f"""
+WITH {_KG_ASG},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT p.src, p.dst,
+         round(1.0 - {_cos_sim("ea.v", "eb.v")}, {ROUND}) AS distance
+  FROM pairs p JOIN e ea ON ea.vec_id = p.src JOIN e eb ON eb.vec_id = p.dst
+),
+graph AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rn
+    FROM d
+  ) WHERE rn <= {_KG_M}
+),
+votes AS (
+  SELECT g.src AS vec_id, l.label, count(*) AS n_votes
+  FROM graph g
+  JOIN embeddings l ON l.vec_id = g.dst AND l.vec_id % 5 <> 0
+  WHERE g.src % 5 = 0
+  GROUP BY g.src, l.label
+)
+SELECT vec_id, label AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT vec_id, label, n_votes,
+         row_number() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+""",
+    "Label propagation over the kNN graph: unlabeled stratum nodes take the "
+    "majority label of their labeled graph neighbors — the graph-consuming "
+    "half of semi-supervised corpus labeling (knn_graph_blocked builds, "
+    "this votes)",
+)
+def knn_graph_label_prop(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    graph = knn_graph(
+        emb, "vec_id", "embedding", _KG_M,
+        k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
+        max_block=256,
+    )
+    unlabeled = graph.where(F.col("vec_id") % 5 == 0)
+    labeled_nbrs = unlabeled.join(
+        emb.select(F.col("vec_id").alias("nbr_id"), "label")
+        .where(F.col("nbr_id") % 5 != 0),
+        "nbr_id",
+    )
+    votes = labeled_nbrs.groupBy("vec_id", "label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
