@@ -207,3 +207,40 @@ def test_label_centroids_and_outliers(spark, items):
     assert [r["vec_id"] for r in top] == expect
     assert all(math.isclose(r["dist_sq"], d2[r["vec_id"]], abs_tol=1e-9)
                for r in top)
+
+
+def test_contrastive_triplets_reference(spark, items):
+    """Triplets equal the blocked reference: per anchor the min-(distance,
+    nbr) same-label and different-label neighbor among block-sharing pairs;
+    anchors lacking either side are absent."""
+    from vector_store_spark.operators.ivf import ivf_assign, ivf_centroids
+    from vector_store_spark.operators.knn_graph import contrastive_triplets
+
+    kc, na = 5, 2
+    out = {r["anchor_id"]: r for r in contrastive_triplets(
+        items, "vec_id", "embedding", "label",
+        k_centroids=kc, n_assign=na, round_to=ROUND,
+    ).collect()}
+    cents = ivf_centroids(items, "vec_id", "embedding", kc)
+    asg = ivf_assign(items, "vec_id", "embedding", cents, n_assign=na)
+    clusters = {}
+    for r in asg.collect():
+        clusters.setdefault(r["vec_id"], set()).add(r["cluster"])
+    X = np.array([_vec(i) for i in range(N)], dtype=np.float64)
+    D = _round_half_up(1.0 - _cos_matrix(X), ROUND)
+    for s in range(N):
+        cand = [t for t in range(N) if t != s and clusters[s] & clusters[t]]
+        same = sorted((t for t in cand if t % 4 == s % 4),
+                      key=lambda t: (D[s][t], t))
+        diff = sorted((t for t in cand if t % 4 != s % 4),
+                      key=lambda t: (D[s][t], t))
+        if same and diff:
+            r = out[s]
+            assert (r["positive_id"], r["negative_id"]) == (same[0], diff[0])
+            assert r["pos_distance"] == pytest.approx(D[s][same[0]], abs=1e-12)
+            assert r["neg_distance"] == pytest.approx(D[s][diff[0]], abs=1e-12)
+        else:
+            assert s not in out
+    # positive and negative are distinct by label, hence distinct ids
+    for r in out.values():
+        assert r["positive_id"] != r["negative_id"]

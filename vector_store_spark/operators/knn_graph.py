@@ -271,3 +271,105 @@ def label_outliers(
         score, schema=f"{id_col} {id_type}, {label_col} {lbl_type}, dist_sq double"
     )
     return scored.orderBy(F.col("dist_sq").desc(), F.col(id_col).asc()).limit(top_n)
+
+
+def contrastive_triplets(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k_centroids: int = 8,
+    n_assign: int = 2,
+    round_to: int | None = None,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Metric-learning triplet mining over the same IVF blocking as
+    :func:`knn_graph`: for every anchor, its nearest SAME-label neighbor
+    (the positive) and its nearest DIFFERENT-label neighbor (the hard
+    negative — the in-batch-hard-negative selection contrastive training
+    recipes use, but corpus-wide and deterministic). Anchors missing either
+    side within their blocks are dropped (inner join).
+
+    Per block each anchor emits ≤ 2 rows (best per category), merged
+    across blocks by min-distance then a per-(anchor, category) window —
+    the same cut-compose argument as knn_graph's top-m: the per-category
+    winner of the union is the winner of some block's per-category cut.
+
+    Returns (anchor_id, positive_id, pos_distance, negative_id,
+    neg_distance)."""
+    import numpy as np  # noqa: F401
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        items, id_col, vec_col, k_centroids
+    )
+    assigned = ivf_assign(
+        items, id_col, vec_col, cents, space=SpaceType.COSINE, n_assign=n_assign
+    ).select(id_col, vec_col, label_col, "cluster")
+
+    id_type = dict(items.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, nbr_id {id_type}, same_label boolean, "
+        "distance double"
+    )
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from vector_store_spark.operators.topk import _round_half_up
+
+        ids = pdf[id_col].to_numpy()
+        labels = pdf[label_col].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame({id_col: ids[:0], "nbr_id": ids[:0],
+                              "same_label": np.zeros(0, dtype=bool),
+                              "distance": np.zeros(0)})
+        if n < 2:
+            return empty
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        D = 1.0 - (X @ X.T) / np.outer(norms, norms)
+        if round_to is not None:
+            D = _round_half_up(D, round_to)
+        src, dst, same, dist = [], [], [], []
+        for i in range(n):
+            d = D[i].copy()
+            d[i] = np.inf
+            order = np.lexsort((ids, d))
+            for want_same in (True, False):
+                mask = (labels[order] == labels[i]) == want_same
+                hits = order[mask]
+                if len(hits) and np.isfinite(d[hits[0]]):
+                    j = hits[0]
+                    src.append(ids[i])
+                    dst.append(ids[j])
+                    same.append(want_same)
+                    dist.append(d[j])
+        return pd.DataFrame({id_col: src, "nbr_id": dst,
+                             "same_label": np.array(same, dtype=bool),
+                             "distance": dist})
+
+    per_block = assigned.groupBy("cluster").applyInPandas(block, out_schema)
+    merged = per_block.groupBy(id_col, "nbr_id", "same_label").agg(
+        F.min("distance").alias("distance")
+    )
+    w = Window.partitionBy(id_col, "same_label").orderBy(
+        F.col("distance").asc(), F.col("nbr_id").asc()
+    )
+    best = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pos = best.where(F.col("same_label")).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("nbr_id").alias("positive_id"),
+        F.col("distance").alias("pos_distance"),
+    )
+    neg = best.where(~F.col("same_label")).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("nbr_id").alias("negative_id"),
+        F.col("distance").alias("neg_distance"),
+    )
+    return pos.join(neg, "anchor_id")

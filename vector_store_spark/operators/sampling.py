@@ -395,3 +395,40 @@ def epoch_repeat(
         hash_bucket(id_col, 1_000_000, salt) < F.col("frac_ppm")
     )
     return out.where(keep).drop("full_copies", "frac_ppm")
+
+
+def export_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_shards: int,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic training-export sharding: every row gets a ``shard``
+    (multiplicative-hash bucket of its id — reproducible under any
+    partitioning, no shuffle of the fact table to ASSIGN) and a ``pos``
+    (0-based rank within its shard by ascending id — the within-file write
+    order), plus a shard MANIFEST (rows, total weight) — the sidecar a
+    training loader needs to plan epochs without scanning the shards.
+
+    Returns (sharded rows, manifest). Scale shape: assignment is a narrow
+    projection; ``pos`` is one rank window partitioned by shard (each
+    shard ≈ N/n_shards rows — pick n_shards so a shard fits a task, the
+    same knob as any writer's file sizing); the manifest is a
+    shard-dimension aggregate with map-side partial combine."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    tagged = df.withColumn(
+        "shard", hash_bucket(id_col, n_shards, salt).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    rows = tagged.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    )
+    manifest = tagged.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col(weight_col).cast("long")).alias("total_weight"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    )
+    return rows, manifest

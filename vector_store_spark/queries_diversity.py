@@ -269,3 +269,56 @@ def knn_graph_label_prop(spark, sf_dir):
         .where(F.col("_rn") == 1)
         .select("vec_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+@register(
+    "contrastive_triplets",
+    # triplet mining on the blocked candidate set: per anchor the nearest
+    # same-label (positive) and nearest different-label (hard negative)
+    # neighbor among all block-sharing pairs; anchors missing either side
+    # drop (inner join) — the corpus-wide, deterministic version of
+    # in-batch hard-negative selection
+    f"""
+WITH {_KG_ASG},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT p.src, p.dst, la.label AS src_label, lb.label AS dst_label,
+         round(1.0 - {_cos_sim("ea.v", "eb.v")}, {ROUND}) AS distance
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.src JOIN e eb ON eb.vec_id = p.dst
+  JOIN embeddings la ON la.vec_id = p.src
+  JOIN embeddings lb ON lb.vec_id = p.dst
+),
+pos AS (
+  SELECT src, dst, distance FROM (
+    SELECT src, dst, distance,
+           row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rn
+    FROM d WHERE src_label = dst_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT src, dst, distance FROM (
+    SELECT src, dst, distance,
+           row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rn
+    FROM d WHERE src_label <> dst_label
+  ) WHERE rn = 1
+)
+SELECT p.src AS anchor_id, p.dst AS positive_id, p.distance AS pos_distance,
+       n.dst AS negative_id, n.distance AS neg_distance
+FROM pos p JOIN neg n ON p.src = n.src
+""",
+    "Contrastive triplet mining: per anchor its nearest same-label "
+    "(positive) and nearest different-label (hard negative) neighbor over "
+    "the IVF-blocked candidate set — corpus-wide deterministic hard-negative "
+    "selection for metric learning",
+)
+def contrastive_triplets_q(spark, sf_dir):
+    from vector_store_spark.operators.knn_graph import contrastive_triplets
+
+    return contrastive_triplets(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
+        k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
+    )

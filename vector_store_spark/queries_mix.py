@@ -313,3 +313,44 @@ def mix_epoch_repeat(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("chars_emitted"),
         F.max("copy_id").cast("long").alias("max_copy"),
     )
+
+
+@register(
+    "mix_export_shards",
+    # shard manifest + spot-checked row placement: the manifest is the
+    # loader-facing contract (rows + token mass per shard); the first row
+    # of each shard pins the within-shard ordering
+    f"""
+WITH tagged AS (
+  SELECT doc_id, n_chars, CAST({hash_bucket_sql("doc_id", 8)} AS INT) AS shard
+  FROM documents
+),
+manifest AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS total_weight,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+  FROM tagged GROUP BY shard
+),
+first_rows AS (
+  SELECT shard, doc_id AS first_doc_id FROM (
+    SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM tagged
+  ) WHERE rn = 1
+)
+SELECT m.shard, m.n_rows, m.total_weight, m.min_id, m.max_id, f.first_doc_id
+FROM manifest m JOIN first_rows f USING (shard)
+""",
+    "Deterministic training-export sharding: hash-bucket shard assignment "
+    "(reproducible under any partitioning) + 0-based within-shard write "
+    "order + the shard manifest (rows, token mass, id range) a training "
+    "loader plans epochs from",
+)
+def mix_export_shards(spark, sf_dir):
+    from vector_store_spark.operators.sampling import export_shards
+
+    docs = load(spark, sf_dir, "documents")
+    rows, manifest = export_shards(docs, "doc_id", "n_chars", n_shards=8)
+    first = rows.where(F.col("pos") == 0).select(
+        "shard", F.col("doc_id").alias("first_doc_id")
+    )
+    return manifest.join(F.broadcast(first), "shard")
