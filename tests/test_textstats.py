@@ -217,3 +217,67 @@ def test_bigram_logprob_penalizes_shuffled_transitions(spark):
     rows = {r["doc_id"]: r["mean_logprob"]
             for r in bigram_logprob(docs, "doc_id", "text").collect()}
     assert rows[9] < rows[1]
+
+
+def test_winnowing_reference_and_guarantee(spark):
+    """Winnowing vs a direct per-doc reference (rightmost-min tie rule), the
+    2/(w+1) density ballpark, and the matching guarantee: docs sharing a
+    long token run share >= 1 fingerprint."""
+    from vector_store_spark.functions.hashing import _py_poly_hash, _py_tokens
+    from vector_store_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique lead {shared} unique tail"),
+            (2, f"different prefix words {shared} and different suffix"),
+            (3, "totally unrelated content with its own running words here"),
+        ],
+        "doc_id long, text string",
+    )
+    n, w = 3, 4
+    got = {r["id"]: r for r in winnowing_fingerprints(
+        docs, "doc_id", "text", n=n, window=w).collect()}
+
+    def ref_fps(text):
+        toks = _py_tokens(text)
+        hs = [_py_poly_hash(" ".join(toks[i:i + n]))
+              for i in range(len(toks) - n + 1)]
+        ww = min(w, len(hs))
+        sel = set()
+        for s in range(len(hs) - ww + 1):
+            win = hs[s:s + ww]
+            m = min(win)
+            # rightmost occurrence of the min
+            sel.add(win[len(win) - 1 - win[::-1].index(m)])
+        return sorted(sel)
+
+    for did, text in [(1, f"unique lead {shared} unique tail"),
+                      (2, f"different prefix words {shared} and different suffix"),
+                      (3, "totally unrelated content with its own running words here")]:
+        fps = ref_fps(text)
+        r = got[did]
+        assert (r["n_fingerprints"], r["fp_checksum"], r["fp_min"], r["fp_max"]) == (
+            len(fps), sum(fps), fps[0], fps[-1])
+    # matching guarantee: 1 and 2 share the 10-token run -> overlap certain
+    assert set(ref_fps(f"unique lead {shared} unique tail")) & set(
+        ref_fps(f"different prefix words {shared} and different suffix"))
+
+
+def test_frequent_ngram_ratio(spark):
+    from vector_store_spark.operators.textstats import frequent_ngram_ratio
+
+    boiler = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} article number {i} body text") for i in range(5)]
+        + [(9, "completely original essay about something rare indeed")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in frequent_ngram_ratio(
+        docs, "doc_id", "text", n=3, min_count=5).collect()}
+    # the shared prefix "click here to subscribe now article number" yields
+    # 5 corpus-frequent 3-grams (each appears 5x); the doc-specific tail
+    # grams ("article number 0" ...) are unique and do not count
+    assert out[0]["n_frequent"] == 5
+    assert out[0]["frequent_ratio"] > 0
+    assert out[9]["n_frequent"] == 0 and out[9]["frequent_ratio"] == 0.0

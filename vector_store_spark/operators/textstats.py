@@ -502,3 +502,124 @@ def chunk_documents(
         ).alias("chunk_text"),
     )
     return out
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word n-gram in POSITION
+    order, slide a ``window``-gram window, and select each window's minimum
+    hash with the RIGHTMOST-occurrence tie rule; the distinct selected
+    hashes are the document's fingerprint set. Guarantees: any shared run
+    of ≥ window+n−1 tokens between two documents shares ≥ 1 fingerprint,
+    and ~2/(window+1) of grams are selected — a bounded-size sketch with a
+    matching guarantee, which a bare min-hash lacks.
+
+    One Arrow-batched pass per document (position-ordered grams, numpy
+    sliding-min); output is integer-summary form — (id, n_grams,
+    n_fingerprints, fp_checksum Σdistinct, fp_min, fp_max) — exact BIGINT
+    arithmetic, order-insensitive, so the gate hash-compares it directly.
+    Docs with fewer than ``n`` tokens have no grams and are absent; docs
+    with fewer grams than ``window`` use one all-gram window."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_store_spark.functions.hashing import _py_poly_hash, _py_tokens
+
+    if n <= 0 or window <= 0:
+        raise ValueError("n and window must be positive")
+
+    def batch(it):
+        for pdf in it:
+            out = {"id": [], "n_grams": [], "n_fingerprints": [],
+                   "fp_checksum": [], "fp_min": [], "fp_max": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_tokens(text)
+                if len(toks) < n:
+                    continue
+                hs = np.array(
+                    [_py_poly_hash(" ".join(toks[i:i + n]))
+                     for i in range(len(toks) - n + 1)],
+                    dtype=np.int64,
+                )
+                g = len(hs)
+                w = min(window, g)
+                # rightmost-min encoding: minimising h*2^20 + (2^20-1-j)
+                # picks the smallest hash and, among ties, the LARGEST j
+                enc = hs * (1 << 20) + ((1 << 20) - 1 - np.arange(g))
+                sel = set()
+                if g >= w:
+                    from numpy.lib.stride_tricks import sliding_window_view
+
+                    mins = sliding_window_view(enc, w).min(axis=1)
+                    sel = set((mins >> 20).tolist())
+                fps = sorted(sel)
+                out["id"].append(did)
+                out["n_grams"].append(g)
+                out["n_fingerprints"].append(len(fps))
+                out["fp_checksum"].append(int(sum(fps)))
+                out["fp_min"].append(fps[0])
+                out["fp_max"].append(fps[-1])
+            yield pd.DataFrame(out)
+
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        batch,
+        f"id {id_type}, n_grams long, n_fingerprints long, "
+        "fp_checksum long, fp_min long, fp_max long",
+    )
+
+
+def frequent_ngram_ratio(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Memorization-risk profile (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): per document, the fraction of its
+    word n-gram OCCURRENCES whose n-gram appears ≥ ``min_count`` times
+    corpus-wide — boilerplate/template passages score high even when no
+    whole document duplicates, and are exactly the spans models memorize.
+
+    Plan shape: explode the ordered gram stream (multiplicity kept), one
+    map-side-combined aggregate to gram-type counts, filter to the frequent
+    set (heavy hitters), and count each doc's hits with a shuffle-hash
+    LEFT SEMI join — the frequent-gram set is data-sized, never broadcast.
+    Returns (id, n_grams, n_frequent, frequent_ratio)."""
+    from vector_store_spark.functions.text import tokens_udf
+
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        tokens_udf(remove_stopwords=False)(_col(text_col)).alias("_toks"),
+    )
+    parts = " , ' ', ".join(f"_toks[i + {j}]" for j in range(n)).join(["", ""])
+    gram_expr = (
+        f"transform(slice(_toks, 1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"(x, i) -> concat({parts}))"
+    )
+    bg = toked.select("id", F.explode(F.expr(gram_expr)).alias("gram"))
+    totals = bg.groupBy("id").agg(F.count("*").cast("long").alias("n_grams"))
+    frequent = (
+        bg.groupBy("gram").agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    hits = (
+        bg.join(frequent.hint("SHUFFLE_HASH"), "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_frequent"))
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .withColumn("n_frequent", F.coalesce("n_frequent", F.lit(0).cast("long")))
+        .withColumn(
+            "frequent_ratio", F.col("n_frequent") / F.col("n_grams")
+        )
+    )

@@ -496,3 +496,105 @@ def text_bigram_logprob(spark, sf_dir):
         .limit(15)
         .select("doc_id", "n_bigrams", "mean_logprob")
     )
+
+
+_WIN_N, _WIN_W = 3, 4
+_WIN_ENC = 1 << 20  # h * 2^20 + (2^20-1-pos): min picks (min h, rightmost pos)
+_WIN_GRAM_EXPR = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+_WIN_GRAM = (
+    f"list_transform(range(1, greatest(len(toks) - {_WIN_N - 1}, 0) + 1), "
+    f"i -> {poly_hash_sql(_WIN_GRAM_EXPR)})"
+)
+
+
+@register(
+    "text_winnowing",
+    # winnowing (Schleimer et al., SIGMOD'03): per-window rightmost-min
+    # selection re-derived with ONE window frame — the (hash, position)
+    # pair is packed into a single BIGINT so `min` implements the tie rule
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) - {_WIN_N - 1} AS n_grams,
+         unnest({_WIN_GRAM}) AS h,
+         unnest(range(0, greatest(len(toks) - {_WIN_N - 1}, 0))) AS pos
+  FROM t WHERE len(toks) >= {_WIN_N}
+),
+enc AS (
+  SELECT doc_id, n_grams, pos,
+         min(h * {_WIN_ENC} + ({_WIN_ENC} - 1 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
+         ) AS sel_enc
+  FROM g
+),
+sel AS (
+  SELECT doc_id, n_grams, sel_enc // {_WIN_ENC} AS fp
+  FROM enc WHERE pos <= greatest(n_grams - {_WIN_W}, 0)
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       CAST(sum(DISTINCT fp) AS BIGINT) AS fp_checksum,
+       min(fp) AS fp_min, max(fp) AS fp_max
+FROM sel GROUP BY doc_id, n_grams
+""",
+    "Winnowing fingerprints (MOSS, Schleimer et al. '03): sliding-window "
+    "rightmost-min over position-ordered 3-gram hashes — a bounded sketch "
+    "with the shared-run matching guarantee plain min-hash lacks; integer "
+    "summary (count / checksum / min / max) hash-compared exactly",
+)
+def text_winnowing(spark, sf_dir):
+    from vector_store_spark.operators.textstats import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return winnowing_fingerprints(
+        docs, "doc_id", "text", n=_WIN_N, window=_WIN_W
+    ).withColumnRenamed("id", "doc_id")
+
+
+_MEM_N, _MEM_MIN = 3, 5
+
+
+@register(
+    "text_ngram_memorization",
+    # memorization-risk profile (Lee et al. '22): per-doc fraction of gram
+    # OCCURRENCES whose gram is corpus-frequent (>= MIN occurrences) — the
+    # boilerplate spans models memorize; top-15 riskiest docs
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_KEEP_STOP} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - {_MEM_N - 1}, 0) + 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+  FROM t WHERE len(toks) >= {_MEM_N}
+),
+freq AS (SELECT gram FROM bg GROUP BY gram HAVING count(*) >= {_MEM_MIN}),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM bg GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frequent
+  FROM bg JOIN freq USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h.n_frequent, 0) AS n_frequent,
+       round(CAST(coalesce(h.n_frequent, 0) AS DOUBLE) / t.n_grams, {ROUND}) AS frequent_ratio
+FROM totals t LEFT JOIN hits h USING (doc_id)
+ORDER BY frequent_ratio DESC, t.doc_id LIMIT 15
+""",
+    "Memorization-risk profile (Lee et al. '22 dedup rationale): per-doc "
+    "fraction of 3-gram occurrences that are corpus-frequent (>= 5x) — "
+    "boilerplate/template spans score high without any whole-doc duplicate; "
+    "frequent-gram set applied as a shuffle-hash semi-join, never broadcast",
+)
+def text_ngram_memorization(spark, sf_dir):
+    from vector_store_spark.operators.textstats import frequent_ngram_ratio
+
+    docs = load(spark, sf_dir, "documents")
+    out = frequent_ngram_ratio(docs, "doc_id", "text", n=_MEM_N, min_count=_MEM_MIN)
+    return (
+        out.withColumn("frequent_ratio", F.round("frequent_ratio", ROUND))
+        .orderBy(F.col("frequent_ratio").desc(), F.col("id").asc())
+        .limit(15)
+        .select(
+            F.col("id").alias("doc_id"), "n_grams", "n_frequent", "frequent_ratio"
+        )
+    )
