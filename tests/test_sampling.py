@@ -205,3 +205,35 @@ def test_epoch_repeat_emits_target_mass(spark):
     again = epoch_repeat(df, "source", "doc_id", "n_chars", targets)
     assert out.select("doc_id", "copy_id").subtract(
         again.select("doc_id", "copy_id")).count() == 0
+
+
+def test_export_shards_manifest_and_order(spark):
+    from vector_store_spark.operators.sampling import export_shards, hash_bucket
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, 10 * (i + 1)) for i in range(50)], "doc_id long, n_chars long"
+    )
+    rows, manifest = export_shards(df, "doc_id", "n_chars", n_shards=4)
+    got = rows.collect()
+    # shard assignment matches the cross-engine hash; pos is the 0-based
+    # id-ascending rank within the shard
+    expect_shard = {r["doc_id"]: r["shard"] for r in df.select(
+        "doc_id", hash_bucket("doc_id", 4).cast("int").alias("shard")).collect()}
+    by_shard = {}
+    for r in sorted(got, key=lambda r: (r["shard"], r["doc_id"])):
+        assert r["shard"] == expect_shard[r["doc_id"]]
+        assert r["pos"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["pos"] + 1
+    m = {r["shard"]: r for r in manifest.collect()}
+    assert sum(r["n_rows"] for r in m.values()) == 50
+    assert sum(r["total_weight"] for r in m.values()) == sum(10 * (i + 1) for i in range(50))
+    for sh, r in m.items():
+        members = [d for d, s in expect_shard.items() if s == sh]
+        assert (r["min_id"], r["max_id"], r["n_rows"]) == (
+            min(members), max(members), len(members))
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        export_shards(df, "doc_id", "n_chars", n_shards=0)

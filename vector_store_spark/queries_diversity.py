@@ -162,14 +162,28 @@ SELECT src AS vec_id, dst AS nbr_id, distance FROM ranked WHERE rn <= {_KG_M}
     "per-block GEMM, per-id top-m merge — Sigma |block|^2 work instead of n^2",
 )
 def knn_graph_blocked(spark, sf_dir):
-    # max_block: the grid skew guard is LOSSLESS (pinned by
-    # test_knn_graph_grid_subblocking_is_lossless), so unlike the dedup
-    # salting cap it can stay armed in the oracle-checked query
-    return knn_graph(
-        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", _KG_M,
-        k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
-        max_block=256,
-    )
+    return _graph(spark, sf_dir)
+
+
+# the graph is a standing corpus artifact consumed by several queries
+# (edge listing, label propagation) — memoize per (session, corpus) like
+# queries_dedup._PAIRS_CACHE; the build is deterministic, so reuse cannot
+# change results. Cached frame is m·N edges (narrow).
+_GRAPH_CACHE: dict[str, object] = {}
+
+
+def _graph(spark, sf_dir):
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _GRAPH_CACHE:
+        # max_block: the grid skew guard is LOSSLESS (pinned by
+        # test_knn_graph_grid_subblocking_is_lossless), so unlike the dedup
+        # salting cap it can stay armed in the oracle-checked query
+        _GRAPH_CACHE[key] = knn_graph(
+            load(spark, sf_dir, "embeddings"), "vec_id", "embedding", _KG_M,
+            k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
+            max_block=256,
+        ).cache()
+    return _GRAPH_CACHE[key]
 
 
 @register(
@@ -247,11 +261,7 @@ def knn_graph_label_prop(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    graph = knn_graph(
-        emb, "vec_id", "embedding", _KG_M,
-        k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
-        max_block=256,
-    )
+    graph = _graph(spark, sf_dir)
     unlabeled = graph.where(F.col("vec_id") % 5 == 0)
     labeled_nbrs = unlabeled.join(
         emb.select(F.col("vec_id").alias("nbr_id"), "label")

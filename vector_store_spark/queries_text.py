@@ -598,3 +598,46 @@ def text_ngram_memorization(spark, sf_dir):
             F.col("id").alias("doc_id"), "n_grams", "n_frequent", "frequent_ratio"
         )
     )
+
+
+@register(
+    "text_bpe_merge_pairs",
+    # the seed iteration of BPE training (Sennrich et al. '16): within-word
+    # adjacent symbol-pair frequencies over the corpus token stream (with
+    # the </w> end-of-word marker), highest-count pair = the first merge
+    f"""
+WITH toks AS (SELECT unnest({_TOKS_KEEP_STOP}) AS tok FROM documents),
+ch AS (SELECT list_append(string_split(tok, ''), '</w>') AS cs FROM toks),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i] || ' ' || cs[i + 1])) AS pair
+  FROM ch
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+""",
+    "BPE merge-pair statistics (Sennrich et al. '16 seed iteration): "
+    "corpus-wide within-word adjacent symbol-pair counts with the "
+    "end-of-word marker — the top pair is the tokenizer's first merge; "
+    "one map-side-combined aggregate over the exploded symbol stream",
+)
+def text_bpe_merge_pairs(spark, sf_dir):
+    from vector_store_spark.functions.text import tokens_udf
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_udf(remove_stopwords=False)(F.col("text"))).alias("tok")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(concat(split(tok, ''), array('</w>')), 1, "
+                "size(split(tok, ''))), "
+                "(x, i) -> concat(x, ' ', concat(split(tok, ''), array('</w>'))[i + 1]))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
