@@ -281,3 +281,15 @@ def test_frequent_ngram_ratio(spark):
     assert out[0]["n_frequent"] == 5
     assert out[0]["frequent_ratio"] > 0
     assert out[9]["n_frequent"] == 0 and out[9]["frequent_ratio"] == 0.0
+
+
+def test_bpe_pair_counts(spark):
+    from vector_store_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(docs, "text").collect()}
+    # 'low' x3, 'lower' x1: l-o 4, o-w 4, w-</w> 3, w-e 1, e-r 1, r-</w> 1
+    assert got == {"l o": 4, "o w": 4, "w </w>": 3, "w e": 1,
+                   "e r": 1, "r </w>": 1}

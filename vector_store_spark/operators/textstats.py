@@ -623,3 +623,41 @@ def frequent_ngram_ratio(
             "frequent_ratio", F.col("n_frequent") / F.col("n_grams")
         )
     )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-wide within-word adjacent symbol-pair counts with the ``</w>``
+    end-of-word marker — the seed iteration of BPE training (Sennrich et
+    al. '16). One Arrow pass does tokenize + pair counting + PARTIAL
+    aggregation per batch (a Counter, emitting one row per distinct pair
+    per batch — the map-side combine), so the exchange carries
+    pair-vocabulary-sized partials, never the symbol stream. Returns
+    (pair, n) unaggregated-ordered; callers sort/limit."""
+    import re
+
+    from vector_store_spark.functions.text import TOKEN_SPLIT_RE
+
+    pat_src = TOKEN_SPLIT_RE
+
+    def batch(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        pat = re.compile(pat_src)
+        for pdf in it:
+            c: Counter = Counter()
+            for text in pdf[text_col]:
+                for tok in pat.split((text or "").lower()):
+                    if not tok:
+                        continue
+                    cs = list(tok) + ["</w>"]
+                    for a, b in zip(cs, cs[1:]):
+                        c[a + " " + b] += 1
+            yield pd.DataFrame(
+                {"pair": list(c.keys()),
+                 "n": pd.array(list(c.values()), dtype="int64")}
+            )
+
+    partial = docs.select(text_col).mapInPandas(batch, "pair string, n long")
+    return partial.groupBy("pair").agg(F.sum("n").cast("long").alias("n"))

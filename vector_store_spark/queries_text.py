@@ -621,23 +621,11 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
     "one map-side-combined aggregate over the exploded symbol stream",
 )
 def text_bpe_merge_pairs(spark, sf_dir):
-    from vector_store_spark.functions.text import tokens_udf
+    from vector_store_spark.operators.textstats import bpe_pair_counts
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(tokens_udf(remove_stopwords=False)(F.col("text"))).alias("tok")
-    )
-    pairs = toks.select(
-        F.explode(
-            F.expr(
-                "transform(slice(concat(split(tok, ''), array('</w>')), 1, "
-                "size(split(tok, ''))), "
-                "(x, i) -> concat(x, ' ', concat(split(tok, ''), array('</w>'))[i + 1]))"
-            )
-        ).alias("pair")
-    )
     return (
-        pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n"))
+        bpe_pair_counts(docs, "text")
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(20)
     )
