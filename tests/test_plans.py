@@ -145,3 +145,23 @@ def test_dedup_groups_row_form_no_broadcast_no_fat_agg(plans):
     plan = plans["dedup_groups_minhash"]
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
     assert "collect_list" not in plan
+
+
+def test_memorization_frequent_set_never_broadcasts(plans):
+    """text_ngram_memorization's frequent-gram set is data-sized (boilerplate
+    volume grows with the corpus) — it must apply as a shuffle-hash LEFT SEMI,
+    never a broadcast (same fact-classing as the dedup drop list)."""
+    plan = plans["text_ngram_memorization"]
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
+    # the ONLY broadcast allowed is none: gram stream joins are all SHJ
+    assert "BroadcastHashJoin" not in plan, (
+        "a gram-keyed side is being broadcast in text_ngram_memorization"
+    )
+
+
+def test_keep_best_members_never_broadcast(plans):
+    """dedup_keep_best joins the duplicate-membership frame (fact-classed:
+    scales with duplicate volume) to per-doc quality — shuffle-hash, with
+    broadcasts reserved for the label-propagation loop's bounded frames."""
+    plan = plans["dedup_keep_best"]
+    assert "ShuffledHashJoin" in plan

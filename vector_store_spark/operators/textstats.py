@@ -616,8 +616,11 @@ def frequent_ngram_ratio(
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("n_frequent"))
     )
+    # totals ⋈ hits is doc-keyed fact-fact (BOTH sides are one row per doc
+    # — corpus-row-count-sized at 100 TB), so it must shuffle-hash; Catalyst
+    # would happily broadcast the hits side at test SF
     return (
-        totals.join(hits, "id", "left")
+        totals.join(hits.hint("SHUFFLE_HASH"), "id", "left")
         .withColumn("n_frequent", F.coalesce("n_frequent", F.lit(0).cast("long")))
         .withColumn(
             "frequent_ratio", F.col("n_frequent") / F.col("n_grams")
