@@ -372,4 +372,5 @@ def contrastive_triplets(
         F.col("nbr_id").alias("negative_id"),
         F.col("distance").alias("neg_distance"),
     )
-    return pos.join(neg, "anchor_id")
+    # both legs are one row per anchor (corpus-row-count-sized): shuffle-hash
+    return pos.join(neg.hint("SHUFFLE_HASH"), "anchor_id")

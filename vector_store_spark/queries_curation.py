@@ -152,9 +152,10 @@ def curation_quantile_gate(spark, sf_dir):
     from vector_store_spark.operators.textstats import quality_features
 
     docs = load(spark, sf_dir, "documents")
+    # per-doc quality ⋈ per-doc lang is fact-fact on doc_id: shuffle-hash
     scored = quality_features(docs, "doc_id", "text").select(
         "doc_id", F.round("quality_score", ROUND).alias("q")
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+    ).join(docs.select("doc_id", "lang").hint("SHUFFLE_HASH"), "doc_id")
     thr = quantile_thresholds(scored, "lang", "q")  # (lang, n_docs, threshold)
     gated = scored.join(
         F.broadcast(thr.select("lang", F.col("threshold").alias("median_q"))),

@@ -263,9 +263,11 @@ def knn_graph_label_prop(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     graph = _graph(spark, sf_dir)
     unlabeled = graph.where(F.col("vec_id") % 5 == 0)
+    # edges and labels are BOTH fact-sized (m rows per doc vs one per doc):
+    # shuffle-hash — Catalyst would broadcast the label side at test SF
     labeled_nbrs = unlabeled.join(
         emb.select(F.col("vec_id").alias("nbr_id"), "label")
-        .where(F.col("nbr_id") % 5 != 0),
+        .where(F.col("nbr_id") % 5 != 0).hint("SHUFFLE_HASH"),
         "nbr_id",
     )
     votes = labeled_nbrs.groupBy("vec_id", "label").agg(
