@@ -97,3 +97,31 @@ def test_at_least_once_rows_within_batch(spark, tmp_path):
         sink._read(sink.sets_dir, "id long, hs array<long>")
         .groupBy("id").count().where(F.col("count") > 1).count() == 0
     )
+
+
+def test_quality_monitor_series_and_replay(spark, tmp_path):
+    """Per-batch per-source stats accumulate as a series; a replayed batch
+    overwrites its own partition (no double counting); the duplicate
+    delivery inside a batch counts once."""
+    from vector_store_spark.streaming.neardup import QualityMonitorSink
+
+    rows1 = [(1, "a decent document with several words", "web"),
+             (2, "another fine piece of text here", "web"),
+             (3, "short", "book")]
+    rows2 = [(4, "later batch content arriving now", "web"),
+             (4, "later batch content arriving now", "web")]  # dup delivery
+    mk = lambda r: spark.createDataFrame(r, "doc_id long, text string, source string")
+    sink = QualityMonitorSink(spark, str(tmp_path / "store"))
+    sink.process_batch(mk(rows1), 0)
+    sink.process_batch(mk(rows2), 1)
+    got = {(r["batch"], r["source"]): (r["n_docs"], r["n_chars"])
+           for r in sink.series().collect()}
+    assert got[(0, "web")] == (2, len(rows1[0][1]) + len(rows1[1][1]))
+    assert got[(0, "book")] == (1, 5)
+    assert got[(1, "web")] == (1, len(rows2[0][1]))  # deduped within batch
+    # replay batch 1: series unchanged
+    sink.process_batch(mk(rows2), 1)
+    assert len(sink.series().collect()) == 3
+    # an empty store yields the typed empty series
+    empty = QualityMonitorSink(spark, str(tmp_path / "none")).series()
+    assert empty.count() == 0 and "mean_quality" in empty.columns

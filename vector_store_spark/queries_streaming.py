@@ -911,3 +911,51 @@ def stream_neardup_endstate(spark, sf_dir):
     _mark("stream2_incremental", t)
 
     return sink.pairs().withColumn("jaccard", F.round("jaccard", ROUND))
+
+
+def _quality_monitor_oracle():
+    from vector_store_spark.queries_text import quality_score_sql
+    from vector_store_spark.registry import ROUND
+
+    return f"""
+WITH q AS ({quality_score_sql()}),
+j AS (
+  SELECT d.doc_id, d.source, length(d.text) AS len, q.q,
+         CAST(CASE WHEN d.doc_id % 3 <> 0 THEN 0 ELSE 1 END AS INTEGER) AS batch
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT batch, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len) AS BIGINT) AS n_chars,
+       round(avg(q), {ROUND}) AS mean_quality
+FROM j GROUP BY batch, source
+"""
+
+
+@register(
+    "stream_quality_monitor_endstate",
+    _quality_monitor_oracle(),
+    "Streaming ingest-health monitor, hash-checked: per micro-batch "
+    "per-source doc counts, char mass, and mean composite quality appended "
+    "as an idempotent _batch-partitioned time series across a checkpoint "
+    "resume — the drift dashboard a crawl pipeline watches; the oracle "
+    "re-derives every (batch, source) row from the deterministic split",
+)
+def stream_quality_monitor_endstate(spark, sf_dir):
+    from vector_store_spark.streaming.neardup import QualityMonitorSink
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = tempfile.mkdtemp(prefix="qmon_stream_")
+    src, store, ckpt = (os.path.join(root, d) for d in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    schema = "doc_id bigint, text string, source string"
+
+    docs.where(F.col("doc_id") % 3 != 0).write.mode("append").json(
+        os.path.join(src, "b1"))
+    sink = QualityMonitorSink(spark, store)
+    _await(sink.start(spark.readStream.schema(schema).json(os.path.join(src, "*")),
+                      checkpoint_dir=ckpt))
+    docs.where(F.col("doc_id") % 3 == 0).write.mode("append").json(
+        os.path.join(src, "b2"))
+    _await(sink.start(spark.readStream.schema(schema).json(os.path.join(src, "*")),
+                      checkpoint_dir=ckpt))
+    return sink.series()

@@ -179,3 +179,70 @@ class NearDupStreamSink:
         return self._read(
             self.pairs_dir, "id_a long, id_b long, jaccard double"
         ).select("id_a", "id_b", "jaccard")
+
+
+class QualityMonitorSink:
+    """Streaming data-quality monitor: per micro-batch, per-source corpus
+    statistics (doc count, char mass, mean composite quality) appended as a
+    time series under ``_batch`` partitions — the ingest-health dashboard a
+    crawl pipeline watches for drift (a source whose mean quality drops
+    batch-over-batch is degrading upstream). Same idempotence contract as
+    :class:`NearDupStreamSink`: a checkpoint replay overwrites its own
+    partition, so the series never double-counts."""
+
+    def __init__(self, spark, store_dir: str, id_col: str = "doc_id",
+                 text_col: str = "text", source_col: str = "source",
+                 round_to: int = 6) -> None:
+        self.spark = spark
+        self.stats_dir = os.path.join(store_dir, "quality_stats")
+        self.id_col, self.text_col = id_col, text_col
+        self.source_col, self.round_to = source_col, round_to
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from vector_store_spark.operators.textstats import quality_features
+
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        docs = batch.select(
+            self.id_col, self.text_col, self.source_col
+        ).dropDuplicates([self.id_col])
+        q = quality_features(docs, self.id_col, self.text_col).select(
+            self.id_col, F.round("quality_score", self.round_to).alias("_q")
+        )
+        # per-doc quality ⋈ per-doc source: fact-fact within the batch
+        stats = (
+            docs.select(self.id_col, self.source_col,
+                        F.length(self.text_col).alias("_len"))
+            .join(q.hint("SHUFFLE_HASH"), self.id_col)
+            .groupBy(self.source_col)
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("_len").cast("long").alias("n_chars"),
+                F.round(F.avg("_q"), self.round_to).alias("mean_quality"),
+            )
+        )
+        stats.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
+            "_batch"
+        ).mode("overwrite").parquet(self.stats_dir)
+
+    def start(self, stream: DataFrame, checkpoint_dir: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def series(self) -> DataFrame:
+        """(batch, source, n_docs, n_chars, mean_quality) time series."""
+        if os.path.isdir(self.stats_dir) and any(
+            e.startswith("_batch=") or not e.startswith(("_", "."))
+            for e in os.listdir(self.stats_dir)
+        ):
+            return self.spark.read.parquet(self.stats_dir).select(
+                F.col("_batch").cast("int").alias("batch"),
+                self.source_col, "n_docs", "n_chars", "mean_quality",
+            )
+        return self.spark.createDataFrame(
+            [], f"batch int, {self.source_col} string, n_docs long, "
+                "n_chars long, mean_quality double")
