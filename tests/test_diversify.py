@@ -244,3 +244,35 @@ def test_contrastive_triplets_reference(spark, items):
     # positive and negative are distinct by label, hence distinct ids
     for r in out.values():
         assert r["positive_id"] != r["negative_id"]
+
+
+def test_pagerank_two_node_cycle_is_stationary(spark):
+    """A 2-cycle's uniform distribution is the PageRank fixed point: ranks
+    stay exactly 0.5 each through any number of iterations."""
+    from vector_store_spark.operators.knn_graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["vec_id", "nbr_id"])
+    nodes = spark.createDataFrame([(1,), (2,)], ["vec_id"])
+    got = {r["vec_id"]: r["rank"] for r in
+           pagerank(edges, nodes, "vec_id", "nbr_id", 2.0, iterations=4).collect()}
+    assert got[1] == pytest.approx(0.5, abs=1e-12)
+    assert got[2] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_teleport_only_dangling_and_sink(spark):
+    """Hand-computed single iteration on 1 -> 2 with an isolated node 3:
+    node 2 gets teleport + damped full rank of 1; nodes 1 and 3 (no inbound)
+    drop to pure teleport; dangling mass (from 2 and 3) evaporates."""
+    from vector_store_spark.operators.knn_graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], ["vec_id", "nbr_id"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["vec_id"])
+    got = {r["vec_id"]: r["rank"] for r in
+           pagerank(edges, nodes, "vec_id", "nbr_id", 3.0, iterations=1).collect()}
+    tele = (1.0 - 0.85) / 3.0
+    assert got[1] == pytest.approx(tele, abs=1e-15)
+    assert got[3] == pytest.approx(tele, abs=1e-15)
+    assert got[2] == pytest.approx(tele + 0.85 * (1.0 / 3.0), abs=1e-15)
+
+    with pytest.raises(ValueError):
+        pagerank(edges, nodes, "vec_id", "nbr_id", 3.0, iterations=0)

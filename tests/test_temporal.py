@@ -215,3 +215,68 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
         for r in merged.itertuples()
     }
     assert got == expect
+
+
+def test_events_funnel_strict_ordering(spark, tmp_path):
+    """Sequential semantics: a click BEFORE the first view doesn't convert,
+    a purchase requires a prior qualifying click, equal timestamps are NOT
+    'after' (strict >)."""
+    import datetime as dt
+
+    from vector_store_spark.queries_temporal import events_funnel
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: view(1) -> click(2) -> purchase(3): full funnel
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        # u2: click(1) BEFORE view(2): stops at view
+        (4, t(1), 2, "click", 0.0, "{}"),
+        (5, t(2), 2, "view", 0.0, "{}"),
+        # u3: view(1), click AT the same second (strict > excludes it)
+        (6, t(1), 3, "view", 0.0, "{}"),
+        (7, t(1), 3, "click", 0.0, "{}"),
+        # u4: purchase only: no view -> counted in n_users alone
+        (8, t(1), 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    # load_events expects a directory holding events.parquet
+    out = events_funnel(spark, str(tmp_path)).collect()[0]
+    assert out["n_users"] == 4
+    assert out["n_view"] == 3
+    assert out["n_view_click"] == 1  # only u1: u2's click precedes its view
+    assert out["n_full_funnel"] == 1
+    assert out["conversion_rate"] == round(1.0 / 3.0, 6)
+
+
+def test_events_hourly_anomalies_zscore_math(spark, tmp_path):
+    """Hand-computed z on counts [1, 3, 2]: mean=2, sample var=1, so the
+    hours score -1, +1, 0; single-hour types drop (undefined variance)."""
+    import datetime as dt
+
+    from vector_store_spark.queries_temporal import events_hourly_anomalies
+
+    h = lambda i, m: dt.datetime(2024, 1, 1, i, m, 0)  # noqa: E731
+    rows = []
+    eid = 0
+    for hour, n in ((0, 1), (1, 3), (2, 2)):
+        for m in range(n):
+            eid += 1
+            rows.append((eid, h(hour, m), 1, "click", 0.0, "{}"))
+    rows.append((99, h(0, 0), 1, "view", 0.0, "{}"))  # one hour only -> dropped
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_hourly_anomalies(spark, str(tmp_path)).collect()
+    got = {(r["event_type"], r["hour_ts"].hour): (r["n_events"], r["zscore"]) for r in out}
+    assert got == {
+        ("click", 0): (1, -1.0),
+        ("click", 1): (3, 1.0),
+        ("click", 2): (2, 0.0),
+    }

@@ -293,3 +293,46 @@ def test_bpe_pair_counts(spark):
     # 'low' x3, 'lower' x1: l-o 4, o-w 4, w-</w> 3, w-e 1, e-r 1, r-</w> 1
     assert got == {"l o": 4, "o w": 4, "w </w>": 3, "w e": 1,
                    "e r": 1, "r </w>": 1}
+
+
+def test_tfidf_topterms_math_and_topn(spark):
+    import math
+
+    from vector_store_spark.operators.textstats import tfidf_topterms
+
+    # 3 docs; "cat" in 2 docs, "dog"/"fish" in 1, "the" in all 3
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat cat dog"),
+            (2, "the cat"),
+            (3, "the fish"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topterms(docs, "doc_id", "text", top_n=2, round_to=6)
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["tfidf"]) for r in out.collect()}
+
+    def idf(df):
+        return math.log((3 + 1.0) / (df + 1.0)) + 1.0
+
+    # doc 1 top-2: cat tf=2 (df=2), dog tf=1 (df=1) beat the tf=1 (df=3)
+    assert rows[(1, "cat")] == (2, round(2 * idf(2), 6))
+    assert rows[(1, "dog")] == (1, round(1 * idf(1), 6))
+    assert (1, "the") not in rows
+    # doc 2: cat (higher idf) ranks above the corpus-wide "the"
+    assert rows[(2, "cat")][1] > rows[(2, "the")][1]
+    # exactly top_n rows per doc
+    counts = {d: sum(1 for (dd, _) in rows if dd == d) for d in (1, 2, 3)}
+    assert counts == {1: 2, 2: 2, 3: 2}
+
+
+def test_tfidf_topterms_tie_breaks_on_term_asc(spark):
+    from vector_store_spark.operators.textstats import tfidf_topterms
+
+    # two terms with identical tf and df in the same doc -> identical score;
+    # the kept singleton must be the lexicographically smaller term
+    docs = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "zebra apple")], ["doc_id", "text"]
+    )
+    out = tfidf_topterms(docs, "doc_id", "text", top_n=1, round_to=6)
+    assert {r["term"] for r in out.collect()} == {"apple"}

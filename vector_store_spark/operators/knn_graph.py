@@ -374,3 +374,70 @@ def contrastive_triplets(
     )
     # both legs are one row per anchor (corpus-row-count-sized): shuffle-hash
     return pos.join(neg.hint("SHUFFLE_HASH"), "anchor_id")
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    nbr_col: str,
+    n_nodes: float,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (e.g. the blocked
+    kNN graph): ``r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u)/outdeg(u)``
+    from a uniform start.  Teleport-only formulation: mass at dangling nodes
+    (no out-edges) evaporates instead of being redistributed — the same
+    simplification as the canonical Spark PageRank example, chosen so every
+    iteration is pure joins/aggregates with no per-iteration scalar pass;
+    on a kNN graph dangling nodes are block singletons (rare to absent).
+
+    Scale shape: the per-source ``rank/outdeg`` fan-out joins the edge list
+    with the node-sized rank frame (both fact-sized -> SHUFFLE_HASH), the
+    contribution sum shuffles on the destination key with map-side partial
+    combine, and the left join back onto the node set re-seeds the next
+    iteration.  ``iterations`` is a fixed small constant, so the lineage
+    depth is bounded; no driver-side collection anywhere.
+
+    Returns (``id_col``, rank) with sum(rank) <= 1 (teleport-only leak).
+    """
+    if iterations <= 0:
+        raise ValueError("iterations must be positive")
+    deg = edges.groupBy(id_col).agg(F.count("*").cast("double").alias("_outdeg"))
+    ed = (
+        edges.join(deg.hint("SHUFFLE_HASH"), id_col)
+        .select(
+            F.col(id_col).alias("_src"),
+            F.col(nbr_col).alias("_dst"),
+            "_outdeg",
+        )
+    )
+    node_ids = nodes.select(id_col)
+    ranks = node_ids.select(
+        F.col(id_col), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ed.join(
+                ranks.withColumnRenamed(id_col, "_src").hint("SHUFFLE_HASH"),
+                "_src",
+            )
+            .groupBy("_dst")
+            .agg(F.sum(F.col("rank") / F.col("_outdeg")).alias("_contrib"))
+        )
+        ranks = (
+            node_ids.join(
+                contrib.withColumnRenamed("_dst", id_col).hint("SHUFFLE_HASH"),
+                id_col,
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce("_contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -664,3 +664,60 @@ def bpe_pair_counts(docs: DataFrame, text_col: str) -> DataFrame:
 
     partial = docs.select(text_col).mapInPandas(batch, "pair string, n long")
     return partial.groupBy("pair").agg(F.sum("n").cast("long").alias("n"))
+
+
+def tfidf_topterms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-``top_n`` terms of
+    every document under the corpus's own smoothed IDF
+    (``idf = ln((N+1)/(df+1)) + 1``, the sklearn ``smooth_idf`` form) — the
+    standard model-free tagging/routing signal a training pipeline attaches
+    to documents before mixing (keywords drive topic caps and dedup-cluster
+    naming).
+
+    Shape mirrors :func:`unigram_logprob`: (1) one shuffle builds the
+    (doc, term) tf frame with map-side combine; (2) the document-frequency
+    table is vocabulary-sized (natural-language vocabulary, not
+    corpus-scale), so it rides the same collect-once → numpy-log →
+    broadcast-join hop as the unigram LM; (3) the per-doc top-n window
+    partitions on the doc key over per-doc-distinct-term-sized groups —
+    bounded by document length, never corpus-wide. Ranking is over the
+    ROUNDED score with a term-asc tie-break so the kept set is
+    engine-stable.
+
+    Returns (id, term, tf, tfidf) — ``top_n`` rows per non-empty document.
+    """
+    import numpy as np
+
+    from vector_store_spark.functions.text import tokens_udf
+
+    n_docs = float(docs.count())
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_udf(remove_stopwords=False)(_col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_pdf = tf.groupBy("term").agg(F.count("*").alias("df")).toPandas()
+    df_arr = df_pdf["df"].to_numpy(dtype="float64")
+    df_pdf["idf"] = np.log((n_docs + 1.0) / (df_arr + 1.0)) + 1.0
+    idf = docs.sparkSession.createDataFrame(
+        df_pdf[["term", "idf"]], "term string, idf double"
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), round_to)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_n)
+        .select(id_col, "term", "tf", "tfidf")
+    )

@@ -334,3 +334,80 @@ def contrastive_triplets_q(spark, sf_dir):
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
         k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
     )
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One power-iteration CTE pair: fan-out contributions along the graph,
+    then teleport-mix back onto the full node set (LEFT JOIN keeps
+    contribution-less nodes at pure teleport mass). Constants are written as
+    ``(1.0 - 0.85)`` / ``0.85`` so both engines evaluate the IDENTICAL IEEE
+    expressions the Spark operator uses."""
+    return f"""
+c{i} AS (
+  SELECT e2.dst, sum(r.rank / e2.outdeg) AS contrib
+  FROM ed e2 JOIN r{i - 1} r ON r.vec_id = e2.src GROUP BY e2.dst
+),
+r{i} AS (
+  SELECT n2.vec_id,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes n2 LEFT JOIN c{i} c ON c.dst = n2.vec_id
+)"""
+
+
+@register(
+    "knn_graph_pagerank",
+    # the graph CTE is the same blocked-kNN derivation as knn_graph_blocked /
+    # knn_graph_label_prop; on top of it: out-degree, uniform start, three
+    # teleport-only power iterations (dangling mass evaporates — the Spark
+    # operator documents the same contract), normalized *N for a mean-1.0
+    # scale before the rounded top-15 cut
+    f"""
+WITH {_KG_ASG},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT p.src, p.dst,
+         round(1.0 - {_cos_sim("ea.v", "eb.v")}, {ROUND}) AS distance
+  FROM pairs p JOIN e ea ON ea.vec_id = p.src JOIN e eb ON eb.vec_id = p.dst
+),
+graph AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rn
+    FROM d
+  ) WHERE rn <= {_KG_M}
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM graph GROUP BY src),
+ed AS (SELECT g.src, g.dst, dg.outdeg FROM graph g JOIN deg dg ON dg.src = g.src),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+r0 AS (SELECT vec_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{_pr_iter_sql(1)},
+{_pr_iter_sql(2)},
+{_pr_iter_sql(3)}
+SELECT vec_id, round(rank * (SELECT n FROM nn), {ROUND}) AS pagerank
+FROM r3 ORDER BY pagerank DESC, vec_id LIMIT 15
+""",
+    "PageRank over the blocked kNN graph (3 teleport-only power iterations, "
+    "d=0.85): the graph-centrality half of embedding-corpus curation — "
+    "high-rank nodes are dense-region representatives, the complement of "
+    "emb_label_outliers. Each iteration is a SHUFFLE_HASH fan-out join + "
+    "dst-keyed partial-combined sum; no driver collection, bounded lineage",
+)
+def knn_graph_pagerank(spark, sf_dir):
+    from vector_store_spark.operators.knn_graph import pagerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = float(emb.count())
+    pr = pagerank(
+        _graph(spark, sf_dir), emb, "vec_id", "nbr_id", n,
+        iterations=3, damping=0.85,
+    )
+    return (
+        pr.withColumn("pagerank", F.round(F.col("rank") * F.lit(n), ROUND))
+        .orderBy(F.col("pagerank").desc(), F.col("vec_id").asc())
+        .limit(15)
+        .select("vec_id", "pagerank")
+    )

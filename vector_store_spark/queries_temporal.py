@@ -222,3 +222,158 @@ def events_value_percentiles(spark, sf_dir):
         F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
         F.round(F.percentile("value", 0.99), 6).alias("p99_value"),
     )
+
+
+@register(
+    "events_funnel",
+    # sequential funnel semantics in windowed SQL: the per-user first view,
+    # the first click strictly AFTER that view, the first purchase strictly
+    # AFTER that click; NULL ordering constraints propagate through the
+    # 3-valued CASE guards identically on both engines
+    """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM w2
+), u AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM w3 GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(count(t_click) AS BIGINT) AS n_view_click,
+       CAST(count(t_purchase) AS BIGINT) AS n_full_funnel,
+       round(CASE WHEN count(t_view) = 0 THEN 0.0
+                  ELSE CAST(count(t_purchase) AS DOUBLE)
+                       / CAST(count(t_view) AS DOUBLE) END, 6) AS conversion_rate
+FROM u
+""",
+    "Ordered conversion funnel view -> click -> purchase (strictly "
+    "increasing timestamps per user): ONE exchange on user_id feeds three "
+    "chained conditional-min windows, the per-user reduce reuses the same "
+    "partitioning, and the summary is a partial-aggregated single row — "
+    "no joins, no second shuffle",
+)
+def events_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("t_view", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(is_("click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    n_view = F.count("t_view")
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        n_view.cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_view_click"),
+        F.count("t_purchase").cast("long").alias("n_full_funnel"),
+        F.round(
+            F.when(n_view == 0, F.lit(0.0)).otherwise(
+                F.count("t_purchase").cast("double") / n_view.cast("double")
+            ),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "events_hourly_anomalies",
+    # z-scores from EXACT integer sums: per-(type, hour) counts are BIGINT,
+    # so sum / sum-of-squares are exact on both engines; mean and the
+    # sample-variance numerator derive from those integers with the same
+    # IEEE divisions, and sqrt is correctly-rounded everywhere — the score
+    # is bit-identical cross-engine (no stddev_samp accumulation-order drift)
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+),
+scored AS (
+  SELECT h.event_type, h.hour_ts, h.n_events,
+         round((CAST(h.n_events AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+               / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+                      / CAST(s.n_hours - 1 AS DOUBLE)), 6) AS zscore
+  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+  WHERE s.n_hours > 1
+)
+SELECT event_type, hour_ts, n_events, zscore
+FROM scored
+ORDER BY abs(zscore) DESC, event_type, hour_ts LIMIT 15
+""",
+    "Hourly ingest-anomaly sweep: top-15 (type, hour) buckets by |z-score| "
+    "of the hourly event count against that type's own monthly "
+    "distribution — the monitoring query behind rate-spike alerts. Two "
+    "same-key aggregations plus a type-bounded broadcast join; counts stay "
+    "integer-exact so the score is engine-stable",
+)
+def events_hourly_anomalies(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n_events").cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("s2"),
+    )
+    # the stats side is bounded by the event-type vocabulary — a true
+    # dimension, broadcast by design
+    j = hourly.join(F.broadcast(stats), "event_type").where(F.col("n_hours") > 1)
+    n, s1, s2, nh = (
+        F.col("n_events").cast("double"),
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("n_hours").cast("double"),
+    )
+    z = F.round(
+        (n - s1 / nh) / F.sqrt((s2 - s1 * s1 / nh) / (F.col("n_hours") - 1).cast("double")),
+        6,
+    )
+    return (
+        j.select("event_type", "hour_ts", "n_events", z.alias("zscore"))
+        .orderBy(
+            F.abs(F.col("zscore")).desc(),
+            F.col("event_type").asc(),
+            F.col("hour_ts").asc(),
+        )
+        .limit(15)
+    )

@@ -629,3 +629,39 @@ def text_bpe_merge_pairs(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@register(
+    "text_tfidf_topterms",
+    # the corpus's own smoothed IDF (sklearn smooth_idf form) re-derived in
+    # SQL; the per-doc top-3 window ranks the ROUNDED score (term-asc ties)
+    # so the kept set is engine-stable
+    f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS_KEEP_STOP}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln(((SELECT n_docs FROM n) + 1.0)
+                           / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0),
+               {ROUND}) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
+""",
+    "Per-doc TF-IDF keywords (training-pipeline op, beyond the reference): "
+    "top-3 terms per document under the corpus's smoothed IDF — tf shuffle "
+    "with map-side combine, vocabulary-sized broadcast IDF join, per-doc "
+    "window bounded by document length",
+)
+def text_tfidf_topterms(spark, sf_dir):
+    from vector_store_spark.operators.textstats import tfidf_topterms
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_topterms(docs, "doc_id", "text", top_n=3, round_to=ROUND)
