@@ -364,3 +364,63 @@ def test_split_leakage_query_flags_cross_split_neardups(spark):
     assert (4, 1) in got
     assert all(e % 4 == 0 and t % 4 != 0 for e, t in got)
     assert not any(e in (8, 12) and t in (8, 12) for e, t in got)
+
+
+# ---------------------------------------------------------------------------
+# duplicated_ngram_spans (Lee et al. exact-substring dedup, n-gram marking)
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, rows, n=3):
+    from vector_store_spark.operators.dedup import duplicated_ngram_spans
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = duplicated_ngram_spans(df, "doc_id", "text", n=n).collect()
+    return sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in got)
+
+
+def test_spans_marks_shared_run_in_both_docs(spark):
+    # docs 1 and 2 share the 5-token run "a b c d e"; with n=3 the duplicated
+    # 3-gram start positions are 1..3, merging into ONE span of 5 tokens
+    rows = [
+        (1, "a b c d e x1 y1 z1"),
+        (2, "a b c d e x2 y2 z2"),
+        (3, "p q r s t u v w"),
+    ]
+    assert _spans(spark, rows) == [(1, 1, 5, 5), (2, 1, 5, 5)]
+
+
+def test_spans_merges_overlap_but_breaks_on_gap(spark):
+    # doc 1 has TWO shared runs separated by a unique middle longer than n:
+    # positions re-mark as two distinct islands, not one merged span
+    rows = [
+        (1, "a b c m1 m2 m3 m4 d e f"),
+        (2, "a b c n1 n2 n3 n4 d e f"),
+    ]
+    got = _spans(spark, rows)
+    assert got == [
+        (1, 1, 3, 3), (1, 8, 10, 3),
+        (2, 1, 3, 3), (2, 8, 10, 3),
+    ]
+
+
+def test_spans_adjacent_islands_merge(spark):
+    # duplicated 3-gram starts at pos 1 and pos 4 (gap == n): token ranges
+    # [1,3] and [4,6] are adjacent and must merge into one 6-token span
+    rows = [
+        (1, "a b c d e f u1 u2 u3"),
+        (2, "a b c w1 w2 w3 w4 w5"),
+        (3, "z1 z2 z3 d e f z4 z5"),
+    ]
+    got = _spans(spark, rows)
+    assert (1, 1, 6, 6) in got  # merged in doc 1
+    assert (2, 1, 3, 3) in got and (3, 4, 6, 3) in got
+
+
+def test_spans_within_doc_repeat_is_not_duplicated(spark):
+    # the same 3-gram twice in ONE doc does not cross the min_docs=2 bar
+    rows = [
+        (1, "a b c q1 q2 a b c"),
+        (2, "r1 r2 r3 r4 r5 r6 r7"),
+    ]
+    assert _spans(spark, rows) == []

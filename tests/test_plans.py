@@ -165,3 +165,22 @@ def test_keep_best_members_never_broadcast(plans):
     broadcasts reserved for the label-propagation loop's bounded frames."""
     plan = plans["dedup_keep_best"]
     assert "ShuffledHashJoin" in plan
+
+
+def test_substring_spans_never_broadcasts_gram_keys(plans):
+    """dedup_substring_spans joins the duplicated-n-gram key set back onto the
+    position frame; both sides are fact-sized, so the semi-join must be
+    shuffle-hash — zero broadcasts anywhere in the plan."""
+    assert plans["dedup_substring_spans"].count("BroadcastHashJoin") == 0, (
+        "the duplicated-gram key set (fact-sized) is being broadcast"
+    )
+
+
+def test_source_overlap_broadcasts_only_the_size_frame(plans):
+    """text_source_overlap's gram self-join is fact-fact (SHUFFLE_HASH); the
+    only broadcasts allowed are the two source-count-bounded size joins."""
+    got = plans["text_source_overlap"].count("BroadcastHashJoin")
+    assert got == 2, (
+        f"{got} broadcast joins (expected exactly the 2 per-source size "
+        "frames) — a gram-keyed side is being broadcast"
+    )

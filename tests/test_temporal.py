@@ -280,3 +280,39 @@ def test_events_hourly_anomalies_zscore_math(spark, tmp_path):
         ("click", 1): (3, 1.0),
         ("click", 2): (2, 0.0),
     }
+
+
+def test_attribution_last_touch_semantics(spark, tmp_path):
+    """Last-touch: most recent STRICTLY PRIOR view/click in (ts, event_id)
+    order; purchases with no prior touch attribute to 'direct'; value sums
+    in integer cents."""
+    import datetime as dt
+
+    from vector_store_spark.queries_temporal import events_attribution
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase  => click
+        (1, s(1), 1, "view", 0.0, "{}"),
+        (2, s(2), 1, "click", 0.0, "{}"),
+        (3, s(3), 1, "purchase", 10.5, "{}"),
+        # user 2: purchase first (no touch) => direct; then view -> purchase
+        (4, s(1), 2, "purchase", 2.0, "{}"),
+        (5, s(2), 2, "view", 0.0, "{}"),
+        (6, s(3), 2, "purchase", 3.25, "{}"),
+        # user 3: click at the SAME ts as the purchase but lower event_id —
+        # the (ts, event_id) tie-break makes it a prior row => click
+        (7, s(5), 3, "click", 0.0, "{}"),
+        (8, s(5), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = {
+        r.channel: (r.n_purchases, r.value_cents)
+        for r in events_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": (2, 1150), "direct": (1, 200), "view": (1, 325)}

@@ -805,3 +805,76 @@ def dedup_component_members(
     return labels.select(
         F.col("label").alias("group_id"), F.col("id").alias("member_id")
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring spans (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): mark every word position whose length-``n`` n-gram
+    occurs in >= ``min_docs`` distinct documents, then merge overlapping or
+    adjacent marked positions into maximal per-document spans
+    (gaps-and-islands over token positions).
+
+    Scale shape: the n-gram STRING never shuffles — positions carry a 64-bit
+    ``xxhash64`` key, so the duplicate-marking groupBy and the semi-join back
+    onto the position frame exchange fixed-width rows. Both join sides are
+    fact-sized (grow with the corpus), so the semi-join is SHUFFLE_HASH-hinted
+    — never broadcast. The islands merge is one per-document window (document
+    length is bounded, so per-partition window state is bounded), and the
+    final span groupBy reuses the window's hash partitioning on ``id_col``
+    (ClusteredDistribution on a superset of keys — no second exchange).
+
+    The reference-scale formulation (exact suffix arrays) is a single-node
+    construction; fixed-n n-gram marking is the standard distributed
+    re-expression, missing only duplicated runs shorter than ``n`` tokens.
+
+    Returns (id_col, span_start, span_end, span_tokens); token positions are
+    1-based, span bounds inclusive.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks")).where(
+        F.size("toks") >= n
+    )
+    # sequence(1, m) requires m >= 1 (it DESCENDS for m < 1) — guaranteed by
+    # the size filter above.
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
+            )
+        ).alias("pos0", "ngram_h"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"), "ngram_h")
+    dup_keys = (
+        grams.groupBy("ngram_h")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("ngram_h")
+    )
+    marked = grams.join(dup_keys.hint("SHUFFLE_HASH"), "ngram_h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = marked.withColumn(
+        "_brk", F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    ).withColumn("_island", F.sum("_brk").over(run))
+    return (
+        islands.groupBy(F.col(id_col), F.col("_island"))
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

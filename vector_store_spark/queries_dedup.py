@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from vector_store_spark.functions.hashing import minhash_coeffs, minhash_sql, poly_hash_sql, simhash_sql
 from vector_store_spark.functions.text import tokenize_sql, word_ngrams_sql
 from vector_store_spark.operators.dedup import (
+    duplicated_ngram_spans,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -530,3 +531,48 @@ def split_leakage_cosine(spark, sf_dir):
         .where(F.col("_rn") == 1)
         .select("eval_id", "train_id", "cosine")
     )
+
+
+_SPAN_N = 8  # span-marking n-gram width (Lee et al. use 50 BPE tokens; the
+# synthetic docs are ~30 words, so 8 keeps the operator shape while producing
+# non-degenerate spans)
+
+
+@register(
+    "dedup_substring_spans",
+    # oracle marks duplicated positions by the n-gram STRING; the engine
+    # shuffles xxhash64(ngram) instead (64-bit keys — collision odds ~2^-64
+    # per pair, far below the float-rounding tolerance elsewhere in the gate)
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {_SPAN_N} + 2), i -> CAST(i AS BIGINT))) AS pos,
+         unnest(list_transform(range(1, len(toks) - {_SPAN_N} + 2), i -> array_to_string(toks[i:i+{_SPAN_N}-1], ' '))) AS ng
+  FROM t WHERE len(toks) >= {_SPAN_N}
+),
+d AS (SELECT ng FROM g0 GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM g0 JOIN d USING (ng)),
+br AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM br
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {_SPAN_N} - 1 AS span_end,
+       max(pos) - min(pos) + {_SPAN_N} AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+    "Cross-document duplicated-substring spans (Lee et al. 2021 exact-substring "
+    "dedup, re-expressed as distributed n-gram marking + per-doc island merge): "
+    "every maximal token span whose 8-grams all occur in >= 2 documents",
+)
+def dedup_substring_spans(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(docs, "doc_id", "text", n=_SPAN_N, min_docs=2)

@@ -377,3 +377,59 @@ def events_hourly_anomalies(spark, sf_dir):
         )
         .limit(15)
     )
+
+
+@register(
+    "events_attribution",
+    # last-touch attribution: each purchase credits the user's most recent
+    # STRICTLY PRIOR marketing touch (view/click) in (ts, event_id) order —
+    # the deterministic tie-break makes same-timestamp rows engine-stable.
+    # Purchase value is summed in integer cents (floor(value*100) is the same
+    # IEEE double op on both engines), so the totals are bit-exact.
+    """
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    "Last-touch purchase attribution: ONE exchange on user_id feeds the "
+    "running last-marketing-touch window (per-user history is bounded), the "
+    "channel aggregate is partial-combined — no joins; 'direct' = purchases "
+    "with no prior touch",
+)
+def events_attribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", F.coalesce(channel, F.lit("direct")))
+        .where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

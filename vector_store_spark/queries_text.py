@@ -665,3 +665,83 @@ def text_tfidf_topterms(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return tfidf_topterms(docs, "doc_id", "text", top_n=3, round_to=ROUND)
+
+
+_OVL_N = 3  # overlap n-gram width: 3-grams are discriminative on the corpus
+# vocabulary while still giving every source pair a measurable intersection
+
+
+@register(
+    "text_source_overlap",
+    # cross-source contamination matrix: Jaccard between the DISTINCT word
+    # 3-gram sets of every source pair. The oracle intersects n-gram STRINGS;
+    # the engine keys the distinct/join on xxhash64(ngram) so only 64-bit
+    # rows shuffle (collision odds ~2^-64 per pair — immaterial to counts).
+    f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+g0 AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(toks) - {_OVL_N} + 2),
+                               i -> array_to_string(toks[i:i+{_OVL_N}-1], ' '))) AS ng
+  FROM t WHERE len(toks) >= {_OVL_N}
+),
+g AS (SELECT DISTINCT source, ng FROM g0),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM g a JOIN g b USING (ng)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / (x.n_grams + y.n_grams - n_shared), {ROUND}) AS jaccard
+FROM inter
+JOIN sz x ON x.source = src_a
+JOIN sz y ON y.source = src_b
+""",
+    "Inter-source n-gram contamination matrix: pairwise Jaccard between each "
+    "source's distinct word-3-gram set — the corpus-level dual of per-doc "
+    "dedup (which sources are copying from each other). Distinct + self-join "
+    "shuffle 64-bit n-gram keys (SHUFFLE_HASH, both sides fact-sized); the "
+    "per-source size frame is source-count-bounded and broadcast",
+)
+def text_source_overlap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n = _OVL_N
+    toks = docs.select("source", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= n
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = grams.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "h")
+    b = grams.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b.hint("SHUFFLE_HASH"), "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("_na"))
+    sz_b = sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sz_a), "src_a")
+        .join(F.broadcast(sz_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                ROUND,
+            ).alias("jaccard"),
+        )
+    )
