@@ -256,3 +256,46 @@ def test_ttl_expiry_vs_lww(spark, dirs):
     snap_rows = {r.pk for r in sink_gc.read_snapshot().collect()}
     assert 1 not in snap_rows  # expired (250) < horizon (500): GC'd
     assert {2, 3, 4, 5} <= snap_rows
+
+
+def test_session_window_merges_fragments_across_microbatches(spark, tmp_path):
+    """Two halves of ONE logical session arrive in separate micro-batches
+    (older fragment second): the session-window state store must merge them
+    into a single session spanning both."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000  # µs
+    mins = lambda m: base + m * 60_000_000  # noqa: E731
+    # session A: events at t0 and t0+5min (gap 10min) — split across files,
+    # LATER half first; session B: a lone event 30min out
+    with open(os.path.join(src, "f1.json"), "w") as f:
+        f.write(_json.dumps({"event_id": 2, "user_id": 1, "ts_us": mins(5)}) + "\n")
+        f.write(_json.dumps({"event_id": 3, "user_id": 1, "ts_us": mins(30)}) + "\n")
+    with open(os.path.join(src, "f2.json"), "w") as f:
+        f.write(_json.dumps({"event_id": 1, "user_id": 1, "ts_us": mins(0)}) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("sess_merge_test").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["w"].start.timestamp() * 1e6 - base, r.n)
+        for r in spark.table("sess_merge_test").collect()
+    )
+    # one merged 2-event session at t0, one singleton at +30min
+    assert got == [(0.0, 2), (30 * 60_000_000.0, 1)]

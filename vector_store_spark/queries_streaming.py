@@ -959,3 +959,75 @@ def stream_quality_monitor_endstate(spark, sf_dir):
     _await(sink.start(spark.readStream.schema(schema).json(os.path.join(src, "*")),
                       checkpoint_dir=ckpt))
     return sink.series()
+
+
+@register(
+    "stream_sessions_endstate",
+    # Spark's session_window starts a NEW session when the inter-event gap
+    # reaches the gap duration (session interval is [first, last + gap), so
+    # an event at exactly last + gap does not merge) — the oracle's island
+    # break is therefore >= gap, unlike batch events_sessions' > (the two
+    # document the boundary convention of their respective engines).
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus
+  FROM events WHERE event_id < 5000
+),
+o AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                   >= 43200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT user_id, tus,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sid
+  FROM o
+)
+SELECT user_id, make_timestamp(min(tus)) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(tus) - min(tus) AS duration_us
+FROM sess GROUP BY user_id, sid
+""",
+    "W-family native session windows, hash-checked: file-source micro-batches "
+    "(one file per trigger, so sessions MERGE ACROSS batches in the state "
+    "store) -> session_window(12h gap) aggregation -> end state == the batch "
+    "gaps-and-islands sessionization re-derived by the oracle",
+)
+def stream_sessions_endstate(spark, sf_dir):
+    from vector_store_spark.registry import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("event_id") < 5000).select(
+        "event_id", "user_id", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="sessstream_")
+    src = os.path.join(root, "src")
+    # 4 unordered files + maxFilesPerTrigger=1: session fragments arrive
+    # out of order across micro-batches and must merge in the state store
+    ev.withColumn("ts_us", F.unix_micros("ts")).drop("ts").repartition(4).write.json(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "12 hours").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"), F.max("ts").alias("max_ts"))
+    name = "sess_" + os.path.basename(root).replace("sessstream_", "")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    _await(q)
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.unix_micros("max_ts") - F.unix_micros(F.col("w.start"))).alias("duration_us"),
+    )
