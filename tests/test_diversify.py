@@ -276,3 +276,29 @@ def test_pagerank_teleport_only_dangling_and_sink(spark):
 
     with pytest.raises(ValueError):
         pagerank(edges, nodes, "vec_id", "nbr_id", 3.0, iterations=0)
+
+
+def test_kmeans_assign_nearest_and_tie_break(spark):
+    """Assignment picks the true nearest centroid; exact-tie rows go to the
+    SMALLEST centroid index (the oracle's (l2sq, cid) tie-break)."""
+    from vector_store_spark.operators.clustering import kmeans_assign
+
+    rows = [
+        (1, [0.0, 0.0], 10),   # on centroid 0
+        (2, [10.0, 10.0], 20), # on centroid 1
+        (3, [5.0, 5.0], 30),   # equidistant -> cluster 0
+        (4, [9.0, 10.0], 40),  # nearer centroid 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r.vec_id: (r.cluster_id, r.l2sq, r.label)
+        for r in kmeans_assign(
+            df, "vec_id", "embedding", [[0.0, 0.0], [10.0, 10.0]], keep_cols=("label",)
+        ).collect()
+    }
+    assert got == {
+        1: (0, 0.0, 10),
+        2: (1, 0.0, 20),
+        3: (0, 50.0, 30),
+        4: (1, 1.0, 40),
+    }

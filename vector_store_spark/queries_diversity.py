@@ -411,3 +411,74 @@ def knn_graph_pagerank(spark, sf_dir):
         .limit(15)
         .select("vec_id", "pagerank")
     )
+
+
+@register(
+    "emb_cluster_profile",
+    # one Lloyd assignment pass against fixed seed centroids (vec_id < 8 —
+    # deterministic, so the oracle can re-derive them from the same table;
+    # the trained-centroid path is operators/ivf.py). Engine distances are a
+    # per-dim sequential numpy fold = bit-identical to list_inner_product on
+    # the diff vector, so argmin ties cannot diverge across engines.
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, e.label, c.cid,
+         list_inner_product(list_transform(list_zip(e.v, c.cv), x -> (x[1] - x[2])),
+                            list_transform(list_zip(e.v, c.cv), x -> (x[1] - x[2]))) AS l2sq
+  FROM e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, label, cid, l2sq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cid) AS rn
+  FROM d
+),
+m AS (SELECT vec_id, label, cid, l2sq FROM a WHERE rn = 1),
+prof AS (
+  SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         round(avg(l2sq), {ROUND}) AS mean_l2sq
+  FROM m GROUP BY cid
+),
+lab AS (
+  SELECT cid, label, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY cid ORDER BY count(*) DESC, label) AS rn
+  FROM m GROUP BY cid, label
+)
+SELECT cluster_id, n_members, mean_l2sq,
+       lab.label AS top_label, lab.n AS top_label_n
+FROM prof JOIN lab ON lab.cid = prof.cluster_id AND lab.rn = 1
+""",
+    "Unsupervised corpus bucketing profile: one k-means assignment pass "
+    "against deterministic seed centroids (closure-shipped k x dims matrix, "
+    "no join/shuffle for assignment), per-cluster size + mean squared-L2 + "
+    "majority label — the domain-discovery audit a training pipeline runs "
+    "before mixing; cluster-bounded rollups only",
+)
+def emb_cluster_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vector_store_spark.operators.clustering import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )  # k-bounded metadata collect (8 rows)
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", [r.embedding for r in cents], keep_cols=("label",)
+    )
+    prof = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.avg("l2sq"), ROUND).alias("mean_l2sq"),
+    )
+    lab = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n").desc(), F.col("label"))
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+    )
+    return prof.join(F.broadcast(top), "cluster_id")
