@@ -41,6 +41,8 @@ def kmeans_assign(
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or not len(C):
+        raise ValueError("centroids must be a non-empty k x dims matrix")
     k, dims = C.shape
     keep = list(keep_cols)
     src_dtypes = dict(emb.dtypes)

@@ -996,7 +996,10 @@ FROM sess GROUP BY user_id, sid
     "W-family native session windows, hash-checked: file-source micro-batches "
     "(one file per trigger, so sessions MERGE ACROSS batches in the state "
     "store) -> session_window(12h gap) aggregation -> end state == the batch "
-    "gaps-and-islands sessionization re-derived by the oracle",
+    "gaps-and-islands sessionization re-derived by the oracle. Complete mode "
+    "keeps every session in state so the memory sink sees the full end state; "
+    "the production posture at scale is append mode + withWatermark, which "
+    "emits each session once its gap closes and evicts it from state",
 )
 def stream_sessions_endstate(spark, sf_dir):
     from vector_store_spark.registry import load_events
