@@ -43,6 +43,10 @@ def main() -> int:
     t0 = time.perf_counter()
     specs["bm25_term"].fn(spark, sf_dir).collect()
     fts_build_s = round(time.perf_counter() - t0, 4)
+    # host probe at BOTH ends of the run (the _extras copy runs at the end):
+    # this box is a shared tenant and degrades mid-run — bracketing the run
+    # makes "hot host" vs "code regression" decidable from the record alone
+    calib_start = {f"{k}_at_start": v for k, v in _host_calibration(spark).items()}
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
@@ -60,7 +64,7 @@ def main() -> int:
     print(json.dumps({"per_query_sec": timings}, separators=(",", ":")),
           file=sys.stderr)
     sys.stderr.flush()
-    extras = {"fts_index_build_sec": fts_build_s, **_extras(spark, sf_dir)}
+    extras = {"fts_index_build_sec": fts_build_s, **calib_start, **_extras(spark, sf_dir)}
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -91,8 +95,66 @@ def main() -> int:
         "sf": sf,
         "extras_file": os.path.basename(full_path),
     }, separators=(",", ":")))
-    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # Bounded teardown: after ~160 queries (incl. stateful streaming runs)
+    # the JVM can wedge on shutdown — a state-store maintenance / listener
+    # thread stalls SparkContext.stop() and the interpreter then sits idle
+    # for good AFTER the record is already on stdout (observed: 40+ min).
+    # The record is the contract; never let teardown outlive it. stop() runs
+    # on a daemon thread with a bounded join, then main() returns and
+    # __main__ hard-exits (the py4j JVM dies with its parent).
+    import threading
+
+    stopper = threading.Thread(target=spark.stop, daemon=True)
+    stopper.start()
+    stopper.join(timeout=60)
+    if stopper.is_alive():
+        print("bench: spark.stop() still wedged after 60s; hard-exiting", file=sys.stderr)
     return 0
+
+
+def _host_calibration(spark) -> dict:
+    """Fixed-work host probes so a hot/degraded VM is visible IN the record
+    (this box is a shared tenant: per-query totals have been observed to
+    inflate 20-50% run-to-run with no code change — single-thread CPU stays
+    flat while syscall/IO-heavy rows balloon). Compare these rows before
+    reading any cross-round per-query delta as a regression:
+
+    - calib_cpu_sha256_sec: 100 MB of sha256 — single-thread ALU/cache.
+    - calib_io_smallfiles_sec: write+fsync-free create/read/unlink of 200
+      small files in a fresh tmpdir — the metadata syscall path every
+      persisted-layout and streaming-checkpoint row leans on.
+    - calib_spark_noop_sec: one 32-partition count of a range frame — the
+      scheduler + task-launch round trip every tiny query pays.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    out: dict = {}
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(100):
+        h.update(b"\x5a" * 1_000_000)
+    out["calib_cpu_sha256_sec"] = round(time.perf_counter() - t0, 4)
+
+    root = tempfile.mkdtemp(prefix="calib_io_")
+    t0 = time.perf_counter()
+    for i in range(200):
+        p = os.path.join(root, f"f{i}")
+        with open(p, "wb") as f:
+            f.write(b"x" * 4096)
+        with open(p, "rb") as f:
+            f.read()
+        os.unlink(p)
+    out["calib_io_smallfiles_sec"] = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(root, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    spark.range(0, 32 * 1000, 1, 32).count()
+    out["calib_spark_noop_sec"] = round(time.perf_counter() - t0, 4)
+    return out
 
 
 def _extras(spark, sf_dir: str) -> dict:
@@ -100,6 +162,7 @@ def _extras(spark, sf_dir: str) -> dict:
     approximate strategies (vs exact top-k ground truth) and index-build
     throughput (rows/s through the scan->merge->persist pipeline)."""
     out: dict = {}
+    out.update(_host_calibration(spark))
     # drop caches accumulated by the 65 headline queries so the latency/QPS
     # numbers measure the query, not a memory-pressured session
     spark.catalog.clearCache()
@@ -1045,4 +1108,10 @@ def _extras(spark, sf_dir: str) -> dict:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    _rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # os._exit, not sys.exit: a non-daemon JVM-facing thread must not block
+    # interpreter teardown once the record is flushed (the driver's bench
+    # capture would otherwise hang with complete output already written)
+    os._exit(_rc)

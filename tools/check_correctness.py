@@ -174,7 +174,14 @@ def main(names=None, json_out=None):
                 "entries": records,
             }, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
-    spark.stop()
+    sys.stdout.flush()
+    # bounded teardown, same contract as bench.py: once the verdict lines and
+    # the JSON record are out, a wedged JVM shutdown must not hang the gate
+    import threading
+
+    stopper = threading.Thread(target=spark.stop, daemon=True)
+    stopper.start()
+    stopper.join(timeout=60)
     return 1 if n_fail else 0
 
 
@@ -185,4 +192,7 @@ if __name__ == "__main__":
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv or None, json_out=json_out))
+    _rc = main(argv or None, json_out=json_out)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_rc)  # see bench.py: never let interpreter teardown outlive the record
