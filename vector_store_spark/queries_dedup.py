@@ -538,13 +538,9 @@ _SPAN_N = 8  # span-marking n-gram width (Lee et al. use 50 BPE tokens; the
 # non-degenerate spans)
 
 
-@register(
-    "dedup_substring_spans",
-    # oracle marks duplicated positions by the n-gram STRING; the engine
-    # shuffles xxhash64(ngram) instead (64-bit keys — collision odds ~2^-64
-    # per pair, far below the float-rounding tolerance elsewhere in the gate)
-    f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+#: duplicated-span CTE chain + final select, shared by the span listing and
+#: the per-source stats rollup so the two oracles cannot drift apart
+_SPAN_CTES = f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g0 AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(toks) - {_SPAN_N} + 2), i -> CAST(i AS BIGINT))) AS pos,
@@ -562,13 +558,21 @@ br AS (
 isl AS (
   SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM br
-)
-SELECT doc_id,
+)"""
+
+_SPANS_SELECT = f"""SELECT doc_id,
        min(pos) AS span_start,
        max(pos) + {_SPAN_N} - 1 AS span_end,
        max(pos) - min(pos) + {_SPAN_N} AS span_tokens
-FROM isl GROUP BY doc_id, island
-""",
+FROM isl GROUP BY doc_id, island"""
+
+
+@register(
+    "dedup_substring_spans",
+    # oracle marks duplicated positions by the n-gram STRING; the engine
+    # shuffles xxhash64(ngram) instead (64-bit keys — collision odds ~2^-64
+    # per pair, far below the float-rounding tolerance elsewhere in the gate)
+    f"WITH {_SPAN_CTES}\n{_SPANS_SELECT}",
     "Cross-document duplicated-substring spans (Lee et al. 2021 exact-substring "
     "dedup, re-expressed as distributed n-gram marking + per-doc island merge): "
     "every maximal token span whose 8-grams all occur in >= 2 documents",
@@ -576,3 +580,50 @@ FROM isl GROUP BY doc_id, island
 def dedup_substring_spans(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return duplicated_ngram_spans(docs, "doc_id", "text", n=_SPAN_N, min_docs=2)
+
+
+@register(
+    "dedup_substring_stats",
+    # overlap-merged spans never double-count a token, so per-doc
+    # sum(span_tokens) <= n_tokens and the fraction is a true removal ratio
+    f"""
+WITH {_SPAN_CTES},
+spans AS ({_SPANS_SELECT}),
+perdoc AS (
+  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+dt AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+j AS (SELECT dt.source, dt.n_tokens, perdoc.dup_tokens
+      FROM dt LEFT JOIN perdoc USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dup_tokens) AS BIGINT) AS n_docs_affected,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       round(CAST(sum(coalesce(dup_tokens, 0)) AS DOUBLE) / sum(n_tokens), {ROUND}) AS dup_token_frac
+FROM j GROUP BY source
+""",
+    "Per-source duplicated-substring exposure report (the curation dashboard "
+    "over dedup_substring_spans): how much of each source's token mass sits "
+    "inside cross-document duplicated spans. Span totals are doc-bounded; "
+    "the back-join onto the doc frame is shuffle-hash (both sides fact-sized)",
+)
+def dedup_substring_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    spans = duplicated_ngram_spans(docs, "doc_id", "text", n=_SPAN_N, min_docs=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens")
+    )
+    doc_tok = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    joined = doc_tok.join(per_doc.hint("SHUFFLE_HASH"), "doc_id", "left")
+    dup = F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0)))
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("dup_tokens").cast("long").alias("n_docs_affected"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        dup.cast("long").alias("dup_tokens"),
+        F.round(dup.cast("double") / F.sum("n_tokens"), ROUND).alias("dup_token_frac"),
+    )
