@@ -302,3 +302,21 @@ def test_kmeans_assign_nearest_and_tie_break(spark):
         3: (0, 50.0, 30),
         4: (1, 1.0, 40),
     }
+
+
+def test_kmeans_assign_can_carry_the_vector_column(spark):
+    """keep_cols may include vec_col itself (the refine pass re-reads the
+    vectors for the centroid update) — the projection must dedupe."""
+    from vector_store_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [10.0, 9.0])], ["vec_id", "embedding"]
+    )
+    got = {
+        r.vec_id: (r.cluster_id, list(r.embedding))
+        for r in kmeans_assign(
+            df, "vec_id", "embedding", [[0.0, 0.0], [10.0, 10.0]],
+            keep_cols=("embedding",),
+        ).collect()
+    }
+    assert got == {1: (0, [0.0, 1.0]), 2: (1, [10.0, 9.0])}

@@ -44,10 +44,13 @@ def kmeans_assign(
     if C.ndim != 2 or not len(C):
         raise ValueError("centroids must be a non-empty k x dims matrix")
     k, dims = C.shape
-    keep = list(keep_cols)
+    keep = [c for c in keep_cols if c != id_col]
     src_dtypes = dict(emb.dtypes)
     keep_schema = "".join(f", {c} {src_dtypes[c]}" for c in keep)
     schema = f"{id_col} {src_dtypes[id_col]}{keep_schema}, cluster_id long, l2sq double"
+    # keep_cols may include vec_col itself (carry the vector downstream);
+    # dedupe the projection so the Arrow batch has unique column names
+    sel = list(dict.fromkeys([id_col, *keep, vec_col]))
 
     def assign(batches):
         for pdf in batches:
@@ -68,4 +71,4 @@ def kmeans_assign(
             out["l2sq"] = acc[np.arange(len(pdf)), cid]
             yield pd.DataFrame(out)
 
-    return emb.select(id_col, *keep, vec_col).mapInPandas(assign, schema)
+    return emb.select(*sel).mapInPandas(assign, schema)

@@ -482,3 +482,95 @@ def emb_cluster_profile(spark, sf_dir):
         .select("cluster_id", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
     )
     return prof.join(F.broadcast(top), "cluster_id")
+
+
+_KM_DIFF1 = "list_transform(list_zip(e.v, c0.cv), x -> (x[1] - x[2]))"
+_KM_DIFF2 = "list_transform(list_zip(e.v, c1.cv), x -> (x[1] - x[2]))"
+
+
+@register(
+    "emb_kmeans_refined_profile",
+    # TWO Lloyd iterations, oracle-unrolled: seed assignment -> per-dim mean
+    # centroids ROUNDED to 6 dp (the rounding erases the ~1e-15 relative
+    # accumulation-order drift between Spark's partial-aggregated avg and
+    # DuckDB's sequential avg, so pass-2 inputs are bit-identical) -> final
+    # assignment + profile. Distances on both passes are the established
+    # bit-identical pair (per-dim sequential fold == list_inner_product on
+    # the diff vector), so argmin ties cannot diverge.
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+d1 AS (
+  SELECT e.vec_id, c0.cid,
+         list_inner_product({_KM_DIFF1}, {_KM_DIFF1}) AS l2sq
+  FROM e CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+cent AS (
+  SELECT a1.cid, g AS pos, round(avg(e.v[g]), {ROUND}) AS c
+  FROM a1 JOIN e USING (vec_id), generate_series(1, {DIMS}) t(g)
+  GROUP BY a1.cid, g
+),
+c1 AS (SELECT cid, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY cid),
+d2 AS (
+  SELECT e.vec_id, c1.cid,
+         list_inner_product({_KM_DIFF2}, {_KM_DIFF2}) AS l2sq
+  FROM e CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cid, l2sq FROM (
+    SELECT vec_id, cid, l2sq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(l2sq), {ROUND}) AS mean_l2sq
+FROM a2 GROUP BY cid
+""",
+    "Iterated distributed k-means, oracle-checked end to end: seed assignment "
+    "-> per-dim mean centroids (rounded, cross-engine-stable) -> refined "
+    "assignment -> per-cluster profile. Each pass is one closure-shipped "
+    "GEMM-free mapInPandas sweep (no join/shuffle to assign); the centroid "
+    "update is a (k x dims)-bounded aggregate; nothing iterates on the driver "
+    "but the k-bounded centroid collect",
+)
+def emb_kmeans_refined_profile(spark, sf_dir):
+    from vector_store_spark.operators.clustering import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    a1 = kmeans_assign(
+        emb, "vec_id", "embedding", [r.embedding for r in seeds],
+        keep_cols=("embedding",),
+    )
+    # cluster ids ARE seed vec_ids here (seeds sorted by vec_id = 0..7), so
+    # the argmin index equals the oracle's cid directly
+    cent_rows = (
+        a1.select("cluster_id", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("cluster_id", "pos0")
+        .agg(F.round(F.avg(F.col("val").cast("double")), ROUND).alias("c"))
+        .collect()
+    )  # (k x dims)-bounded metadata collect (<= 512 rows)
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_cid.setdefault(r.cluster_id, {})[r.pos0] = r.c
+    cids = sorted(by_cid)
+    c1 = [[by_cid[cid][p] for p in sorted(by_cid[cid])] for cid in cids]
+    a2 = kmeans_assign(emb, "vec_id", "embedding", c1)
+    # map argmin INDEX back to the surviving cluster ids (order-preserved)
+    cid_lookup = F.array(*[F.lit(int(c)) for c in cids])
+    return (
+        a2.withColumn("cluster_id", F.element_at(cid_lookup, F.col("cluster_id").cast("int") + 1).cast("long"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.avg("l2sq"), ROUND).alias("mean_l2sq"),
+        )
+    )
