@@ -299,3 +299,60 @@ def test_session_window_merges_fragments_across_microbatches(spark, tmp_path):
     )
     # one merged 2-event session at t0, one singleton at +30min
     assert got == [(0.0, 2), (30 * 60_000_000.0, 1)]
+
+
+def test_session_window_append_mode_emits_closed_sessions(spark, tmp_path):
+    """The at-scale sessionization posture documented on
+    stream_sessions_endstate: append mode + watermark emits each session ONCE
+    its gap closes and evicts it from state. Run 1 processes the events; run 2
+    (same checkpoint) feeds a far-future sentinel that advances the watermark
+    and flushes every remaining real session. The sentinel's own session
+    stays open and must never emit."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000
+    mins = lambda m: base + m * 60_000_000  # noqa: E731
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        # user 1: two sessions (gap 10min): [0,5] and [40]
+        for eid, m in ((1, 0), (2, 5), (3, 40)):
+            f.write(_json.dumps({"event_id": eid, "user_id": 1, "ts_us": mins(m)}) + "\n")
+
+    emitted: list = []
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts_us long")
+            .json(src)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("ts", "1 minute")
+        )
+        agg = stream.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n"))
+        return (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: emitted.extend(
+                (r.user_id, r.n) for r in df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+
+    start().awaitTermination(120)
+    run1 = set(emitted)
+    # run 1 may or may not flush the closed [0,5] session (emission needs a
+    # batch AFTER the watermark advance; availableNow's trailing no-data
+    # batch is version-dependent) — but it must NOT emit the open singleton
+    assert run1 <= {(1, 2)}
+
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(_json.dumps({"event_id": 99, "user_id": -1, "ts_us": mins(24 * 60)}) + "\n")
+    start().awaitTermination(120)
+    # the sentinel pushes the watermark past every real session's close:
+    # both sessions are out exactly once; the sentinel's own never emits
+    assert sorted(emitted) == [(1, 1), (1, 2)]
