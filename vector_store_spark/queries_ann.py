@@ -490,3 +490,37 @@ def knn_label_vote(spark, sf_dir):
         emb, "embedding", "label", [(n, v) for n, v in _KNN_QUERIES], k=10,
         round_to=ROUND,
     )
+
+
+_RANGE_TAU, _RANGE_CAP = 0.72, 100
+
+
+@register(
+    "ann_range_cosine",
+    # range search (all matches within a distance budget, result-capped):
+    # standard vector-store surface beyond the reference's fixed-k ANN.
+    # filter-then-cap == cap-then-filter for an ascending-distance ordering,
+    # so the engine reuses the exact top-k kernel (per-partition k-heaps,
+    # TakeOrderedAndProject) and drops the out-of-range tail — no second
+    # scoring path to maintain
+    f"""
+WITH scored AS (
+  SELECT vec_id, label, round({_cos_sql(sql_vec(Q7))}, {ROUND}) AS distance
+  FROM {_BASE}
+)
+SELECT vec_id, label, distance
+FROM scored WHERE distance <= {_RANGE_TAU}
+ORDER BY distance, vec_id
+LIMIT {_RANGE_CAP}
+""",
+    "Range similarity search: every vector within cosine-distance 0.72 of "
+    "the query (capped at 100, distance-ascending) — the 'all near matches' "
+    "dual of top-k, served by the same GEMM + k-heap plan",
+)
+def ann_range_cosine(spark, sf_dir):
+    out = ann_topk(
+        load(spark, sf_dir, "embeddings"), "embedding", Q7, _RANGE_CAP,
+        space=SpaceType.COSINE, tie_break=["vec_id"],
+        select_cols=["vec_id", "label"], round_to=ROUND,
+    )
+    return out.where(F.col("distance") <= _RANGE_TAU).drop("similarity")

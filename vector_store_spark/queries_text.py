@@ -745,3 +745,59 @@ def text_source_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+_VOCAB_BUCKET = 50  # docs per growth bucket (10 points at sf0.01, 100 at sf0.1)
+
+
+@register(
+    "text_vocab_growth",
+    # Heaps-law growth diagnostic over the word-3-GRAM vocabulary (the
+    # unigram vocab of this corpus saturates inside the first bucket, so
+    # n-grams are the signal-bearing lexicon). First-occurrence is a
+    # gram-keyed min aggregate — the engine shuffles xxhash64 keys like the
+    # other gram pipelines; the running sum is a window over the
+    # BUCKET-count-bounded rollup, never the corpus.
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS ng
+  FROM t WHERE len(toks) >= 3
+),
+first AS (SELECT ng, min(doc_id) AS fd FROM g GROUP BY ng),
+b AS (SELECT fd // {_VOCAB_BUCKET} AS bucket, count(*) AS new_grams FROM first GROUP BY 1)
+SELECT bucket,
+       CAST(new_grams AS BIGINT) AS new_grams,
+       CAST(sum(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+FROM b
+""",
+    "Vocabulary-growth (Heaps-law) curve: never-seen word-3-gram count and "
+    "cumulative lexicon size per 50-document bucket in ingestion order — the "
+    "corpus diagnostic behind dedup/mixing decisions (a flat tail means new "
+    "docs add no lexical novelty)",
+)
+def text_vocab_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n = 3
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    b = (
+        first.groupBy((F.col("fd") / _VOCAB_BUCKET).cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("new_grams"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.withColumn("vocab_size", F.sum("new_grams").over(w).cast("long"))
