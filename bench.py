@@ -23,7 +23,29 @@ import sys
 import time
 
 
+def _reap_spark_scratch(since: float) -> None:
+    """Best-effort removal of Spark scratch dirs created by THIS run.
+
+    Orderly spark.stop() cleans spark-*/blockmgr-* local dirs via JVM
+    shutdown hooks; the wedged-teardown path below hard-exits without them,
+    which would leak this run's shuffle/state scratch into /tmp. Only dirs
+    modified after this process started are touched (a concurrent session's
+    dirs could in principle match — acceptable on the rare wedged path)."""
+    import glob
+    import shutil
+    import tempfile
+
+    for pat in ("spark-*", "blockmgr-*"):
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            try:
+                if os.path.getmtime(d) >= since:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+
+
 def main() -> int:
+    t_start = time.time()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vector_store_spark.registry import all_queries
     from vector_store_spark.session import get_spark
@@ -111,6 +133,7 @@ def main() -> int:
     stopper.join(timeout=60)
     if stopper.is_alive():
         print("bench: spark.stop() still wedged after 60s; hard-exiting", file=sys.stderr)
+        _reap_spark_scratch(t_start)  # the JVM's cleanup hooks won't run
     return 0
 
 

@@ -328,6 +328,7 @@ def test_session_window_append_mode_emits_closed_sessions(spark, tmp_path):
     def start():
         stream = (
             spark.readStream.schema("event_id long, user_id long, ts_us long")
+            .option("maxFilesPerTrigger", 1)
             .json(src)
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             .withWatermark("ts", "1 minute")
@@ -350,9 +351,17 @@ def test_session_window_append_mode_emits_closed_sessions(spark, tmp_path):
     # batch is version-dependent) — but it must NOT emit the open singleton
     assert run1 <= {(1, 2)}
 
-    with open(os.path.join(src, "b2.json"), "w") as f:
-        f.write(_json.dumps({"event_id": 99, "user_id": -1, "ts_us": mins(24 * 60)}) + "\n")
+    # TWO sentinel files (one per micro-batch): batch b2 advances the
+    # watermark past the open session's close, and batch b3 is the DATA
+    # batch that emits it — so the final flush does not depend on the
+    # version-specific trailing no-data batch either
+    for fname, m in (("b2.json", 24 * 60), ("b3.json", 48 * 60)):
+        with open(os.path.join(src, fname), "w") as f:
+            f.write(_json.dumps({"event_id": 99, "user_id": -1, "ts_us": mins(m)}) + "\n")
     start().awaitTermination(120)
-    # the sentinel pushes the watermark past every real session's close:
-    # both sessions are out exactly once; the sentinel's own never emits
-    assert sorted(emitted) == [(1, 1), (1, 2)]
+    # the sentinels push the watermark past every real session's close:
+    # both real sessions are out exactly once; the FIRST sentinel's session
+    # closes too (the second advanced the watermark past it) but the final
+    # sentinel's session stays open and must never emit
+    assert sorted(t for t in emitted if t[0] != -1) == [(1, 1), (1, 2)]
+    assert emitted.count((-1, 1)) == 1

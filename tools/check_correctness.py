@@ -78,9 +78,12 @@ def normalize(rows, cols):
 
 
 def main(names=None, json_out=None):
+    import time
+
     import __spark_entry__ as e
     from vector_store_spark.session import get_spark
 
+    t_start = time.time()
     records = {}
 
     spark = get_spark("correctness-check", shuffle_partitions=8)
@@ -182,6 +185,11 @@ def main(names=None, json_out=None):
     stopper = threading.Thread(target=spark.stop, daemon=True)
     stopper.start()
     stopper.join(timeout=60)
+    if stopper.is_alive():
+        # the JVM's shutdown hooks won't run: reap this run's scratch dirs
+        import bench
+
+        bench._reap_spark_scratch(t_start)
     return 1 if n_fail else 0
 
 

@@ -90,3 +90,36 @@ def word_ngrams_sql(toks: str, n: int) -> str:
     (1-based indexing; range() end-exclusive)."""
     parts = " || ' ' || ".join(f"{toks}[i + {j}]" if j else f"{toks}[i]" for j in range(n))
     return f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {parts})"
+
+
+def split_ngram_hashes(toks: str, n: int) -> "Column":
+    """64-bit hashes of raw whitespace-split word n-grams over an in-scope
+    array<string> column named ``toks`` — the shuffle-key form of the gram
+    pipelines (dedup span marking, source overlap, vocab growth): the n-gram
+    STRING never leaves the map side, only ``xxhash64`` keys exchange.
+
+    Position i in the returned array is the 1-based token start of the gram;
+    pair with ``F.posexplode`` when positions matter. The caller MUST guard
+    ``F.size(toks) >= n`` first: Spark's ``sequence(1, m)`` DESCENDS for
+    m < 1 (unlike word_ngrams' empty-array clamp, the positional contract
+    here cannot silently clamp)."""
+    return F.expr(
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> xxhash64(array_join(slice({toks}, i, {n}), ' ')))"
+    )
+
+
+def split_ngrams_sql(toks: str, n: int) -> str:
+    """DuckDB twin of split_ngram_hashes' gram STREAM (the gram strings
+    themselves — oracles group/join by string where the engine uses the
+    hash): an unnest-able list, 1-based positions aligned with
+    ``split_ngram_positions_sql``."""
+    return (
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string({toks}[i:i+{n}-1], ' '))"
+    )
+
+
+def split_ngram_positions_sql(toks: str, n: int) -> str:
+    """BIGINT token-start positions parallel to ``split_ngrams_sql``."""
+    return f"list_transform(range(1, len({toks}) - {n} + 2), i -> CAST(i AS BIGINT))"

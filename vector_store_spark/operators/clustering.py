@@ -57,6 +57,11 @@ def kmeans_assign(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # rows x dims
+            if V.ndim != 2 or V.shape[1] != dims:
+                raise ValueError(
+                    f"vector width {V.shape[1] if V.ndim == 2 else 'ragged'} "
+                    f"!= centroid dims {dims} — refusing to score a prefix"
+                )
             acc = np.zeros((len(pdf), k), dtype=np.float64)
             # sequential over dims: acc accumulates (v_d - c_d)^2 in dim order,
             # the exact fold order of zip_with/list_inner_product

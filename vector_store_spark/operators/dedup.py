@@ -42,7 +42,7 @@ from vector_store_spark.functions.hashing import (
     shingle_hashes_udf,
     simhash_udf,
 )
-from vector_store_spark.functions.text import tokenize, word_ngrams
+from vector_store_spark.functions.text import split_ngram_hashes, tokenize, word_ngrams
 
 
 def normalized_text(text: Column | str) -> Column:
@@ -846,12 +846,7 @@ def duplicated_ngram_spans(
     # the size filter above.
     grams = toks.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {n} + 1), "
-                f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
-            )
-        ).alias("pos0", "ngram_h"),
+        F.posexplode(split_ngram_hashes("toks", n)).alias("pos0", "ngram_h"),
     ).select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"), "ngram_h")
     dup_keys = (
         grams.groupBy("ngram_h")

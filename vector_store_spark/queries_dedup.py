@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vector_store_spark.functions.hashing import minhash_coeffs, minhash_sql, poly_hash_sql, simhash_sql
-from vector_store_spark.functions.text import tokenize_sql, word_ngrams_sql
+from vector_store_spark.functions.text import (
+    split_ngram_positions_sql,
+    split_ngrams_sql,
+    tokenize_sql,
+    word_ngrams_sql,
+)
 from vector_store_spark.operators.dedup import (
     duplicated_ngram_spans,
     embedding_neardup_pairs,
@@ -543,8 +548,8 @@ _SPAN_N = 8  # span-marking n-gram width (Lee et al. use 50 BPE tokens; the
 _SPAN_CTES = f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g0 AS (
   SELECT doc_id,
-         unnest(list_transform(range(1, len(toks) - {_SPAN_N} + 2), i -> CAST(i AS BIGINT))) AS pos,
-         unnest(list_transform(range(1, len(toks) - {_SPAN_N} + 2), i -> array_to_string(toks[i:i+{_SPAN_N}-1], ' '))) AS ng
+         unnest({split_ngram_positions_sql("toks", _SPAN_N)}) AS pos,
+         unnest({split_ngrams_sql("toks", _SPAN_N)}) AS ng
   FROM t WHERE len(toks) >= {_SPAN_N}
 ),
 d AS (SELECT ng FROM g0 GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),

@@ -468,12 +468,25 @@ def emb_cluster_profile(spark, sf_dir):
     assigned = kmeans_assign(
         emb, "vec_id", "embedding", [r.embedding for r in cents], keep_cols=("label",)
     )
-    prof = assigned.groupBy("cluster_id").agg(
-        F.count("*").cast("long").alias("n_members"),
-        F.round(F.avg("l2sq"), ROUND).alias("mean_l2sq"),
+    # argmin INDEX -> seed vec_id, explicitly: the two coincide on this data
+    # (seed ids 0..7 contiguous) but the oracle keys clusters by vec_id, so
+    # the mapping must not rely on that coincidence
+    cid_lookup = F.array(*[F.lit(int(r.vec_id)) for r in cents])
+    assigned = assigned.withColumn(
+        "cluster_id",
+        F.element_at(cid_lookup, F.col("cluster_id").cast("int") + 1).cast("long"),
     )
+    # ONE fact-table pass: the (cluster, label) rollup carries the l2sq mass,
+    # and the per-cluster profile re-aggregates the cluster-bounded rollup
+    # (deriving both branches from `assigned` directly would run the
+    # assignment UDF scan twice — the two groupBys partition differently)
     lab = assigned.groupBy("cluster_id", "label").agg(
-        F.count("*").cast("long").alias("n")
+        F.count("*").cast("long").alias("n"),
+        F.sum("l2sq").alias("sum_l2sq"),
+    )
+    prof = lab.groupBy("cluster_id").agg(
+        F.sum("n").cast("long").alias("n_members"),
+        F.round(F.sum("sum_l2sq") / F.sum("n"), ROUND).alias("mean_l2sq"),
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("n").desc(), F.col("label"))
     top = (
@@ -550,8 +563,13 @@ def emb_kmeans_refined_profile(spark, sf_dir):
         emb, "vec_id", "embedding", [r.embedding for r in seeds],
         keep_cols=("embedding",),
     )
-    # cluster ids ARE seed vec_ids here (seeds sorted by vec_id = 0..7), so
-    # the argmin index equals the oracle's cid directly
+    # argmin INDEX -> seed vec_id explicitly (index == vec_id only while the
+    # seed ids happen to be 0..k-1 contiguous; the oracle keys by vec_id)
+    seed_lookup = F.array(*[F.lit(int(r.vec_id)) for r in seeds])
+    a1 = a1.withColumn(
+        "cluster_id",
+        F.element_at(seed_lookup, F.col("cluster_id").cast("int") + 1).cast("long"),
+    )
     cent_rows = (
         a1.select("cluster_id", F.posexplode("embedding").alias("pos0", "val"))
         .groupBy("cluster_id", "pos0")

@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vector_store_spark.functions.hashing import P31, POLY_MULT, poly_hash_sql
-from vector_store_spark.functions.text import ENGLISH_STOPWORDS, tokenize_sql
+from vector_store_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    split_ngram_hashes,
+    split_ngrams_sql,
+    tokenize_sql,
+)
 from vector_store_spark.operators.textstats import (
     BPE_PRETOKEN_RE,
     LANG_PROFILES,
@@ -681,8 +686,7 @@ _OVL_N = 3  # overlap n-gram width: 3-grams are discriminative on the corpus
 WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
 g0 AS (
   SELECT source,
-         unnest(list_transform(range(1, len(toks) - {_OVL_N} + 2),
-                               i -> array_to_string(toks[i:i+{_OVL_N}-1], ' '))) AS ng
+         unnest({split_ngrams_sql("toks", _OVL_N)}) AS ng
   FROM t WHERE len(toks) >= {_OVL_N}
 ),
 g AS (SELECT DISTINCT source, ng FROM g0),
@@ -713,12 +717,7 @@ def text_source_overlap(spark, sf_dir):
     )
     grams = toks.select(
         "source",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {n} + 1), "
-                f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
-            )
-        ).alias("h"),
+        F.explode(split_ngram_hashes("toks", n)).alias("h"),
     ).distinct()
     sizes = grams.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
     a = grams.select(F.col("source").alias("src_a"), "h")
@@ -762,7 +761,7 @@ _VOCAB_BUCKET = 50  # docs per growth bucket (10 points at sf0.01, 100 at sf0.1)
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
   SELECT doc_id,
-         unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS ng
+         unnest({split_ngrams_sql("toks", 3)}) AS ng
   FROM t WHERE len(toks) >= 3
 ),
 first AS (SELECT ng, min(doc_id) AS fd FROM g GROUP BY ng),
@@ -787,12 +786,7 @@ def text_vocab_growth(spark, sf_dir):
     )
     grams = toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {n} + 1), "
-                f"i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))"
-            )
-        ).alias("h"),
+        F.explode(split_ngram_hashes("toks", n)).alias("h"),
     )
     first = grams.groupBy("h").agg(F.min("doc_id").alias("fd"))
     b = (
