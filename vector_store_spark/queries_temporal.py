@@ -433,3 +433,104 @@ def events_attribution(spark, sf_dir):
             .alias("value_cents"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    # user-journey transition matrix: per user in (ts, event_id) order,
+    # count each (prev_type -> next_type) step and its row-normalized
+    # probability. Counts are exact integers; the probability is one
+    # integer/integer division rounded on both engines.
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n,
+       round(CAST(t.n AS DOUBLE) / r.row_n, 6) AS p
+FROM t JOIN r USING (prev_type)
+""",
+    "Event-type Markov transition matrix (user-journey analytics): ONE "
+    "exchange on user_id feeds the lag window; the transition rollup is "
+    "type-pair-bounded and the row-normalizing join touches only the "
+    "|types|^2 matrix",
+)
+def events_markov_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    t = o.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("long").alias("n"))
+    r = t.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return (
+        t.join(F.broadcast(r), "prev_type")  # |types|-bounded row sums
+        .select(
+            "prev_type", "next_type", "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+        )
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    # DAU/WAU engagement: WAU(d) = distinct users active in [d-6, d],
+    # computed by replicating each (user, active-day) row into the <= 7
+    # report days it supports — a BOUNDED 7x expansion + one distinct,
+    # instead of a rolling count-distinct window (which Spark cannot do
+    # exactly without holding per-day user sets in window state)
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u
+    ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+""",
+    "DAU / trailing-7-day WAU / stickiness ratio per day: the rolling "
+    "distinct is a bounded 7x EXPLODE of the (user, active-day) frame onto "
+    "the report days it supports, then one distinct aggregation — an equi "
+    "plan (no range join, no per-day user set in window state); the final "
+    "day-keyed merge is calendar-bounded and broadcast. The oracle states "
+    "the same semantics as a range join, which DuckDB handles natively",
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    # each active (user, day) supports report days day..day+6; report days
+    # with no activity of their own are dropped by the inner day merge below
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(F.broadcast(wau), "day").select(
+        "day", "dau", "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
