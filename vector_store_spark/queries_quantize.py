@@ -249,3 +249,65 @@ ann_f16_rescored_topk = _rescored_entry(
 ann_bf16_rescored_topk = _rescored_entry(
     "ann_bf16_rescored_topk", Q23, quantize_bf16_udf, _bf16_sql, _np_bf16(Q23)
 )
+
+
+def _i8_x(x: str) -> str:
+    """per-element i8 round-trip (the list body of _I8)"""
+    return f"greatest(-127, least(127, CAST(round({x} * 127) AS INT))) / 127.0"
+
+
+def _err_leg_sql(scheme: str, roundtrip_x: str) -> str:
+    return f"""
+SELECT '{scheme}' AS scheme,
+       round(sum(list_sum(errs)) / (count(*) * {DIMS}), {ROUND}) AS mean_abs_err,
+       round(max(list_max(errs)), {ROUND}) AS max_abs_err
+FROM (
+  SELECT list_transform(e, x -> abs(x - ({roundtrip_x}))) AS errs
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0)
+)"""
+
+
+@register(
+    "emb_quantization_error_profile",
+    # reconstruction-error audit per quantization scheme over a deterministic
+    # 10% sample (the audit posture: a sample answers "which scheme fits this
+    # corpus"; the full-corpus sweep is the same plan at 10x the rows). The
+    # oracle re-derives each IEEE round-trip per element in SQL — the same
+    # twins the rescored-ANN oracles use — so every |x - dq(q(x))| is
+    # bit-identical before the only rounding at the corpus rollup.
+    _err_leg_sql("bf16", _bf16_sql("x"))
+    + "\nUNION ALL" + _err_leg_sql("f16", _f16_sql("x"))
+    + "\nUNION ALL" + _err_leg_sql("i8", _i8_x("x")),
+    "Quantization reconstruction-error profile (mean/max abs error for "
+    "i8 / f16 / bf16 round-trips) — the corpus audit behind choosing a "
+    "memory tier; per-vector error reductions stay in the scan, the rollup "
+    "is 3 rows",
+)
+def emb_quantization_error_profile(spark, sf_dir):
+    from vector_store_spark.functions.quantize import quantize_bf16_udf, quantize_f16_udf
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    e = F.col("embedding").cast("array<double>")
+    schemes = [
+        ("bf16", quantize_bf16_udf()(e)),
+        ("f16", quantize_f16_udf()(e)),
+        ("i8", dequantize_i8(quantize_i8(e))),
+    ]
+    parts = []
+    for name, qe in schemes:
+        errs = F.zip_with(e, qe, lambda x, y: F.abs(x - y))
+        parts.append(
+            emb.select(
+                F.lit(name).alias("scheme"),
+                F.aggregate(errs, F.lit(0.0), lambda a, x: a + x).alias("sum_err"),
+                F.array_max(errs).alias("max_err"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    dims = F.lit(DIMS)
+    return u.groupBy("scheme").agg(
+        F.round(F.sum("sum_err") / (F.count("*") * dims), ROUND).alias("mean_abs_err"),
+        F.round(F.max("max_err"), ROUND).alias("max_abs_err"),
+    )

@@ -173,3 +173,46 @@ def star_orders_monthly(spark, sf_dir):
         F.round(F.min("o_totalprice"), 6).alias("min_price"),
         F.round(F.max("o_totalprice"), 6).alias("max_price"),
     )
+
+
+@register(
+    "star_shipping_priority",
+    # TPC-H Q3 shape: revenue of not-yet-shipped lineitems for one market
+    # segment's orders placed before the cutoff, top-10 orders. Ordering is
+    # over the ROUNDED revenue (the cross-engine-stable value) with
+    # (o_orderdate, l_orderkey) tie-breaks.
+    f"""
+SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND}) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+    "Q3-style shipping priority: one segment's pre-cutoff orders with "
+    "unshipped revenue, top-10 by revenue — customer-orders and "
+    "orders-lineitem edges are fact-fact shuffle-hash joins (the segment "
+    "filter thins customer but it still scales with SF), the top-10 is a "
+    "TakeOrderedAndProject over the per-order rollup",
+)
+def star_shipping_priority(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    joined = (
+        o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+        .join(l.hint("SHUFFLE_HASH"), o.o_orderkey == l.l_orderkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
