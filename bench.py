@@ -109,14 +109,31 @@ def main() -> int:
             fh.write("\n")
     except OSError as ex:
         print(f"bench: could not write {full_path}: {ex}", file=sys.stderr)
-    print(json.dumps({
+    # Driver stdout capture keeps only ~2,000 chars; the full 168-entry map is
+    # ~6 KB, so embedding it truncated the record mid-object for 11 straight
+    # rounds (BENCH_r01..r11 all `parsed: null`). Stdout keeps the contract
+    # shape but with a FLAGSHIP SUBSET of per-query timings sized well under
+    # the capture window; the complete map lives in BENCH_FULL.json (pointer
+    # below) and on stderr.
+    flagship = [
+        "ann_cosine_topk", "ann_filtered_topk", "ann_hnsw_topk",
+        "ann_ivf_persisted_topk", "knn_batch", "bm25_persisted_term",
+        "dedup_minhash_lsh", "dedup_exact", "text_quality", "events_funnel",
+        "mix_pack_sequences", "lww_snapshot",
+    ]
+    stdout_queries = {k: timings[k] for k in flagship if k in timings}
+    stdout_record = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": stdout_queries,
+        "queries_shown": len(stdout_queries),
+        "queries_total": len(timings),
         "sf": sf,
         "extras_file": os.path.basename(full_path),
-    }, separators=(",", ":")))
+    }, separators=(",", ":"))
+    assert len(stdout_record) < 1800, f"stdout record too big: {len(stdout_record)}"
+    print(stdout_record)
     sys.stdout.flush()
     sys.stderr.flush()
     # Bounded teardown: after ~160 queries (incl. stateful streaming runs)

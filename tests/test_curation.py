@@ -105,9 +105,10 @@ def test_jsonl_quarantine_forks(spark, tmp_path):
     os.makedirs(src)
     with open(os.path.join(src, "part-0.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    parsed, quarantined = read_jsonl_quarantine(
+    parsed, quarantined, handle = read_jsonl_quarantine(
         spark, src, "doc_id bigint, text string, source string"
     )
     assert {(r.doc_id, r.text) for r in parsed.collect()} == {(1, "hello"), (2, "world")}
     raw = {r.raw_line for r in quarantined.collect()}
     assert raw == set(lines[2:])  # bad bytes preserved verbatim for replay
+    handle.unpersist()

@@ -19,6 +19,8 @@ Per-query join policy (not one global rule):
 A new query that regresses any of these fails here before it ships.
 """
 
+import re
+
 import pytest
 
 from vector_store_spark.registry import all_queries
@@ -184,3 +186,79 @@ def test_source_overlap_broadcasts_only_the_size_frame(plans):
         f"{got} broadcast joins (expected exactly the 2 per-source size "
         "frames) — a gram-keyed side is being broadcast"
     )
+
+
+
+def _unpartitioned_window_specs(line: str) -> list:
+    """Return the windowspecdefinition(...) arg strings on this plan line
+    that define NO partition columns. In plan text the spec prints as
+    windowspecdefinition(part..., order ASC/DESC NULLS ..., specifiedwindowframe(...));
+    order args carry an ASC/DESC NULLS marker, partition args never do —
+    a spec whose every non-frame arg is a sort-spec (or that has none) is
+    unpartitioned."""
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", line):
+        depth, i = 1, m.end()
+        while i < len(line) and depth:
+            if line[i] == "(":
+                depth += 1
+            elif line[i] == ")":
+                depth -= 1
+            i += 1
+        body = line[m.end():i - 1]
+        # split top-level commas
+        args, buf, d = [], [], 0
+        for ch in body:
+            if ch == "," and d == 0:
+                args.append("".join(buf).strip())
+                buf = []
+                continue
+            if ch in "([":
+                d += 1
+            elif ch in ")]":
+                d -= 1
+            buf.append(ch)
+        if buf:
+            args.append("".join(buf).strip())
+        pre_frame = [a for a in args if not a.startswith("specifiedwindowframe(")]
+        if all(" ASC NULLS " in a or " DESC NULLS " in a for a in pre_frame):
+            out.append(body[:120])
+    return out
+
+
+# Unpartitioned windows force the WHOLE input frame through one task
+# (Exchange SinglePartition + single sorted partition). Allowed only where
+# the window input is RESULT-sized by construction (documented per entry);
+# anything fed by a frame that grows with the corpus must use either a
+# partitioned window or the two-pass bucketed prefix sum
+# (operators/sampling.py global_prefix_offsets).
+_UNPARTITIONED_WINDOW_OK = {
+    # ranked_top_n (operators/topk.py): ranks the ALREADY-REDUCED global
+    # top-k output (<= k rows) to emit dense ranks — result-sized.
+    "ann_ranked_topk",
+    # rrf_fuse (operators/hybrid.py): per-leg rank windows run over each
+    # leg's ALREADY-TRUNCATED top-k candidate list (pool <= legs x k rows,
+    # result-sized by construction) before the fusion join.
+    "hybrid_rrf_topk",
+}
+
+
+def test_no_unpartitioned_window_over_growable_frames(plans):
+    """A windowspecdefinition with no partition columns is a single-reducer
+    scan of its entire input (Exchange SinglePartition). text_vocab_growth
+    shipped one in r11 (bucket frame = corpus/50 rows through ONE task at
+    scale); this pins the fix suite-wide. Partition-only windows (unbounded
+    frame within a key) are fine and not flagged."""
+    bad = {}
+    for name, plan in plans.items():
+        if name in _UNPARTITIONED_WINDOW_OK:
+            continue
+        hits = []
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: *")
+            if not s.startswith("Window "):
+                continue
+            hits.extend(_unpartitioned_window_specs(line))
+        if hits:
+            bad[name] = hits
+    assert not bad, f"unpartitioned Window over a growable frame: {bad}"

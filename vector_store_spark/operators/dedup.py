@@ -330,7 +330,6 @@ def minhash_band_candidates(
     projection — the exact-dup pre-pass drops non-representative duplicates
     here, on the narrow fixed-width signature frame, so the fat shingle
     arrays never shuffle through the filter."""
-    r = num_hashes // bands
     sig = sets.select(
         "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
     )

@@ -234,12 +234,19 @@ def label_outliers(
     vec_col: str,
     top_n: int = 15,
     round_to: int | None = None,
+    centroid_round_to: int | None = None,
 ) -> DataFrame:
     """The ``top_n`` vectors farthest (L2²) from their own label's centroid
     — ranked mislabel/outlier candidates for an embedding-space audit.
     The centroid frame is label-dimension-sized and broadcast; scoring is
     one Arrow-batched numpy pass over the fact scan; only the global
-    ``top_n`` rows survive the final sort."""
+    ``top_n`` rows survive the final sort.
+
+    ``centroid_round_to`` snaps centroid components to a fixed grid BEFORE
+    distance scoring: Spark's partial-agg ``avg`` and a sequential oracle
+    ``avg`` differ by ~1e-15 per component, and rounding only the final
+    dist_sq lets that drift flip a 6-dp boundary — same recipe as the
+    refined-kmeans profile, erase the drift at the centroid."""
     import numpy as np  # noqa: F401
 
     cents = label_centroids(items, label_col, vec_col)
@@ -258,6 +265,8 @@ def label_outliers(
                 continue
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             C = np.asarray([np.asarray(c, dtype=np.float64) for c in pdf["centroid"]])
+            if centroid_round_to is not None:
+                C = _round_half_up(C, centroid_round_to)
             d2 = ((X - C) ** 2).sum(axis=1)
             if round_to is not None:
                 d2 = _round_half_up(d2, round_to)

@@ -209,7 +209,7 @@ def ingest_jsonl_quarantine(spark, sf_dir):
     src = os.path.join(root, "corpus")
     dirty.write.mode("overwrite").text(src)
 
-    parsed, quarantined = read_jsonl_quarantine(
+    parsed, quarantined, handle = read_jsonl_quarantine(
         spark, src, "doc_id bigint, text string, source string"
     )
     per_source = parsed.groupBy("source").agg(
@@ -221,4 +221,10 @@ def ingest_jsonl_quarantine(spark, sf_dir):
         F.count("*").cast("long").alias("n_rows"),
         F.lit(-1).cast("long").alias("chars"),
     )
-    return per_source.unionByName(qrow)
+    result = per_source.unionByName(qrow)
+    # source-count-sized: materialize eagerly so the PERMISSIVE-scan cache can
+    # be released HERE instead of leaking one entry per call (bench reps call
+    # this repeatedly, each against a fresh temp dir)
+    rows = result.collect()
+    handle.unpersist()
+    return spark.createDataFrame(rows, result.schema)

@@ -190,7 +190,7 @@ def _graph(spark, sf_dir):
     "emb_label_outliers",
     f"""
 WITH cent AS (
-  SELECT label, g AS pos, avg(CAST(embedding[g] AS DOUBLE)) AS c
+  SELECT label, g AS pos, round(avg(CAST(embedding[g] AS DOUBLE)), {ROUND}) AS c
   FROM embeddings, generate_series(1, {DIMS}) t(g)
   GROUP BY label, g
 ),
@@ -210,7 +210,7 @@ ORDER BY dist_sq DESC, vec_id LIMIT 15
 def emb_label_outliers(spark, sf_dir):
     return label_outliers(
         load(spark, sf_dir, "embeddings"), "vec_id", "label", "embedding",
-        top_n=15, round_to=ROUND,
+        top_n=15, round_to=ROUND, centroid_round_to=ROUND,
     )
 
 

@@ -777,7 +777,7 @@ FROM b
     "docs add no lexical novelty)",
 )
 def text_vocab_growth(spark, sf_dir):
-    from pyspark.sql import Window
+    from vector_store_spark.operators.sampling import global_prefix_offsets
 
     docs = load(spark, sf_dir, "documents")
     n = 3
@@ -793,5 +793,14 @@ def text_vocab_growth(spark, sf_dir):
         first.groupBy((F.col("fd") / _VOCAB_BUCKET).cast("long").alias("bucket"))
         .agg(F.count("*").cast("long").alias("new_grams"))
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return b.withColumn("vocab_size", F.sum("new_grams").over(w).cast("long"))
+    # the bucket frame grows LINEARLY with the corpus (buckets = docs/50), so
+    # an unpartitioned Window.orderBy("bucket") would drag every bucket row
+    # through one task at scale. The two-pass bucketed prefix sum caps the
+    # largest task at one prefix-bucket range; inclusive cumulative =
+    # exclusive offset + own mass.
+    pref = global_prefix_offsets(b, "bucket", "new_grams", bucket_size=100_000)
+    return pref.select(
+        "bucket",
+        "new_grams",
+        (F.col("offset") + F.col("new_grams")).cast("long").alias("vocab_size"),
+    )

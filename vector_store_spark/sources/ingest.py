@@ -28,10 +28,13 @@ def read_jsonl_quarantine(
     spark: SparkSession,
     path: str,
     schema: str,
-) -> tuple[DataFrame, DataFrame]:
-    """(parsed, quarantined) from a JSONL path: ``parsed`` carries only rows
-    that satisfied ``schema``; ``quarantined`` carries the raw text of every
-    malformed line (for audit/replay). One PERMISSIVE scan feeds both."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(parsed, quarantined, handle) from a JSONL path: ``parsed`` carries
+    only rows that satisfied ``schema``; ``quarantined`` carries the raw text
+    of every malformed line (for audit/replay). One PERMISSIVE scan feeds
+    both. ``handle`` is the internally-cached scan — the CALLER owns its
+    lifetime and must ``handle.unpersist()`` once both forks are consumed
+    (repeated calls would otherwise each leak a cache entry)."""
     full_schema = f"{schema}, {CORRUPT_COL} string"
     df = (
         spark.read.schema(full_schema)
@@ -47,4 +50,4 @@ def read_jsonl_quarantine(
     quarantined = df.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    return parsed, quarantined
+    return parsed, quarantined, df

@@ -87,8 +87,11 @@ class NearDupStreamSink:
         return self.spark.createDataFrame([], schema)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # replay idempotence wants DYNAMIC partition overwrite, but only for
+        # THIS sink's commits — set per-write (DataFrameWriter option), never
+        # session-wide, so unrelated overwrites in the same session keep the
+        # default static semantics
         spark = self.spark
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # at-least-once source delivery: one row per id within the batch
         docs = batch.select(self.id_col, self.text_col).dropDuplicates(
             [self.id_col]
@@ -156,13 +159,19 @@ class NearDupStreamSink:
         # cached plans reading that path — order matters)
         pairs.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
             "_batch"
-        ).mode("overwrite").parquet(self.pairs_dir)
+        ).option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(self.pairs_dir)
         new_sets.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
             "_batch"
-        ).mode("overwrite").parquet(self.sets_dir)
+        ).option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(self.sets_dir)
         new_bands.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
             "_batch"
-        ).mode("overwrite").parquet(self.bands_dir)
+        ).option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(self.bands_dir)
         new_sets.unpersist()
         new_bands.unpersist()
 
@@ -201,8 +210,6 @@ class QualityMonitorSink:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from vector_store_spark.operators.textstats import quality_features
 
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
         docs = batch.select(
             self.id_col, self.text_col, self.source_col
         ).dropDuplicates([self.id_col])
@@ -223,7 +230,9 @@ class QualityMonitorSink:
         )
         stats.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
             "_batch"
-        ).mode("overwrite").parquet(self.stats_dir)
+        ).option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(self.stats_dir)
 
     def start(self, stream: DataFrame, checkpoint_dir: str):
         return (
