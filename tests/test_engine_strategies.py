@@ -213,8 +213,13 @@ def test_engine_persisted_filter_plan_prunes_and_pushes(spark, emb, tmp_path):
     path = str(tmp_path / "eng_ivf_plan")
     ivf_build(emb, "vec_id", "embedding", path, k_centroids=8)
     eng = VectorStoreEngine()
+    # min_candidates=None OPTS OUT of the default-armed adaptive guard
+    # (dispatch setdefault keeps the explicit None): this test pins the
+    # fixed-PROBE plan shape, which the guard's exact tier would bypass on
+    # this selective filter
     eng.register(emb, _filtering_meta(), strategy="ivf",
-                 strategy_opts={"path": path, "nprobe": 2})
+                 strategy_opts={"path": path, "nprobe": 2,
+                                "min_candidates": None})
     topk, _ = eng.ann_df(
         "ks", "t", "embedding", det_query_vector(7, 64), 5,
         flt=Filter(restrictions=(Restriction.eq("label", 1),), allow_filtering=True),
@@ -366,3 +371,55 @@ def test_engine_forwards_adaptive_guard(spark, emb, tmp_path):
         eng.register(emb, _filtering_meta(), strategy=strategy, strategy_opts=opts)
         out = eng.ann("ks", "t", "embedding", q, 5, flt=flt)
         assert out.primary_keys["vec_id"] == exact, strategy
+
+
+def test_engine_arms_guard_by_default(spark, emb):
+    """A residual predicate surviving to a candidate-PRUNING strategy arms
+    min_candidates=32·k in dispatch WITHOUT the caller passing it — the
+    reference's restricted-search guarantee (usearch.rs:224-248) holds for
+    bare engine callers, not just registry queries that know the knob."""
+    import dataclasses
+
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.types import Filter, Restriction, SpaceType
+
+    q = det_query_vector(7, 64)
+    flt = Filter(restrictions=(Restriction.eq("label", 2),), allow_filtering=True)
+
+    exact_cos = [r.vec_id for r in ann_topk(
+        emb.where("label = 2"), "embedding", q, 5, space=SpaceType.COSINE,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()]
+    for strategy in ("ivf", "lsh"):
+        eng = VectorStoreEngine()
+        eng.register(emb, _filtering_meta(), strategy=strategy)  # NO opts
+        out = eng.ann("ks", "t", "embedding", q, 5, flt=flt)
+        assert out.primary_keys["vec_id"] == exact_cos, strategy
+
+    exact_l2 = [r.vec_id for r in ann_topk(
+        emb.where("label = 2"), "embedding", q, 5, space=SpaceType.EUCLIDEAN,
+        tie_break=["vec_id"], select_cols=["vec_id"],
+    ).collect()]
+    for strategy in ("ivfpq", "ivfpq_residual"):
+        eng = VectorStoreEngine()
+        meta = dataclasses.replace(
+            _meta(SpaceType.EUCLIDEAN), filtering_columns=("label",))
+        eng.register(emb, meta, strategy=strategy)  # NO opts
+        out = eng.ann("ks", "t", "embedding", q, 5, flt=flt)
+        assert out.primary_keys["vec_id"] == exact_l2, strategy
+
+
+def test_engine_ivfpq_default_nprobe_is_ef_over_8(spark, emb):
+    """The shipped IVF-PQ default must be the ≥0.9-recall configuration:
+    dispatch maps expansion_search (64) ↦ nprobe 8 (ef/8 — double the flat
+    IVF mapping, ADC distances are quantized), not the operator's nprobe=4."""
+    from vector_store_spark.operators.ivfpq import ivfpq_topk
+
+    q = det_query_vector(7, 64)
+    eng = VectorStoreEngine()
+    eng.register(emb, _meta(SpaceType.EUCLIDEAN), strategy="ivfpq")
+    got = eng.ann("ks", "t", "embedding", q, 5)
+    want = [r.vec_id for r in ivfpq_topk(
+        emb, "vec_id", "embedding", q, 5, nprobe=8, select_cols=["vec_id"],
+    ).collect()]
+    assert got.primary_keys["vec_id"] == want

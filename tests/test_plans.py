@@ -262,3 +262,21 @@ def test_no_unpartitioned_window_over_growable_frames(plans):
         if hits:
             bad[name] = hits
     assert not bad, f"unpartitioned Window over a growable frame: {bad}"
+
+
+def test_routed_coexisting_scans_only_chosen_index(plans):
+    """R1–R4 end-to-end: with two coexisting indexes over the same (table,
+    target), a partition-Eq-restricted query must serve from the CHOSEN
+    local sub-index's storage only — the plan scans the persisted local-IVF
+    layout (label + cluster partition pruning) and never touches the losing
+    global index's source table."""
+    plan = plans["ann_routed_coexisting_topk"]
+    assert "ivf_local_ix_" in plan, "chosen local-IVF layout is not scanned"
+    assert "embeddings.parquet" not in plan, (
+        "the losing global index's source scan leaked into the routed plan"
+    )
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    pf = scan.split("PartitionFilters")[1].split("]")[0]
+    assert "label" in pf and "cluster" in pf, (
+        f"both pruning levels must be partition filters, got {pf!r}"
+    )

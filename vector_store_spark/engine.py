@@ -173,6 +173,19 @@ class VectorStoreEngine:
         id_col = meta.primary_key_columns[0]
         select = list(meta.primary_key_columns)
         opts = ri.strategy_opts
+        if predicate is not None and ri.strategy in (
+            "hnsw", "diskann", "lsh", "ivf", "ivfpq", "ivfpq_residual"
+        ):
+            # A residual predicate survived to a candidate-PRUNING strategy:
+            # arm the adaptive guard BY DEFAULT so the reference's
+            # restricted-search guarantee (usearch.rs:224-248 — top-k OF the
+            # filtered set, a selective filter must not starve the candidate
+            # pool) holds for bare engine callers, not only registry queries
+            # that know the knob. 32·k matches the registry queries' arming;
+            # an explicit strategy_opt always wins. Full-scan strategies
+            # (exact/pq/i8/f16/bf16) score every filtered row and need none.
+            opts = dict(opts)
+            opts.setdefault("min_candidates", 32 * limit)
         if ri.strategy in ("i8", "f16", "bf16"):
             from vector_store_spark.operators.scalar_ann import scalar_quantized_topk
 
@@ -310,8 +323,15 @@ class VectorStoreEngine:
             )
 
             fn = ivfpq_residual_topk if ri.strategy == "ivfpq_residual" else ivfpq_topk
+            # ef-search ↦ nprobe mapping for the PQ-composed tier: ef/8 (the
+            # flat-IVF mapping is ef/16) — ADC distances are quantized, so
+            # the probe budget doubles to keep the SHIPPED default ≥0.9
+            # recall (measured: np4 = 0.80, np8 = 0.925 for the residual
+            # 16x256 ma2 rescored8x config). Explicit strategy_opt wins.
+            o = dict(opts)
+            o.setdefault("nprobe", max(1, meta.expansion_search // 8))
             topk = fn(df, id_col, meta.target_column, list(vector), limit,
-                      select_cols=select, **opts)
+                      select_cols=select, **o)
             return topk.withColumn(
                 "similarity", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
             )

@@ -52,8 +52,29 @@ def ivfpq_topk(
     codebook: np.ndarray | None = None,
     n_assign: int = 1,
     rescore: int = 0,
+    min_candidates: int | None = None,
 ) -> DataFrame:
-    """IVF pruning → PQ/ADC scoring → (optional) exact rescoring, all in L2."""
+    """IVF pruning → PQ/ADC scoring → (optional) exact rescoring, all in L2.
+
+    ``min_candidates`` arms the adaptive probe (same contract as
+    :func:`~vector_store_spark.operators.ivf.ivf_topk`): ``items`` is the
+    already-filtered set (T2 semantics, usearch.rs:224-248); one count
+    decides the tier — exact L2 ranking at or under the floor, an escalated
+    nprobe just above it, untouched probing on large sets."""
+    if min_candidates is not None:
+        from vector_store_spark.operators.ivf import adaptive_nprobe
+        from vector_store_spark.operators.topk import ann_topk
+
+        n_rows = items.count()
+        kc = len(centroids) if centroids is not None else k_centroids
+        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates)
+        if np_eff is None:
+            return ann_topk(
+                items, vec_col, query, k,
+                space=SpaceType.EUCLIDEAN, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        nprobe = np_eff
     cents = centroids if centroids is not None else ivf_centroids(
         items, id_col, vec_col, k_centroids
     )
@@ -417,13 +438,29 @@ def ivfpq_residual_topk(
     codebook: np.ndarray | None = None,
     n_assign: int = 1,
     rescore: int = 0,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Textbook IVFADC (Jégou et al. 2011 §IV): PQ codes are trained on and
     encode *residuals* v − centroid(v), and the query builds one LUT per
     probed cluster from its own residual q − centroid_c. Residuals
     concentrate around the origin, so the same code budget quantizes much
     finer than flat PQ — this is why real systems compose IVF and PQ this
-    way. Same plan shape as :func:`ivfpq_topk` plus one narrow residual map."""
+    way. Same plan shape as :func:`ivfpq_topk` plus one narrow residual map.
+    ``min_candidates`` arms the same adaptive probe as :func:`ivfpq_topk`."""
+    if min_candidates is not None:
+        from vector_store_spark.operators.ivf import adaptive_nprobe
+        from vector_store_spark.operators.topk import ann_topk
+
+        n_rows = items.count()
+        kc = len(centroids) if centroids is not None else k_centroids
+        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates)
+        if np_eff is None:
+            return ann_topk(
+                items, vec_col, query, k,
+                space=SpaceType.EUCLIDEAN, tie_break=[id_col],
+                select_cols=select_cols or [id_col], round_to=round_to,
+            )
+        nprobe = np_eff
     cents = centroids if centroids is not None else ivf_centroids(
         items, id_col, vec_col, k_centroids
     )

@@ -1,0 +1,176 @@
+"""Engine-lifecycle registry entries: routing across COEXISTING indexes and
+the default-armed filtered-search guard, exercised END-TO-END through
+:class:`~vector_store_spark.engine.VectorStoreEngine` (not the bare
+operators).
+
+The reference validates exactly this surface with a live cluster harness —
+`crates/validator/src/routing.rs` (best-index selection under restrictions)
+and `crates/validator/src/coexisting_indexes.rs` (two indexes over the same
+(table, target) serving side by side). Here the same observable behavior gets
+a DuckDB oracle row: the engine must ROUTE to the right index and the result
+must equal the oracle's re-derivation of that index's search.
+"""
+
+from __future__ import annotations
+
+from vector_store_spark.engine import VectorStoreEngine
+
+# shared with local_partition_ann_ivf (same memoized build artifact, same
+# centroid/probe constants) so the two entries can never drift
+from vector_store_spark.queries_ivf import _K_LOC, _NPROBE_LOC, _PART, Q7, _built
+from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
+from vector_store_spark.types import Filter, IndexMetadata, Restriction
+
+_DIMS = 64
+_QG = det_query_vector(11, _DIMS)
+_GUARD_CUT = 300  # absolute vec_id bound ⇒ filtered set ≤ 300 rows at EVERY SF
+
+_COS_QG = (
+    f"1.0 - list_inner_product(v, {sql_vec(_QG)}) / "
+    f"(sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(_QG)}, {sql_vec(_QG)})))"
+)
+_COS_Q7 = (
+    f"1.0 - list_inner_product(v, {sql_vec(Q7)}) / "
+    f"(sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)})))"
+)
+_SIM_CQ7 = (
+    f"list_inner_product(cv, {sql_vec(Q7)}) / "
+    f"(sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)})))"
+)
+
+
+@register(
+    "ann_engine_filtered_default_guard_topk",
+    # The engine serves an APPROXIMATE (ivf) index with NO tuning knobs in
+    # strategy_opts; the residual predicate survives to the strategy, so the
+    # dispatch arms min_candidates = 32·k by default and the ≤300-row
+    # filtered set (under the 320 floor) takes the exact tier — top-k OF the
+    # filtered set, bit-equal to the exact oracle. usearch.rs:224-248
+    # semantics for callers who never heard of the knob.
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {_GUARD_CUT}
+),
+scored AS (
+  SELECT vec_id, round({_COS_QG}, {ROUND}) AS distance FROM e
+)
+SELECT vec_id, distance FROM scored ORDER BY distance, vec_id LIMIT 10
+""",
+    "T2 restricted-search guarantee at ENGINE defaults: a selective filter "
+    "routed to an approximate strategy with no explicit min_candidates must "
+    "still return the top-k of the filtered set (adaptive guard armed by "
+    "dispatch, usearch.rs:224-248)",
+)
+def ann_engine_filtered_default_guard_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_ivf_default_guard", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+        ),
+        strategy="ivf",
+        # NO min_candidates, NO nprobe: the point is the DISPATCH defaults
+        strategy_opts={"round_to": ROUND},
+    )
+    flt = Filter(
+        restrictions=(Restriction.lt("vec_id", _GUARD_CUT),),
+        allow_filtering=True,  # P5: the vec_id restriction is not consumed
+    )
+    topk, _ = eng.ann_df("ks", "embeddings", "embedding", _QG, 10, flt)
+    # similarity is derived from the ROUNDED distance — the halfway-rounding
+    # trap; the oracle pins distance only (F2 is pinned elsewhere)
+    return topk.drop("similarity")
+
+
+@register(
+    "ann_routed_coexisting_topk",
+    # Two coexisting indexes over the same (keyspace, table, target):
+    #   v1 — GLOBAL exact index, filtering_columns=(label,)
+    #   v2 — LOCAL per-label IVF sub-indexes (partitioning=(label,))
+    # A label-Eq-restricted query scores v2 strictly better (the Eq is
+    # CONSUMED by the partition key: 0 uncovered restrictions vs 1 on v1 —
+    # indexes.rs:203-238), so routing must pick v2 and serve from its
+    # label=3 sub-index only. The oracle re-derives that sub-index's search:
+    # per-partition centroids = the K=4 smallest vec_ids WITHIN label=3,
+    # nprobe=2 (engine default mapping expansion_search//32), exact cosine
+    # re-rank over probed clusters — the same CTE shape as
+    # local_partition_ann_ivf, restricted to the routed partition. Mirrors
+    # crates/validator/src/routing.rs + coexisting_indexes.rs end-to-end.
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = {_PART}
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_K_LOC}),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(v, cv) /
+         (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY {_SIM_CQ7} DESC, cid) AS rn FROM c
+  ) WHERE rn <= {_NPROBE_LOC}
+),
+cand AS (
+  SELECT e.vec_id, round({_COS_Q7}, {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, distance FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "R1–R4 end-to-end: routing group with two coexisting indexes, best-index "
+    "selection (consumed partition Eq beats residual filtering), local "
+    "sub-index serving — validator/routing.rs + coexisting_indexes.rs",
+)
+def ann_routed_coexisting_topk(spark, sf_dir):
+    from vector_store_spark.operators.ivf import ivf_build_local
+
+    emb = load(spark, sf_dir, "embeddings")
+    # the SAME build artifact as local_partition_ann_ivf (memoized per
+    # session+corpus): deterministic build, shared cost
+    path = _built(
+        spark, sf_dir, "ivf_local",
+        lambda p: ivf_build_local(
+            emb, "label", "vec_id", "embedding", p, k_centroids=_K_LOC
+        ),
+    )
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_exact_global", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+            filtering_columns=("label",), version="1",
+        ),
+        strategy="exact",
+    )
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_local_ivf", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+            partitioning=("label",), filtering_columns=("label",), version="2",
+        ),
+        strategy="ivf",
+        strategy_opts={"local_path": path, "round_to": ROUND},
+    )
+    flt = Filter(restrictions=(Restriction.eq("label", _PART),))
+    topk, meta = eng.ann_df("ks", "embeddings", "embedding", Q7, 10, flt)
+    # the routing decision IS the behavior under test — pin it here so a
+    # scoring regression fails loudly instead of silently serving v1
+    assert meta.index == "emb_local_ivf", f"routed to {meta.index}"
+    return topk.drop("similarity")

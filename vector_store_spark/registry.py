@@ -62,7 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "queries_dedup", "queries_text", "queries_ivf", "queries_multimodal",
         "queries_quantize", "queries_star", "queries_curation", "queries_mix",
         "queries_streaming", "queries_temporal", "queries_hnsw",
-        "queries_diversity",
+        "queries_diversity", "queries_engine",
     ]
     errors = []
     for mod in modules:
