@@ -98,3 +98,52 @@ def test_patch_grid_counts_and_edges(spark):
     assert edge[(0, 0)] == (8, 8) and edge[(2, 0)] == (1, 8) and edge[(2, 1)] == (1, 1)
     assert len(by_doc[2]) == 1 and by_doc[2][0].patch_w == 8
     assert 3 not in by_doc and 4 not in by_doc  # non-image / invalid dropped
+
+
+def test_real_codec_roundtrip_pure():
+    """The REAL-codec leg: bytes written by a real encoder (stdlib wave /
+    hand-packed BMP) decode back via real header parsing — dims, sample
+    counts, durations and file sizes all round-trip."""
+    from vector_store_spark.operators.multimodal import (
+        bmp_row_bytes, decode_real, encode_bmp, encode_wav, fake_dims,
+        wav_samples,
+    )
+
+    for i in (0, 2, 46, 100):
+        w, h = fake_dims(i)
+        m = decode_real(encode_bmp(w, h, seed=i))
+        assert (m["modality"], m["width"], m["height"]) == ("image", w, h)
+        assert m["bits_per_pixel"] == 24
+        assert m["payload_bytes"] == 54 + bmp_row_bytes(w) * h
+    for i in (1, 3, 47, 101):
+        n = wav_samples(i)
+        m = decode_real(encode_wav(n, seed=i))
+        assert (m["modality"], m["n_samples"], m["sample_rate"]) == ("audio", n, 8000)
+        assert m["payload_bytes"] == 44 + 2 * n
+        assert m["duration_ms"] == n * 1000.0 / 8000
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"GIF89a notacodecwehave")
+
+
+def test_decode_real_meta_poison_blobs_never_raise(spark):
+    """Poison-blob rule on the real leg: corrupt/foreign/empty bytes yield
+    valid=false rows, never executor exceptions."""
+    from vector_store_spark.operators.multimodal import (
+        decode_real_meta, encode_bmp, encode_wav,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(20, 10, seed=1))),
+         (2, bytearray(encode_wav(500, seed=2))),
+         (3, bytearray(b"BM" + b"\x00" * 10)),      # truncated BMP header
+         (4, bytearray(b"RIFFxxxxWAVE" + b"\x01" * 4)),  # mangled WAV
+         (5, bytearray(b"")), (6, None)],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in decode_real_meta(assets).collect()}
+    assert rows[1].valid and rows[1].modality == "image" and rows[1].width == 20
+    assert rows[2].valid and rows[2].n_samples == 500
+    for bad in (3, 4, 5, 6):
+        assert not rows[bad].valid, bad

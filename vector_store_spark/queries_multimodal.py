@@ -163,3 +163,57 @@ def mm_audio_windows(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     decoded = decode_meta(synth_assets(docs))
     return audio_windows(decoded, window_ms=_WIN_MS, hop_ms=_HOP_MS)
+
+
+@register(
+    "mm_decode_real_roundtrip",
+    # REAL-codec leg (not the FAKE container): even doc_ids are encoded as
+    # actual 24-bit BMPs (row stride padded to 4 bytes — the format's real
+    # rule), odd doc_ids as 16-bit PCM WAVs written by the stdlib `wave`
+    # module (44-byte RIFF header + 2 bytes/sample). The Spark side DECODES
+    # the real headers; the oracle re-derives every rollup value from doc_id
+    # through the same public-format arithmetic, so a PASS proves the
+    # encode→decode codec plumbing end to end. Analogue: the reference's
+    # dual blob-tag vector decode (vector.rs:62-129).
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h,
+         400 + (doc_id * 13) % 800 AS ns
+  FROM documents
+)
+SELECT modality,
+       count(*) AS n_assets,
+       CAST(sum(CASE WHEN modality = 'image' THEN w * h ELSE 0 END) AS BIGINT) AS total_pixels,
+       CAST(sum(CASE WHEN modality = 'audio' THEN ns ELSE 0 END) AS BIGINT) AS total_samples,
+       round(sum(CASE WHEN modality = 'audio' THEN ns * 1000.0 / 8000 ELSE 0 END), {ROUND}) AS total_duration_ms,
+       CAST(sum(CASE WHEN modality = 'image'
+                     THEN 54 + ((3 * w + 3) // 4) * 4 * h
+                     ELSE 44 + 2 * ns END) AS BIGINT) AS total_bytes
+FROM m GROUP BY modality
+""",
+    "Real-codec round-trip: stdlib-encoded BMP/WAV assets decoded by REAL "
+    "header parsing (struct + wave) into typed metadata rollups — the "
+    "working leg of the decode_real plug-point",
+)
+def mm_decode_real_roundtrip(spark, sf_dir):
+    from vector_store_spark.operators.multimodal import (
+        decode_real_meta,
+        synth_real_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_real_meta(synth_real_assets(docs))
+    return (
+        decoded.where("valid")
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+            F.sum("n_samples").alias("total_samples"),
+            F.round(F.sum("duration_ms"), ROUND).alias("total_duration_ms"),
+            F.sum("payload_bytes").alias("total_bytes"),
+        )
+    )
