@@ -1009,9 +1009,19 @@ def _extras(spark, sf_dir: str) -> dict:
             rec["ratio"] = round(rec["big_sec"] / max(rec["sf001_sec"], 1e-9), 2)
             scaling["minhash_pairs_pipeline"] = rec
 
+            # the last three are the most expensive FAMILIES (dedup
+            # keep/drop pipeline, blocked kNN graph, updated-index
+            # composite): their 100 TB posture now carries a measured ratio,
+            # not just a plan argument. dedup_drop_list / knn_graph_blocked
+            # serve from per-corpus memoized pair/graph frames (warm run
+            # builds, reps measure steady-state serving — the same
+            # convention as ann_hnsw_topk's memoized graph);
+            # ann_hnsw_updated_topk re-runs its fused build+crud+serve
+            # composite every call, so its ratio covers the whole composite.
             for name in ("ann_cosine_topk", "bm25_term",
                          "bm25_persisted_term", "text_token_counts",
-                         "ann_hnsw_topk"):
+                         "ann_hnsw_topk", "dedup_drop_list",
+                         "knn_graph_blocked", "ann_hnsw_updated_topk"):
                 if name not in _specs:
                     continue
                 spec, rec = _specs[name], {}

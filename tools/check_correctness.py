@@ -21,7 +21,12 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SF_DIR = "/root/testdata/sf0.01"
+# Oracle parity is SF-independent; the stretch gate runs the same check at a
+# LARGER sf to catch driver-side constants accidentally sized to sf0.01
+# (salting caps, block grids). Distinct env var from bench's
+# SPARK_GRAFT_SF_DIR so a driver-exported bench dir can't silently move the
+# correctness gate.
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):

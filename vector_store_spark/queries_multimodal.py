@@ -217,3 +217,32 @@ def mm_decode_real_roundtrip(spark, sf_dir):
             F.sum("payload_bytes").alias("total_bytes"),
         )
     )
+
+
+@register(
+    "mm_resize_plan_real",
+    # the REAL-codec leg feeding a downstream op: decode actual BMP headers
+    # (struct parse of bytes a real encoder wrote), then the same
+    # aspect-fit-into-64px integer arithmetic as mm_resize_plan
+    f"""
+WITH img AS (
+  SELECT doc_id, {_W} AS w, {_H} AS h FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, w AS width, h AS height,
+       CASE WHEN greatest(w, h) <= 64 THEN w
+            ELSE CAST(floor(w * 64 / greatest(w, h)) AS INT) END AS new_width,
+       CASE WHEN greatest(w, h) <= 64 THEN h
+            ELSE CAST(floor(h * 64 / greatest(w, h)) AS INT) END AS new_height
+FROM img
+""",
+    "Resize targets from REAL decoded BMP headers (stdlib codec leg chained "
+    "into the resize stage)",
+)
+def mm_resize_plan_real(spark, sf_dir):
+    from vector_store_spark.operators.multimodal import (
+        decode_real_meta,
+        synth_real_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return resize_plan(decode_real_meta(synth_real_assets(docs)), box=64)

@@ -534,3 +534,64 @@ def events_dau_wau_stickiness(spark, sf_dir):
         "day", "dau", "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    # Weekly retention matrix: cohort = the Monday-truncated week of a
+    # user's FIRST event; one row per (cohort_week, week_offset) with the
+    # distinct users still active and the retention rate against cohort
+    # size. Shuffle posture: the user-week frame joins its per-user cohort
+    # assignment on user_id (fact-fact SHUFFLE_HASH — a per-user frame is
+    # corpus-sized and must never broadcast); the final size merge keys on
+    # cohort_week, which is CALENDAR-bounded, so that side broadcasts.
+    """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+act AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, u.week) // 7 AS BIGINT) AS week_offset,
+         u.user_id
+  FROM uw u JOIN coh c USING (user_id)
+),
+ret AS (
+  SELECT cohort_week, week_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM act GROUP BY cohort_week, week_offset
+),
+sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users FROM coh GROUP BY cohort_week)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_users,
+       round(CAST(r.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
+FROM ret r JOIN sz s USING (cohort_week)
+""",
+    "Weekly retention cohorts: first-activity week per user, distinct active "
+    "users per (cohort, week-offset), retention rate vs cohort size — the "
+    "growth-analytics staple next to DAU/WAU stickiness",
+)
+def events_retention_cohorts(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = uw.join(coh.hint("SHUFFLE_HASH"), "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active")
+    )
+    sz = coh.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    return ret.join(F.broadcast(sz), "cohort_week").select(
+        "cohort_week", "week_offset", "n_active", "cohort_users",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_users"), 6)
+        .alias("retention"),
+    )
