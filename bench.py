@@ -1021,12 +1021,11 @@ def _extras(spark, sf_dir: str) -> dict:
             # the last three are the most expensive FAMILIES (dedup
             # keep/drop pipeline, blocked kNN graph, updated-index
             # composite): their 100 TB posture now carries a measured ratio,
-            # not just a plan argument. dedup_drop_list / knn_graph_blocked
-            # serve from per-corpus memoized pair/graph frames (warm run
-            # builds, reps measure steady-state serving — the same
-            # convention as ann_hnsw_topk's memoized graph);
-            # ann_hnsw_updated_topk re-runs its fused build+crud+serve
-            # composite every call, so its ratio covers the whole composite.
+            # not just a plan argument. All three serve from per-corpus
+            # memoized artifacts (pair frames / graph / updated graph), so —
+            # like ann_hnsw_topk — the warm run builds and the reps measure
+            # the steady-state SERVE leg; the one-time build cost is the
+            # per-query row in the main timing map (first call per corpus).
             for name in ("ann_cosine_topk", "bm25_term",
                          "bm25_persisted_term", "text_token_counts",
                          "ann_hnsw_topk", "dedup_drop_list",

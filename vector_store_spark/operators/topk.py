@@ -239,7 +239,17 @@ def knn_join(
             kk = min(k, len(pdf))
             for j, qid in enumerate(qids):
                 dj = dist[:, j]
-                top = np.argpartition(dj, kk - 1)[:kk] if kk < len(dj) else np.arange(len(dj))
+                if kk < len(dj):
+                    # keep EVERY row tied at the batch-local k-boundary (same
+                    # rule as _gemm_topk above): the global merge breaks ties
+                    # on id_cols, and the winner of a tie group must not be
+                    # cut inside its batch — integer Hamming distances tie
+                    # constantly, so a bare argpartition[:k] drops the
+                    # smallest-id member of a boundary tie at larger SFs
+                    kth = np.partition(dj, kk - 1)[kk - 1]
+                    top = np.nonzero(dj <= kth)[0]
+                else:
+                    top = np.arange(len(dj))
                 f = pdf.iloc[top][id_cols].copy()
                 f.insert(0, query_id_col, str(qid))
                 f[dist_col] = dj[top]

@@ -17,7 +17,8 @@ from vector_store_spark.registry import ROUND, load, register
 @register(
     "star_revenue_by_nation",
     f"""
-SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND}) AS revenue,
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), {ROUND}) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -52,7 +53,18 @@ def star_revenue_by_nation(spark, sf_dir):
     return (
         joined.groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND).alias("revenue"),
+            # revenue terms are 2dp·2dp money — exactly 4 decimal digits —
+            # so round each term onto its true 4dp grid and SUM AS DECIMAL:
+            # the aggregate is then associative (partial-agg order can't
+            # shift the 6dp rounded total, which a double sum does at sf≥0.1)
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                ROUND,
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -182,7 +194,8 @@ def star_orders_monthly(spark, sf_dir):
     # over the ROUNDED revenue (the cross-engine-stable value) with
     # (o_orderdate, l_orderkey) tie-breaks.
     f"""
-SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND}) AS revenue,
+SELECT l.l_orderkey,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), {ROUND}) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -209,7 +222,16 @@ def star_shipping_priority(spark, sf_dir):
         .join(l.hint("SHUFFLE_HASH"), o.o_orderkey == l.l_orderkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND).alias("revenue")
+        # same decimal-sum hardening as star_revenue_by_nation: exact 4dp
+        # terms, associative decimal aggregate, stable 6dp total at any SF
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).cast("double"),
+            ROUND,
+        ).alias("revenue")
     )
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
