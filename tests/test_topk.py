@@ -190,3 +190,29 @@ def test_knn_label_vote(spark):
     got = knn_label_vote(tie, "embedding", "label", [("q", [1.0, 0.0])],
                          k=10, round_to=6).collect()[0]
     assert got.predicted_label == 4 and got.votes == 5
+
+
+def test_knn_join_keeps_boundary_ties_across_partitions(spark):
+    """The batch-local partial top-k must keep EVERY row tied at its
+    k-boundary: with integer (Hamming) distances, the global smallest-id
+    winner of a tie group can live in any partition, and a bare
+    argpartition[:k] cut used to drop it (surfaced at sf0.1)."""
+    from vector_store_spark.operators.topk import knn_join
+    from vector_store_spark.types import SpaceType
+
+    # 64 vectors, ALL at hamming distance 1 from the all-positive query
+    # (one sign flipped per row) — every row ties; ids deliberately
+    # descending so naive batch order favors large ids
+    dims = 16
+    rows = []
+    for i in range(64):
+        v = [1.0] * dims
+        v[i % dims] = -1.0
+        rows.append((63 - i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    got = knn_join(
+        df, "embedding", [("q", [1.0] * dims)], k=5,
+        space=SpaceType.HAMMING, id_cols=["vec_id"],
+    ).orderBy("vec_id").collect()
+    assert [r.vec_id for r in got] == [0, 1, 2, 3, 4]
+    assert all(r.distance == 1.0 for r in got)
