@@ -797,7 +797,11 @@ def text_vocab_growth(spark, sf_dir):
     # an unpartitioned Window.orderBy("bucket") would drag every bucket row
     # through one task at scale. The two-pass bucketed prefix sum caps the
     # largest task at one prefix-bucket range; inclusive cumulative =
-    # exclusive offset + own mass.
+    # exclusive offset + own mass. The rollup is CACHED first: the prefix
+    # pass consumes it twice (histogram collect + offset resolution), and
+    # without the cache each pass would replay the full gram pipeline —
+    # the cached frame is bucket-count-sized (corpus/50 rows, 2 columns).
+    b = b.cache()
     pref = global_prefix_offsets(b, "bucket", "new_grams", bucket_size=100_000)
     return pref.select(
         "bucket",
