@@ -592,3 +592,151 @@ def emb_kmeans_refined_profile(spark, sf_dir):
             F.round(F.avg("l2sq"), ROUND).alias("mean_l2sq"),
         )
     )
+
+
+# graph-edge CTE shared by the three graph-analysis oracles below — the same
+# blocked-kNN derivation as knn_graph_blocked, wrapped as `g(src, dst,
+# distance)` so the analyses can never drift from the graph query itself
+_KG_G = f"""{_KG_ASG},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT p.src, p.dst,
+         round(1.0 - {_cos_sim("ea.v", "eb.v")}, {ROUND}) AS distance
+  FROM pairs p JOIN e ea ON ea.vec_id = p.src JOIN e eb ON eb.vec_id = p.dst
+),
+ranked AS (
+  SELECT src, dst, distance,
+         row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rn
+  FROM d
+),
+g AS (SELECT src, dst, distance FROM ranked WHERE rn <= {_KG_M})
+"""
+
+
+@register(
+    "knn_graph_indegree_hist",
+    # Hubness audit: in high dimensions a few "hub" points appear in MANY
+    # other points' kNN lists while anti-hubs appear in none (Radovanović et
+    # al. 2010) — skewed in-degree distorts retrieval and graph-ANN quality.
+    # The histogram of in-degrees (including the 0 bucket for anti-hubs) is
+    # the standard diagnostic. Out-degree is fixed at m, so in-degree is the
+    # only informative side.
+    f"""
+WITH {_KG_G},
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree FROM g GROUP BY dst),
+hist AS (
+  SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes FROM ind GROUP BY in_degree
+),
+zero AS (
+  SELECT CAST(0 AS BIGINT) AS in_degree,
+         CAST((SELECT count(*) FROM embeddings) - (SELECT count(*) FROM ind) AS BIGINT) AS n_nodes
+)
+SELECT in_degree, n_nodes FROM hist
+UNION ALL
+SELECT in_degree, n_nodes FROM zero WHERE n_nodes > 0
+""",
+    "Hubness diagnostic over the kNN graph: in-degree histogram incl. the "
+    "anti-hub 0 bucket (out-degree is fixed at m; skewed in-degree is the "
+    "high-dimensional pathology that degrades retrieval)",
+)
+def knn_graph_indegree_hist(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    g = _graph(spark, sf_dir)
+    ind = g.groupBy("nbr_id").agg(F.count("*").cast("long").alias("in_degree"))
+    hist = ind.groupBy("in_degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    # anti-hub bucket: nodes referenced by NO kNN list. Two metadata-sized
+    # counts (driver ints), appended as a literal row — no extra join.
+    n_zero = emb.count() - ind.count()
+    if n_zero <= 0:
+        return hist
+    zero = spark.createDataFrame([(0, n_zero)], "in_degree long, n_nodes long")
+    return hist.unionByName(zero)
+
+
+@register(
+    "knn_graph_edge_stats",
+    # Edge-level graph quality: reciprocity (fraction of directed kNN edges
+    # whose reverse edge also exists — low reciprocity marks asymmetric
+    # neighborhoods/hubs) and the mean edge distance. The mean uses the
+    # integer-sum recipe: distances are 6dp-rounded, so sum their 1e6
+    # scalings as BIGINT (order-independent in both engines) and divide
+    # once — a double sum's association drift could flip the 6dp mean.
+    f"""
+WITH {_KG_G},
+rev AS (SELECT dst AS src, src AS dst FROM g),
+m AS (
+  SELECT gr.distance, CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS is_rec
+  FROM g gr LEFT JOIN rev r ON gr.src = r.src AND gr.dst = r.dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(is_rec) AS BIGINT) AS n_reciprocal,
+       round(CAST(sum(is_rec) AS DOUBLE) / count(*), 6) AS reciprocity,
+       round(sum(CAST(round(distance * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS mean_distance
+FROM m
+""",
+    "kNN-graph edge stats: reciprocity rate (mutual-neighbor fraction — the "
+    "symmetry health check before mutual-kNN clustering) and mean edge "
+    "distance via an order-independent integer sum",
+)
+def knn_graph_edge_stats(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    rev = g.select(
+        F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id"),
+        F.lit(1).alias("_rev"),
+    )
+    # edge ⋈ reversed-edge is fact-fact on the edge keys: SHUFFLE_HASH, the
+    # m·N edge frame must never broadcast. (src,dst) is unique in g, so the
+    # left join cannot fan out.
+    marked = g.join(rev.hint("SHUFFLE_HASH"), ["vec_id", "nbr_id"], "left")
+    return marked.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("_rev").cast("long").alias("n_reciprocal"),
+        F.round(
+            F.sum("_rev").cast("double") / F.count("*"), 6
+        ).alias("reciprocity"),
+        F.round(
+            F.sum(F.round(F.col("distance") * 1000000).cast("long"))
+            / (F.count("*") * 1000000.0),
+            6,
+        ).alias("mean_distance"),
+    )
+
+
+@register(
+    "emb_knn_dist_outliers",
+    # Density outliers: the 15 vectors whose mean distance TO THEIR OWN kNN
+    # list is largest — the kNN-distance outlier detector (Ramaswamy et al.
+    # 2000 'Efficient algorithms for mining outliers'), complementary to the
+    # label-centroid audit (emb_label_outliers scores against a class mean;
+    # this scores local density, labels unseen). Same integer-sum mean.
+    f"""
+WITH {_KG_G},
+s AS (
+  SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+         round(sum(CAST(round(distance * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS mean_nbr_distance
+  FROM g GROUP BY src
+)
+SELECT vec_id, n_neighbors, mean_nbr_distance FROM s
+ORDER BY mean_nbr_distance DESC, vec_id LIMIT 15
+""",
+    "kNN-distance outliers: top-15 by mean distance to own neighbor list — "
+    "the density-based outlier sweep over the memoized kNN graph",
+)
+def emb_knn_dist_outliers(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    s = g.groupBy(F.col("vec_id")).agg(
+        F.count("*").cast("long").alias("n_neighbors"),
+        F.round(
+            F.sum(F.round(F.col("distance") * 1000000).cast("long"))
+            / (F.count("*") * 1000000.0),
+            6,
+        ).alias("mean_nbr_distance"),
+    )
+    return s.orderBy(
+        F.col("mean_nbr_distance").desc(), F.col("vec_id").asc()
+    ).limit(15)
