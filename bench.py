@@ -122,17 +122,32 @@ def main() -> int:
         "mix_pack_sequences", "lww_snapshot",
     ]
     stdout_queries = {k: timings[k] for k in flagship if k in timings}
-    stdout_record = json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": stdout_queries,
-        "queries_shown": len(stdout_queries),
-        "queries_total": len(timings),
-        "sf": sf,
-        "extras_file": os.path.basename(full_path),
-    }, separators=(",", ":"))
-    assert len(stdout_record) < 1800, f"stdout record too big: {len(stdout_record)}"
+
+    def _encode(qmap):
+        return json.dumps({
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": qmap,
+            "queries_shown": len(qmap),
+            "queries_total": len(timings),
+            "sf": sf,
+            "extras_file": os.path.basename(full_path),
+        }, separators=(",", ":"))
+
+    # The driver's stdout capture keeps only ~2,000 chars. If the flagship
+    # subset ever grows past the limit, DEGRADE (trim the map, warn on
+    # stderr) rather than abort — a bare assert here would throw away the
+    # whole ~230 s run after every query completed (and vanish under -O).
+    stdout_record = _encode(stdout_queries)
+    while len(stdout_record) >= 1800 and stdout_queries:
+        dropped, _ = stdout_queries.popitem()
+        print(
+            f"bench: stdout record too big, trimming {dropped!r} "
+            f"(full map stays in {full_path})",
+            file=sys.stderr,
+        )
+        stdout_record = _encode(stdout_queries)
     print(stdout_record)
     sys.stdout.flush()
     sys.stderr.flush()

@@ -75,7 +75,9 @@ def test_frame_sample_fanout(assets):
     assert sorted(r.frame_idx for r in by_doc[5]) == [0]
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_rejects_unsupported_formats():
+    # the FAKE container's magic is neither BMP nor WAV — formats beyond the
+    # stdlib codecs are the documented plug-point and must raise
     with pytest.raises(NotImplementedError):
         decode_real(MAGIC + b"\0" * 20)
 

@@ -43,15 +43,6 @@ def fake_dims(doc_id: int) -> tuple[int, int]:
     return 16 + doc_id % 48, 16 + (doc_id * 7) % 48
 
 
-def decode_real(content: bytes) -> dict:
-    """Where a real codec would plug in (PIL.Image.open / av.open /
-    soundfile.read). Not available in this container."""
-    raise NotImplementedError(
-        "real media decoding requires PIL/av/soundfile; this environment ships "
-        "the deterministic FAKE container instead (decode_meta)"
-    )
-
-
 def synth_assets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents → (doc_id, modality, content binary): payload = utf-8 text,
     header = FAKE|width|height, modality = doc_id % 3. This is the test-fixture

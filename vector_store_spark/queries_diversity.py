@@ -693,11 +693,15 @@ def knn_graph_edge_stats(spark, sf_dir):
     # m·N edge frame must never broadcast. (src,dst) is unique in g, so the
     # left join cannot fan out.
     marked = g.join(rev.hint("SHUFFLE_HASH"), ["vec_id", "nbr_id"], "left")
+    # coalesce: sum over an ALL-null column is NULL on Spark but the oracle's
+    # sum(CASE...ELSE 0) is 0 — a corpus with zero reciprocal edges must
+    # yield 0/0.0 on both sides, not NULL
+    n_rec = F.coalesce(F.sum("_rev"), F.lit(0))
     return marked.agg(
         F.count("*").cast("long").alias("n_edges"),
-        F.sum("_rev").cast("long").alias("n_reciprocal"),
+        n_rec.cast("long").alias("n_reciprocal"),
         F.round(
-            F.sum("_rev").cast("double") / F.count("*"), 6
+            n_rec.cast("double") / F.count("*"), 6
         ).alias("reciprocity"),
         F.round(
             F.sum(F.round(F.col("distance") * 1000000).cast("long"))

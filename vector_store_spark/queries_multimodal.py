@@ -63,17 +63,20 @@ WITH img AS (
   SELECT doc_id, {_W} AS w, {_H} AS h FROM documents WHERE doc_id % 3 = 0
 )
 SELECT doc_id, w AS width, h AS height,
-       CASE WHEN greatest(w, h) <= 64 THEN w
-            ELSE CAST(floor(w * 64 / greatest(w, h)) AS INT) END AS new_width,
-       CASE WHEN greatest(w, h) <= 64 THEN h
-            ELSE CAST(floor(h * 64 / greatest(w, h)) AS INT) END AS new_height
+       CASE WHEN greatest(w, h) <= 32 THEN w
+            ELSE CAST(floor(w * 32 / greatest(w, h)) AS INT) END AS new_width,
+       CASE WHEN greatest(w, h) <= 32 THEN h
+            ELSE CAST(floor(h * 32 / greatest(w, h)) AS INT) END AS new_height
 FROM img
 """,
-    "Image resize targets: decode header dims from bytes, aspect-fit into 64px box",
+    # box=32 sits INSIDE the synthesized dim range (16..63) so BOTH CASE
+    # branches — pass-through and the aspect-fit floor arithmetic — are
+    # exercised by the oracle (box=64 made every asset pass-through)
+    "Image resize targets: decode header dims from bytes, aspect-fit into 32px box",
 )
 def mm_resize_plan(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return resize_plan(decode_meta(synth_assets(docs)), box=64)
+    return resize_plan(decode_meta(synth_assets(docs)), box=32)
 
 
 @register(
@@ -229,12 +232,14 @@ WITH img AS (
   SELECT doc_id, {_W} AS w, {_H} AS h FROM documents WHERE doc_id % 2 = 0
 )
 SELECT doc_id, w AS width, h AS height,
-       CASE WHEN greatest(w, h) <= 64 THEN w
-            ELSE CAST(floor(w * 64 / greatest(w, h)) AS INT) END AS new_width,
-       CASE WHEN greatest(w, h) <= 64 THEN h
-            ELSE CAST(floor(h * 64 / greatest(w, h)) AS INT) END AS new_height
+       CASE WHEN greatest(w, h) <= 32 THEN w
+            ELSE CAST(floor(w * 32 / greatest(w, h)) AS INT) END AS new_width,
+       CASE WHEN greatest(w, h) <= 32 THEN h
+            ELSE CAST(floor(h * 32 / greatest(w, h)) AS INT) END AS new_height
 FROM img
 """,
+    # box=32 (inside the 16..63 dim range) so the oracle validates BOTH the
+    # pass-through and the aspect-fit floor branch of the real-codec leg
     "Resize targets from REAL decoded BMP headers (stdlib codec leg chained "
     "into the resize stage)",
 )
@@ -245,4 +250,4 @@ def mm_resize_plan_real(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    return resize_plan(decode_real_meta(synth_real_assets(docs)), box=64)
+    return resize_plan(decode_real_meta(synth_real_assets(docs)), box=32)

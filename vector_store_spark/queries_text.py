@@ -802,9 +802,18 @@ def text_vocab_growth(spark, sf_dir):
     # without the cache each pass would replay the full gram pipeline —
     # the cached frame is bucket-count-sized (corpus/50 rows, 2 columns).
     b = b.cache()
-    pref = global_prefix_offsets(b, "bucket", "new_grams", bucket_size=100_000)
-    return pref.select(
-        "bucket",
-        "new_grams",
-        (F.col("offset") + F.col("new_grams")).cast("long").alias("vocab_size"),
-    )
+    try:
+        pref = global_prefix_offsets(b, "bucket", "new_grams", bucket_size=100_000)
+        result = pref.select(
+            "bucket",
+            "new_grams",
+            (F.col("offset") + F.col("new_grams")).cast("long").alias("vocab_size"),
+        )
+        # bucket-count-sized (corpus/50 rows): materialize eagerly so the
+        # rollup cache is released HERE instead of leaking one entry per call
+        # (bench reps invoke registry queries repeatedly)
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        b.unpersist()
+    return spark.createDataFrame(rows, schema)
