@@ -424,3 +424,69 @@ def test_spans_within_doc_repeat_is_not_duplicated(spark):
         (2, "r1 r2 r3 r4 r5 r6 r7"),
     ]
     assert _spans(spark, rows) == []
+
+
+# --- SemDeDup (cluster-bounded semantic dedup) ---------------------------
+
+def _semdedup_assigned(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.clustering import kmeans_assign
+    from vector_store_spark.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.where(F.col("vec_id") < 4).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    return kmeans_assign(
+        emb, "vec_id", "embedding", [r.embedding for r in cents],
+        keep_cols=("embedding",),
+    )
+
+
+def test_semantic_dup_pairs_grid_is_lossless(spark, sf_dir):
+    """The per-cluster grid sub-blocking (skew guard) must return the
+    IDENTICAL pair set — same pairs, same cosines — as the unsplit
+    one-task-per-cluster shape, including when max_block forces many
+    chunks per cluster."""
+    from vector_store_spark.operators.dedup import semantic_dup_pairs
+
+    assigned = _semdedup_assigned(spark, sf_dir).cache()
+    try:
+        base = {
+            (r["id_a"], r["id_b"]): (r["cluster"], round(r["cosine"], 9))
+            for r in semantic_dup_pairs(
+                assigned, "vec_id", "embedding", threshold=0.3,
+                max_block=10**9,
+            ).collect()
+        }
+        grid = {
+            (r["id_a"], r["id_b"]): (r["cluster"], round(r["cosine"], 9))
+            for r in semantic_dup_pairs(
+                assigned, "vec_id", "embedding", threshold=0.3, max_block=7,
+            ).collect()
+        }
+    finally:
+        assigned.unpersist()
+    assert base and grid == base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_block"):
+        semantic_dup_pairs(assigned, "vec_id", "embedding", 0.3, max_block=0)
+
+
+def test_semantic_dup_pairs_orientation_and_threshold(spark, sf_dir):
+    from vector_store_spark.operators.dedup import semantic_dup_pairs
+
+    assigned = _semdedup_assigned(spark, sf_dir)
+    rows = semantic_dup_pairs(
+        assigned, "vec_id", "embedding", threshold=0.3, max_block=64,
+    ).collect()
+    assert rows, "threshold 0.3 should yield pairs on the test corpus"
+    cluster_of = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.3
+        # pairs only ever form WITHIN a cluster
+        assert cluster_of[r["id_a"]] == r["cluster"] == cluster_of[r["id_b"]]

@@ -280,3 +280,55 @@ def test_routed_coexisting_scans_only_chosen_index(plans):
     assert "label" in pf and "cluster" in pf, (
         f"both pruning levels must be partition filters, got {pf!r}"
     )
+
+
+def test_semantic_dedup_cluster_bounded_plan(spark, sf_dir):
+    """dedup_semantic_clusters' registry entry returns an eagerly-localized
+    frame (dup-member-sized), so the suite-wide audit sees only a
+    LocalTableScan — pin the INTERNAL pipeline here: the pair search is the
+    cluster-grid cogrouped GEMM (never a cartesian/all-pairs join), the only
+    broadcast is the metadata-sized grid-cell map, and the member-metadata
+    join is shuffle-hash (the member frame is fact-classed: dup counts grow
+    with the corpus)."""
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.clustering import kmeans_assign
+    from vector_store_spark.operators.dedup import (
+        dedup_component_members,
+        semantic_dup_pairs,
+    )
+    from vector_store_spark.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.where(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", [r.embedding for r in cents],
+        keep_cols=("embedding",),
+    )
+    pairs = semantic_dup_pairs(
+        assigned, "vec_id", "embedding", threshold=0.45, max_block=512,
+    )
+    pairs_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    for banned in _BANNED_EVERYWHERE:
+        assert banned not in pairs_plan, f"{banned} in SemDeDup pair search"
+    assert "SortMergeJoin" not in pairs_plan
+    assert "FlatMapGroupsInPandas" in pairs_plan, (
+        "pair search must be the grouped Arrow GEMM, not a pair join"
+    )
+    # exactly one broadcast: the (cluster, chunk) -> grid-cell map, which is
+    # k·chunks² rows of ints (metadata), never the vector frame
+    assert pairs_plan.count("BroadcastExchange") <= 1
+
+    members = dedup_component_members(pairs)
+    meta = assigned.select(
+        F.col("vec_id").alias("member_id"),
+        F.round("l2sq", 6).alias("dist_sq"),
+    )
+    joined = members.join(meta.hint("SHUFFLE_HASH"), "member_id")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in jplan, "member-metadata join must be SHJ"
+    for banned in _BANNED_EVERYWHERE:
+        assert banned not in jplan

@@ -872,3 +872,115 @@ def duplicated_ngram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def semantic_dup_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    cluster_col: str = "cluster_id",
+    max_block: int = 512,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", arXiv:2303.09540):
+    cosine-threshold pairs computed ONLY within k-means clusters — the
+    cluster pass replaces the O(N²) all-pairs GEMM with Σ|cluster|² work,
+    the standard semantic-dedup tier between MinHash (lexical) and
+    embedding-LSH (geometric buckets).
+
+    ``assigned`` is the k-means assignment output (``kmeans_assign``):
+    one row per item with ``id_col``, ``vec_col``, ``cluster_col``.
+
+    Skew guard: clusters are data-sized, so one hot cluster would otherwise
+    become one giant task. Like ``knn_graph``'s grid (the LOSSLESS guard —
+    unlike the dedup salting cap it can stay armed under an exhaustive
+    oracle), each cluster is hash-chunked into ceil(|cluster|/max_block)
+    chunks and the chunk-pair grid is processed cell-by-cell: per-task
+    memory ≤ 2·max_block rows whatever the skew, every unordered pair meets
+    exactly once (same chunk → diagonal cell, else exactly one (ca<cb)
+    cell). The per-cluster chunk counts are a k-row aggregate and the cell
+    map is metadata-sized — broadcast.
+
+    Returns (id_a, id_b, cluster, cosine) with id_a < id_b, cosine ≥
+    threshold; vectors are normalized inside the GEMM, matching a
+    list_inner_product/(|a|·|b|) oracle.
+    """
+    import math
+
+    if max_block <= 0:
+        raise ValueError("max_block must be positive")
+    e = assigned.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in e.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    cell_rows = set()
+    for c, n in sizes.items():
+        nc = max(1, math.ceil(n / max_block))
+        for chunk in range(nc):
+            for other in range(nc):
+                cell_rows.add((c, chunk, min(chunk, other), max(chunk, other)))
+    cluster_type = dict(e.dtypes)["cluster"]
+    cells = e.sparkSession.createDataFrame(
+        sorted(cell_rows), f"cluster {cluster_type}, _chunk int, _ca int, _cb int"
+    )
+    nchunk_expr = F.create_map(*[
+        x for c, n in sorted(sizes.items())
+        for x in (F.lit(c), F.lit(max(1, math.ceil(n / max_block))))
+    ])
+    chunked = e.withColumn(
+        "_chunk",
+        F.pmod(F.xxhash64(F.col("id")), nchunk_expr[F.col("cluster")]).cast("int"),
+    )
+    gridded = chunked.join(F.broadcast(cells), ["cluster", "_chunk"])
+    thr = float(threshold)
+
+    def grid_cell(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cluster, ca, cb = key
+        empty = pd.DataFrame({
+            "id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
+            "cluster": pdf["cluster"][:0], "cosine": np.zeros(0),
+        })
+        A = pdf[pdf["_chunk"] == ca]
+        B = pdf[pdf["_chunk"] == cb] if ca != cb else A
+        if A.empty or B.empty:
+            return empty
+        XA = np.asarray([np.asarray(v, dtype=np.float64) for v in A["v"]])
+        XB = XA if ca == cb else np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in B["v"]]
+        )
+        na = np.linalg.norm(XA, axis=1)
+        na[na == 0.0] = 1.0
+        nb = na if ca == cb else np.linalg.norm(XB, axis=1)
+        if ca != cb:
+            nb[nb == 0.0] = 1.0
+        S = (XA / na[:, None]) @ (XB / nb[:, None]).T
+        ia = A["id"].to_numpy()
+        ib = B["id"].to_numpy()
+        if ca == cb:
+            # diagonal cell: each unordered pair appears twice — keep the
+            # id_a < id_b orientation only
+            keep = (S >= thr) & (ia[:, None] < ib[None, :])
+        else:
+            keep = S >= thr
+        xi, yi = np.nonzero(keep)
+        lo = np.minimum(ia[xi], ib[yi])
+        hi = np.maximum(ia[xi], ib[yi])
+        return pd.DataFrame({
+            "id_a": lo, "id_b": hi,
+            "cluster": np.full(len(lo), cluster),
+            "cosine": S[xi, yi],
+        })
+
+    return gridded.groupBy("cluster", "_ca", "_cb").applyInPandas(
+        grid_cell,
+        f"id_a long, id_b long, cluster {cluster_type}, cosine double",
+    )

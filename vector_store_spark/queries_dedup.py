@@ -632,3 +632,125 @@ def dedup_substring_stats(spark, sf_dir):
         dup.cast("long").alias("dup_tokens"),
         F.round(dup.cast("double") / F.sum("n_tokens"), ROUND).alias("dup_token_frac"),
     )
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+# embeddings, find cosine-threshold pairs ONLY within clusters, then keep one
+# representative per duplicate group — the paper keeps the member with LOW
+# similarity to its cluster centroid (max squared-L2, preserving diversity),
+# ties -> smallest id. Seed centroids are the first _SD_K vectors (vec_id <
+# _SD_K), the same deterministic recipe as emb_cluster_profile, so the oracle
+# re-derives them from the table itself. tau follows dedup_embedding_lsh's
+# 0.45 (this synthetic corpus has no >=0.6 within-cluster cosine at shipped
+# SFs). For unit vectors l2sq = 2 - 2*cos, so max-l2sq IS min-cos-to-centroid.
+_SD_K, _SD_TAU = 16, 0.45
+
+
+@register(
+    "dedup_semantic_clusters",
+    f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SD_K}),
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(list_transform(list_zip(e.v, c.cv), x -> (x[1] - x[2])),
+                            list_transform(list_zip(e.v, c.cv), x -> (x[1] - x[2]))) AS l2sq
+  FROM e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, cid, l2sq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cid) AS rn
+  FROM d
+),
+m AS (SELECT vec_id, cid, l2sq FROM a WHERE rn = 1),
+ver AS (
+  SELECT ma.vec_id AS id_a, mb.vec_id AS id_b
+  FROM m ma JOIN m mb ON ma.cid = mb.cid AND ma.vec_id < mb.vec_id
+  JOIN e ea ON ea.vec_id = ma.vec_id JOIN e eb ON eb.vec_id = mb.vec_id
+  WHERE list_inner_product(ea.v, eb.v) /
+        (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v)))
+        >= {_SD_TAU}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM ver UNION SELECT id_b, id_a FROM ver),
+reach AS (
+  SELECT src, src AS dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+labels AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src),
+mem AS (
+  SELECT l.group_id, l.id AS member_id, m.cid AS cluster_id,
+         round(m.l2sq, {ROUND}) AS dist_sq
+  FROM labels l JOIN m ON m.vec_id = l.id
+),
+rep AS (
+  SELECT group_id, member_id,
+         row_number() OVER (PARTITION BY group_id ORDER BY dist_sq DESC, member_id) AS rn
+  FROM mem
+)
+SELECT mem.group_id, mem.member_id, mem.cluster_id, mem.dist_sq,
+       rep.rn = 1 AS keep
+FROM mem JOIN rep ON rep.group_id = mem.group_id AND rep.member_id = mem.member_id
+""",
+    "SemDeDup semantic dedup: k-means clusters bound the pair search "
+    "(Sigma |cluster|^2, never all-pairs), within-cluster cosine >= tau "
+    "pairs -> connected components -> keep the member FARTHEST from its "
+    "cluster centroid per group (the paper's diversity-preserving pick); "
+    "grid sub-blocking (lossless, knn_graph-style) caps per-task memory "
+    "under cluster skew",
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vector_store_spark.operators.clustering import kmeans_assign
+    from vector_store_spark.operators.dedup import (
+        dedup_component_members,
+        semantic_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.where(F.col("vec_id") < _SD_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )  # k-bounded metadata collect
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", [r.embedding for r in cents],
+        keep_cols=("embedding",),
+    )
+    # argmin INDEX -> seed vec_id (same explicit mapping as
+    # emb_cluster_profile: the oracle keys clusters by vec_id)
+    cid_lookup = F.array(*[F.lit(int(r.vec_id)) for r in cents])
+    assigned = assigned.withColumn(
+        "cluster_id",
+        F.element_at(cid_lookup, F.col("cluster_id").cast("int") + 1).cast("long"),
+    )
+    # the assignment GEMM scan feeds BOTH the pair generation and the
+    # member-metadata join — cache it, release after the (dup-member-sized)
+    # result is materialized
+    assigned = assigned.cache()
+    try:
+        pairs = semantic_dup_pairs(
+            assigned, "vec_id", "embedding",
+            threshold=_SD_TAU, cluster_col="cluster_id", max_block=512,
+        )
+        members = dedup_component_members(pairs)
+        meta = assigned.select(
+            F.col("vec_id").alias("member_id"),
+            "cluster_id",
+            F.round("l2sq", ROUND).alias("dist_sq"),
+        )
+        # members is dup-sized but fact-classed (corpus-proportional):
+        # SHUFFLE_HASH, never broadcast
+        mem = members.join(meta.hint("SHUFFLE_HASH"), "member_id")
+        w = Window.partitionBy("group_id").orderBy(
+            F.col("dist_sq").desc(), F.col("member_id")
+        )
+        out = mem.withColumn("keep", F.row_number().over(w) == 1).select(
+            "group_id", "member_id", "cluster_id", "dist_sq", "keep"
+        )
+        rows = out.collect()  # dup-member-sized
+        schema = out.schema
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(rows, schema)
