@@ -108,18 +108,69 @@ _FEATURE_DOC = """Per-document quality signals (the classic Gopher/C4-style rule
     """
 
 
+def quality_score_int_expr(
+    intdiv: str = "DIV",
+    n_chars: str = "n_chars",
+    n_tokens: str = "n_tokens",
+    alpha: str = "alpha_ratio",
+    punct: str = "punct_ratio",
+    stop: str = "stopword_ratio",
+    uniq: str = "uniq_token_ratio",
+) -> str:
+    """SQL text for the composite quality score, computed EXACTLY in BIGINT.
+
+    score = 0.3·min(T/50,1) + 0.25·alpha + 0.2·min(4·stop,1) + 0.25·uniq
+            − 0.5·punct, clamped to [0,1], at a 1e-6 grid.
+
+    The float form of this sum is a halfway-rounding trap: the sf1 stretch
+    gate caught one document (of 50k) whose composite lands so close to a
+    round(·,6) boundary that Spark's BigDecimal HALF_UP and DuckDB's
+    x·1e6-then-nearbyint disagree by 1e-6. Every input is an exact integer
+    count (chars, tokens, stopwords, …) and every coefficient an exact
+    multiple of 1/100, so the score is a rational with denominator
+    D = 500·C·T — compute the numerator in BIGINT, half-up-round to the
+    1e-6 grid with INTEGER division, and divide once (both engines IEEE-
+    divide the same integers → bit-identical doubles).
+
+    The ratio inputs recover their counts exactly: round((s/n)·n) == s
+    because the single-division ratio is within 1 ulp of the rational.
+
+    ``intdiv``: 'DIV' (Spark SQL) or '//' (DuckDB). Overflow bound: the
+    pre-division product is ≤ D·(2e6+2) — int64-safe for any document with
+    chars·tokens < 4.6e9 (a 100 MB document; per-doc text stats never get
+    near it).
+    """
+    C = f"CAST({n_chars} AS BIGINT)"
+    T = f"CAST({n_tokens} AS BIGINT)"
+    a = f"CAST(ROUND({alpha} * {n_chars}) AS BIGINT)"
+    p = f"CAST(ROUND({punct} * {n_chars}) AS BIGINT)"
+    s = f"CAST(ROUND({stop} * {n_tokens}) AS BIGINT)"
+    u = f"CAST(ROUND({uniq} * {n_tokens}) AS BIGINT)"
+    Ce = f"GREATEST({C}, CAST(1 AS BIGINT))"
+    Te = f"GREATEST({T}, CAST(1 AS BIGINT))"
+    # numerator over D = 500·Ce·Te: 0.3·min(T,50)/50 → 3·Ce·Te·min(T,50);
+    # 0.25·a/C → 125·Te·a; 0.2·min(4s,T)/T → 100·Ce·min(4s,T);
+    # 0.25·u/T → 125·Ce·u; 0.5·p/C → 250·Te·p. Zero counts make their own
+    # terms vanish, so the Ce/Te floor guards never change a defined value.
+    N = (
+        f"(3 * {Ce} * {Te} * LEAST({T}, CAST(50 AS BIGINT)) + 125 * {Te} * {a}"
+        f" + 100 * {Ce} * LEAST(4 * {s}, {T}) + 125 * {Ce} * {u}"
+        f" - 250 * {Te} * {p})"
+    )
+    D = f"(500 * {Ce} * {Te})"
+    ncl = f"GREATEST(CAST(0 AS BIGINT), LEAST({N}, {D}))"
+    q6 = f"((2 * {ncl} * 1000000 + {D}) {intdiv} (2 * {D}))"
+    return f"(CAST({q6} AS DOUBLE) / 1000000.0)"
+
+
 def _with_quality_score(feats: DataFrame) -> DataFrame:
     # composite: reward alpha-heavy, stopword-bearing, lexically diverse text
     # of reasonable length; penalize punctuation soup. Clamped to [0,1].
-    score = (
-        0.3 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
-        + 0.25 * F.col("alpha_ratio")
-        + 0.2 * F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
-        + 0.25 * F.col("uniq_token_ratio")
-        - 0.5 * F.col("punct_ratio")
-    )
+    # Exact-integer form (see quality_score_int_expr): the value is already
+    # on the 1e-6 grid, no further rounding — cross-engine-stable by
+    # construction.
     return feats.withColumn(
-        "quality_score", F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+        "quality_score", F.expr(quality_score_int_expr(intdiv="DIV"))
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vector_store_spark.operators.curation import curate
+from vector_store_spark.operators.textstats import quality_score_int_expr
 from vector_store_spark.queries_text import _PRED, _SCORES, _STOP_LIST, _TOKS_KEEP_STOP
 from vector_store_spark.registry import ROUND, load, register
 
@@ -44,10 +45,7 @@ t AS (
   FROM t
 ), s AS (
   SELECT doc_id, source, text, n_tokens,
-    round(greatest(least(
-      0.3 * least(n_tokens / 50.0, 1.0) + 0.25 * alpha_ratio
-      + 0.2 * least(stopword_ratio * 4.0, 1.0) + 0.25 * uniq_token_ratio
-      - 0.5 * punct_ratio, 1.0), 0.0), {ROUND}) AS quality_score
+    {quality_score_int_expr(intdiv="//")} AS quality_score
   FROM f
 ), kept AS (
   SELECT * FROM s WHERE n_tokens >= 20 AND n_tokens <= 1000 AND quality_score >= 0.5

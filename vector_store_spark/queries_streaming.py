@@ -926,7 +926,8 @@ j AS (
 )
 SELECT batch, source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len) AS BIGINT) AS n_chars,
-       round(avg(q), {ROUND}) AS mean_quality
+       round(sum(CAST(round(q * 1000000) AS BIGINT)) / (count(*) * 1000000.0),
+             {ROUND}) AS mean_quality
 FROM j GROUP BY batch, source
 """
 

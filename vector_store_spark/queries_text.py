@@ -20,6 +20,7 @@ from vector_store_spark.operators.textstats import (
     fingerprints,
     langid,
     quality_features,
+    quality_score_int_expr,
     token_counts,
 )
 from vector_store_spark.registry import ROUND, load, register
@@ -88,18 +89,20 @@ SELECT doc_id, n_chars, n_tokens,
        round(digit_ratio, {ROUND}) AS digit_ratio,
        round(stopword_ratio, {ROUND}) AS stopword_ratio,
        round(uniq_token_ratio, {ROUND}) AS uniq_token_ratio,
-       round(greatest(least(
-         0.3 * least(n_tokens / 50.0, 1.0) + 0.25 * alpha_ratio
-         + 0.2 * least(stopword_ratio * 4.0, 1.0) + 0.25 * uniq_token_ratio
-         - 0.5 * punct_ratio, 1.0), 0.0), {ROUND}) AS quality_score
+       {quality_score_int_expr(intdiv="//")} AS quality_score
 FROM f
 """,
-    "Per-document quality features + composite score (Gopher/C4-style signals)",
+    "Per-document quality features + composite score (Gopher/C4-style "
+    "signals); the composite is exact-BIGINT arithmetic (see "
+    "quality_score_int_expr) so no float-sum rounding boundary can split "
+    "the engines",
 )
 def text_quality(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     feats = quality_features(docs, "doc_id", "text")
-    ratio_cols = [c for c in feats.columns if c.endswith(("_ratio", "_len", "_score"))]
+    # quality_score is already exact (1e-6 grid by integer construction) —
+    # re-rounding it is at best a no-op and at worst the halfway trap again
+    ratio_cols = [c for c in feats.columns if c.endswith(("_ratio", "_len"))]
     out = feats
     for c in ratio_cols:
         out = out.withColumn(c, F.round(c, ROUND))
@@ -108,16 +111,15 @@ def text_quality(spark, sf_dir):
 
 def quality_score_sql(round_to: int = ROUND) -> str:
     """(doc_id, q) subquery: the text_quality composite score, same
-    expressions as the text_quality oracle above (raw-ratio inputs, one
-    final rounding) — importable by other query families that rank or pick
-    canonicals by quality (e.g. dedup keep-best)."""
+    exact-BIGINT arithmetic as the text_quality oracle above — importable by
+    other query families that rank or pick canonicals by quality (e.g. dedup
+    keep-best, where a 1-ulp float divergence would flip the kept row).
+    ``round_to`` is retained for signature compatibility; the integer form
+    is inherently on the 1e-6 grid."""
     return f"""
-SELECT doc_id, round(greatest(least(
-         0.3 * least(n_tokens / 50.0, 1.0) + 0.25 * alpha_ratio
-         + 0.2 * least(stopword_ratio * 4.0, 1.0) + 0.25 * uniq_token_ratio
-         - 0.5 * punct_ratio, 1.0), 0.0), {round_to}) AS q
+SELECT doc_id, {quality_score_int_expr(intdiv="//")} AS q
 FROM (
-  SELECT doc_id,
+  SELECT doc_id, n_chars,
     CAST(len(toks) AS DOUBLE) AS n_tokens,
     CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n_chars ELSE 0.0 END AS alpha_ratio,
     CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / n_chars ELSE 0.0 END AS punct_ratio,

@@ -213,8 +213,13 @@ class QualityMonitorSink:
         docs = batch.select(
             self.id_col, self.text_col, self.source_col
         ).dropDuplicates([self.id_col])
+        # quality_score is exact on the 1e-6 grid (integer construction), so
+        # the per-source mean is an ORDER-INDEPENDENT integer sum divided
+        # once — F.avg over doubles drifts under partial-agg association at
+        # larger SFs (the sf1 stretch gate caught a 1e-6 mean split)
         q = quality_features(docs, self.id_col, self.text_col).select(
-            self.id_col, F.round("quality_score", self.round_to).alias("_q")
+            self.id_col,
+            F.round(F.col("quality_score") * 1000000).cast("long").alias("_q6"),
         )
         # per-doc quality ⋈ per-doc source: fact-fact within the batch
         stats = (
@@ -225,7 +230,9 @@ class QualityMonitorSink:
             .agg(
                 F.count("*").cast("long").alias("n_docs"),
                 F.sum("_len").cast("long").alias("n_chars"),
-                F.round(F.avg("_q"), self.round_to).alias("mean_quality"),
+                F.round(
+                    F.sum("_q6") / (F.count("*") * 1000000.0), self.round_to
+                ).alias("mean_quality"),
             )
         )
         stats.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
