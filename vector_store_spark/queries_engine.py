@@ -17,6 +17,9 @@ from vector_store_spark.engine import VectorStoreEngine
 
 # shared with local_partition_ann_ivf (same memoized build artifact, same
 # centroid/probe constants) so the two entries can never drift
+from vector_store_spark.queries_ivf import (
+    K_CENTROIDS as _K_GLOBAL,
+)
 from vector_store_spark.queries_ivf import _K_LOC, _NPROBE_LOC, _PART, Q7, _built
 from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
 from vector_store_spark.types import Filter, IndexMetadata, Restriction
@@ -173,4 +176,115 @@ def ann_routed_coexisting_topk(spark, sf_dir):
     # the routing decision IS the behavior under test — pin it here so a
     # scoring regression fails loudly instead of silently serving v1
     assert meta.index == "emb_local_ivf", f"routed to {meta.index}"
+    return topk.drop("similarity")
+
+
+_RB_NPROBE = 2  # v2 expansion_search=32 -> engine default nprobe = 32//16
+
+
+@register(
+    "ann_index_version_rebuild_topk",
+    # R5 end-to-end (monitor_indexes.rs:102-135; simulator flag lib.rs:191):
+    # an ALTER INDEX bumps ``index_version`` with changed options — the
+    # reconciler must classify the key-matched, version-changed row as
+    # REBUILD (drop + add), delete the old layout, rebuild from the CURRENT
+    # table, and serve with the NEW options. The v1 layout here was built
+    # from a stale snapshot (vec_id % 4 != 0) under expansion_search=64; v2
+    # rescans the full table under expansion_search=32 (nprobe 4 -> 2), so
+    # serving anything but the rebuilt artifact diverges in BOTH the
+    # candidate set and the probe breadth. The oracle re-derives the
+    # NEW-options search only: full-table centroids, nprobe=2.
+    f"""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings ORDER BY vec_id LIMIT {_K_GLOBAL}),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(v, cv) /
+         (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_inner_product(cv, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))) DESC,
+        cid
+    ) AS rn FROM c
+  ) WHERE rn <= {_RB_NPROBE}
+),
+cand AS (
+  SELECT e.vec_id,
+         round(1.0 - list_inner_product(v, {sql_vec(Q7)}) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
+  FROM e JOIN asg USING (vec_id)
+  WHERE asg.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, distance FROM cand ORDER BY distance, vec_id LIMIT 10
+""",
+    "R5 version-change drop-and-rebuild: the catalog diff classifies the "
+    "bumped version as REBUILD, the v1 layout is deleted, the index is "
+    "rebuilt from the current table and served with the new options "
+    "(expansion_search 64 -> 32, nprobe 2)",
+)
+def ann_index_version_rebuild_topk(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivf import ivf_build
+    from vector_store_spark.plans.catalog import catalog_df, diff_catalog
+    from vector_store_spark.queries_ivf import _BUILD_CACHE
+
+    emb = load(spark, sf_dir, "embeddings")
+    meta_v1 = IndexMetadata(
+        keyspace="ks", index="emb_ivf_versioned", table="embeddings",
+        primary_key_columns=("vec_id",), partition_key_count=1,
+        target_column="embedding", dimensions=_DIMS, version="1",
+        expansion_search=64,
+    )
+    # ALTER INDEX analogue: same (keyspace, index) key, bumped version,
+    # changed option set
+    meta_v2 = replace(meta_v1, version="2", expansion_search=32)
+
+    # reconcile: key-matched + version-changed must land in to_rebuild and
+    # NOWHERE else (monitor_indexes.rs:102-135 drops then re-adds)
+    d = diff_catalog(catalog_df(spark, [meta_v2]), catalog_df(spark, [meta_v1]))
+    assert d.to_rebuild == [("ks", "emb_ivf_versioned")], d
+    assert not d.to_add and not d.to_remove, d
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:ivf_version_rebuild"
+    if key not in _BUILD_CACHE:
+        # v1 layout: built from a stale snapshot (an index predating newer
+        # writes); the rebuild must NOT serve this
+        v1_path = tempfile.mkdtemp(prefix="ivf_ix_v1_")
+        ivf_build(
+            emb.where(F.col("vec_id") % 4 != 0), "vec_id", "embedding",
+            v1_path, k_centroids=_K_GLOBAL,
+        )
+        # drop: the version-changed index's layout is deleted wholesale
+        shutil.rmtree(v1_path)
+        assert not os.path.exists(v1_path)
+        # rebuild: full rescan of the CURRENT table under the v2 options
+        v2_path = tempfile.mkdtemp(prefix="ivf_ix_v2_")
+        ivf_build(emb, "vec_id", "embedding", v2_path, k_centroids=_K_GLOBAL)
+        _BUILD_CACHE[key] = v2_path
+
+    eng = VectorStoreEngine()
+    eng.register(
+        emb, meta_v2, strategy="ivf",
+        strategy_opts={"path": _BUILD_CACHE[key], "round_to": ROUND},
+    )
+    topk, served = eng.ann_df("ks", "embeddings", "embedding", Q7, 10)
+    # the serving decision IS the behavior under test
+    assert served.version == "2", f"served stale version {served.version}"
     return topk.drop("similarity")
