@@ -1035,3 +1035,140 @@ def stream_sessions_endstate(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         (F.unix_micros("max_ts") - F.unix_micros(F.col("w.start"))).alias("duration_us"),
     )
+
+
+@register(
+    "stream_cdc_resume_endstate",
+    # W8 on the CDC->index path (db_cdc/checkpoint_saver.rs: reader progress
+    # is persisted so a restarted consumer resumes from the saved window and
+    # REPLAYS the uncommitted tail): three event waves land as three
+    # micro-batches (coalesced file groups + maxFilesPerTrigger=1); the
+    # first run CRASHES mid-stream — after batch 1's snapshot buckets are
+    # durably written but before the epoch commits (the on_batch hook runs
+    # post-write, so raising there is exactly "output written, progress
+    # lost"). The resumed run replays batch 1 against a snapshot that
+    # already contains its effects (the LWW merge is idempotent by value:
+    # same (ts, seq) winners, dynamic bucket overwrite rewrites identical
+    # leaves) and continues to batch 2. The oracle re-derives the LWW end
+    # state of ALL THREE waves — stale replays lose, tombstones win even
+    # against later lower-ts resurrection attempts.
+    """
+WITH base AS (
+  SELECT doc_id AS pk, CAST(n_chars AS DOUBLE) AS v,
+         CAST(doc_id % 10 AS INT) AS f
+  FROM documents WHERE doc_id < 1000
+),
+events AS (
+  SELECT 'upsert' AS op, pk, v, f, CAST(100 AS BIGINT) AS ts, pk AS seq FROM base
+  UNION ALL
+  SELECT 'upsert', pk, v + 1000.0, f, 200, pk FROM base WHERE pk % 5 = 0
+  UNION ALL
+  SELECT 'upsert', pk, -1.0, f, 50, pk FROM base WHERE pk % 7 = 0
+  UNION ALL
+  SELECT 'delete', pk, NULL, NULL, 300, pk + 1000000 FROM base WHERE pk % 11 = 0
+  UNION ALL
+  SELECT 'upsert', pk, v + 5000.0, f, 400, pk + 2000000 FROM base WHERE pk % 3 = 0
+  UNION ALL
+  SELECT 'upsert', pk, v + 9000.0, f, 250, pk + 3000000 FROM base WHERE pk % 11 = 0
+  UNION ALL
+  SELECT 'upsert', pk, -2.0, f, 150, pk + 4000000 FROM base WHERE pk % 5 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT pk, v, f FROM latest
+WHERE op <> 'delete' AND v IS NOT NULL
+ORDER BY pk
+""",
+    "W8 checkpoint resume on the CDC->index path, hash-checked: the stream "
+    "crashes after a micro-batch's snapshot write but before its epoch "
+    "commit; the resumed run replays that batch idempotently and processes "
+    "the rest — the end state equals the oracle's LWW of all three waves",
+)
+def stream_cdc_resume_endstate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars").where(
+        F.col("doc_id") < 1000
+    )
+    root = tempfile.mkdtemp(prefix="cdc_resume_")
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    os.makedirs(src)
+
+    base = docs.select(
+        F.lit("upsert").alias("op"),
+        F.col("doc_id").alias("pk"),
+        F.col("n_chars").cast("double").alias("v"),
+        (F.col("doc_id") % 10).cast("int").alias("f"),
+        F.lit(100).cast("bigint").alias("ts"),
+        F.col("doc_id").alias("seq"),
+    )
+    updates = base.where(F.col("pk") % 5 == 0).withColumn(
+        "v", F.col("v") + 1000.0
+    ).withColumn("ts", F.lit(200).cast("bigint"))
+    stale = base.where(F.col("pk") % 7 == 0).withColumn(
+        "v", F.lit(-1.0)
+    ).withColumn("ts", F.lit(50).cast("bigint"))
+    deletes = base.where(F.col("pk") % 11 == 0).select(
+        F.lit("delete").alias("op"), "pk",
+        F.lit(None).cast("double").alias("v"), F.lit(None).cast("int").alias("f"),
+        F.lit(300).cast("bigint").alias("ts"), (F.col("pk") + 1_000_000).alias("seq"),
+    )
+    late = base.where(F.col("pk") % 3 == 0).withColumn(
+        "v", F.col("v") + 5000.0
+    ).withColumn("ts", F.lit(400).cast("bigint")).withColumn(
+        "seq", F.col("pk") + 2_000_000)
+    resurrect = base.where(F.col("pk") % 11 == 0).withColumn(
+        "v", F.col("v") + 9000.0
+    ).withColumn("ts", F.lit(250).cast("bigint")).withColumn(
+        "seq", F.col("pk") + 3_000_000)
+    stale2 = base.where(F.col("pk") % 5 == 0).withColumn(
+        "v", F.lit(-2.0)
+    ).withColumn("ts", F.lit(150).cast("bigint")).withColumn(
+        "seq", F.col("pk") + 4_000_000)
+
+    # ALL waves are on disk before the first start; coalesce(1) makes each
+    # wave exactly one file, maxFilesPerTrigger=1 makes each file exactly
+    # one micro-batch — so "crash during batch 1" is deterministic
+    t = time.perf_counter()
+    base.coalesce(1).write.mode("append").json(os.path.join(src, "b1"))
+    updates.unionByName(stale).unionByName(deletes).coalesce(1).write.mode(
+        "append").json(os.path.join(src, "b2"))
+    late.unionByName(resurrect).unionByName(stale2).coalesce(1).write.mode(
+        "append").json(os.path.join(src, "b3"))
+    t = _mark("prep_waves", t)
+
+    crashed = {"hit": False}
+
+    def crash_after_write(sink, batch, batch_id):
+        if batch_id == 1:
+            crashed["hit"] = True
+            raise RuntimeError("injected crash: post-write, pre-commit")
+
+    def reader():
+        return (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(os.path.join(src, "*"))
+        )
+
+    sink = CdcSnapshotSink(spark, snap, ["pk"], ["v", "f"], num_buckets=8,
+                           on_batch=crash_after_write)
+    q = sink.start(reader(), checkpoint_dir=ckpt)
+    try:
+        q.awaitTermination(300)
+        raise AssertionError("stream 1 was supposed to crash mid-batches")
+    except Exception as ex:  # StreamingQueryException wrapping the injected one
+        if "injected crash" not in str(ex):
+            raise
+    assert crashed["hit"], "crash hook never fired"
+    t = _mark("stream1_crash_mid_batch", t)
+
+    # resume: same checkpoint, same snapshot store, no crash hook — batch 1
+    # replays (idempotent), batch 2 (b3) completes the story
+    sink2 = CdcSnapshotSink(spark, snap, ["pk"], ["v", "f"], num_buckets=8)
+    _await(sink2.start(reader(), checkpoint_dir=ckpt))
+    _mark("stream2_resume", t)
+
+    return sink2.live_view("v").orderBy("pk")
