@@ -27,6 +27,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # SPARK_GRAFT_SF_DIR so a driver-exported bench dir can't silently move the
 # correctness gate.
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
+#: optional per-oracle watchdog (seconds) for stretch-SF runs — see the
+#: EXCLUDED handling in main()
+_ORACLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
 
 
 def norm_cell(v):
@@ -99,7 +102,7 @@ def main(names=None, json_out=None):
     qs = e.queries()
     oracles = e.oracle_sql()
     selected = names or list(qs)
-    n_pass = n_fail = n_weak = 0
+    n_pass = n_fail = n_weak = n_excl = 0
     for name in selected:
         fn = qs[name]
         try:
@@ -134,6 +137,24 @@ def main(names=None, json_out=None):
             records[name] = {"status": "weak", "rows": len(srows)}
             n_weak += 1
             continue
+        # stretch-SF guard: the heaviest DuckDB re-derivations (recursive
+        # closures over 50k-doc shingle sets, within-cell pair CTEs over 8k
+        # vectors) can run for tens of minutes at sf1. With
+        # SPARK_GRAFT_ORACLE_TIMEOUT set (seconds), a watchdog interrupts
+        # the oracle and the entry is recorded as EXCLUDED (oracle_timeout)
+        # — a documented exclusion, not a pass and not an engine failure.
+        watchdog = None
+        timed_out = {"hit": False}
+        if _ORACLE_TIMEOUT:
+            import threading
+
+            def _interrupt():
+                timed_out["hit"] = True
+                con.interrupt()
+
+            watchdog = threading.Timer(_ORACLE_TIMEOUT, _interrupt)
+            watchdog.daemon = True
+            watchdog.start()
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
@@ -145,10 +166,21 @@ def main(names=None, json_out=None):
             dcol_arrays = [atbl.column(i).to_pylist() for i in range(atbl.num_columns)]
             drows = list(zip(*dcol_arrays)) if dcol_arrays else []
         except Exception as ex:
-            print(f"FAIL  {name}: duckdb error: {ex}")
-            records[name] = {"status": "fail", "detail": f"duckdb error: {ex}"}
-            n_fail += 1
+            if timed_out["hit"]:
+                print(f"EXCL  {name}: oracle timeout after {_ORACLE_TIMEOUT:.0f}s "
+                      f"(spark rows={len(srows)})")
+                records[name] = {"status": "excluded",
+                                 "detail": f"oracle_timeout {_ORACLE_TIMEOUT:.0f}s",
+                                 "rows": len(srows)}
+                n_excl += 1
+            else:
+                print(f"FAIL  {name}: duckdb error: {ex}")
+                records[name] = {"status": "fail", "detail": f"duckdb error: {ex}"}
+                n_fail += 1
             continue
+        finally:
+            if watchdog is not None:
+                watchdog.cancel()
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {scols} vs {dcols}")
@@ -168,7 +200,8 @@ def main(names=None, json_out=None):
             print(f"PASS  {name} ({len(srows)} rows)")
             records[name] = {"status": "pass", "rows": len(srows)}
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    tail = f", {n_excl} excluded (oracle timeout)" if n_excl else ""
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail{tail}")
     if json_out:
         import json
 
