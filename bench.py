@@ -245,10 +245,19 @@ def _cross_round(timings: dict) -> dict:
                 "prev_record": None}
     try:
         with open(prev_path) as fh:
-            prev = json.load(fh).get("queries", {})
+            prev_rec = json.load(fh)
+        prev = prev_rec.get("queries", {})
     except (OSError, ValueError):
         return {"common_set_ratio_vs_prev": None, "common_set_n": 0,
                 "prev_record": os.path.basename(prev_path)}
+    cur_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", cur_sf)
+    if m and prev_rec.get("sf") is not None and \
+            float(m.group(1).rstrip(".")) != float(prev_rec["sf"]):
+        # a cross-SF ratio is noise, not drift evidence
+        return {"common_set_ratio_vs_prev": None, "common_set_n": 0,
+                "prev_record": os.path.basename(prev_path),
+                "prev_record_sf_mismatch": prev_rec["sf"]}
     common = [q for q in timings
               if timings.get(q, -1) >= 0 and prev.get(q, -1) and prev.get(q, -1) > 0]
     cur_sum = sum(timings[q] for q in common)
