@@ -178,7 +178,7 @@ def ann_hnsw_filtered_topk(spark, sf_dir):
     # by the other graph oracles).
     f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id % 19 = 0)
+           FROM embeddings WHERE vec_id < 290)
 SELECT vec_id, label, {_COS.format(q=sql_vec(Q7))}
 FROM e ORDER BY distance, vec_id LIMIT 10
 """,
@@ -194,7 +194,7 @@ def ann_hnsw_filtered_adaptive_topk(spark, sf_dir):
 
     path = _hnsw_path(spark, sf_dir)
     res = hnsw_search(spark, path, Q7, 10, ef_search=EF,
-                      predicate=F.col("vec_id") % 19 == 0,
+                      predicate=F.col("vec_id") < 290,
                       min_candidates=320, round_to=ROUND)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (

@@ -825,7 +825,7 @@ SELECT vec_id, label,
        round(1.0 - list_inner_product(CAST(embedding AS DOUBLE[]), {sql_vec(Q7)}) /
              (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
               sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
-FROM embeddings WHERE vec_id % 19 = 0
+FROM embeddings WHERE vec_id < 290
 ORDER BY distance, vec_id LIMIT 10
 """,
     "T2 under a HIGHLY selective predicate: the adaptive probe counts the "
@@ -836,7 +836,7 @@ ORDER BY distance, vec_id LIMIT 10
 def ann_ivf_filtered_adaptive_topk(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 19 == 0)
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 290)
     # similarity is derived from the ROUNDED distance (F2 contract), whose
     # halved value sits exactly on a rounding boundary — covered by the
     # other ANN oracles; dropped here to keep this oracle mode-independent
@@ -1074,7 +1074,13 @@ def ann_ivfpq_persisted_filtered_topk(spark, sf_dir):
 # the reference's restricted-search guarantee (top-k OF the filtered set,
 # usearch.rs:224-248) on the committed index, not the probe S-curve.
 
-_ADAPT_FILT = "vec_id % 19 = 0"
+# ABSOLUTE id bound, not a modulus: the adaptive entries' oracle contract is
+# "the filtered set is UNDER min_candidates=320, so the engine ranks it
+# exactly" — a modular filter grows with the corpus (sf1: 8000/19 = 421 > 320
+# flipped the engine into the escalated approximate tier while the oracle
+# stayed exact; caught by the sf1 stretch gate). vec_id < 290 is under the
+# floor at EVERY SF.
+_ADAPT_FILT = "vec_id < 290"
 _ADAPT_COS_ORACLE = f"""
 SELECT vec_id, label,
        round(1.0 - list_inner_product(CAST(embedding AS DOUBLE[]), {sql_vec(Q7)}) /
@@ -1105,7 +1111,7 @@ def ann_ivf_persisted_filtered_adaptive_topk(spark, sf_dir):
     return ivf_search(
         spark, path, "vec_id", "embedding", Q7, 10, nprobe=NPROBE,
         select_cols=["vec_id", "label"], round_to=ROUND,
-        predicate=F.col("vec_id") % 19 == 0, min_candidates=320,
+        predicate=F.col("vec_id") < 290, min_candidates=320,
     ).drop("similarity")
 
 
@@ -1129,7 +1135,7 @@ def ann_lsh_persisted_filtered_adaptive_topk(spark, sf_dir):
     return lsh_search(
         spark, path, "vec_id", "embedding", Q7, 10,
         select_cols=["vec_id", "label"], round_to=ROUND,
-        predicate=F.col("vec_id") % 19 == 0, min_candidates=320,
+        predicate=F.col("vec_id") < 290, min_candidates=320,
     ).drop("similarity")
 
 
@@ -1165,7 +1171,7 @@ def ann_ivfpq_persisted_filtered_adaptive_topk(spark, sf_dir):
     return ivfpq_search(
         spark, path, emb, "vec_id", "embedding", Q31, 10, nprobe=NPROBE,
         select_cols=["vec_id", "label"], round_to=ROUND,
-        predicate=F.col("vec_id") % 19 == 0, min_candidates=320,
+        predicate=F.col("vec_id") < 290, min_candidates=320,
     )
 
 
