@@ -364,7 +364,13 @@ def ann_hnsw_i8_rescored_topk(spark, sf_dir):
                              ef_construction=EFC, num_slices=SLICES,
                              quantization="i8"),
     )
-    res = hnsw_search(spark, path, Q23, 10, ef_search=EF, rescore=4,
+    # ef=256, not the family EF=64: this entry's oracle is the EXACT top-k
+    # (its point is the quantize→rescore semantics, not beam recall), and
+    # the i8-quantized beam reorders candidates enough that ef=64 dropped
+    # the true best at the sf1 stretch scale (8000 nodes) while the f32
+    # graph's ef=64 beam stayed exhaustive-equivalent. Quantized-beam
+    # recall-vs-ef is a bench metric (recall_at_10_*), not an oracle claim.
+    res = hnsw_search(spark, path, Q23, 10, ef_search=256, rescore=4,
                       rescore_with=(emb, "embedding"), round_to=ROUND)
     return _back_join(spark, sf_dir, res)
 
