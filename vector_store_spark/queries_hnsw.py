@@ -208,7 +208,7 @@ def ann_hnsw_filtered_adaptive_topk(spark, sf_dir):
     "local_partition_ann_hnsw_adaptive",
     f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE label = 3 AND vec_id % 3 = 0)
+           FROM embeddings WHERE label = 3 AND vec_id < 2500)
 SELECT vec_id, label, {_COS.format(q=sql_vec(Q7))}
 FROM e ORDER BY distance, vec_id LIMIT 10
 """,
@@ -229,7 +229,7 @@ def local_partition_ann_hnsw_adaptive(spark, sf_dir):
                              payload_cols=["label"]),
     )
     res = hnsw_search_local(spark, path, 3, Q7, 10, ef_search=EF,
-                            predicate=F.col("vec_id") % 3 == 0,
+                            predicate=F.col("vec_id") < 2500,
                             min_candidates=320, round_to=ROUND)
     emb2 = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (

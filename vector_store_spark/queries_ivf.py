@@ -1180,7 +1180,7 @@ SELECT vec_id, label,
        round(1.0 - list_inner_product(CAST(embedding AS DOUBLE[]), {sql_vec(Q7)}) /
              (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
               sqrt(list_inner_product({sql_vec(Q7)}, {sql_vec(Q7)}))), {ROUND}) AS distance
-FROM embeddings WHERE label = {_PART} AND vec_id % 3 = 0
+FROM embeddings WHERE label = {_PART} AND vec_id < 2500
 ORDER BY distance, vec_id LIMIT 10
 """
 
@@ -1206,7 +1206,10 @@ def local_partition_ann_ivf_adaptive(spark, sf_dir):
     return ivf_search_local(
         spark, path, _PART, "vec_id", "embedding", Q7, 10, nprobe=_NPROBE_LOC,
         select_cols=["vec_id", "label"], round_to=ROUND,
-        predicate=F.col("vec_id") % 3 == 0, min_candidates=320,
+        # absolute bound (same rationale as _ADAPT_FILT): the partition-
+        # local filtered set is label-Eq ∩ vec_id < 2500 ≈ 250 rows at
+        # EVERY SF ≥ 1 (a modulus would outgrow the 320 floor at sf3+)
+        predicate=F.col("vec_id") < 2500, min_candidates=320,
     ).drop("similarity")
 
 
@@ -1232,7 +1235,10 @@ def local_partition_ann_lsh_adaptive(spark, sf_dir):
     return lsh_search_local(
         spark, path, _PART, "vec_id", "embedding", Q7, 10,
         select_cols=["vec_id", "label"], round_to=ROUND,
-        predicate=F.col("vec_id") % 3 == 0, min_candidates=320,
+        # absolute bound (same rationale as _ADAPT_FILT): the partition-
+        # local filtered set is label-Eq ∩ vec_id < 2500 ≈ 250 rows at
+        # EVERY SF ≥ 1 (a modulus would outgrow the 320 floor at sf3+)
+        predicate=F.col("vec_id") < 2500, min_candidates=320,
     ).drop("similarity")
 
 
