@@ -96,7 +96,7 @@ def main() -> int:
     sys.stderr.flush()
     extras = {"fts_index_build_sec": fts_build_s, **calib_start,
               "calib_gate": calib_gate,
-              **_cross_round(timings),
+              **_cross_round(timings, sf_dir),
               **_stream_throughput(timings, result_rows),
               **_extras(spark, sf_dir)}
     record = {
@@ -230,20 +230,28 @@ def _calibration_gate(spark) -> tuple[dict, dict]:
     return probe, gate
 
 
-def _cross_round(timings: dict) -> dict:
+def _cross_round(timings: dict, sf_dir: str) -> dict:
     """First-class cross-round comparability: the common-query-set time
     ratio vs the previous committed record, computed by bench.py itself so
     every record carries its own drift evidence. Previous record: the
     highest-numbered BENCH_local_r*.json next to this file (override with
-    SPARK_GRAFT_PREV_BENCH)."""
+    SPARK_GRAFT_PREV_BENCH). ``sf_dir`` is the directory main() actually
+    benchmarked (not re-read from the env: an sf override passed any other
+    way must not silently compare cross-SF)."""
     here = os.path.dirname(os.path.abspath(__file__))
     prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
     if not prev_path:
         import glob
 
-        cands = glob.glob(os.path.join(here, "BENCH_local_r*.json"))
-        num = lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
-        prev_path = max(cands, key=num) if cands else None
+        # keep only names the _r<digits> regex actually matches — a stray
+        # BENCH_local_rerun.json would otherwise raise AttributeError here,
+        # AFTER the entire timed loop, killing the record
+        cands = [
+            (p, re.search(r"_r(\d+)", os.path.basename(p)))
+            for p in glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+        ]
+        cands = [(p, int(m.group(1))) for p, m in cands if m]
+        prev_path = max(cands, key=lambda pm: pm[1])[0] if cands else None
     if not prev_path or not os.path.exists(prev_path):
         return {"common_set_ratio_vs_prev": None, "common_set_n": 0,
                 "prev_record": None}
@@ -254,8 +262,7 @@ def _cross_round(timings: dict) -> dict:
     except (OSError, ValueError):
         return {"common_set_ratio_vs_prev": None, "common_set_n": 0,
                 "prev_record": os.path.basename(prev_path)}
-    cur_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", cur_sf)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
     if m and prev_rec.get("sf") is not None and \
             float(m.group(1).rstrip(".")) != float(prev_rec["sf"]):
         # a cross-SF ratio is noise, not drift evidence

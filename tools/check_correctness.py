@@ -30,6 +30,53 @@ SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 #: optional per-oracle watchdog (seconds) for stretch-SF runs — see the
 #: EXCLUDED handling in main()
 _ORACLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
+#: memoized-oracle setup statements (shared CTE chains materialized once per
+#: run as temp tables) get their own, larger watchdog: one setup amortizes
+#: over every entry that references the table
+_SETUP_TIMEOUT = float(
+    os.environ.get("SPARK_GRAFT_ORACLE_SETUP_TIMEOUT", "0")
+    or (3 * _ORACLE_TIMEOUT)
+)
+#: memoized rewrites are preferred wherever a QuerySpec registers one
+#: (SPARK_GRAFT_ORACLE_MEMO=0 forces the self-contained driver variant)
+_USE_MEMO = os.environ.get("SPARK_GRAFT_ORACLE_MEMO", "1") != "0"
+#: EXCLUDED (oracle_timeout) entries fail the gate unless consciously
+#: accepted: exclusions above this count flip the exit code nonzero, so a
+#: stretch gate whose heavy oracles all time out cannot silently read green
+_MAX_EXCLUDED = int(os.environ.get("SPARK_GRAFT_MAX_EXCLUDED", "0") or 0)
+
+
+class _OracleWatchdog:
+    """Per-statement DuckDB interrupt timer without the cancel() race: the
+    timer re-checks a done flag INSIDE the callback, and ``finish()`` sets it
+    before the caller leaves the try block — a timer that fires between the
+    statement completing and cancel() running becomes a no-op instead of
+    landing a stray interrupt on the NEXT oracle (ADVICE r13)."""
+
+    def __init__(self, con, timeout: float):
+        import threading
+
+        self.hit = False
+        self._done = False
+        self._lock = threading.Lock()
+        self._timer = None
+        if timeout:
+            def _interrupt():
+                with self._lock:
+                    if self._done:
+                        return
+                    self.hit = True
+                    con.interrupt()
+
+            self._timer = threading.Timer(timeout, _interrupt)
+            self._timer.daemon = True
+            self._timer.start()
+
+    def finish(self):
+        with self._lock:
+            self._done = True
+        if self._timer is not None:
+            self._timer.cancel()
 
 
 def norm_cell(v):
@@ -95,12 +142,24 @@ def main(names=None, json_out=None):
     records = {}
 
     spark = get_spark("correctness-check", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    def _fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        return c
+
+    con = _fresh_con()
+    # temp tables created by memo setup live on `con`; a connection recreate
+    # (post-timeout hygiene) drops them, so track what exists per connection
+    memo_tables: set = set()
+    memo_setup_sec: dict = {}
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    from vector_store_spark.registry import all_queries as _all_specs
+
+    specs = _all_specs()
     selected = names or list(qs)
     n_pass = n_fail = n_weak = n_excl = 0
     for name in selected:
@@ -143,20 +202,44 @@ def main(names=None, json_out=None):
         # SPARK_GRAFT_ORACLE_TIMEOUT set (seconds), a watchdog interrupts
         # the oracle and the entry is recorded as EXCLUDED (oracle_timeout)
         # — a documented exclusion, not a pass and not an engine failure.
-        watchdog = None
-        timed_out = {"hit": False}
-        if _ORACLE_TIMEOUT:
-            import threading
-
-            def _interrupt():
-                timed_out["hit"] = True
-                con.interrupt()
-
-            watchdog = threading.Timer(_ORACLE_TIMEOUT, _interrupt)
-            watchdog.daemon = True
-            watchdog.start()
+        spec = specs.get(name)
+        osql = oracles[name]
+        memoized = False
+        if _USE_MEMO and spec is not None and spec.memo_sql:
+            # materialize this entry's shared setup tables once per
+            # connection; on setup failure/timeout fall back to the
+            # self-contained oracle (which has its own watchdog)
+            setup_ok = True
+            for tname, tsql in spec.memo_setup or []:
+                if tname in memo_tables:
+                    continue
+                swd = _OracleWatchdog(con, _SETUP_TIMEOUT)
+                t0 = time.time()
+                try:
+                    con.execute(f"CREATE TEMP TABLE {tname} AS {tsql}")
+                    memo_tables.add(tname)
+                    memo_setup_sec[tname] = round(time.time() - t0, 1)
+                    print(f"memo  {tname}: materialized in "
+                          f"{memo_setup_sec[tname]:.1f}s", flush=True)
+                except Exception as ex:
+                    setup_ok = False
+                    print(f"memo  {tname}: setup failed ({ex}); falling back "
+                          f"to self-contained oracle for {name}", flush=True)
+                finally:
+                    swd.finish()
+                if not setup_ok and swd.hit:
+                    # interrupted connection hygiene: drop it (and its temp
+                    # tables) so the pending state can't leak into the next
+                    # statement
+                    con = _fresh_con()
+                    memo_tables = set()
+                    break
+            if setup_ok:
+                osql = spec.memo_sql
+                memoized = True
+        wd = _OracleWatchdog(con, _ORACLE_TIMEOUT)
         try:
-            res = con.execute(oracles[name])
+            res = con.execute(osql)
             dcols = [d[0] for d in res.description]
             atbl = res.fetch_arrow_table()
             if len(set(dcols)) != len(dcols):
@@ -166,21 +249,30 @@ def main(names=None, json_out=None):
             dcol_arrays = [atbl.column(i).to_pylist() for i in range(atbl.num_columns)]
             drows = list(zip(*dcol_arrays)) if dcol_arrays else []
         except Exception as ex:
-            if timed_out["hit"]:
+            if wd.hit:
                 print(f"EXCL  {name}: oracle timeout after {_ORACLE_TIMEOUT:.0f}s "
                       f"(spark rows={len(srows)})")
                 records[name] = {"status": "excluded",
                                  "detail": f"oracle_timeout {_ORACLE_TIMEOUT:.0f}s",
                                  "rows": len(srows)}
                 n_excl += 1
+                # the interrupt may have left connection state behind —
+                # recreate so the next oracle starts clean
+                con = _fresh_con()
+                memo_tables = set()
             else:
                 print(f"FAIL  {name}: duckdb error: {ex}")
                 records[name] = {"status": "fail", "detail": f"duckdb error: {ex}"}
                 n_fail += 1
             continue
         finally:
-            if watchdog is not None:
-                watchdog.cancel()
+            wd.finish()
+        if wd.hit:
+            # timer fired in the finish() race window: the statement
+            # completed, but an interrupt may be pending on the connection —
+            # result is valid, connection is not; recreate before the next one
+            con = _fresh_con()
+            memo_tables = set()
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {scols} vs {dcols}")
@@ -197,11 +289,17 @@ def main(names=None, json_out=None):
             records[name] = {"status": "fail", "detail": "; ".join(problems)}
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            memo_tag = " [memoized oracle]" if memoized else ""
+            print(f"PASS  {name} ({len(srows)} rows){memo_tag}")
             records[name] = {"status": "pass", "rows": len(srows)}
+            if memoized:
+                records[name]["oracle_memoized"] = True
             n_pass += 1
     tail = f", {n_excl} excluded (oracle timeout)" if n_excl else ""
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail{tail}")
+    if n_excl > _MAX_EXCLUDED:
+        print(f"GATE: {n_excl} excluded > allowed {_MAX_EXCLUDED} "
+              "(set SPARK_GRAFT_MAX_EXCLUDED to accept consciously) -> nonzero exit")
     if json_out:
         import json
 
@@ -212,6 +310,9 @@ def main(names=None, json_out=None):
                 "pass": n_pass,
                 "weak_rows_only": n_weak,
                 "fail": n_fail,
+                "excluded": n_excl,
+                "max_excluded_allowed": _MAX_EXCLUDED,
+                "memo_setup_sec": memo_setup_sec,
                 "entries": records,
             }, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
@@ -228,7 +329,7 @@ def main(names=None, json_out=None):
         import bench
 
         bench._reap_spark_scratch(t_start)
-    return 1 if n_fail else 0
+    return 1 if (n_fail or n_excl > _MAX_EXCLUDED) else 0
 
 
 if __name__ == "__main__":

@@ -35,14 +35,34 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # None ⇒ non-SQL-expressible, rows-only check
     description: str = ""
+    #: memoized-oracle variant for stretch-SF gates: ``memo_setup`` is a list
+    #: of (temp_table_name, self_contained_sql) statements materialized ONCE
+    #: per gate run (shared across entries by table name), and ``memo_sql`` is
+    #: a rewrite of ``oracle`` that references those temp tables. The driver
+    #: always runs the self-contained ``oracle``; tools/check_correctness.py
+    #: prefers ``memo_sql`` so a 20-50 min shared CTE chain (e.g. the 50k-doc
+    #: MinHash closure) is paid once per run instead of once per entry. Both
+    #: variants are built from the SAME SQL fragments so they cannot drift.
+    memo_setup: Optional[list] = None
+    memo_sql: Optional[str] = None
+    #: entries whose registry fn eager-localizes (returns a LocalTableScan)
+    #: MUST register an internal-plan probe: (spark, sf_dir) -> DataFrame (or
+    #: list of DataFrames) exposing the lazy plan(s) of the distributed
+    #: operators the entry drives, so the suite-wide plan bans in
+    #: tests/test_plans.py still audit them (VERDICT r13 next #8)
+    internal_plan_fn: Optional[Callable] = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: Optional[str], description: str = ""):
+def register(name: str, oracle: Optional[str], description: str = "",
+             memo_setup: Optional[list] = None, memo_sql: Optional[str] = None,
+             internal_plan_fn: Optional[Callable] = None):
     def deco(fn):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, description,
+                                    memo_setup=memo_setup, memo_sql=memo_sql,
+                                    internal_plan_fn=internal_plan_fn)
         return fn
 
     return deco
