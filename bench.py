@@ -1170,11 +1170,15 @@ def _extras(spark, sf_dir: str) -> dict:
 
             _specs = _aq()
             scaling: dict = {}
-            # bm25_term's warm runs still scan the whole in-memory postings
-            # cache (no per-term pruning in an InMemoryTableScan), so its
-            # ratio tracks corpus size; bm25_persisted_term is the SERVE
-            # leg the reference measures (committed index, term-bucket
-            # partition pruning) — that row is the serving-scalability claim
+            # bm25_term serves from the memoized in-memory index, which now
+            # SELF-HEALS after clearCache (queries_fts._index checks the
+            # postings' storageLevel): the r13 4.14x ratio was each rep
+            # re-tokenizing the corpus after clearCache dropped the caches
+            # out from under the memo. The warm run pays one rebuild; the
+            # reps measure steady-state serve (corpus-flat), and the
+            # explicit build_sec phase below attributes the data-
+            # proportional part; bm25_persisted_term stays the committed-
+            # index serving claim (term-bucket partition pruning)
             #
             # the minhash row times the pair-generation PIPELINE directly
             # (operators.dedup.minhash_lsh_pairs), not the registry query:
@@ -1228,6 +1232,24 @@ def _extras(spark, sf_dir: str) -> dict:
                         spec.fn(spark, d).collect()
                         reps.append(time.perf_counter() - t0)
                     rec[tag] = round(min(reps), 4)
+                    if name == "bm25_term":
+                        # phase attribution (VERDICT r13 #4): the build leg
+                        # is corpus-proportional BY DESIGN (one tokenize +
+                        # postings aggregation); time it fresh so the
+                        # scaling row separates it from the serve reps above
+                        from vector_store_spark.operators.bm25 import (
+                            build_fts_index as _bfi,
+                        )
+
+                        t0 = time.perf_counter()
+                        ix = _bfi(
+                            spark.read.parquet(f"{d}/documents.parquet"),
+                            "doc_id", "text",
+                        )
+                        rec[f"build_sec_{tag[:-4]}"] = round(
+                            time.perf_counter() - t0, 4)
+                        for fr in (ix.postings, ix.doclens, ix.df_by_term):
+                            fr.unpersist()
                     if name == "dedup_drop_list":
                         # phase attribution for the one family whose measured
                         # ratio ran over its documented ≲3x expectation (r12

@@ -40,15 +40,68 @@ def plans(spark, sf_dir):
     return out
 
 
-def test_no_unscalable_joins_anywhere(plans):
+@pytest.fixture(scope="module")
+def internal_plans(spark, sf_dir):
+    """Plans of the registered internal probes: entries whose RESULT frame is
+    eager-localized (memory-sink table, driver-greedy createDataFrame, cached
+    collect) expose their distributed pipeline via
+    QuerySpec.internal_plan_fn so the suite-wide bans still audit it."""
+    out = {}
+    for name, spec in sorted(all_queries().items()):
+        if spec.internal_plan_fn is None:
+            continue
+        dfs = spec.internal_plan_fn(spark, sf_dir)
+        if not isinstance(dfs, (list, tuple)):
+            dfs = [dfs]
+        for i, df in enumerate(dfs):
+            out[f"{name}#internal{i}"] = (
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+    return out
+
+
+def _eager_localized(plan: str) -> bool:
+    """An executed plan with NO file scan that reads a local/driver-side
+    relation: the entry's real work happened somewhere the plan can't show
+    (memory sink, internal collect)."""
+    return "FileScan" not in plan and (
+        "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    )
+
+
+def test_eager_localized_entries_register_internal_probe(plans):
+    """Registry-wide closure of the plan audit (VERDICT r13 #8): every entry
+    whose returned frame is eager-localized MUST register an internal-plan
+    probe; otherwise a future localization silently exempts itself from the
+    suite-wide bans."""
+    specs = all_queries()
+    missing = [
+        n for n, p in plans.items()
+        if _eager_localized(p) and specs[n].internal_plan_fn is None
+    ]
+    assert not missing, (
+        f"eager-localized entries without internal_plan_fn probes: {missing}"
+    )
+
+
+def _assert_no_unscalable_joins(named_plans):
     bad = {}
-    for name, plan in plans.items():
+    for name, plan in named_plans.items():
         hits = [m for m in _BANNED_EVERYWHERE if m in plan]
-        if "SortMergeJoin" in plan and name not in _BUCKETED_SMJ_OK:
+        base = name.split("#")[0]
+        if "SortMergeJoin" in plan and base not in _BUCKETED_SMJ_OK:
             hits.append("SortMergeJoin (un-bucketed)")
         if hits:
             bad[name] = hits
     assert not bad, f"unscalable join operators crept in: {bad}"
+
+
+def test_no_unscalable_joins_anywhere(plans):
+    _assert_no_unscalable_joins(plans)
+
+
+def test_no_unscalable_joins_in_internal_probes(internal_plans):
+    _assert_no_unscalable_joins(internal_plans)
 
 
 def test_star_fact_fact_joins_never_broadcast(plans):
@@ -243,15 +296,10 @@ _UNPARTITIONED_WINDOW_OK = {
 }
 
 
-def test_no_unpartitioned_window_over_growable_frames(plans):
-    """A windowspecdefinition with no partition columns is a single-reducer
-    scan of its entire input (Exchange SinglePartition). text_vocab_growth
-    shipped one in r11 (bucket frame = corpus/50 rows through ONE task at
-    scale); this pins the fix suite-wide. Partition-only windows (unbounded
-    frame within a key) are fine and not flagged."""
+def _assert_no_unpartitioned_windows(named_plans):
     bad = {}
-    for name, plan in plans.items():
-        if name in _UNPARTITIONED_WINDOW_OK:
+    for name, plan in named_plans.items():
+        if name.split("#")[0] in _UNPARTITIONED_WINDOW_OK:
             continue
         hits = []
         for line in plan.splitlines():
@@ -262,6 +310,19 @@ def test_no_unpartitioned_window_over_growable_frames(plans):
         if hits:
             bad[name] = hits
     assert not bad, f"unpartitioned Window over a growable frame: {bad}"
+
+
+def test_no_unpartitioned_window_over_growable_frames(plans):
+    """A windowspecdefinition with no partition columns is a single-reducer
+    scan of its entire input (Exchange SinglePartition). text_vocab_growth
+    shipped one in r11 (bucket frame = corpus/50 rows through ONE task at
+    scale); this pins the fix suite-wide. Partition-only windows (unbounded
+    frame within a key) are fine and not flagged."""
+    _assert_no_unpartitioned_windows(plans)
+
+
+def test_no_unpartitioned_window_in_internal_probes(internal_plans):
+    _assert_no_unpartitioned_windows(internal_plans)
 
 
 def test_routed_coexisting_scans_only_chosen_index(plans):
@@ -282,39 +343,16 @@ def test_routed_coexisting_scans_only_chosen_index(plans):
     )
 
 
-def test_semantic_dedup_cluster_bounded_plan(spark, sf_dir):
+def test_semantic_dedup_cluster_bounded_plan(internal_plans):
     """dedup_semantic_clusters' registry entry returns an eagerly-localized
-    frame (dup-member-sized), so the suite-wide audit sees only a
-    LocalTableScan — pin the INTERNAL pipeline here: the pair search is the
-    cluster-grid cogrouped GEMM (never a cartesian/all-pairs join), the only
-    broadcast is the metadata-sized grid-cell map, and the member-metadata
-    join is shuffle-hash (the member frame is fact-classed: dup counts grow
-    with the corpus)."""
-    from pyspark.sql import functions as F
-
-    from vector_store_spark.operators.clustering import kmeans_assign
-    from vector_store_spark.operators.dedup import (
-        dedup_component_members,
-        semantic_dup_pairs,
-    )
-    from vector_store_spark.registry import load
-
-    emb = load(spark, sf_dir, "embeddings")
-    cents = sorted(
-        emb.where(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
-    assigned = kmeans_assign(
-        emb, "vec_id", "embedding", [r.embedding for r in cents],
-        keep_cols=("embedding",),
-    )
-    pairs = semantic_dup_pairs(
-        assigned, "vec_id", "embedding", threshold=0.45, max_block=512,
-    )
-    pairs_plan = pairs._jdf.queryExecution().executedPlan().toString()
-    for banned in _BANNED_EVERYWHERE:
-        assert banned not in pairs_plan, f"{banned} in SemDeDup pair search"
-    assert "SortMergeJoin" not in pairs_plan
+    frame (dup-member-sized) — the richer shape asserts over its registered
+    internal probes: the pair search is the cluster-grid cogrouped GEMM
+    (never a cartesian/all-pairs join), the only broadcast is the
+    metadata-sized grid-cell map, and the member-metadata join is
+    shuffle-hash (the member frame is fact-classed: dup counts grow with the
+    corpus). The generic ban tests above already cover the cartesian/SMJ/
+    window rules for these plans."""
+    pairs_plan = internal_plans["dedup_semantic_clusters#internal0"]
     assert "FlatMapGroupsInPandas" in pairs_plan, (
         "pair search must be the grouped Arrow GEMM, not a pair join"
     )
@@ -322,13 +360,5 @@ def test_semantic_dedup_cluster_bounded_plan(spark, sf_dir):
     # k·chunks² rows of ints (metadata), never the vector frame
     assert pairs_plan.count("BroadcastExchange") <= 1
 
-    members = dedup_component_members(pairs)
-    meta = assigned.select(
-        F.col("vec_id").alias("member_id"),
-        F.round("l2sq", 6).alias("dist_sq"),
-    )
-    joined = members.join(meta.hint("SHUFFLE_HASH"), "member_id")
-    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    jplan = internal_plans["dedup_semantic_clusters#internal1"]
     assert "ShuffledHashJoin" in jplan, "member-metadata join must be SHJ"
-    for banned in _BANNED_EVERYWHERE:
-        assert banned not in jplan

@@ -903,8 +903,9 @@ def semantic_dup_pairs(
     map is metadata-sized — broadcast.
 
     Returns (id_a, id_b, cluster, cosine) with id_a < id_b, cosine ≥
-    threshold; vectors are normalized inside the GEMM, matching a
-    list_inner_product/(|a|·|b|) oracle.
+    threshold; vectors are normalized inside the GEMM and the cosine is
+    rounded to the 1e-6 grid (half-away-from-zero) before the threshold
+    test, matching a round(list_inner_product/(|a|·|b|), 6) oracle.
     """
     import math
 
@@ -963,6 +964,13 @@ def semantic_dup_pairs(
         if ca != cb:
             nb[nb == 0.0] = 1.0
         S = (XA / na[:, None]) @ (XB / nb[:, None]).T
+        # grid-round BEFORE the tau test (half-away-from-zero, matching
+        # DuckDB round()): the GEMM cosine and the oracle's
+        # dot/(|a||b|) differ by ~1 ulp, so thresholding the raw value
+        # could split a boundary pair across engines and change the
+        # component set — the same 1e-6-grid discipline as the ANN
+        # families (ADVICE r13)
+        S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
         ia = A["id"].to_numpy()
         ib = B["id"].to_numpy()
         if ca == cb:

@@ -279,7 +279,8 @@ def encode_wav(n_samples: int, seed: int = 0, rate: int = WAV_RATE) -> bytes:
 
 def decode_real(content: bytes) -> dict:
     """Parse a REAL container header into typed metadata. Supported: 24-bit
-    BMP (by header parse) and PCM WAV (by the stdlib `wave` reader). Other
+    BMP (by header parse), 8-bit PNG (full stdlib-zlib decode — see
+    :func:`decode_png`), and PCM WAV (by the stdlib `wave` reader). Other
     formats raise NotImplementedError — that is where PIL/av would plug in."""
     b = bytes(content) if content is not None else b""
     if len(b) >= _BMP_HEADER and b[:2] == b"BM":
@@ -292,6 +293,8 @@ def decode_real(content: bytes) -> dict:
             "bits_per_pixel": bpp,
             "payload_bytes": len(b),
         }
+    if len(b) >= 8 and b[:8] == _PNG_SIG:
+        return decode_png(b)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         import io
         import wave
@@ -317,6 +320,152 @@ def wav_samples(doc_id: int) -> int:
     """Deterministic sample count for the synthesized WAV assets — the oracle
     re-derives duration/file size from doc_id through this same function."""
     return 400 + (doc_id * 13) % 800
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib-only: zlib + the public PNG spec, RFC 2083) — the most
+# common real-world image container a data pipeline meets. Encoder writes
+# 8-bit RGB with level-0 (stored-block) deflate so the FILE SIZE stays pure
+# doc_id arithmetic for the oracle; rows cycle filter types 0/1/2
+# (None/Sub/Up), so decoding requires real de-filter reconstruction, not a
+# memcpy. Filters 3/4 (Average/Paeth) raise NotImplementedError in the
+# decoder — the documented plug-point boundary, same contract as non-BMP/WAV
+# containers in decode_real.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_scanline_len(width: int, height: int) -> int:
+    """Raw pre-compression IDAT payload: 1 filter byte + 3·width RGB bytes
+    per row."""
+    return height * (1 + 3 * width)
+
+
+def png_file_bytes(width: int, height: int) -> int:
+    """Total encoded size through stored-deflate arithmetic: zlib level 0
+    emits 2-byte header + 5 bytes per stored block (<= 65535 raw bytes each)
+    + raw bytes + 4-byte adler32. The oracle re-derives file sizes through
+    this same formula (mm_decode_png_roundtrip)."""
+    n = png_scanline_len(width, height)
+    idat = 2 + 5 * ((n + 65534) // 65535) + n + 4
+    # 8 signature + 25 IHDR chunk (12 framing + 13 data) + IDAT framing + IEND
+    return 8 + 25 + 12 + idat + 12
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A real, decodable 8-bit RGB PNG. Pixels are the same deterministic
+    (seed + i) % 256 byte ramp as :func:`encode_bmp` (row-major, no
+    padding); row r is written with filter type r % 3 (None/Sub/Up)."""
+    import zlib
+
+    import numpy as np
+
+    stride = 3 * width
+    px = (
+        (seed + np.arange(stride * height, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(height, stride)
+    parts = []
+    zero = np.zeros(stride, dtype=np.int16)
+    for r in range(height):
+        row = px[r].astype(np.int16)
+        f = r % 3
+        if f == 0:  # None
+            enc = row
+        elif f == 1:  # Sub: x - left (bpp = 3 bytes)
+            left = np.concatenate([zero[:3], row[:-3]])
+            enc = (row - left) % 256
+        else:  # Up: x - prior row
+            prev = px[r - 1].astype(np.int16) if r > 0 else zero
+            enc = (row - prev) % 256
+        parts.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(parts), 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """Parse + fully decode a PNG: chunk walk with CRC verification, IDAT
+    inflate, per-row de-filter (types 0/1/2 vectorized; 3/4 are the
+    documented plug-point and raise). Returns typed metadata plus
+    ``pixel_sum`` — the sum of every reconstructed pixel byte, which proves
+    the inflate+de-filter path end to end (a header-only parse could not
+    produce it)."""
+    import zlib
+
+    import numpy as np
+
+    b = bytes(content)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(b):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r}")
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("no IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if bit_depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = channels * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError("IDAT size mismatch")
+    rows = raw.reshape(height, 1 + stride)
+    total = 0
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        f = int(rows[r, 0])
+        row = rows[r, 1:].astype(np.int64)
+        if f == 0:  # None
+            recon = row
+        elif f == 1:  # Sub: cumulative sum down each pixel-byte lane
+            recon = np.cumsum(row.reshape(width, channels), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            recon = (row + prev) % 256
+        else:
+            raise NotImplementedError(
+                f"PNG filter {f} (Average/Paeth) — real-codec plug-point"
+            )
+        total += int(recon.sum())
+        prev = recon
+    return {
+        "modality": "image",
+        "width": int(width),
+        "height": int(height),
+        "bits_per_pixel": 8 * channels,
+        "payload_bytes": len(b),
+        "pixel_sum": total,
+    }
 
 
 def synth_real_assets(
@@ -387,3 +536,58 @@ def decode_real_meta(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(decode, REAL_DECODED_SCHEMA)
+
+
+def synth_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents → (doc_id, content binary) real PNG containers sized by
+    :func:`fake_dims`, pixel ramp seeded by doc_id — same Arrow-batched
+    shape as :func:`synth_real_assets`."""
+    import pandas as pd
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "content": [
+                    encode_png(*fake_dims(int(i)), seed=int(i)) for i in ids
+                ],
+            })
+
+    return docs.select(id_col).mapInPandas(build, "doc_id long, content binary")
+
+
+PNG_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, bits_per_pixel int, "
+    "payload_bytes long, pixel_sum long, valid boolean"
+)
+
+
+def decode_png_meta(assets: DataFrame) -> DataFrame:
+    """Full-decode stage over PNG containers (:func:`decode_png` per row,
+    Arrow-batched): typed metadata PLUS the reconstructed pixel-byte sum.
+    Undecodable blobs yield valid=false rows (poison-blob rule)."""
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    m = decode_png(content)
+                    rows.append({
+                        "doc_id": doc_id, "width": m["width"],
+                        "height": m["height"],
+                        "bits_per_pixel": m["bits_per_pixel"],
+                        "payload_bytes": m["payload_bytes"],
+                        "pixel_sum": m["pixel_sum"], "valid": True,
+                    })
+                except Exception:
+                    rows.append({
+                        "doc_id": doc_id, "width": 0, "height": 0,
+                        "bits_per_pixel": 0, "payload_bytes": 0,
+                        "pixel_sum": 0, "valid": False,
+                    })
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(decode, PNG_DECODED_SCHEMA)

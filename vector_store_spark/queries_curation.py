@@ -166,6 +166,47 @@ def curation_quantile_gate(spark, sf_dir):
     ).select("lang", "n_docs", "n_kept", "median_q")
 
 
+def _ingest_internal_plan(spark, sf_dir):
+    """Internal-plan probe: the entry eager-localizes (source-count-sized
+    collect so the PERMISSIVE-scan cache is released per call) — expose the
+    parse/quarantine/rollup pipeline lazily for the suite-wide plan bans."""
+    import os
+    import tempfile
+
+    from vector_store_spark.sources.ingest import read_jsonl_quarantine
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    js = docs.select(
+        F.to_json(F.struct("doc_id", "text", "source")).alias("line"),
+        "doc_id",
+    )
+    dirty = js.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.expr("substring(line, 1, length(line) - 5)"),
+        ).otherwise(F.col("line")).alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="ingest_probe_")
+    src = os.path.join(root, "corpus")
+    dirty.write.mode("overwrite").text(src)
+    parsed, quarantined, handle = read_jsonl_quarantine(
+        spark, src, "doc_id bigint, text string, source string"
+    )
+    per_source = parsed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+    )
+    qrow = quarantined.agg(
+        F.lit("_quarantined").alias("source"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.lit(-1).cast("long").alias("chars"),
+    )
+    result = per_source.unionByName(qrow)
+    # the probe only captures the plan; release the scan cache immediately
+    handle.unpersist()
+    return result
+
+
 @register(
     "ingest_jsonl_quarantine",
     # the fixture plants a deterministic defect: every 13th doc's JSON line
@@ -185,6 +226,7 @@ FROM documents WHERE doc_id % 13 = 0
     "mode — malformed lines land intact in a quarantine fork (replayable "
     "audit trail) instead of failing the job (FAILFAST) or vanishing "
     "(DROPMALFORMED); per-source parsed volume + quarantine count",
+    internal_plan_fn=_ingest_internal_plan,
 )
 def ingest_jsonl_quarantine(spark, sf_dir):
     import os

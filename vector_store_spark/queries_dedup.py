@@ -27,7 +27,7 @@ from vector_store_spark.operators.dedup import (
     simhash_pairs,
 )
 from vector_store_spark.queries_text import quality_score_sql
-from vector_store_spark.registry import ROUND, load, register
+from vector_store_spark.registry import ROUND, load, memo_cached_frame, register
 
 _TOKS = f"SELECT doc_id AS id, {tokenize_sql('text')} AS toks FROM documents"
 _SETS = (
@@ -49,17 +49,20 @@ def _minhash_pairs(spark, sf_dir, num_hashes, bands):
     # GC, so a fresh session could collide with a dead one's key and hand
     # back a frame bound to a stopped SparkContext
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:{num_hashes}:{bands}"
-    if key not in _PAIRS_CACHE:
+
+    def _build():
         docs = load(spark, sf_dir, "documents")
         # max_bucket_width=None: the DuckDB oracles' banding is exhaustive,
         # so the engine side must be too — the hot-bucket salting cap could
         # otherwise silently drop candidate pairs at scale factors where a
         # band bucket exceeds the cap, breaking engine-vs-oracle parity
-        _PAIRS_CACHE[key] = minhash_lsh_pairs(
+        return minhash_lsh_pairs(
             docs, "doc_id", "text", n=3, num_hashes=num_hashes, bands=bands,
             threshold=0.8, max_bucket_width=None,
-        ).cache()
-    return _PAIRS_CACHE[key]
+        )
+
+    # self-heals after clearCache (see registry.memo_cached_frame)
+    return memo_cached_frame(_PAIRS_CACHE, key, _build)
 
 
 @register(
@@ -344,6 +347,15 @@ FROM {LABELS}
 _GROUPS_SQL, _GROUPS_MEMO = _closure_variants("", _GROUPS_TAIL)
 
 
+def _groups_internal_plan(spark, sf_dir):
+    """Internal-plan probe: dedup_component_members' label propagation roots
+    at a localCheckpoint (Scan ExistingRDD), so the entry's visible plan
+    hides the distributed pair pipeline — expose the banded candidate/verify
+    pair generation lazily (the drop-list/keep-best entries pin the
+    label-APPLY side of the same pipeline)."""
+    return _minhash_pairs(spark, sf_dir, _NH, _BANDS)
+
+
 @register(
     "dedup_groups_minhash",
     # WITH RECURSIVE: transitive closure over the verified near-dup pairs,
@@ -356,6 +368,7 @@ _GROUPS_SQL, _GROUPS_MEMO = _closure_variants("", _GROUPS_TAIL)
     "shape that survives a degenerate mega-component (no per-group array)",
     memo_setup=_LABELS_MEMO_SETUP,
     memo_sql=_GROUPS_MEMO,
+    internal_plan_fn=_groups_internal_plan,
 )
 def dedup_groups_minhash(spark, sf_dir):
     from pyspark.sql import Window
@@ -681,6 +694,38 @@ def dedup_substring_stats(spark, sf_dir):
 _SD_K, _SD_TAU = 16, 0.45
 
 
+def _semantic_internal_plans(spark, sf_dir):
+    """Internal-plan probe for the eager-localized registry entry: the
+    distributed operators it drives — the cluster-grid cogrouped GEMM pair
+    search and the fact-classed member-metadata join — exposed lazily so the
+    suite-wide plan bans audit them (tests/test_plans.py)."""
+    from vector_store_spark.operators.clustering import kmeans_assign
+    from vector_store_spark.operators.dedup import (
+        dedup_component_members,
+        semantic_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.where(F.col("vec_id") < _SD_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", [r.embedding for r in cents],
+        keep_cols=("embedding",),
+    )
+    pairs = semantic_dup_pairs(
+        assigned, "vec_id", "embedding",
+        threshold=_SD_TAU, max_block=512,
+    )
+    members = dedup_component_members(pairs)
+    meta = assigned.select(
+        F.col("vec_id").alias("member_id"),
+        F.round("l2sq", ROUND).alias("dist_sq"),
+    )
+    return [pairs, members.join(meta.hint("SHUFFLE_HASH"), "member_id")]
+
+
 @register(
     "dedup_semantic_clusters",
     f"""
@@ -703,9 +748,9 @@ ver AS (
   SELECT ma.vec_id AS id_a, mb.vec_id AS id_b
   FROM m ma JOIN m mb ON ma.cid = mb.cid AND ma.vec_id < mb.vec_id
   JOIN e ea ON ea.vec_id = ma.vec_id JOIN e eb ON eb.vec_id = mb.vec_id
-  WHERE list_inner_product(ea.v, eb.v) /
-        (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v)))
-        >= {_SD_TAU}
+  WHERE round(list_inner_product(ea.v, eb.v) /
+              (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))),
+              {ROUND}) >= {_SD_TAU}
 ),
 edges AS (SELECT id_a AS src, id_b AS dst FROM ver UNION SELECT id_b, id_a FROM ver),
 reach AS (
@@ -734,6 +779,7 @@ FROM mem JOIN rep ON rep.group_id = mem.group_id AND rep.member_id = mem.member_
     "cluster centroid per group (the paper's diversity-preserving pick); "
     "grid sub-blocking (lossless, knn_graph-style) caps per-task memory "
     "under cluster skew",
+    internal_plan_fn=_semantic_internal_plans,
 )
 def dedup_semantic_clusters(spark, sf_dir):
     from pyspark.sql import Window

@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 from vector_store_spark.operators.diversify import ann_topk_capped, mmr_rerank
 from vector_store_spark.operators.knn_graph import knn_graph, label_outliers
-from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
+from vector_store_spark.registry import (
+    ROUND,
+    det_query_vector,
+    load,
+    memo_cached_frame,
+    register,
+    sql_vec,
+)
 
 DIMS = 64
 Q7 = det_query_vector(7, DIMS)
@@ -30,6 +37,22 @@ def _cos_sim(a: str, b: str) -> str:
     return (
         f"list_inner_product({a}, {b}) / "
         f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+def _mmr_internal_plan(spark, sf_dir):
+    """Internal-plan probe: ann_mmr_topk's returned frame is the driver-side
+    greedy's result (pool-sized createDataFrame), so the suite-wide plan
+    audit sees only a local scan — the distributed work is the top-POOL
+    shortlist, exposed here lazily (same call mmr_rerank makes before its
+    result-sized collect)."""
+    from vector_store_spark.operators.topk import ann_topk
+    from vector_store_spark.types import SpaceType
+
+    return ann_topk(
+        load(spark, sf_dir, "embeddings"), "embedding", Q7, _POOL,
+        space=SpaceType.COSINE, tie_break=["vec_id"],
+        select_cols=["vec_id", "embedding"], round_to=ROUND,
     )
 
 
@@ -78,6 +101,7 @@ WHERE list_position(fp.picked, c.vec_id) > 0
     "MMR-diversified top-k (Carbonell & Goldstein '98): distributed top-pool "
     "shortlist, driver-side greedy over the result-sized pool; oracle replays "
     "the greedy with a recursive CTE",
+    internal_plan_fn=_mmr_internal_plan,
 )
 def ann_mmr_topk(spark, sf_dir):
     return mmr_rerank(
@@ -174,16 +198,19 @@ _GRAPH_CACHE: dict[str, object] = {}
 
 def _graph(spark, sf_dir):
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    if key not in _GRAPH_CACHE:
+
+    def _build():
         # max_block: the grid skew guard is LOSSLESS (pinned by
         # test_knn_graph_grid_subblocking_is_lossless), so unlike the dedup
         # salting cap it can stay armed in the oracle-checked query
-        _GRAPH_CACHE[key] = knn_graph(
+        return knn_graph(
             load(spark, sf_dir, "embeddings"), "vec_id", "embedding", _KG_M,
             k_centroids=_KG_CENTROIDS, n_assign=_KG_ASSIGN, round_to=ROUND,
             max_block=256,
-        ).cache()
-    return _GRAPH_CACHE[key]
+        )
+
+    # self-heals after clearCache (see registry.memo_cached_frame)
+    return memo_cached_frame(_GRAPH_CACHE, key, _build)
 
 
 @register(

@@ -44,11 +44,19 @@ _INDEX_CACHE: dict[str, "object"] = {}
 
 def _index(spark, sf_dir):
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = build_fts_index(
-            load(spark, sf_dir, "documents"), "doc_id", "text"
-        )
-    return _INDEX_CACHE[key]
+    ix = _INDEX_CACHE.get(key)
+    if ix is not None and not ix.postings.storageLevel.useMemory:
+        # self-heal after spark.catalog.clearCache(): the memoized FtsIndex
+        # outlives the cache-manager entries backing its frames, so serving
+        # from it would silently re-tokenize the whole corpus on EVERY query
+        # — the r13 "bm25_term scales 4.14x" extras artifact was exactly
+        # this (post-clearCache reps each paid a full rebuild). Rebuild once
+        # and re-memoize; steady-state serve is corpus-flat again.
+        ix = None
+    if ix is None:
+        ix = build_fts_index(load(spark, sf_dir, "documents"), "doc_id", "text")
+        _INDEX_CACHE[key] = ix
+    return ix
 
 
 @register(

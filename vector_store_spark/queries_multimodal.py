@@ -223,6 +223,70 @@ def mm_decode_real_roundtrip(spark, sf_dir):
 
 
 @register(
+    "mm_decode_png_roundtrip",
+    # PNG leg of the real-codec plug-point: stdlib-zlib-encoded 8-bit RGB
+    # PNGs (level-0 stored deflate => file size is pure arithmetic; rows
+    # cycle filter types None/Sub/Up => decode requires real de-filter
+    # reconstruction). The oracle re-derives every rollup from doc_id:
+    #   file_bytes = 68 + h + 3*w*h   (sig 8 + IHDR 25 + IDAT framing 12 +
+    #     zlib 2 + one stored-block header 5 (scanlines < 64 KiB at these
+    #     dims) + h*(1+3w) raw + adler 4 + IEND 12)
+    #   pixel_sum  = closed form of sum_i (doc_id + i) % 256 over 3*w*h
+    #     ramp bytes (full 256-cycles contribute 32640 each; the remainder
+    #     splits at the wrap point)
+    # A PASS proves encode -> chunk walk -> CRC check -> inflate ->
+    # de-filter -> pixel arithmetic end to end.
+    """
+WITH img AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h,
+         doc_id % 256 AS s
+  FROM documents WHERE doc_id % 4 = 0
+),
+x AS (
+  SELECT doc_id, w, h, s, 3 * w * h AS npx FROM img
+),
+y AS (
+  SELECT doc_id, w, h,
+         68 + h + 3 * w * h AS file_bytes,
+         (npx // 256) * 32640 +
+         CASE WHEN npx % 256 = 0 THEN 0
+              WHEN s + (npx % 256) <= 256
+                THEN (npx % 256) * s + (npx % 256) * ((npx % 256) - 1) // 2
+              ELSE (256 - s) * s + (256 - s) * (255 - s) // 2
+                   + ((npx % 256) - 256 + s) * ((npx % 256) - 257 + s) // 2
+         END AS pixel_sum
+  FROM x
+)
+SELECT count(*) AS n_assets,
+       CAST(sum(w * h) AS BIGINT) AS total_pixels,
+       CAST(sum(file_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(pixel_sum) AS BIGINT) AS total_pixel_sum
+FROM y
+""",
+    "Real-PNG round-trip: stdlib-zlib encoded 8-bit RGB PNGs (stored "
+    "deflate, None/Sub/Up row filters) fully DECODED Spark-side — CRC "
+    "verify, inflate, de-filter, pixel-byte sum — with every rollup "
+    "re-derived by the oracle from doc_id arithmetic",
+)
+def mm_decode_png_roundtrip(spark, sf_dir):
+    from vector_store_spark.operators.multimodal import (
+        decode_png_meta,
+        synth_png_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    decoded = decode_png_meta(synth_png_assets(docs))
+    return decoded.where("valid").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
+
+
+@register(
     "mm_resize_plan_real",
     # the REAL-codec leg feeding a downstream op: decode actual BMP headers
     # (struct parse of bytes a real encoder wrote), then the same

@@ -220,6 +220,17 @@ def stream_cdc_ttl_endstate(spark, sf_dir):
     return sink.live_view("v", as_of=400).select("pk", "v", "exp").orderBy("pk")
 
 
+def _hourly_internal_plan(spark, sf_dir):
+    """Internal-plan probe (registry entries that surface a memory-sink
+    LocalTableScan must expose the distributed work to the suite-wide plan
+    bans): the batch equivalent of the streaming tumbling-window aggregation
+    — identical shape to each micro-batch's plan."""
+    from vector_store_spark.registry import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("event_id") < 5000)
+    return ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count()
+
+
 @register(
     "stream_events_hourly_endstate",
     """
@@ -231,6 +242,7 @@ GROUP BY 1, 2
     "Structured Streaming windowed aggregation, hash-checked: file-source "
     "micro-batches -> watermarked 1h tumbling windows -> complete-mode end "
     "state == the batch GROUP BY (epoch-aligned windows = date_trunc)",
+    internal_plan_fn=_hourly_internal_plan,
 )
 def stream_events_hourly_endstate(spark, sf_dir):
     from vector_store_spark.registry import load_events
@@ -262,6 +274,20 @@ def stream_events_hourly_endstate(spark, sf_dir):
     )
 
 
+def _stream_dedup_internal_plan(spark, sf_dir):
+    """Internal-plan probe: batch equivalent of the streaming keyed-dedup
+    pipeline (dropDuplicates state keyed on pk + the endstate rollup)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+    return (
+        docs.select(F.col("doc_id").alias("pk"))
+        .dropDuplicates(["pk"])
+        .select((F.col("pk") % 10).cast("int").alias("f"))
+        .groupBy("f").agg(F.count("*").cast("long").alias("n_keys"))
+    )
+
+
 @register(
     "stream_dedup_endstate",
     """
@@ -272,6 +298,7 @@ GROUP BY 1
     "Streaming exact dedup, hash-checked: the source replays every key three "
     "times across two files; stateful dropDuplicates emits each key once, so "
     "the end state equals DISTINCT over the underlying key set",
+    internal_plan_fn=_stream_dedup_internal_plan,
 )
 def stream_dedup_endstate(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id").where(
@@ -962,6 +989,20 @@ def stream_quality_monitor_endstate(spark, sf_dir):
     return sink.series()
 
 
+def _sessions_internal_plan(spark, sf_dir):
+    """Internal-plan probe: batch equivalent of the streaming session-window
+    aggregation (per-user session assembly — the state-store work each
+    micro-batch plans)."""
+    from vector_store_spark.registry import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("event_id") < 5000).select(
+        "event_id", "user_id", "ts"
+    )
+    return ev.groupBy(
+        F.session_window("ts", "12 hours").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"), F.max("ts").alias("max_ts"))
+
+
 @register(
     "stream_sessions_endstate",
     # Spark's session_window starts a NEW session when the inter-event gap
@@ -1001,6 +1042,7 @@ FROM sess GROUP BY user_id, sid
     "keeps every session in state so the memory sink sees the full end state; "
     "the production posture at scale is append mode + withWatermark, which "
     "emits each session once its gap closes and evicts it from state",
+    internal_plan_fn=_sessions_internal_plan,
 )
 def stream_sessions_endstate(spark, sf_dir):
     from vector_store_spark.registry import load_events

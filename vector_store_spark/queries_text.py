@@ -751,6 +751,46 @@ def text_source_overlap(spark, sf_dir):
 _VOCAB_BUCKET = 50  # docs per growth bucket (10 points at sf0.01, 100 at sf0.1)
 
 
+def _vocab_growth_rollup(spark, sf_dir):
+    """(bucket, new_grams) rollup — bucket-count-sized (corpus/50 rows)."""
+    docs = load(spark, sf_dir, "documents")
+    n = 3
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(split_ngram_hashes("toks", n)).alias("h"),
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    return (
+        first.groupBy((F.col("fd") / _VOCAB_BUCKET).cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("new_grams"))
+    )
+
+
+def _vocab_growth_pipeline(spark, sf_dir, rollup=None):
+    """Lazy (bucket, new_grams, vocab_size) frame. Doubles as the
+    internal-plan probe the eager-localized registry entry registers: the
+    suite-wide plan bans audit THIS plan, since the entry's returned frame is
+    a LocalTableScan (tests/test_plans.py)."""
+    from vector_store_spark.operators.sampling import global_prefix_offsets
+
+    # the bucket frame grows LINEARLY with the corpus (buckets = docs/50), so
+    # an unpartitioned Window.orderBy("bucket") would drag every bucket row
+    # through one task at scale. The two-pass bucketed prefix sum caps the
+    # largest task at one prefix-bucket range; inclusive cumulative =
+    # exclusive offset + own mass.
+    if rollup is None:
+        rollup = _vocab_growth_rollup(spark, sf_dir)
+    pref = global_prefix_offsets(rollup, "bucket", "new_grams", bucket_size=100_000)
+    return pref.select(
+        "bucket",
+        "new_grams",
+        (F.col("offset") + F.col("new_grams")).cast("long").alias("vocab_size"),
+    )
+
+
 @register(
     "text_vocab_growth",
     # Heaps-law growth diagnostic over the word-3-GRAM vocabulary (the
@@ -777,40 +817,16 @@ FROM b
     "cumulative lexicon size per 50-document bucket in ingestion order — the "
     "corpus diagnostic behind dedup/mixing decisions (a flat tail means new "
     "docs add no lexical novelty)",
+    internal_plan_fn=lambda spark, sf_dir: _vocab_growth_pipeline(spark, sf_dir),
 )
 def text_vocab_growth(spark, sf_dir):
-    from vector_store_spark.operators.sampling import global_prefix_offsets
-
-    docs = load(spark, sf_dir, "documents")
-    n = 3
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
-        F.size("toks") >= n
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(split_ngram_hashes("toks", n)).alias("h"),
-    )
-    first = grams.groupBy("h").agg(F.min("doc_id").alias("fd"))
-    b = (
-        first.groupBy((F.col("fd") / _VOCAB_BUCKET).cast("long").alias("bucket"))
-        .agg(F.count("*").cast("long").alias("new_grams"))
-    )
-    # the bucket frame grows LINEARLY with the corpus (buckets = docs/50), so
-    # an unpartitioned Window.orderBy("bucket") would drag every bucket row
-    # through one task at scale. The two-pass bucketed prefix sum caps the
-    # largest task at one prefix-bucket range; inclusive cumulative =
-    # exclusive offset + own mass. The rollup is CACHED first: the prefix
-    # pass consumes it twice (histogram collect + offset resolution), and
-    # without the cache each pass would replay the full gram pipeline —
-    # the cached frame is bucket-count-sized (corpus/50 rows, 2 columns).
-    b = b.cache()
+    # The rollup is CACHED first: the prefix pass consumes it twice
+    # (histogram collect + offset resolution), and without the cache each
+    # pass would replay the full gram pipeline — the cached frame is
+    # bucket-count-sized (corpus/50 rows, 2 columns).
+    b = _vocab_growth_rollup(spark, sf_dir).cache()
     try:
-        pref = global_prefix_offsets(b, "bucket", "new_grams", bucket_size=100_000)
-        result = pref.select(
-            "bucket",
-            "new_grams",
-            (F.col("offset") + F.col("new_grams")).cast("long").alias("vocab_size"),
-        )
+        result = _vocab_growth_pipeline(spark, sf_dir, rollup=b)
         # bucket-count-sized (corpus/50 rows): materialize eagerly so the
         # rollup cache is released HERE instead of leaking one entry per call
         # (bench reps invoke registry queries repeatedly)

@@ -102,6 +102,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def memo_cached_frame(cache: dict, key: str, builder) -> DataFrame:
+    """Per-corpus memo for a standing cached DataFrame that SELF-HEALS after
+    ``spark.catalog.clearCache()``: the memoized frame outlives its
+    cache-manager entry, so without the storageLevel check every consumer
+    would silently re-derive the full pipeline per call (the r13 bm25_term
+    4.14x scaling artifact — same failure class for the minhash-pair and
+    kNN-graph memos)."""
+    df = cache.get(key)
+    if df is not None and not df.storageLevel.useMemory:
+        df = None
+    if df is None:
+        df = builder().cache()
+        cache[key] = df
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events.parquet, normalizing ``ts`` to a µs-precision timestamp
     whatever the on-disk physical type is.
