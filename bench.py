@@ -299,6 +299,197 @@ def _stream_throughput(timings: dict, result_rows: dict) -> dict:
     return out
 
 
+def _bulk_cdc_waves(spark, sf_dir: str, wave_rows: int):
+    """Three CDC waves at volume (VERDICT r13 #1): bootstrap insert of
+    ``wave_rows``, LWW update of half, then a mixed delete(10%)+update(10%)
+    wave — the reference's scan→table→index pipeline shape
+    (crates/vector-store/benches/pipeline.rs:303-310) with enough rows that
+    the number measures the merge/leaf-rewrite path, not trigger overhead.
+    Rows are corpus replicas with shifted keys (same recipe as
+    tools/make_sf.py), so the vector width and LWW profile match the table."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_base = emb.count()
+    reps = math.ceil(wave_rows / n_base)
+    rep = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col("label").cast("int").alias("lbl"),
+    ).withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(reps)])))
+    base = rep.select(
+        F.lit("upsert").alias("op"),
+        (F.col("vec_id") + F.col("_r") * n_base).alias("pk"),
+        "emb", "lbl",
+        F.lit(100).cast("bigint").alias("ts"),
+        (F.col("vec_id") + F.col("_r") * n_base).alias("seq"),
+    ).where(F.col("pk") < wave_rows)
+    w2 = (
+        base.where(F.col("pk") % 2 == 0)
+        .withColumn("emb", F.transform("emb", lambda x: -x))
+        .withColumn("ts", F.lit(200).cast("bigint"))
+        .withColumn("seq", F.col("pk") + 10_000_000)
+    )
+    dels = base.where(F.col("pk") % 10 == 0).select(
+        F.lit("delete").alias("op"), "pk",
+        F.lit(None).cast("array<double>").alias("emb"),
+        F.lit(None).cast("int").alias("lbl"),
+        F.lit(300).cast("bigint").alias("ts"),
+        (F.col("pk") + 20_000_000).alias("seq"),
+    )
+    upd3 = (
+        base.where(F.col("pk") % 10 == 1)
+        .withColumn("emb", F.transform("emb", lambda x: x * 0.5))
+        .withColumn("ts", F.lit(300).cast("bigint"))
+        .withColumn("seq", F.col("pk") + 20_000_000)
+    )
+    return base, w2, dels.unionByName(upd3)
+
+
+def _bulk_ivf_run(spark, sf_dir: str, wave_rows: int) -> dict:
+    """One CDC→IVF run: the three waves stream (parquet file source,
+    availableNow) through CdcSnapshotSink with the fixed-centroid cluster
+    assignment as a derived partition column — the continuously-maintained
+    approximate index of stream_cdc_ivf_topk — then ivf_update applies the
+    half-corpus update wave to a PERSISTED layout (the committed-index CRUD
+    leg, touched-cluster rewrite only). Timed legs exclude source-file prep."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.ivf import ivf_build, ivf_update
+    from vector_store_spark.queries_streaming import (
+        _ANN_SCHEMA,
+        _await,
+        _mk_cluster_assign,
+    )
+    from vector_store_spark.streaming.cdc import CdcSnapshotSink
+
+    root = tempfile.mkdtemp(prefix="bench_bulk_ivf_")
+    src, snap, ckpt = (os.path.join(root, d) for d in ("src", "snap", "ckpt"))
+    out: dict = {}
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = [
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+        sink = CdcSnapshotSink(
+            spark, snap, ["pk"], ["emb", "lbl"], num_buckets=8,
+            derived_partition_cols={"cluster": _mk_cluster_assign(cents)},
+        )
+        waves = _bulk_cdc_waves(spark, sf_dir, wave_rows)
+        total = 0.0
+        for i, w in enumerate(waves, 1):
+            n = w.count()
+            w.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+            stream = spark.readStream.schema(_ANN_SCHEMA).parquet(
+                os.path.join(src, "*"))
+            t0 = time.perf_counter()
+            _await(sink.start(stream, checkpoint_dir=ckpt))
+            dt = time.perf_counter() - t0
+            total += dt
+            out[f"wave{i}"] = {"rows": n, "sec": round(dt, 2),
+                               "rows_per_sec": round(n / dt, 1)}
+        out["waves_total_sec"] = round(total, 2)
+        # persisted-layout CRUD at the same volume: build once from the
+        # bootstrap frame, then apply the update wave (remove+add of half
+        # the corpus — only touched cluster dirs rewrite)
+        ivf_path = os.path.join(root, "ivf_ix")
+        base_vecs = waves[0].select(F.col("pk").alias("vec_id"), "emb")
+        ivf_build(base_vecs, "vec_id", "emb", ivf_path, k_centroids=8)
+        upd_vecs = waves[1].select(F.col("pk").alias("vec_id"), "emb")
+        n_upd = upd_vecs.count()
+        t0 = time.perf_counter()
+        ivf_update(spark, ivf_path, "vec_id", "emb", items_added=upd_vecs)
+        dt = time.perf_counter() - t0
+        out["ivf_update"] = {"rows": n_upd, "sec": round(dt, 2),
+                             "rows_per_sec": round(n_upd / dt, 1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _bulk_hnsw_run(spark, sf_dir: str, wave_rows: int) -> dict:
+    """One HNSW bulk-upsert wave: build a sliced graph over ``wave_rows``
+    nodes, then a single fused upsert of half-updates + quarter-inserts —
+    the on_batch maintenance hot path at volume."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_upsert
+
+    def frame(rows, offset=0, neg=False):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_base = emb.count()
+        reps = math.ceil(rows / n_base)
+        rep = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb"),
+        ).withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(reps)])))
+        return rep.select(
+            (F.col("vec_id") + F.col("_r") * n_base + offset).alias("vec_id"),
+            (F.transform("emb", lambda x: -x) if neg else F.col("emb")).alias("emb"),
+        ).where(F.col("vec_id") - offset < rows)
+
+    root = tempfile.mkdtemp(prefix="bench_bulk_hnsw_")
+    path = os.path.join(root, "ix")
+    out: dict = {}
+    try:
+        # slices sized so each holds a few thousand nodes (the per-slice
+        # insert is the sequential leg; 32 slices ride the 32 cores)
+        t0 = time.perf_counter()
+        hnsw_build(frame(wave_rows), "vec_id", "emb", path,
+                   m=8, ef_construction=64, num_slices=32)
+        dt = time.perf_counter() - t0
+        out["build"] = {"rows": wave_rows, "sec": round(dt, 2),
+                        "rows_per_sec": round(wave_rows / dt, 1)}
+        wave = frame(wave_rows // 2, neg=True).unionByName(
+            frame(wave_rows // 4, offset=10_000_000))
+        n = wave.count()
+        t0 = time.perf_counter()
+        hnsw_upsert(spark, path, items=wave)
+        dt = time.perf_counter() - t0
+        out["upsert"] = {"rows": n, "sec": round(dt, 2),
+                         "rows_per_sec": round(n / dt, 1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _bulk_stream_throughput(spark, sf_dir: str) -> dict:
+    """VERDICT r13 #1: the per-stream extras prove the stream_* family is
+    trigger-overhead-bound at 10-row endstates; these keys measure whether
+    the LWW-merge → leaf-rewrite path SUSTAINS load — rows/sec through bulk
+    CDC waves at 1x (64k rows) and 10x (640k), for the snapshot-maintained
+    IVF and the hnsw graph upsert. time_ratio_10x is total 10x time over
+    total 1x time (10.0 = linear; the committed r14 calibration landed well
+    under 2 — the path is overhead-dominated even at 64k rows)."""
+    out: dict = {}
+    ivf = {}
+    for tag, rows in (("1x", 64_000), ("10x", 640_000)):
+        ivf[tag] = _bulk_ivf_run(spark, sf_dir, rows)
+    ivf["wave_rows_1x"] = 64_000
+    t1 = ivf["1x"]["waves_total_sec"] + ivf["1x"]["ivf_update"]["sec"]
+    t10 = ivf["10x"]["waves_total_sec"] + ivf["10x"]["ivf_update"]["sec"]
+    ivf["time_ratio_10x"] = round(t10 / max(t1, 1e-9), 2)
+    out["stream_bulk_rows_per_sec_ivf"] = ivf
+    hnsw = {}
+    for tag, rows in (("1x", 16_000), ("10x", 160_000)):
+        hnsw[tag] = _bulk_hnsw_run(spark, sf_dir, rows)
+    hnsw["wave_rows_1x"] = 16_000
+    t1 = hnsw["1x"]["build"]["sec"] + hnsw["1x"]["upsert"]["sec"]
+    t10 = hnsw["10x"]["build"]["sec"] + hnsw["10x"]["upsert"]["sec"]
+    hnsw["time_ratio_10x"] = round(t10 / max(t1, 1e-9), 2)
+    out["stream_bulk_rows_per_sec_hnsw"] = hnsw
+    return out
+
+
 def _drop_list_phases(spark, d: str) -> dict:
     """One warm, phase-attributed pass over dedup_drop_list's serve leg.
     Mirrors the query's own composition (queries_dedup.dedup_drop_list):
@@ -1290,6 +1481,15 @@ def _extras(spark, sf_dir: str) -> dict:
             out["scaling_sf001_vs_big"] = scaling
     except Exception as ex:
         print(f"bench extras (scaling) error: {ex}", file=sys.stderr)
+
+    try:
+        # Bulk CDC→index sustained-throughput block (VERDICT r13 #1) —
+        # ~2 min of wall clock; SPARK_GRAFT_BENCH_BULK=skip elides it for
+        # quick iteration runs (committed records keep it on).
+        if os.environ.get("SPARK_GRAFT_BENCH_BULK", "full") != "skip":
+            out.update(_bulk_stream_throughput(spark, sf_dir))
+    except Exception as ex:
+        print(f"bench extras (bulk stream) error: {ex}", file=sys.stderr)
 
     try:
         # Real-dataset recall harness through the BENCHMARK READERS
