@@ -866,6 +866,62 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (topk latency) error: {ex}", file=sys.stderr)
 
     try:
+        import threading
+
+        from vector_store_spark.operators.topk import ann_topk
+        from vector_store_spark.registry import det_query_vector
+
+        # Concurrent-client QPS parity (VERDICT r13 #7): the reference
+        # harness measures overall QPS with N concurrent clients
+        # (crates/benchmark/src/main.rs:466-520); our sequential
+        # topk_qps_* is inverse latency. Here N client threads share the
+        # ONE SparkSession — each sets its own FAIR scheduler pool (the
+        # session runs spark.scheduler.mode=FAIR), so jobs timeshare the
+        # 32 cores instead of FIFO-queueing. Each thread runs a fixed
+        # query count over distinct deterministic query vectors; aggregate
+        # QPS = total queries / wall time.
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        emb.count()
+        queries_per_client = 4
+
+        def _client(idx: int, k: int, errs: list):
+            try:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"bench_client_{idx}")
+                for j in range(queries_per_client):
+                    q = det_query_vector(100 + idx * 17 + j, 64)
+                    ann_topk(
+                        emb, "embedding", q, k,
+                        tie_break=["vec_id"], select_cols=["vec_id"],
+                    ).collect()
+            except Exception as ex:  # noqa: BLE001 - surfaced via errs
+                errs.append(f"client{idx}: {ex}")
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        for n_clients in (4, 16):
+            for k in (1, 10):
+                errs: list = []
+                threads = [
+                    threading.Thread(target=_client, args=(i, k, errs))
+                    for i in range(n_clients)
+                ]
+                t0 = time.perf_counter()
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                wall = time.perf_counter() - t0
+                if errs:
+                    raise RuntimeError("; ".join(errs[:3]))
+                total_q = n_clients * queries_per_client
+                out[f"topk_qps_concurrent_n{n_clients}_k{k}"] = round(
+                    total_q / wall, 2)
+        emb.unpersist()
+    except Exception as ex:
+        print(f"bench extras (concurrent qps) error: {ex}", file=sys.stderr)
+
+    try:
         from vector_store_spark.operators.dedup import (
             embedding_neardup_pairs,
             embedding_neardup_pairs_lsh,

@@ -19,6 +19,11 @@ def get_spark(app_name: str = "vector-store-spark", shuffle_partitions: int | No
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(parts))
+        # FAIR so concurrent client threads (bench topk_qps_concurrent_*;
+        # any multi-tenant driver) timeshare the executor instead of
+        # FIFO-queueing whole jobs; with one job at a time it schedules
+        # identically to FIFO, so single-stream numbers are unaffected
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
