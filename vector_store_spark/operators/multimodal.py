@@ -433,6 +433,8 @@ def decode_png(content: bytes) -> dict:
         pos += 12 + ln
     if width is None:
         raise ValueError("no IHDR")
+    if not idat:
+        raise ValueError("truncated PNG: no IDAT data")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     if bit_depth != 8:
         raise NotImplementedError("only 8-bit PNG supported")
