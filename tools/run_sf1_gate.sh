@@ -5,10 +5,10 @@
 # order so heavy families spread), each with its own Spark+DuckDB, then merge.
 # Usage: tools/run_sf1_gate.sh [SF_DIR] [N_SHARDS] [ORACLE_TIMEOUT_S] [OUT.json] [NAMES...]
 #   NAMES (optional): restrict to these query names (selective family gates).
-# Stale-shard hygiene (ADVICE r13): shard files are wiped before launch and
-# the merge HARD-FAILS if any expected shard is missing or predates the run
-# start — a crashed shard can no longer be papered over by a previous run's
-# leftovers.
+# Stale-shard hygiene (ADVICE r13): every run gets a FRESH mktemp shard dir
+# (two concurrent gates can never share paths) and the merge HARD-FAILS if
+# any expected shard record is missing or predates the run start — a crashed
+# shard can no longer be papered over by a previous run's leftovers.
 set -u
 SF_DIR="${1:-/root/repo/var/sf1}"
 N="${2:-3}"
@@ -17,7 +17,9 @@ OUT="${4:-CORRECTNESS_local_sf_gate.json}"
 shift $(( $# < 4 ? $# : 4 ))
 ONLY=("$@")
 cd "$(dirname "$0")/.."
-rm -f /tmp/sf_gate_shard*.json /tmp/sf_gate_shard*.log
+# per-run shard dir: two concurrent gates (e.g. sf1 + sf3) must never share
+# shard paths — a second launch would wipe the first's in-flight records
+SHARD_DIR=$(mktemp -d /tmp/sf_gate_run.XXXXXX)
 T_START=$(date +%s)
 if [ "${#ONLY[@]}" -gt 0 ]; then
   QUERIES=("${ONLY[@]}")
@@ -34,8 +36,8 @@ for i in $(seq 0 $((N-1))); do
   done | tr '\n' ' ')
   if [ -z "${NAMES// }" ]; then continue; fi
   SPARK_GRAFT_CHECK_SF_DIR="$SF_DIR" SPARK_GRAFT_ORACLE_TIMEOUT="$TMO" \
-    python tools/check_correctness.py --json "/tmp/sf_gate_shard$i.json" $NAMES \
-    > "/tmp/sf_gate_shard$i.log" 2>&1 &
+    python tools/check_correctness.py --json "$SHARD_DIR/shard$i.json" $NAMES \
+    > "$SHARD_DIR/shard$i.log" 2>&1 &
   PIDS+=($! "$i")
 done
 rc=0
@@ -46,7 +48,7 @@ while [ $# -gt 0 ]; do
   EXPECT+=("$2")
   shift 2
 done
-T_START="$T_START" OUT="$OUT" SF_DIR="$SF_DIR" EXPECT="${EXPECT[*]}" python3 - <<'PY'
+T_START="$T_START" OUT="$OUT" SF_DIR="$SF_DIR" EXPECT="${EXPECT[*]}" SHARD_DIR="$SHARD_DIR" python3 - <<'PY'
 import json, os, sys
 t_start = int(os.environ["T_START"])
 out = os.environ["OUT"]
@@ -54,7 +56,7 @@ entries, totals = {}, {"pass": 0, "weak_rows_only": 0, "fail": 0, "excluded": 0}
 memo_setup = {}
 missing = []
 for i in os.environ["EXPECT"].split():
-    f = f"/tmp/sf_gate_shard{i}.json"
+    f = os.path.join(os.environ["SHARD_DIR"], f"shard{i}.json")
     if not os.path.exists(f) or os.path.getmtime(f) < t_start:
         missing.append(f)
         continue
