@@ -174,6 +174,11 @@ def test_every_topk_query_uses_k_heaps(plans):
     # createDataFrame); the k-heap ran inside its shortlist ann_topk collect,
     # which this plan snapshot can't see
     topk_queries.remove("ann_mmr_topk")
+    # the OpenSearch backend's top-k runs SERVER-side (the adapter only
+    # parses hits); its returned frame is the result-sized hits pivot, and
+    # its distributed leg (bulk-body construction) is audited via the
+    # internal probe
+    topk_queries.remove("ann_opensearch_topk")
     missing = [n for n in topk_queries if "TakeOrderedAndProject" not in plans[n]]
     assert not missing, f"top-k queries without TakeOrderedAndProject: {missing}"
 

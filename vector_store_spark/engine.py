@@ -61,7 +61,7 @@ class AnnResponse:
 #: per-query ``rescore`` strategy_opt (quantization_and_rescoring.rs:117-256).
 ANN_STRATEGIES = (
     "exact", "lsh", "ivf", "pq", "ivfpq", "ivfpq_residual", "i8", "f16", "bf16",
-    "hnsw", "diskann",
+    "hnsw", "diskann", "opensearch",
 )
 
 
@@ -167,6 +167,51 @@ class VectorStoreEngine:
                 df, meta.target_column, list(vector), limit,
                 space=meta.space_type, predicate=predicate,
                 tie_break=list(meta.primary_key_columns),
+            )
+        if ri.strategy == "opensearch":
+            # Third backend of the reference's engine axis
+            # (vs_index/opensearch.rs): serving delegates to an external
+            # OpenSearch-compatible endpoint through the wire-format adapter
+            # in sources/opensearch.py. ANY filtering — residual predicate or
+            # consumed partition restriction — errors out, because the
+            # backend routes every restricted query to FilteredAnn and that
+            # answers Err("Filtering not supported") (opensearch.rs:456-458).
+            if predicate is not None or consumed:
+                raise FilterError("Filtering not supported")
+            from vector_store_spark.functions.distance import similarity_expr
+            from vector_store_spark.sources.opensearch import (
+                ann_search_request,
+                parse_ann_response,
+            )
+
+            if len(meta.primary_key_columns) != 1:
+                raise FilterError(
+                    "opensearch strategy maps _id to a single-column primary key"
+                )
+            client = ri.strategy_opts.get("client")
+            index_key = ri.strategy_opts.get("index_key", meta.index)
+            if client is None:
+                raise FilterError(
+                    "opensearch strategy needs strategy_opts={'client': <endpoint>}"
+                )
+            method, path, body = ann_search_request(index_key, list(vector), limit)
+            status, resp = client.request(method, path, body)
+            if status >= 300:
+                raise FilterError(f"ann: unable to search for embedding ({resp})")
+            hits = parse_ann_response(resp, meta.space_type, meta.dimensions)
+            id_col = meta.primary_key_columns[0]
+            spark = df.sparkSession
+            id_type = df.schema[id_col].dataType.simpleString()
+            out = spark.createDataFrame(
+                [(pid, float(score)) for pid, score in hits],
+                schema=f"{id_col} {id_type}, distance double",
+            )
+            # the score-valued distance flows through the SAME similarity
+            # mapping as every backend (similarity.rs:26-37 applied to the
+            # Distance the adapter produced verbatim from _score)
+            return out.withColumn(
+                "similarity",
+                similarity_expr(meta.space_type, F.col("distance"), meta.dimensions),
             )
         if predicate is not None:
             df = df.where(predicate)

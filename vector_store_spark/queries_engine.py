@@ -22,7 +22,7 @@ from vector_store_spark.queries_ivf import (
 )
 from vector_store_spark.queries_ivf import _K_LOC, _NPROBE_LOC, _PART, Q7, _built
 from vector_store_spark.registry import ROUND, det_query_vector, load, register, sql_vec
-from vector_store_spark.types import Filter, IndexMetadata, Restriction
+from vector_store_spark.types import Filter, IndexMetadata, Restriction, SpaceType
 
 _DIMS = 64
 _QG = det_query_vector(11, _DIMS)
@@ -288,3 +288,103 @@ def ann_index_version_rebuild_topk(spark, sf_dir):
     # the serving decision IS the behavior under test
     assert served.version == "2", f"served stale version {served.version}"
     return topk.drop("similarity")
+
+
+_QOS = det_query_vector(23, _DIMS)
+_SCORE_OS = (
+    f"(1.0 + list_inner_product(v, {sql_vec(_QOS)}) / "
+    f"(sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(_QOS)}, {sql_vec(_QOS)})))) / 2.0"
+)
+#: one emulator per (app, sf_dir): ingest is deterministic, so reps serve from
+#: the same corpus state — the same precedent as queries_ivf._BUILD_CACHE
+_OS_CLIENT_CACHE: dict[str, object] = {}
+
+
+@register(
+    "ann_opensearch_topk",
+    # The OpenSearch backend quirk under test (vs_index/opensearch.rs:434-446
+    # -> distance.rs:58-105): each hit's _score is taken VERBATIM as the
+    # Distance value, so for cosinesimil the reported "distance" is the
+    # published score (1+cos)/2 — DESCENDING score is the serving order —
+    # and the similarity mapping (2-d)/2 then applies to that score-valued
+    # distance like any other (similarity.rs:26-37). The oracle re-derives
+    # the score exactly; similarity derives from the UNROUNDED score the way
+    # the engine does.
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT vec_id, {_SCORE_OS} AS score FROM e
+)
+SELECT vec_id, round(score, {ROUND}) AS distance,
+       round((2.0 - score) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY score DESC, vec_id LIMIT 10
+""",
+    "§2.9 third engine backend (vs_index/opensearch.rs): knn_vector index "
+    "created with the 1:1 HNSW option mapping, corpus ingested through "
+    "distributed _bulk NDJSON bodies, ANN served over the adapter's "
+    "verbatim score-as-distance contract; emulator answers with the "
+    "published cosinesimil score over an exact scan (recall-1 stand-in)",
+    # the result frame is a driver-built hits pivot (LocalTableScan, same
+    # class as AnnResponse); the distributed leg is the bulk-body
+    # construction — expose it so the suite-wide plan bans audit it
+    internal_plan_fn=lambda spark, sf_dir: [
+        __import__(
+            "vector_store_spark.sources.opensearch", fromlist=["bulk_bodies"]
+        ).bulk_bodies(load(spark, sf_dir, "embeddings"), "vec_id",
+                      "embedding", "emb_os")
+    ],
+)
+def ann_opensearch_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.sources.opensearch import (
+        OpenSearchEmulator,
+        bulk_bodies,
+        create_index_request,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:opensearch"
+    if key not in _OS_CLIENT_CACHE:
+        client = OpenSearchEmulator()
+        method, path, body = create_index_request(
+            "emb_os", _DIMS, connectivity=16, expansion_add=128,
+            expansion_search=64, space=SpaceType.COSINE,
+        )
+        status, resp = client.request(method, path, body)
+        assert status == 200, resp
+        # distributed body construction (Arrow-batched), driver-side apply —
+        # the result-sized frame is one NDJSON string per 500-doc batch
+        client.ingest_bodies(
+            bulk_bodies(emb, "vec_id", "embedding", "emb_os").collect()
+        )
+        # count parity (opensearch.rs:460-493) before serving
+        from vector_store_spark.sources.opensearch import (
+            count_request,
+            parse_count_response,
+        )
+
+        m, p, _ = count_request("emb_os")
+        st, body = client.request(m, p)
+        assert st == 200 and parse_count_response(body) == emb.count()
+        _OS_CLIENT_CACHE[key] = client
+
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_os", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+        ),
+        strategy="opensearch",
+        strategy_opts={"client": _OS_CLIENT_CACHE[key], "index_key": "emb_os"},
+    )
+    topk, _ = eng.ann_df("ks", "embeddings", "embedding", _QOS, 10)
+    return topk.select(
+        "vec_id",
+        F.round("distance", ROUND).alias("distance"),
+        F.round("similarity", ROUND).alias("similarity"),
+    )
