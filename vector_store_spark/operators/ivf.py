@@ -241,7 +241,58 @@ def ivf_update(
     clusters of added vectors plus the clusters holding removed ids — found
     with an id-filtered scan (predicate pushdown), never a full-index
     rewrite. An upsert is remove(id) + add(new row). Work is
-    O(touched clusters + changed rows), not O(index)."""
+    O(touched clusters + changed rows), not O(index).
+
+    The maintenance wave runs under the reference's protective trio
+    (operators/admission.py): adds are DROPPED under memory pressure (R7,
+    usearch.rs:1156-1177 — removals still process), capacity grows in
+    reserve increments under an exclusive permit when free space dips under
+    the channel size (R6 accounting analogue — parquet needs no
+    pre-allocation, the increment/threshold arithmetic and permit ordering
+    are what's preserved), and the leaf rewrite itself holds the per-layout
+    operation gate in its exclusive Remove mode whenever ids can leave the
+    index (R8, usearch.rs:546-555; an upsert removes before it adds)."""
+    from vector_store_spark.operators.admission import (
+        Mode,
+        capacity_for,
+        default_watcher,
+        gate_for,
+    )
+
+    if items_added is not None and not default_watcher().check_memory_allocation(
+        True, key=path
+    ):
+        items_added = None  # R7: the add wave is dropped, removals proceed
+    if items_added is None and not ids_removed:
+        return
+    gate = gate_for(path)
+    if items_added is not None:
+        cap = capacity_for(path)
+        target = cap.needs_more_capacity()
+        if target is not None:
+            with gate.permit(Mode.RESERVE):  # exclusive, usearch.rs:905-917
+                cap.reserve(target)
+    # the whole wave can remove ids (upsert = remove + add): exclusive mode
+    wave_permit = gate.permit(Mode.REMOVE)
+    try:
+        _ivf_update_wave(spark, path, id_col, vec_col, items_added, ids_removed)
+        if items_added is not None:
+            capacity_for(path).added(items_added.count())
+        if ids_removed:
+            capacity_for(path).removed(len(ids_removed))
+    finally:
+        wave_permit.release()
+
+
+def _ivf_update_wave(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    items_added: DataFrame | None,
+    ids_removed: list | None,
+) -> None:
+    """The leaf rewrite itself (see :func:`ivf_update` for the contract)."""
     import json
     import os
 
