@@ -1,0 +1,274 @@
+"""HTTP serving surface: the reference's REST route table over stdlib HTTP.
+
+The reference serves its engine over axum (`crates/vector-store/src/
+httpserver.rs`, `httproutes.rs`); this module re-expresses the same public
+route table over :class:`http.server.ThreadingHTTPServer` — no third-party
+web framework — in front of the same engine objects the registry queries use.
+Concurrent clients are real OS threads, each running its query through the
+shared SparkSession (the FAIR-pool serving posture measured by bench.py's
+``topk_qps_concurrent_*`` extras).
+
+Route table (httproutes.rs:160-182):
+
+  GET  /api/v1/indexes                          -> index listing
+  GET  /api/v1/indexes/{ks}/{ix}                -> index info (CREATE options)
+  GET  /api/v1/indexes/{ks}/{ix}/status         -> {status, count, build_progress}
+  POST /api/v1/indexes/{ks}/{ix}/ann            -> ANN search
+  POST /api/v1/indexes/{ks}/{ix}/bm25           -> full-text search
+  GET  /api/v1/info                             -> service identification
+  GET  /api/v1/status                           -> node state machine
+  GET  /metrics                                 -> Prometheus text format
+
+Status mapping mirrors post_index_ann (httproutes.rs:712-897): 400 for
+malformed requests / dimension mismatch / ALLOW FILTERING required, 404 for
+an unknown index, 503 + IndexNotReadyResponse while the routed index is
+building, 500 otherwise. Responses are the httpapi wire shapes produced by
+api.py (column-pivoted primary keys, ±f32::MAX saturation).
+
+TLS/mTLS (tls.rs, httpserver.rs's rustls acceptor) is NOT re-expressed: the
+container has no certificate tooling, and transport security for a Spark
+deployment belongs to the cluster perimeter; `ssl.wrap_socket` over the same
+handler is the documented plug-point (see :func:`serve`'s ``ssl_context``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from vector_store_spark import api
+from vector_store_spark.plans.catalog import NotServingError
+from vector_store_spark.plans.restrictions import FilterError
+
+__all__ = ["VectorStoreHttpServer", "serve"]
+
+
+class _Metrics:
+    """Minimal Prometheus text exposition (the /metrics route,
+    httproutes.rs:160 + metrics.rs): request counters and latency sums per
+    (keyspace, index), plus index size gauges refreshed on /status."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = defaultdict(int)  # (route, ks, ix) -> n
+        self.latency_sum = defaultdict(float)
+        self.size = {}
+
+    def observe(self, route: str, ks: str, ix: str, seconds: float) -> None:
+        with self.lock:
+            self.requests[(route, ks, ix)] += 1
+            self.latency_sum[(route, ks, ix)] += seconds
+
+    def render(self) -> str:
+        lines = [
+            "# HELP vector_store_requests_total Requests per route and index.",
+            "# TYPE vector_store_requests_total counter",
+        ]
+        with self.lock:
+            for (route, ks, ix), n in sorted(self.requests.items()):
+                lines.append(
+                    f'vector_store_requests_total{{route="{route}",'
+                    f'keyspace="{ks}",index="{ix}"}} {n}'
+                )
+            lines += [
+                "# HELP vector_store_request_latency_seconds_sum Cumulative latency.",
+                "# TYPE vector_store_request_latency_seconds_sum counter",
+            ]
+            for (route, ks, ix), s in sorted(self.latency_sum.items()):
+                lines.append(
+                    f'vector_store_request_latency_seconds_sum{{route="{route}",'
+                    f'keyspace="{ks}",index="{ix}"}} {s:.6f}'
+                )
+            lines += [
+                "# HELP vector_store_index_size Items per index.",
+                "# TYPE vector_store_index_size gauge",
+            ]
+            for (ks, ix), n in sorted(self.size.items()):
+                lines.append(
+                    f'vector_store_index_size{{keyspace="{ks}",index="{ix}"}} {n}'
+                )
+        return "\n".join(lines) + "\n"
+
+
+def _classify(err: Exception) -> tuple[int, dict]:
+    """Engine exception -> (status, body), following post_index_ann's
+    branches (httproutes.rs:745-817)."""
+    if isinstance(err, NotServingError):
+        return 503, {
+            "INDEX_BUILDING": {"message": str(err),
+                               "progress": err.progress_pct}
+        }
+    if isinstance(err, KeyError):
+        return 404, {"error": f"missing index: {err.args[0]}"}
+    if isinstance(err, FilterError):
+        msg = str(err)
+        if msg.startswith("index not found"):
+            return 404, {"error": msg}  # BestIndexState::NotFound
+        if msg.startswith("INDEX_BUILDING"):
+            return 503, {"INDEX_BUILDING": {"message": msg}}  # NotServing
+        return 400, {"error": msg}
+    return 500, {"error": f"index request error: {err}"}
+
+
+class VectorStoreHttpServer:
+    """The serving facade: engines in, threaded HTTP server out."""
+
+    def __init__(self, engine, fts_engine=None, node_state=None):
+        self.engine = engine
+        self.fts_engine = fts_engine
+        self.node_state = node_state
+        self.metrics = _Metrics()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- request handling (framework-free, shared with tests) --------------
+    def handle(self, method: str, path: str, body: bytes | None = None
+               ) -> tuple[int, dict | str]:
+        """Dispatch one request; returns (status, json-able body or text).
+        The HTTP handler and in-process tests share this entry so the route
+        logic has exactly one implementation."""
+        parts = [p for p in path.split("/") if p]
+        try:
+            if method == "GET" and parts == ["metrics"]:
+                return 200, self.metrics.render()
+            if parts[:2] != ["api", "v1"]:
+                return 404, {"error": f"unknown route {path}"}
+            rest = parts[2:]
+            if method == "GET" and rest == ["info"]:
+                return 200, api.info_response()
+            if method == "GET" and rest == ["status"]:
+                status = ("SERVING" if self.node_state is None
+                          else api.node_status_wire(self.node_state.status))
+                return 200, status
+            if rest[:1] != ["indexes"]:
+                return 404, {"error": f"unknown route {path}"}
+            if method == "GET" and len(rest) == 1:
+                return 200, self.engine.list_indexes()
+            if len(rest) == 3 and method == "GET":
+                ks, ix = rest[1], rest[2]
+                try:
+                    return 200, self.engine.describe_index(ks, ix)
+                except KeyError as err:
+                    return 404, {"error": str(err.args[0])}
+            if len(rest) == 4:
+                ks, ix, verb = rest[1], rest[2], rest[3]
+                if method == "GET" and verb == "status":
+                    try:
+                        st = self.engine.index_status(ks, ix)
+                    except KeyError as err:
+                        return 404, {"error": str(err.args[0])}
+                    with self.metrics.lock:
+                        self.metrics.size[(ks, ix)] = st["count"]
+                    return 200, st
+                if method == "POST" and verb == "ann":
+                    return self._post_ann(ks, ix, body)
+                if method == "POST" and verb == "bm25":
+                    return self._post_bm25(ix, body)
+            return 404, {"error": f"unknown route {path}"}
+        except Exception as err:  # pragma: no cover - final backstop
+            return _classify(err)
+
+    def _post_ann(self, ks: str, ix: str, body: bytes | None) -> tuple[int, dict]:
+        t0 = time.perf_counter()
+        try:
+            try:
+                vector, limit, flt = api.parse_ann_request(
+                    (body or b"{}").decode("utf-8"))
+            except (json.JSONDecodeError, FilterError) as err:
+                return 400, {"error": str(err)}
+            # the route addresses (ks, INDEX); resolve to the indexed table +
+            # scored column, then let the engine route within the group
+            try:
+                m = self.engine._find(ks, ix).state.metadata
+            except KeyError as err:
+                return 404, {"error": str(err.args[0])}
+            resp = self.engine.ann(ks, m.table, m.target_column, vector,
+                                   limit=limit, flt=flt)
+            return 200, json.loads(api.response_to_json(resp))
+        except Exception as err:
+            return _classify(err)
+        finally:
+            self.metrics.observe("ann", ks, ix, time.perf_counter() - t0)
+
+    def _post_bm25(self, ix: str, body: bytes | None) -> tuple[int, dict]:
+        t0 = time.perf_counter()
+        try:
+            if self.fts_engine is None:
+                return 404, {"error": "no fulltext indexes registered"}
+            try:
+                obj = json.loads((body or b"{}").decode("utf-8"))
+            except json.JSONDecodeError as err:
+                return 400, {"error": str(err)}
+            query = obj.get("query")
+            if not isinstance(query, str) or not query:
+                return 400, {"error": "request requires a 'query' string"}
+            limit = obj.get("limit", 1)
+            resp = self.fts_engine.bm25(ix, query, limit=limit)
+            return 200, {"primary_keys": resp.primary_keys,
+                         "scores": resp.scores}
+        except Exception as err:
+            return _classify(err)
+        finally:
+            self.metrics.observe("bm25", "", ix, time.perf_counter() - t0)
+
+    # -- socket lifecycle ---------------------------------------------------
+    def start(self, host: str = "127.0.0.1", port: int = 0,
+              ssl_context=None) -> tuple[str, int]:
+        """Bind and serve on a daemon thread; port 0 picks an ephemeral port.
+        ``ssl_context`` (an ``ssl.SSLContext``) is the TLS plug-point — the
+        reference's rustls acceptor analogue; pass one built from deployment
+        certs to serve HTTPS."""
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _run(self, method):
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else None
+                status, payload = outer.handle(method, self.path, body)
+                if isinstance(payload, str) and self.path == "/metrics":
+                    data = payload.encode("utf-8")
+                    ctype = "text/plain; version=0.0.4"
+                else:
+                    data = json.dumps(payload).encode("utf-8")
+                    ctype = "application/json"
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._run("GET")
+
+            def do_POST(self):
+                self._run("POST")
+
+            def log_message(self, fmt, *args):  # quiet test output
+                pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if ssl_context is not None:
+            self._httpd.socket = ssl_context.wrap_socket(
+                self._httpd.socket, server_side=True)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[:2]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def serve(engine, fts_engine=None, node_state=None, host: str = "127.0.0.1",
+          port: int = 0, ssl_context=None) -> VectorStoreHttpServer:
+    """Convenience: build + start. Returns the running server (addr at
+    ``server._httpd.server_address``)."""
+    srv = VectorStoreHttpServer(engine, fts_engine, node_state)
+    srv.start(host, port, ssl_context=ssl_context)
+    return srv
