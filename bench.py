@@ -922,6 +922,72 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (concurrent qps) error: {ex}", file=sys.stderr)
 
     try:
+        import json as _json
+        import threading
+        import urllib.request
+
+        from vector_store_spark.engine import VectorStoreEngine
+        from vector_store_spark.httpserver import serve
+        from vector_store_spark.registry import det_query_vector
+        from vector_store_spark.types import IndexMetadata
+
+        # End-to-end REST serving QPS: the reference's harness drives the
+        # axum HTTP surface; ours drives httpserver.py's stdlib route table
+        # over real localhost sockets — request parse + routing + engine
+        # top-k + wire pivot all inside the measured window. 4 socket
+        # clients x 4 queries at k=10 against the exact engine.
+        emb_http = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        emb_http.count()
+        eng = VectorStoreEngine()
+        eng.register(
+            emb_http,
+            IndexMetadata(
+                keyspace="bench", index="emb_http", table="embeddings",
+                primary_key_columns=("vec_id",), partition_key_count=1,
+                target_column="embedding", dimensions=64,
+            ),
+            strategy="exact",
+        )
+        srv = serve(eng)
+        try:
+            host, port = srv._httpd.server_address[:2]
+            url = f"http://{host}:{port}/api/v1/indexes/bench/emb_http/ann"
+
+            def _http_client(idx: int, errs: list):
+                try:
+                    for j in range(4):
+                        q = det_query_vector(300 + idx * 13 + j, 64)
+                        req = urllib.request.Request(
+                            url,
+                            data=_json.dumps({"vector": q, "limit": 10}).encode(),
+                            method="POST",
+                        )
+                        with urllib.request.urlopen(req, timeout=600) as r:
+                            _json.loads(r.read())
+                except Exception as ex:  # noqa: BLE001
+                    errs.append(f"http client{idx}: {ex}")
+
+            errs: list = []
+            threads = [threading.Thread(target=_http_client, args=(i, errs))
+                       for i in range(4)]
+            # warm one request (plan compile) outside the window
+            _http_client(99, errs)
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            if errs:
+                raise RuntimeError("; ".join(errs[:3]))
+            out["http_ann_qps_n4_k10"] = round(16 / wall, 2)
+        finally:
+            srv.stop()
+            emb_http.unpersist()
+    except Exception as ex:
+        print(f"bench extras (http qps) error: {ex}", file=sys.stderr)
+
+    try:
         from vector_store_spark.operators.dedup import (
             embedding_neardup_pairs,
             embedding_neardup_pairs_lsh,

@@ -179,6 +179,11 @@ def test_every_topk_query_uses_k_heaps(plans):
     # its distributed leg (bulk-body construction) is audited via the
     # internal probe
     topk_queries.remove("ann_opensearch_topk")
+    # the HTTP entry's returned frame is the parsed wire response; the
+    # k-heap ran inside the route (its internal probe pins the engine plan,
+    # which the TakeOrderedAndProject assertion below covers via
+    # internal_plans)
+    topk_queries.remove("ann_http_topk")
     missing = [n for n in topk_queries if "TakeOrderedAndProject" not in plans[n]]
     assert not missing, f"top-k queries without TakeOrderedAndProject: {missing}"
 

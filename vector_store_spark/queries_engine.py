@@ -388,3 +388,101 @@ def ann_opensearch_topk(spark, sf_dir):
         F.round("distance", ROUND).alias("distance"),
         F.round("similarity", ROUND).alias("similarity"),
     )
+
+
+_QH = det_query_vector(29, _DIMS)
+_COS_QH = (
+    f"1.0 - list_inner_product(v, {sql_vec(_QH)}) / "
+    f"(sqrt(list_inner_product(v, v)) * sqrt(list_inner_product({sql_vec(_QH)}, {sql_vec(_QH)})))"
+)
+
+
+def _http_internal_probe(spark, sf_dir):
+    """The distributed plan under the /ann route: the routed engine's exact
+    top-k (what httpserver._post_ann executes before the wire pivot)."""
+    emb = load(spark, sf_dir, "embeddings")
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_http_probe", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+        ),
+        strategy="exact",
+    )
+    topk, _ = eng.ann_df("ks", "embeddings", "embedding", _QH, 10)
+    return [topk]
+
+
+@register(
+    "ann_http_topk",
+    # The full serving stack END-TO-END: a real POST over a localhost socket
+    # through httpserver.py's route table (httproutes.rs:663-897 semantics)
+    # into the engine lifecycle, the column-pivoted JSON response parsed
+    # back. The oracle is the exact cosine top-k the routed index computes;
+    # similarity derives from the UNROUNDED distance (the engine's F2
+    # mapping) before the wire grid rounding.
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT vec_id, {_COS_QH} AS d FROM e
+)
+SELECT vec_id, round(d, {ROUND}) AS distance,
+       round((2.0 - d) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+    "S9 serving surface end-to-end: REST POST /ann over a localhost socket "
+    "(httproutes.rs route table re-expressed on stdlib HTTP), engine "
+    "lifecycle underneath, wire JSON parsed back — pins request parsing, "
+    "routing, top-k, response pivot and float serialization in one oracle",
+    # the result frame is the parsed wire response (LocalTableScan); the
+    # distributed leg is the engine's exact top-k plan under the route
+    internal_plan_fn=_http_internal_probe,
+)
+def ann_http_topk(spark, sf_dir):
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.httpserver import serve
+
+    emb = load(spark, sf_dir, "embeddings")
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_http_oracle", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+        ),
+        strategy="exact",
+    )
+    srv = serve(eng)
+    try:
+        host, port = srv._httpd.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/v1/indexes/ks/emb_http_oracle/ann",
+            data=_json.dumps({"vector": _QH, "limit": 10}).encode("utf-8"),
+            method="POST", headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = _json.loads(r.read())
+    finally:
+        srv.stop()
+    rows = list(zip(
+        body["primary_keys"]["vec_id"], body["distances"],
+        body["similarity_scores"],
+    ))
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    out = spark.createDataFrame(
+        rows, schema=f"vec_id {id_type}, distance double, similarity double"
+    )
+    return out.select(
+        "vec_id",
+        F.round("distance", ROUND).alias("distance"),
+        F.round("similarity", ROUND).alias("similarity"),
+    )
