@@ -65,6 +65,8 @@ def test_get_indexes_listing(server):
     assert status == 200
     assert {"keyspace": "ks", "index": "emb_http", "table": "embeddings",
             "target_columns": ["embedding"]} in body
+    # fulltext indexes appear in the same listing (httproutes.rs:290-363)
+    assert {"index": "docs_fts", "options": {"type": "fulltext"}} in body
 
 
 def test_get_index_info_and_404(server):

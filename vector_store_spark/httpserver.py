@@ -146,7 +146,15 @@ class VectorStoreHttpServer:
             if rest[:1] != ["indexes"]:
                 return 404, {"error": f"unknown route {path}"}
             if method == "GET" and len(rest) == 1:
-                return 200, self.engine.list_indexes()
+                # both index families in one listing (get_indexes,
+                # httproutes.rs:290-363 returns vector AND fulltext entries)
+                listing = list(self.engine.list_indexes())
+                if self.fts_engine is not None:
+                    listing += [
+                        {"index": name, "options": {"type": "fulltext"}}
+                        for name in sorted(self.fts_engine.indexes)
+                    ]
+                return 200, listing
             if len(rest) == 3 and method == "GET":
                 ks, ix = rest[1], rest[2]
                 try:
