@@ -145,6 +145,15 @@ def main(names=None, json_out=None):
 
     def _fresh_con():
         c = duckdb.connect()
+        # stretch-SF hygiene: DuckDB defaults its memory budget to ~80% of
+        # HOST RAM per process — N gate shards each sizing to the whole box
+        # OOM-killed an sf3 shard at 103 GB RSS (r14). A bounded budget makes
+        # heavy oracles SPILL to the temp dir instead of dying; unset keeps
+        # the default for plain single-process runs.
+        memlimit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "")
+        if memlimit:
+            c.execute(f"SET memory_limit='{memlimit}'")
+            c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
         return c

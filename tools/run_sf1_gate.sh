@@ -36,6 +36,7 @@ for i in $(seq 0 $((N-1))); do
   done | tr '\n' ' ')
   if [ -z "${NAMES// }" ]; then continue; fi
   SPARK_GRAFT_CHECK_SF_DIR="$SF_DIR" SPARK_GRAFT_ORACLE_TIMEOUT="$TMO" \
+    SPARK_GRAFT_ORACLE_MEM="${SPARK_GRAFT_ORACLE_MEM:-24GB}" \
     python tools/check_correctness.py --json "$SHARD_DIR/shard$i.json" $NAMES \
     > "$SHARD_DIR/shard$i.log" 2>&1 &
   PIDS+=($! "$i")
