@@ -170,8 +170,25 @@ def main(names=None, json_out=None):
 
     specs = _all_specs()
     selected = names or list(qs)
+    # explicit, visible exclusions for stretch-SF gates: "name=reason;..."
+    # — an oracle that is RESOURCE-infeasible at the gate SF (e.g. a
+    # Σ|bucket|² candidate set whose DISTINCT exceeds box memory+disk) is
+    # recorded as excluded WITH its reason instead of either a misleading
+    # infra FAIL or a silent drop. Counts against SPARK_GRAFT_MAX_EXCLUDED
+    # like a timeout exclusion, so it must be consciously accepted.
+    skip_reasons = {}
+    for part in (os.environ.get("SPARK_GRAFT_ORACLE_SKIP", "") or "").split(";"):
+        if "=" in part:
+            k, _, v = part.partition("=")
+            skip_reasons[k.strip()] = v.strip()
     n_pass = n_fail = n_weak = n_excl = 0
     for name in selected:
+        if name in skip_reasons:
+            print(f"EXCLUDED  {name}: {skip_reasons[name]}")
+            records[name] = {"status": "excluded",
+                             "detail": skip_reasons[name]}
+            n_excl += 1
+            continue
         fn = qs[name]
         try:
             sdf = fn(spark, SF_DIR)

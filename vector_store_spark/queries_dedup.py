@@ -270,6 +270,15 @@ FROM ver WHERE cosine >= 0.45
     "banded pattern as dedup_minhash_lsh, precision 1 by construction",
 )
 def dedup_embedding_lsh(spark, sf_dir):
+    """SCALE NOTE (sf3 gate, r14): the SHIPPED contract fixes num_bits=32 /
+    bands=8 — 16 buckets per band — which keeps the probed-band S-curve's
+    recall ≥0.99 at tau=0.45 for the ≤sf1 corpora the oracle is sized for,
+    but makes candidate work Σ|bucket|² ≈ N²/128: at 24k vectors (sf3) the
+    oracle's bucket self-join DISTINCT is ~10⁹ rows and exceeds single-box
+    memory+disk (observed 103 GB RSS, then spill-to-disk exhaustion). Larger
+    corpora must raise ``num_bits`` (finer buckets) and recover recall with
+    ``probes`` — both operator parameters; the sf3 gate records this entry
+    as a documented exclusion rather than resizing the shipped contract."""
     from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
 
     emb = load(spark, sf_dir, "embeddings")
