@@ -490,3 +490,31 @@ def test_semantic_dup_pairs_orientation_and_threshold(spark, sf_dir):
         assert r["cosine"] >= 0.3
         # pairs only ever form WITHIN a cluster
         assert cluster_of[r["id_a"]] == r["cluster"] == cluster_of[r["id_b"]]
+
+
+def test_components_deep_path_converges_via_pointer_doubling(spark):
+    """r14 sf3 regression: a component whose DIAMETER exceeds max_iter used
+    to return silently-unconverged labels (rep 109 where the true min was
+    9). With the label-of-label contraction a 300-hop path needs ~log2
+    rounds, far under the default bound."""
+    from vector_store_spark.operators.dedup import dedup_component_members
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a int, id_b int"
+    )
+    labels = dedup_component_members(pairs).collect()
+    assert len(labels) == 301
+    assert {r.group_id for r in labels} == {0}  # ONE component, min id 0
+
+
+def test_components_raise_instead_of_wrong_labels(spark):
+    """Non-convergence at the bound must be an ERROR, never a result."""
+    import pytest
+
+    from vector_store_spark.operators.dedup import dedup_component_members
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_component_members(pairs, max_iter=1)

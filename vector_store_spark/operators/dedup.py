@@ -768,7 +768,17 @@ def dedup_component_members(
     """Connected components in ROW form: one (group_id, member_id) row per
     member — the shape that survives any component size (no per-group array
     is ever materialized, so a degenerate mega-component costs rows, not one
-    giant cell). Same min-label propagation as dedup_connected_components."""
+    giant cell). Same min-label propagation as dedup_connected_components.
+
+    Convergence: each round does one neighbor-min hop PLUS one
+    pointer-doubling contraction (label := min(label, label[label]) — labels
+    are node ids, so chasing the label's own label halves chain length),
+    giving O(log diameter) rounds instead of O(diameter). The r14 sf3 gate
+    caught the plain-hop variant SILENTLY returning unconverged labels when
+    a component's diameter outgrew ``max_iter`` (rep 109 where the true min
+    was 9) — any fixed hop bound has a bigger-corpus counterexample, so
+    non-convergence at the bound now RAISES instead of returning wrong
+    groups."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint()
@@ -777,6 +787,7 @@ def dedup_component_members(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -784,11 +795,25 @@ def dedup_component_members(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("src", "id")
         )
+        hop = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label <- min(label, label-of-label). The label
+        # frame joins ITSELF (fact-fact, both sides pair-graph-sized), so
+        # the chain a min must travel halves every round.
+        lol = hop.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(neigh, "id", "left")
+            hop.join(lol, "label", "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint()
         )
@@ -801,6 +826,12 @@ def dedup_component_members(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still moving) — with pointer doubling "
+            "this needs ~log2(component diameter) rounds; raise max_iter"
+        )
     return labels.select(
         F.col("label").alias("group_id"), F.col("id").alias("member_id")
     )
