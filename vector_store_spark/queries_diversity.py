@@ -382,6 +382,46 @@ r{i} AS (
 )"""
 
 
+#: stretch-SF memo (r14): DuckDB INLINES non-recursive CTEs per reference, so
+#: the pagerank chain re-derived the whole blocked-kNN graph (cell pairs +
+#: distances + per-src window) once per power iteration — at 24k vectors the
+#: tripled intermediate spilled past box disk. The memoized variant
+#: materializes the EDGE LIST once per gate run (m·N rows, narrow) and the
+#: iterations run over the temp table; identical math, identical result.
+_KG_GRAPH_MEMO_SETUP = [(
+    "__memo_knn_graph",
+    f"""WITH {_KG_ASG},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT p.src, p.dst,
+         round(1.0 - {_cos_sim("ea.v", "eb.v")}, {ROUND}) AS distance
+  FROM pairs p JOIN e ea ON ea.vec_id = p.src JOIN e eb ON eb.vec_id = p.dst
+)
+SELECT src, dst FROM (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rn
+  FROM d
+) WHERE rn <= {_KG_M}""",
+)]
+
+_PR_MEMO = f"""
+WITH deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+             FROM __memo_knn_graph GROUP BY src),
+ed AS (SELECT g.src, g.dst, dg.outdeg
+       FROM __memo_knn_graph g JOIN deg dg ON dg.src = g.src),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+r0 AS (SELECT vec_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{_pr_iter_sql(1)},
+{_pr_iter_sql(2)},
+{_pr_iter_sql(3)}
+SELECT vec_id, round(rank * (SELECT n FROM nn), {ROUND}) AS pagerank
+FROM r3 ORDER BY pagerank DESC, vec_id LIMIT 15
+"""
+
+
 @register(
     "knn_graph_pagerank",
     # the graph CTE is the same blocked-kNN derivation as knn_graph_blocked /
@@ -422,6 +462,8 @@ FROM r3 ORDER BY pagerank DESC, vec_id LIMIT 15
     "high-rank nodes are dense-region representatives, the complement of "
     "emb_label_outliers. Each iteration is a SHUFFLE_HASH fan-out join + "
     "dst-keyed partial-combined sum; no driver collection, bounded lineage",
+    memo_setup=_KG_GRAPH_MEMO_SETUP,
+    memo_sql=_PR_MEMO,
 )
 def knn_graph_pagerank(spark, sf_dir):
     from vector_store_spark.operators.knn_graph import pagerank
