@@ -164,6 +164,39 @@ def test_metrics_exposition(server):
     assert "vector_store_requests_total" in text
     assert 'route="ann"' in text
     assert "vector_store_index_size" in text
+    # the latency distribution is a real Prometheus histogram now
+    assert "vector_store_request_latency_seconds_bucket" in text
+    assert 'le="+Inf"' in text
+    assert "vector_store_request_latency_seconds_count" in text
+
+
+def test_metrics_label_escaping_and_percentiles():
+    """Label values taken verbatim from URL path segments must be escaped
+    per the exposition format (backslash, quote, newline), and the retained
+    raw observations expose exact percentiles for bench parity."""
+    from vector_store_spark.httpserver import _Metrics, _escape_label
+
+    assert _escape_label('a"b\\c\nd') == 'a\\"b\\\\c\\nd'
+    m = _Metrics()
+    for i in range(100):
+        m.observe("ann", 'ks"evil\n', "ix\\path", (i + 1) / 1000.0)
+    text = m.render()
+    assert 'keyspace="ks\\"evil\\n"' in text
+    assert 'index="ix\\\\path"' in text
+    assert "\nvector_store_requests_total{" in text
+    # no raw (unescaped) newline may survive inside a label value
+    for line in text.splitlines():
+        assert line == line.strip("\r")
+    pct = m.percentiles("ann")
+    assert pct["count"] == 100
+    assert pct["min"] == 0.001 and pct["max"] == 0.1
+    assert 0.04 < pct["p50"] <= 0.06
+    assert 0.09 <= pct["p95"] <= 0.1
+    assert pct["p99"] >= pct["p95"] >= pct["p50"]
+    # histogram bucket counts are cumulative and end at the total
+    bucket_lines = [l for l in text.splitlines() if "_bucket" in l]
+    counts = [int(l.rsplit(" ", 1)[1]) for l in bucket_lines]
+    assert counts == sorted(counts) and counts[-1] == 100
 
 
 def test_concurrent_clients(server):

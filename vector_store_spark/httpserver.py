@@ -46,23 +46,75 @@ from vector_store_spark.plans.restrictions import FilterError
 __all__ = ["VectorStoreHttpServer", "serve"]
 
 
+def _escape_label(value: str) -> str:
+    """Prometheus exposition-format label escaping: backslash, double quote
+    and newline must be escaped or scrapers reject the whole page. Names
+    arrive verbatim from URL path segments, so this is load-bearing."""
+    return (value.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n"))
+
+
+#: latency histogram bucket upper bounds (seconds) — the reference's bench
+#: reports min/max/percentiles per search (benchmark/src/main.rs:577-650);
+#: the serving tier exposes the same distribution as a Prometheus histogram
+LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+#: raw observations kept per (route, ks, ix) for exact percentiles; bounded
+#: so a long-lived server cannot grow without limit
+MAX_OBSERVATIONS = 100_000
+
+
 class _Metrics:
     """Minimal Prometheus text exposition (the /metrics route,
-    httproutes.rs:160 + metrics.rs): request counters and latency sums per
-    (keyspace, index), plus index size gauges refreshed on /status."""
+    httproutes.rs:160 + metrics.rs): request counters, latency
+    sum/count/histogram per (keyspace, index), plus index size gauges
+    refreshed on /status."""
 
     def __init__(self):
         self.lock = threading.Lock()
         self.requests = defaultdict(int)  # (route, ks, ix) -> n
         self.latency_sum = defaultdict(float)
+        self.buckets = defaultdict(lambda: [0] * (len(LATENCY_BUCKETS) + 1))
+        self.observations = defaultdict(list)  # bounded raw samples
         self.size = {}
 
     def observe(self, route: str, ks: str, ix: str, seconds: float) -> None:
         with self.lock:
-            self.requests[(route, ks, ix)] += 1
-            self.latency_sum[(route, ks, ix)] += seconds
+            key = (route, ks, ix)
+            self.requests[key] += 1
+            self.latency_sum[key] += seconds
+            b = self.buckets[key]
+            for i, ub in enumerate(LATENCY_BUCKETS):
+                if seconds <= ub:
+                    b[i] += 1
+                    break
+            else:
+                b[-1] += 1  # +Inf bucket
+            obs = self.observations[key]
+            if len(obs) < MAX_OBSERVATIONS:
+                obs.append(seconds)
+
+    def percentiles(self, route: str, qs=(0.5, 0.95, 0.99)) -> dict:
+        """Exact percentiles over the retained raw samples for a route
+        (aggregated across indexes) — the bench-parity surface mirroring
+        benchmark/src/main.rs:577-650's per-search distribution report."""
+        with self.lock:
+            samples = sorted(
+                s for (r, _, _), obs in self.observations.items() if r == route
+                for s in obs
+            )
+        if not samples:
+            return {}
+        out = {}
+        for q in qs:
+            idx = min(len(samples) - 1, max(0, round(q * (len(samples) - 1))))
+            out[f"p{int(q * 100)}"] = samples[idx]
+        out["min"] = samples[0]
+        out["max"] = samples[-1]
+        out["count"] = len(samples)
+        return out
 
     def render(self) -> str:
+        esc = _escape_label
         lines = [
             "# HELP vector_store_requests_total Requests per route and index.",
             "# TYPE vector_store_requests_total counter",
@@ -70,17 +122,35 @@ class _Metrics:
         with self.lock:
             for (route, ks, ix), n in sorted(self.requests.items()):
                 lines.append(
-                    f'vector_store_requests_total{{route="{route}",'
-                    f'keyspace="{ks}",index="{ix}"}} {n}'
+                    f'vector_store_requests_total{{route="{esc(route)}",'
+                    f'keyspace="{esc(ks)}",index="{esc(ix)}"}} {n}'
                 )
             lines += [
-                "# HELP vector_store_request_latency_seconds_sum Cumulative latency.",
-                "# TYPE vector_store_request_latency_seconds_sum counter",
+                "# HELP vector_store_request_latency_seconds Request latency.",
+                "# TYPE vector_store_request_latency_seconds histogram",
             ]
-            for (route, ks, ix), s in sorted(self.latency_sum.items()):
+            for (route, ks, ix), b in sorted(self.buckets.items()):
+                labels = (f'route="{esc(route)}",keyspace="{esc(ks)}",'
+                          f'index="{esc(ix)}"')
+                cum = 0
+                for i, ub in enumerate(LATENCY_BUCKETS):
+                    cum += b[i]
+                    lines.append(
+                        f'vector_store_request_latency_seconds_bucket'
+                        f'{{{labels},le="{ub}"}} {cum}'
+                    )
+                cum += b[-1]
                 lines.append(
-                    f'vector_store_request_latency_seconds_sum{{route="{route}",'
-                    f'keyspace="{ks}",index="{ix}"}} {s:.6f}'
+                    f'vector_store_request_latency_seconds_bucket'
+                    f'{{{labels},le="+Inf"}} {cum}'
+                )
+                lines.append(
+                    f'vector_store_request_latency_seconds_sum{{{labels}}} '
+                    f'{self.latency_sum[(route, ks, ix)]:.6f}'
+                )
+                lines.append(
+                    f'vector_store_request_latency_seconds_count{{{labels}}} '
+                    f'{self.requests[(route, ks, ix)]}'
                 )
             lines += [
                 "# HELP vector_store_index_size Items per index.",
@@ -88,7 +158,8 @@ class _Metrics:
             ]
             for (ks, ix), n in sorted(self.size.items()):
                 lines.append(
-                    f'vector_store_index_size{{keyspace="{ks}",index="{ix}"}} {n}'
+                    f'vector_store_index_size{{keyspace="{esc(ks)}",'
+                    f'index="{esc(ix)}"}} {n}'
                 )
         return "\n".join(lines) + "\n"
 

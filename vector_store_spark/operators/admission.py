@@ -63,6 +63,17 @@ class Allocate(enum.Enum):
     CANNOT = "cannot"
 
 
+class AdmissionError(RuntimeError):
+    """Raised when a maintenance add-wave is refused under memory pressure.
+
+    The reference DROPS the AddVector message (usearch.rs:1156-1177) because
+    its in-memory index is rebuilt from the database on restart — a dropped
+    add is transient. In this engine the parquet layout IS the persisted
+    state, so a dropped wave would be permanent silent divergence; batch
+    callers get a catchable error (and may opt back into drop semantics
+    explicitly)."""
+
+
 class Mode(enum.Enum):
     """usearch.rs:525-531."""
 
@@ -225,21 +236,47 @@ class OperationGate:
     def __init__(self):
         self._mode = Mode.INSERT  # Operation::new starts in Insert
         self._counter = 0
+        self._waiting_exclusive = 0
         self._cond = threading.Condition()
 
     def permit(self, mode: Mode, timeout: float | None = None) -> _Permit:
         deadline = None if timeout is None else time.monotonic() + timeout
+        is_excl = mode.is_exclusive
         with self._cond:
-            while self._mode != mode:
-                if self._counter == 0:
-                    self._mode = mode
-                    break
-                if not self._cond.wait(self._remaining(deadline)):
-                    raise TimeoutError(f"gate stuck awaiting mode {mode}")
-            if mode.is_exclusive:
-                while self._counter != 0:
+            # Single wait loop re-validating ALL conditions after every
+            # wakeup: the reference serializes permit() through one dispatch
+            # task (&mut self), but this gate is entered from many threads,
+            # so the mode can flip while an exclusive waiter sleeps — the
+            # mode check must be re-run after the exclusivity drain, not
+            # only before it. Pending exclusives also bar NEW non-exclusive
+            # admissions (the dispatch task's FIFO gives the reference this
+            # for free; without it a stream of Insert/Search permits starves
+            # Remove/Reserve forever).
+            if is_excl:
+                self._waiting_exclusive += 1
+            try:
+                while (
+                    self._mode != mode
+                    or (is_excl and self._counter != 0)
+                    or (not is_excl and self._waiting_exclusive > 0)
+                ):
+                    can_flip = self._counter == 0 and (
+                        is_excl or self._waiting_exclusive == 0
+                    )
+                    if can_flip and self._mode != mode:
+                        self._mode = mode
+                        # wake same-mode waiters so Insert/Search can stack
+                        self._cond.notify_all()
+                        continue
                     if not self._cond.wait(self._remaining(deadline)):
-                        raise TimeoutError(f"gate stuck awaiting exclusivity for {mode}")
+                        raise TimeoutError(f"gate stuck awaiting mode {mode}")
+            finally:
+                if is_excl:
+                    self._waiting_exclusive -= 1
+                    if self._waiting_exclusive == 0:
+                        # a timed-out (or admitted) exclusive no longer bars
+                        # non-exclusive waiters — wake them to re-check
+                        self._cond.notify_all()
             self._counter += 1
         return _Permit(self)
 

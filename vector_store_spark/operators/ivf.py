@@ -229,7 +229,8 @@ def ivf_update(
     vec_col: str,
     items_added: DataFrame | None = None,
     ids_removed: list | None = None,
-) -> None:
+    on_memory_pressure: str = "raise",
+) -> dict:
     """Incremental CRUD on a persisted IVF layout (the vs_index add/remove
     surface, usearch.rs — vectors are added to / removed from the committed
     index without a rebuild; centroids stay the trained artifacts from the
@@ -251,22 +252,48 @@ def ivf_update(
     pre-allocation, the increment/threshold arithmetic and permit ordering
     are what's preserved), and the leaf rewrite itself holds the per-layout
     operation gate in its exclusive Remove mode whenever ids can leave the
-    index (R8, usearch.rs:546-555; an upsert removes before it adds)."""
+    index (R8, usearch.rs:546-555; an upsert removes before it adds).
+
+    Memory pressure (R7): the reference DROPS the add and keeps serving
+    because its in-memory index is rebuilt from ScyllaDB on restart; here
+    the parquet layout IS the source of truth, so the default
+    ``on_memory_pressure="raise"`` raises a catchable
+    :class:`~vector_store_spark.operators.admission.AdmissionError` instead
+    (callers retry or fail the job); pass ``"drop"`` for the reference's
+    literal drop-and-continue semantics. Either way the memory signal is
+    sampled DRIVER-side only (host//cgroup of the orchestrating process) —
+    it guards the driver-orchestrated wave, not executor heap.
+
+    Returns ``{"added": n, "removed": n, "add_wave_dropped": bool}`` with
+    the row counts actually applied."""
     from vector_store_spark.operators.admission import (
+        AdmissionError,
         Mode,
         capacity_for,
         default_watcher,
         gate_for,
     )
 
+    status = {"added": 0, "removed": 0, "add_wave_dropped": False}
     if items_added is not None and not default_watcher().check_memory_allocation(
         True, key=path
     ):
-        items_added = None  # R7: the add wave is dropped, removals proceed
+        if on_memory_pressure == "raise":
+            raise AdmissionError(
+                f"ivf_update add wave refused for {path}: driver memory over "
+                "admission limit (R7); retry or pass on_memory_pressure='drop'"
+            )
+        items_added = None  # R7 drop semantics: removals still proceed
+        status["add_wave_dropped"] = True
     if items_added is None and not ids_removed:
-        return
+        return status
     gate = gate_for(path)
+    n_added = 0
     if items_added is not None:
+        # one count on the cached frame up front: the wave reuses the cache,
+        # and capacity accounting no longer recomputes the input afterwards
+        items_added = items_added.cache()
+        n_added = items_added.count()
         cap = capacity_for(path)
         target = cap.needs_more_capacity()
         if target is not None:
@@ -277,11 +304,16 @@ def ivf_update(
     try:
         _ivf_update_wave(spark, path, id_col, vec_col, items_added, ids_removed)
         if items_added is not None:
-            capacity_for(path).added(items_added.count())
+            capacity_for(path).added(n_added)
+            status["added"] = n_added
         if ids_removed:
             capacity_for(path).removed(len(ids_removed))
+            status["removed"] = len(ids_removed)
     finally:
         wave_permit.release()
+        if items_added is not None:
+            items_added.unpersist()
+    return status
 
 
 def _ivf_update_wave(

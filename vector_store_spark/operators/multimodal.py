@@ -325,15 +325,29 @@ def wav_samples(doc_id: int) -> int:
 # ---------------------------------------------------------------------------
 # PNG codec (stdlib-only: zlib + the public PNG spec, RFC 2083) — the most
 # common real-world image container a data pipeline meets. Encoder writes
-# 8-bit RGB with level-0 (stored-block) deflate so the FILE SIZE stays pure
-# doc_id arithmetic for the oracle; rows cycle filter types 0/1/2
-# (None/Sub/Up), so decoding requires real de-filter reconstruction, not a
-# memcpy. Filters 3/4 (Average/Paeth) raise NotImplementedError in the
-# decoder — the documented plug-point boundary, same contract as non-BMP/WAV
-# containers in decode_real.
+# 8-bit RGB; at the default level-0 (stored-block) deflate the FILE SIZE
+# stays pure doc_id arithmetic for the oracle; rows cycle ALL FIVE filter
+# types 0-4 (None/Sub/Up/Average/Paeth), so decoding requires real
+# de-filter reconstruction — including the Paeth predictor libpng's default
+# heuristic emits on virtually every photographic image. The decoder is
+# ingest-grade over the 8-bit subset: any filter, any deflate level.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predictor(left, up, upleft):
+    """RFC 2083 §6.6 Paeth: the neighbor closest to p = left + up − upleft,
+    ties broken left → up → upleft. Vectorized over int64 arrays."""
+    import numpy as np
+
+    p = left + up - upleft
+    pa = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - upleft)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -362,10 +376,18 @@ def png_file_bytes(width: int, height: int) -> int:
     return 8 + 25 + 12 + idat + 12
 
 
-def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+def encode_png(width: int, height: int, seed: int = 0, level: int = 0) -> bytes:
     """A real, decodable 8-bit RGB PNG. Pixels are the same deterministic
     (seed + i) % 256 byte ramp as :func:`encode_bmp` (row-major, no
-    padding); row r is written with filter type r % 3 (None/Sub/Up)."""
+    padding); row r is written with filter type r % 5 — all five RFC 2083
+    filters (None/Sub/Up/Average/Paeth). ``level`` is the zlib level: the
+    default 0 (stored blocks) keeps the file size pure arithmetic for the
+    oracle; level 9 produces real-encoder-shaped compressed streams.
+
+    Filtering an original image only ever references ORIGINAL neighbor
+    bytes (reconstruction is lossless, so recon == original), which keeps
+    every encoder filter fully vectorized — the sequential scan lives only
+    in the decoder's Average/Paeth reconstruction."""
     import zlib
 
     import numpy as np
@@ -373,23 +395,28 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     stride = 3 * width
     px = (
         (seed + np.arange(stride * height, dtype=np.int64)) % 256
-    ).astype(np.uint8).reshape(height, stride)
+    ).astype(np.int64).reshape(height, stride)
     parts = []
-    zero = np.zeros(stride, dtype=np.int16)
+    zero = np.zeros(stride, dtype=np.int64)
     for r in range(height):
-        row = px[r].astype(np.int16)
-        f = r % 3
+        row = px[r]
+        prev = px[r - 1] if r > 0 else zero
+        left = np.concatenate([zero[:3], row[:-3]])  # bpp = 3 bytes
+        upleft = np.concatenate([zero[:3], prev[:-3]])
+        f = r % 5
         if f == 0:  # None
             enc = row
-        elif f == 1:  # Sub: x - left (bpp = 3 bytes)
-            left = np.concatenate([zero[:3], row[:-3]])
+        elif f == 1:  # Sub: x − left
             enc = (row - left) % 256
-        else:  # Up: x - prior row
-            prev = px[r - 1].astype(np.int16) if r > 0 else zero
+        elif f == 2:  # Up: x − prior row
             enc = (row - prev) % 256
+        elif f == 3:  # Average: x − floor((left + up) / 2)
+            enc = (row - (left + prev) // 2) % 256
+        else:  # Paeth: x − predictor(left, up, upleft)
+            enc = (row - _paeth_predictor(left, prev, upleft)) % 256
         parts.append(bytes([f]) + enc.astype(np.uint8).tobytes())
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    idat = zlib.compress(b"".join(parts), 0)
+    idat = zlib.compress(b"".join(parts), level)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -400,10 +427,12 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
 
 def decode_png(content: bytes) -> dict:
     """Parse + fully decode a PNG: chunk walk with CRC verification, IDAT
-    inflate, per-row de-filter (types 0/1/2 vectorized; 3/4 are the
-    documented plug-point and raise). Returns typed metadata plus
-    ``pixel_sum`` — the sum of every reconstructed pixel byte, which proves
-    the inflate+de-filter path end to end (a header-only parse could not
+    inflate, per-row de-filter over ALL FIVE RFC 2083 filter types —
+    None/Sub/Up vectorized, Average/Paeth via the per-pixel reconstruction
+    scan their left-neighbor dependency requires (the byte lanes of one
+    pixel stay vectorized). Returns typed metadata plus ``pixel_sum`` — the
+    sum of every reconstructed pixel byte, which proves the
+    inflate+de-filter path end to end (a header-only parse could not
     produce it)."""
     import zlib
 
@@ -454,10 +483,28 @@ def decode_png(content: bytes) -> dict:
             recon = np.cumsum(row.reshape(width, channels), axis=0).reshape(-1) % 256
         elif f == 2:  # Up
             recon = (row + prev) % 256
+        elif f == 3:  # Average: left is RECONSTRUCTED — per-pixel scan
+            raw_px = row.reshape(width, channels)
+            up_px = prev.reshape(width, channels)
+            out = np.empty((width, channels), dtype=np.int64)
+            left = np.zeros(channels, dtype=np.int64)
+            for x in range(width):
+                left = (raw_px[x] + (left + up_px[x]) // 2) % 256
+                out[x] = left
+            recon = out.reshape(-1)
+        elif f == 4:  # Paeth: predictor over reconstructed neighbors
+            raw_px = row.reshape(width, channels)
+            up_px = prev.reshape(width, channels)
+            out = np.empty((width, channels), dtype=np.int64)
+            left = np.zeros(channels, dtype=np.int64)
+            upleft = np.zeros(channels, dtype=np.int64)
+            for x in range(width):
+                left = (raw_px[x] + _paeth_predictor(left, up_px[x], upleft)) % 256
+                upleft = up_px[x]
+                out[x] = left
+            recon = out.reshape(-1)
         else:
-            raise NotImplementedError(
-                f"PNG filter {f} (Average/Paeth) — real-codec plug-point"
-            )
+            raise ValueError(f"invalid PNG filter type {f}")
         total += int(recon.sum())
         prev = recon
     return {
@@ -540,10 +587,12 @@ def decode_real_meta(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode, REAL_DECODED_SCHEMA)
 
 
-def synth_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_png_assets(docs: DataFrame, id_col: str = "doc_id",
+                     level: int = 0) -> DataFrame:
     """documents → (doc_id, content binary) real PNG containers sized by
     :func:`fake_dims`, pixel ramp seeded by doc_id — same Arrow-batched
-    shape as :func:`synth_real_assets`."""
+    shape as :func:`synth_real_assets`. ``level`` is the zlib level (0 keeps
+    file sizes arithmetic; 9 shapes the stream like a real encoder's)."""
     import pandas as pd
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -552,7 +601,8 @@ def synth_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({
                 "doc_id": ids,
                 "content": [
-                    encode_png(*fake_dims(int(i)), seed=int(i)) for i in ids
+                    encode_png(*fake_dims(int(i)), seed=int(i), level=level)
+                    for i in ids
                 ],
             })
 

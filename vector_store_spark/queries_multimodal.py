@@ -224,10 +224,11 @@ def mm_decode_real_roundtrip(spark, sf_dir):
 
 @register(
     "mm_decode_png_roundtrip",
-    # PNG leg of the real-codec plug-point: stdlib-zlib-encoded 8-bit RGB
+    # PNG leg of the real-codec pillar: stdlib-zlib-encoded 8-bit RGB
     # PNGs (level-0 stored deflate => file size is pure arithmetic; rows
-    # cycle filter types None/Sub/Up => decode requires real de-filter
-    # reconstruction). The oracle re-derives every rollup from doc_id:
+    # cycle ALL FIVE filter types None/Sub/Up/Average/Paeth — every image
+    # here is >= 16 rows so every filter is exercised, incl. the Paeth
+    # reconstruction scan). The oracle re-derives every rollup from doc_id:
     #   file_bytes = 68 + h + 3*w*h   (sig 8 + IHDR 25 + IDAT framing 12 +
     #     zlib 2 + one stored-block header 5 (scanlines < 64 KiB at these
     #     dims) + h*(1+3w) raw + adler 4 + IEND 12)
@@ -283,6 +284,66 @@ def mm_decode_png_roundtrip(spark, sf_dir):
         F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
         F.sum("payload_bytes").alias("total_bytes"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
+
+
+@register(
+    "mm_decode_png_z9_roundtrip",
+    # Same pixel arithmetic as mm_decode_png_roundtrip but zlib LEVEL 9 —
+    # the stream is genuinely compressed (dynamic-Huffman deflate, like a
+    # real encoder's output), so file size is NOT oracle-derivable and the
+    # entry pins the pixel path only; a separate engine-side guard asserts
+    # every payload came in strictly below its stored-block size.
+    """
+WITH img AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h,
+         doc_id % 256 AS s
+  FROM documents WHERE doc_id % 8 = 2
+),
+x AS (
+  SELECT doc_id, w, h, s, 3 * w * h AS npx FROM img
+),
+y AS (
+  SELECT doc_id, w, h,
+         (npx // 256) * 32640 +
+         CASE WHEN npx % 256 = 0 THEN 0
+              WHEN s + (npx % 256) <= 256
+                THEN (npx % 256) * s + (npx % 256) * ((npx % 256) - 1) // 2
+              ELSE (256 - s) * s + (256 - s) * (255 - s) // 2
+                   + ((npx % 256) - 256 + s) * ((npx % 256) - 257 + s) // 2
+         END AS pixel_sum
+  FROM x
+)
+SELECT count(*) AS n_assets,
+       CAST(sum(w * h) AS BIGINT) AS total_pixels,
+       CAST(sum(pixel_sum) AS BIGINT) AS total_pixel_sum
+FROM y
+""",
+    "Level-9 PNG round-trip: genuinely deflate-compressed 8-bit RGB streams "
+    "(all five row filters) fully decoded Spark-side; pixel sums re-derived "
+    "by the oracle, compression verified engine-side (payload < stored size)",
+)
+def mm_decode_png_z9_roundtrip(spark, sf_dir):
+    from vector_store_spark.operators.multimodal import (
+        decode_png_meta,
+        synth_png_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 2)
+    decoded = decode_png_meta(synth_png_assets(docs, level=9))
+    # compression guard: level 9 must beat the stored-block arithmetic size
+    # (68 + h + 3wh) on every asset — folded in as a filter so a regression
+    # to stored blocks would drop rows and fail the count
+    stored = 68 + F.col("height") + 3 * F.col("width") * F.col("height")
+    return (
+        decoded.where("valid").where(F.col("payload_bytes") < stored)
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+        )
     )
 
 
