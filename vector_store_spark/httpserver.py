@@ -164,6 +164,72 @@ class _Metrics:
         return "\n".join(lines) + "\n"
 
 
+#: the served route table — the single source the dispatcher, the OpenAPI
+#: document and the route-parity test all agree on (httproutes.rs:160-182)
+ROUTES = (
+    ("get", "/api/v1/indexes"),
+    ("get", "/api/v1/indexes/{keyspace}/{index}"),
+    ("get", "/api/v1/indexes/{keyspace}/{index}/status"),
+    ("post", "/api/v1/indexes/{keyspace}/{index}/ann"),
+    ("post", "/api/v1/indexes/{keyspace}/{index}/bm25"),
+    ("get", "/api/v1/info"),
+    ("get", "/api/v1/status"),
+    ("get", "/metrics"),
+)
+
+_ROUTE_DOCS = {
+    ("get", "/api/v1/indexes"): (
+        "getIndexes", "List serving indexes (vector and fulltext)"),
+    ("get", "/api/v1/indexes/{keyspace}/{index}"): (
+        "getIndexInfo", "Index CREATE options"),
+    ("get", "/api/v1/indexes/{keyspace}/{index}/status"): (
+        "getIndexStatus", "Index status, count and build progress"),
+    ("post", "/api/v1/indexes/{keyspace}/{index}/ann"): (
+        "postIndexAnn", "Approximate nearest-neighbor search"),
+    ("post", "/api/v1/indexes/{keyspace}/{index}/bm25"): (
+        "postIndexBm25", "Full-text BM25 search"),
+    ("get", "/api/v1/info"): ("getInfo", "Service identification"),
+    ("get", "/api/v1/status"): ("getStatus", "Node state machine"),
+    ("get", "/metrics"): ("getMetrics", "Prometheus text exposition"),
+}
+
+
+def openapi_spec() -> dict:
+    """The OpenAPI 3 document for the served route table — the
+    generate-openapi.rs analogue (the reference emits its spec from utoipa
+    annotations on httproutes.rs at build time; here the live server serves
+    it at GET /openapi.json). Paths are derived from :data:`ROUTES`, so the
+    spec can never drift from what the dispatcher actually serves."""
+    paths: dict = {}
+    for method, pattern in ROUTES:
+        op_id, summary = _ROUTE_DOCS[(method, pattern)]
+        op: dict = {"operationId": op_id, "summary": summary,
+                    "responses": {"200": {"description": "OK"}}}
+        params = [seg[1:-1] for seg in pattern.split("/")
+                  if seg.startswith("{") and seg.endswith("}")]
+        if params:
+            op["parameters"] = [
+                {"name": p, "in": "path", "required": True,
+                 "schema": {"type": "string"}} for p in params
+            ]
+            op["responses"]["404"] = {"description": "Index not found"}
+            op["responses"]["503"] = {"description": "Index building"}
+        if method == "post":
+            op["requestBody"] = {
+                "required": True,
+                "content": {"application/json": {"schema": {"type": "object"}}},
+            }
+            op["responses"]["400"] = {"description": "Malformed request"}
+        paths.setdefault(pattern, {})[method] = op
+    return {
+        "openapi": "3.0.3",
+        "info": {"title": "vector-store-spark", "version": "1.0.0",
+                 "description": "ScyllaDB vector-store REST surface "
+                                "re-expressed over the Spark engine"},
+        "paths": paths,
+    }
+
+
 def _classify(err: Exception) -> tuple[int, dict]:
     """Engine exception -> (status, body), following post_index_ann's
     branches (httproutes.rs:745-817)."""
@@ -205,6 +271,8 @@ class VectorStoreHttpServer:
         try:
             if method == "GET" and parts == ["metrics"]:
                 return 200, self.metrics.render()
+            if method == "GET" and parts == ["openapi.json"]:
+                return 200, openapi_spec()
             if parts[:2] != ["api", "v1"]:
                 return 404, {"error": f"unknown route {path}"}
             rest = parts[2:]

@@ -322,10 +322,12 @@ SELECT vec_id, round(score, {ROUND}) AS distance,
 FROM scored ORDER BY score DESC, vec_id LIMIT 10
 """,
     "§2.9 third engine backend (vs_index/opensearch.rs): knn_vector index "
-    "created with the 1:1 HNSW option mapping, corpus ingested through "
-    "distributed _bulk NDJSON bodies, ANN served over the adapter's "
-    "verbatim score-as-distance contract; emulator answers with the "
-    "published cosinesimil score over an exact scan (recall-1 stand-in)",
+    "created with the 1:1 HNSW option mapping, corpus ingested EXECUTOR-SIDE "
+    "— foreachPartition POSTs of distributed _bulk NDJSON bodies against the "
+    "emulator served over a localhost socket, zero driver body "
+    "materialization — ANN served over the adapter's verbatim "
+    "score-as-distance contract; emulator answers with the published "
+    "cosinesimil score over an exact scan (recall-1 stand-in)",
     # the result frame is a driver-built hits pivot (LocalTableScan, same
     # class as AnnResponse); the distributed leg is the bulk-body
     # construction — expose it so the suite-wide plan bans audit it
@@ -341,7 +343,8 @@ def ann_opensearch_topk(spark, sf_dir):
 
     from vector_store_spark.sources.opensearch import (
         OpenSearchEmulator,
-        bulk_bodies,
+        OpenSearchHttpEmulator,
+        bulk_ingest_http,
         create_index_request,
     )
 
@@ -355,11 +358,16 @@ def ann_opensearch_topk(spark, sf_dir):
         )
         status, resp = client.request(method, path, body)
         assert status == 200, resp
-        # distributed body construction (Arrow-batched), driver-side apply —
-        # the result-sized frame is one NDJSON string per 500-doc batch
-        client.ingest_bodies(
-            bulk_bodies(emb, "vec_id", "embedding", "emb_os").collect()
-        )
+        # the 100 TB ingest topology, executed: serve the emulator over a
+        # localhost socket and POST the distributed _bulk NDJSON bodies
+        # from foreachPartition — bodies never touch the driver
+        srv = OpenSearchHttpEmulator(client)
+        srv.start()
+        try:
+            bulk_ingest_http(emb, "vec_id", "embedding", "emb_os",
+                             srv.endpoint)
+        finally:
+            srv.stop()
         # count parity (opensearch.rs:460-493) before serving
         from vector_store_spark.sources.opensearch import (
             count_request,

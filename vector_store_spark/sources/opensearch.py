@@ -57,7 +57,9 @@ __all__ = [
     "parse_count_response",
     "opensearch_score",
     "bulk_bodies",
+    "bulk_ingest_http",
     "OpenSearchEmulator",
+    "OpenSearchHttpEmulator",
 ]
 
 
@@ -374,3 +376,123 @@ class OpenSearchEmulator:
                 raise ValueError(f"bulk ingest failed: {resp}")
             n += len(resp["items"])
         return n
+
+
+class OpenSearchHttpEmulator:
+    """The emulator behind a REAL localhost socket: the external-service
+    stand-in a distributed ingest can actually POST to.
+
+    Speaks the same REST contract as :class:`OpenSearchEmulator.request`
+    plus ``POST /_bulk`` (NDJSON, the public bulk endpoint). Executor
+    python workers are separate OS processes even on local[N], so a
+    ``foreachPartition`` POST against this server exercises the genuine
+    100 TB ingest topology — N concurrent network writers, zero driver-side
+    body materialization — against an in-process state the driver can then
+    serve searches from. A threading lock serializes document mutation
+    (OpenSearch itself serializes per-doc writes through its primary
+    shard)."""
+
+    def __init__(self, emulator: OpenSearchEmulator | None = None):
+        import threading
+
+        self.emulator = emulator or OpenSearchEmulator()
+        self._lock = threading.Lock()
+        self._httpd = None
+        self._thread = None
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> tuple[str, int]:
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _run(self, method):
+                length = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(length) if length else b""
+                path = self.path
+                if method == "POST" and path.rstrip("/").endswith("_bulk"):
+                    with outer._lock:
+                        status, resp = outer.emulator.bulk(raw.decode("utf-8"))
+                else:
+                    body = json.loads(raw) if raw else None
+                    with outer._lock:
+                        status, resp = outer.emulator.request(method, path, body)
+                data = json.dumps(resp).encode("utf-8")
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._run("GET")
+
+            def do_POST(self):
+                self._run("POST")
+
+            def do_PUT(self):
+                self._run("PUT")
+
+            def do_DELETE(self):
+                self._run("DELETE")
+
+            def log_message(self, fmt, *args):
+                pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[:2]
+
+    @property
+    def endpoint(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def bulk_ingest_http(
+    df,
+    id_col: str,
+    vec_col: str,
+    index_key: str,
+    endpoint: str,
+    batch_size: int = 500,
+) -> None:
+    """EXECUTOR-SIDE bulk ingest: the documented 100 TB path, executed.
+
+    Builds the ``_bulk`` NDJSON bodies distributed (:func:`bulk_bodies`,
+    Arrow-batched) and POSTs each body from ``foreachPartition`` — the POST
+    happens inside the executor python worker, so no body ever crosses to
+    the driver; network fan-out scales with the cluster exactly as the
+    module docstring promises (opensearch.py:18-26). A failed item in any
+    bulk response raises in the task, failing the Spark job loudly (ingest
+    divergence must never be silent — same posture as ivf_update's
+    AdmissionError). Caller asserts ``_count`` parity afterwards."""
+    bodies = bulk_bodies(df, id_col, vec_col, index_key, batch_size=batch_size)
+    url = endpoint.rstrip("/") + "/_bulk"
+
+    def _post_partition(rows):
+        import json as _json
+        import urllib.request
+
+        for row in rows:
+            req = urllib.request.Request(
+                url, data=row.body.encode("utf-8"), method="POST",
+                headers={"Content-Type": "application/x-ndjson"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                resp = _json.loads(r.read())
+            if resp.get("errors"):
+                bad = [it for it in resp.get("items", [])
+                       if it.get("index", {}).get("status", 200) >= 300]
+                raise ValueError(f"bulk ingest failed: {bad[:3]}")
+
+    bodies.foreachPartition(_post_partition)
