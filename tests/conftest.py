@@ -4,6 +4,25 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # smaller JVM for unit tests
 
+#: heavy Spark-session families auto-marked ``slow`` (suite tiering: the
+#: default `pytest -q` run excludes them via addopts; `pytest -q -m ""`
+#: runs the full suite — see .claude/skills/verify/SKILL.md)
+_SLOW_MODULES = {
+    "test_streaming",
+    "test_streaming_fts",
+    "test_streaming_neardup",
+    "test_trained_ann",
+    "test_hnsw",
+    "test_model_based",
+    "test_stateful",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -120,6 +120,103 @@ def test_file_monitor_content_hash(tmp_path):
     assert mon.has_changes() is False
 
 
+def test_reload_flips_backend_under_live_server(spark, sf_dir):
+    """End-to-end watch fan-out (config_manager.rs:154-260 + lib.rs:766-775):
+    an opensearch_addr appearing at runtime — delivered via SIGHUP — flips
+    select_engine_strategy for the NEXT registered index while the HTTP
+    server keeps serving uninterrupted 200s, and the newly registered index
+    actually serves through the new backend (score-valued distances)."""
+    import json
+    import threading
+    import urllib.request
+
+    from vector_store_spark.engine import VectorStoreEngine
+    from vector_store_spark.httpserver import serve
+    from vector_store_spark.registry import det_query_vector
+    from vector_store_spark.sources.opensearch import (
+        OpenSearchEmulator,
+        bulk_bodies,
+        create_index_request,
+    )
+    from vector_store_spark.types import IndexMetadata
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _meta(index):
+        return IndexMetadata(
+            keyspace="ks", index=index, table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=64,
+        )
+
+    eng = VectorStoreEngine()
+    eng.register(emb, _meta("emb_cfg"), strategy="exact")
+    mgr = ConfigManager(config=load_config(_env({})))
+    # the factory seam: config -> default strategy for future registrations
+    mgr.subscribe(lambda c: setattr(
+        eng, "default_strategy", select_engine_strategy(c)))
+
+    srv = serve(eng)
+    host, port = srv._httpd.server_address[:2]
+    url = f"http://{host}:{port}/api/v1/indexes/ks/emb_cfg/ann"
+    q = det_query_vector(5, 64)
+    stop = threading.Event()
+    statuses, errors = [], []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                req = urllib.request.Request(
+                    url, data=json.dumps({"vector": q, "limit": 2}).encode(),
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    statuses.append(r.status)
+            except Exception as ex:  # pragma: no cover
+                errors.append(ex)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        # runtime reload via SIGHUP: an OpenSearch address appears
+        assert mgr.install_sighup(_env(
+            {"VECTOR_STORE_OPENSEARCH_URI": "http://127.0.0.1:9200"})) is True
+        before = len(statuses)
+        os.kill(os.getpid(), signal.SIGHUP)
+        assert eng.default_strategy == "opensearch"
+        # the NEXT registered index picks the new backend with no explicit
+        # strategy; existing emb_cfg keeps serving exact throughout
+        client = OpenSearchEmulator()
+        m, p, b = create_index_request("emb_cfg2", 64)
+        assert client.request(m, p, b)[0] == 200
+        client.ingest_bodies(bulk_bodies(
+            emb.limit(64), "vec_id", "embedding", "emb_cfg2",
+            batch_size=64).collect())
+        eng.register(emb.limit(64), _meta("emb_cfg2"),
+                     strategy_opts={"client": client, "index_key": "emb_cfg2"})
+        assert eng.indexes["emb_cfg2"].strategy == "opensearch"
+        # ...and it serves over the live server through the new backend:
+        # cosinesimil scores-as-distances lie in [0.5, 1] for this corpus
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/v1/indexes/ks/emb_cfg2/ann",
+            data=json.dumps({"vector": q, "limit": 3}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        assert len(body["primary_keys"]["vec_id"]) == 3
+        assert all(0.0 <= d <= 2.0 for d in body["distances"])
+        # serving never hiccuped across the reload
+        while len(statuses) <= before and not errors:
+            pass
+    finally:
+        stop.set()
+        t.join(timeout=60)
+        srv.stop()
+        signal.signal(signal.SIGHUP, signal.SIG_DFL)
+    assert not errors
+    assert statuses and set(statuses) == {200}
+
+
 def test_config_feeds_memory_watcher():
     """The reload path re-arms R7 with the configured limit — the
     config->memory wiring the reference runs over watch channels

@@ -78,18 +78,28 @@ class RegisteredIndex:
 
 @dataclass
 class VectorStoreEngine:
-    """In-process catalog + query answerer."""
+    """In-process catalog + query answerer.
+
+    ``default_strategy`` is the config-selected backend for indexes
+    registered WITHOUT an explicit strategy — the factory seam lib.rs:766-775
+    drives from Config (opensearch_addr > use_diskann > usearch default);
+    wire it to a ConfigManager subscriber so a hot reload flips the backend
+    for the NEXT registered index while existing ones keep serving
+    (config_manager.rs:154-260 watch fan-out)."""
 
     indexes: dict[str, RegisteredIndex] = field(default_factory=dict)
+    default_strategy: str = "exact"
 
     def register(
         self,
         df: DataFrame,
         meta: IndexMetadata,
         status: IndexStatus = IndexStatus.SERVING,
-        strategy: str = "exact",
+        strategy: str | None = None,
         strategy_opts: dict | None = None,
     ) -> None:
+        if strategy is None:
+            strategy = self.default_strategy
         if meta.dimensions is None:
             raise ValueError("index metadata must declare dimensions")
         if strategy not in ANN_STRATEGIES:

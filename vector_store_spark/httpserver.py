@@ -25,10 +25,15 @@ an unknown index, 503 + IndexNotReadyResponse while the routed index is
 building, 500 otherwise. Responses are the httpapi wire shapes produced by
 api.py (column-pivoted primary keys, ±f32::MAX saturation).
 
-TLS/mTLS (tls.rs, httpserver.rs's rustls acceptor) is NOT re-expressed: the
-container has no certificate tooling, and transport security for a Spark
-deployment belongs to the cluster perimeter; `ssl.wrap_socket` over the same
-handler is the documented plug-point (see :func:`serve`'s ``ssl_context``).
+TLS/mTLS (tls.rs, httpserver.rs's rustls acceptor; validator's auth.rs +
+tls_reload.rs): :func:`make_server_ssl_context` builds the stdlib-`ssl`
+acceptor context (server cert/key, optional REQUIRED client-cert
+verification against a CA = mTLS), and :class:`TlsReloader` re-arms the
+LIVE context when the cert file's CONTENT changes (FileMonitor hash, the
+in-place-rotation case file_monitor.rs exists for) — subsequent handshakes
+serve the new certificate without rebinding the listener, the rustls
+`ServerConfig` swap semantics of tls_reload.rs. Pass the context through
+:func:`serve`'s ``ssl_context``.
 """
 
 from __future__ import annotations
@@ -43,7 +48,55 @@ from vector_store_spark import api
 from vector_store_spark.plans.catalog import NotServingError
 from vector_store_spark.plans.restrictions import FilterError
 
-__all__ = ["VectorStoreHttpServer", "serve"]
+__all__ = ["VectorStoreHttpServer", "serve", "make_server_ssl_context",
+           "TlsReloader", "openapi_spec", "ROUTES"]
+
+
+def make_server_ssl_context(certfile: str, keyfile: str,
+                            ca_file: str | None = None,
+                            require_client_cert: bool = False):
+    """The rustls acceptor analogue (tls.rs; httpserver.rs's TLS branch):
+    a server-side ``ssl.SSLContext`` loaded with the deployment cert/key.
+    ``require_client_cert=True`` + ``ca_file`` enables mTLS — the handshake
+    REJECTS clients without a CA-signed certificate (validator auth.rs's
+    client-auth verifier)."""
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    if ca_file:
+        ctx.load_verify_locations(cafile=ca_file)
+    if require_client_cert:
+        ctx.verify_mode = ssl.CERT_REQUIRED
+    return ctx
+
+
+class TlsReloader:
+    """tls_reload.rs semantics on the stdlib: watch the certificate file by
+    CONTENT hash (file_monitor.rs — mtime alone misses config-management
+    rotations that restore timestamps) and, on change, re-load the cert
+    chain into the LIVE SSLContext. Python's ssl module applies the loaded
+    chain to every handshake AFTER the call, so rotation never rebinds the
+    listening socket — the same hot-swap the reference does by replacing the
+    rustls ServerConfig inside its acceptor."""
+
+    def __init__(self, ctx, certfile: str, keyfile: str):
+        from vector_store_spark.plans.config import FileMonitor
+
+        self.ctx = ctx
+        self.certfile = certfile
+        self.keyfile = keyfile
+        self._monitor = FileMonitor(certfile)
+        self.reload_count = 0
+
+    def check_and_reload(self) -> bool:
+        """Poll once; returns True if a rotation was detected and applied."""
+        if not self._monitor.has_changes():
+            return False
+        self.ctx.load_cert_chain(self.certfile, self.keyfile)
+        self._monitor.update(self.certfile)
+        self.reload_count += 1
+        return True
 
 
 def _escape_label(value: str) -> str:

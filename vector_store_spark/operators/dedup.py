@@ -719,6 +719,138 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def embedding_neardup_lsh_cell_audit(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    num_bits: int = 32,
+    bands: int = 8,
+    dims: int | None = None,
+    probes: int = 1,
+    sample_cells: tuple = ((0, 3), (3, 7), (6, 12)),
+) -> DataFrame:
+    """SF-robust audit of the sign-LSH near-dup contract — the oracle-sized
+    twin of :func:`embedding_neardup_pairs_lsh` for stretch-SF gates where
+    the exhaustive bucket self-join DISTINCT is infeasible (~N²/128 rows).
+
+    Two DISTINCT-free probes of the same pipeline, one frame out:
+
+    - **Global candidate mass** (row band=-1): Σ over every (band, probed
+      bucket) cell of |probe rows in cell| · |build rows in cell| — an
+      aggregate over per-cell COUNTS (bands·2^r cells total, metadata-sized),
+      never a pair join. Any change to hyperplanes, banding or the probe
+      expansion moves this number.
+    - **Exact verification inside K deterministically-sampled cells** (one
+      row per (band, bucket) in ``sample_cells``): the full candidate
+      self-join restricted to one cell — each id contributes at most one
+      probe row per cell (bucket ^ m1 = c = bucket ^ m2 ⇒ m1 = m2), so the
+      per-cell pair set is DISTINCT-free by construction — then the exact
+      cosine verify. Emitted as integer aggregates (pair/verified counts +
+      a micro-quantized cosine sum), order-independent across engines.
+
+    Work is Σ over sampled cells of |probe∩cell|·|build∩cell| ≈
+    K·(p·N/2^r)·(N/2^r) — quadratic ONLY inside the K sampled cells, which
+    is what makes the audit run at any SF."""
+    from vector_store_spark.operators.lsh import lsh_hyperplanes, with_lsh_buckets
+
+    if dims is None:
+        dims = len(items.select(vec_col).first()[0])
+    planes = lsh_hyperplanes(dims, num_bits)
+    e = items.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bucketed = with_lsh_buckets(e, "v", planes, bands).cache()
+    band_rows = bucketed.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    import itertools
+
+    r = num_bits // bands
+    masks = [0]
+    for nb in range(1, min(probes, r) + 1):
+        for combo in itertools.combinations(range(r), nb):
+            masks.append(sum(1 << j for j in combo))
+    probe_rows = band_rows.select(
+        "id", "band",
+        F.explode(F.array(
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+        )).alias("bucket"),
+    )
+    # global mass: join of two cell-COUNT frames (≤ bands·2^r rows each)
+    pcnt = probe_rows.groupBy("band", "bucket").agg(F.count("*").alias("p"))
+    ncnt = band_rows.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    mass = (
+        pcnt.join(ncnt, ["band", "bucket"])
+        .agg(F.sum(F.col("p") * F.col("n")).alias("m"))
+        .select(
+            F.lit(-1).alias("band"), F.lit(-1).alias("bucket"),
+            F.col("m").cast("long").alias("n_candidates"),
+            F.lit(0).cast("long").alias("n_verified"),
+            F.lit(0).cast("long").alias("cos_micro_sum"),
+        )
+    )
+    # sampled cells: exact pipeline restricted to each cell
+    cell_pred_probe = None
+    cell_pred_build = None
+    for b, c in sample_cells:
+        pp = (F.col("band") == b) & (F.col("bucket") == c)
+        cell_pred_probe = pp if cell_pred_probe is None else (cell_pred_probe | pp)
+        cell_pred_build = pp if cell_pred_build is None else (cell_pred_build | pp)
+    probe_cell = probe_rows.where(cell_pred_probe)
+    build_cell = band_rows.where(cell_pred_build)
+    cands = (
+        probe_cell.alias("a")
+        .join(
+            build_cell.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.band").alias("band"), F.col("a.bucket").alias("bucket"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        )
+    )
+    vecs = bucketed.select("id", "v")
+    pairs = (
+        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _cos_batch(va, vb):
+        a = np.vstack(va.to_numpy()).astype(np.float64)
+        b = np.vstack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        den[den == 0.0] = 1.0
+        return pd.Series(num / den)
+
+    cos_udf = F.pandas_udf(_cos_batch, DoubleType())
+    cell_stats = (
+        pairs.withColumn("cosine", cos_udf(F.col("va"), F.col("vb")))
+        .groupBy("band", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum((F.col("cosine") >= threshold).cast("long")).alias("n_verified"),
+            F.sum(
+                F.when(F.col("cosine") >= threshold,
+                       F.round(F.col("cosine") * 1e6).cast("long")).otherwise(0)
+            ).alias("cos_micro_sum"),
+        )
+    )
+    return cell_stats.unionByName(mass)
+
+
 def dedup_connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -277,8 +277,10 @@ def dedup_embedding_lsh(spark, sf_dir):
     oracle's bucket self-join DISTINCT is ~10⁹ rows and exceeds single-box
     memory+disk (observed 103 GB RSS, then spill-to-disk exhaustion). Larger
     corpora must raise ``num_bits`` (finer buckets) and recover recall with
-    ``probes`` — both operator parameters; the sf3 gate records this entry
-    as a documented exclusion rather than resizing the shipped contract."""
+    ``probes`` — both operator parameters. Stretch-SF gates check the SAME
+    contract through ``dedup_embedding_lsh_sampled`` (the SF-robust audit:
+    global DISTINCT-free candidate mass + exact verify inside sampled
+    cells), so the gate no longer needs an exclusion here."""
     from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
 
     emb = load(spark, sf_dir, "embeddings")
@@ -287,6 +289,81 @@ def dedup_embedding_lsh(spark, sf_dir):
         num_bits=_EB_BITS, bands=_EB_BANDS, dims=64, probes=1,
     )
     return pairs.withColumn("cosine", F.round("cosine", ROUND))
+
+
+#: the deterministically-sampled (band, bucket) cells of the audit entry —
+#: one constant shared by the Spark side and the oracle SQL
+_EB_CELLS = ((0, 3), (3, 7), (6, 12))
+
+
+@register(
+    "dedup_embedding_lsh_sampled",
+    # The SF-ROBUST second oracle form of the embedding-LSH contract
+    # (closing the one sf3 gate exclusion): instead of the exhaustive
+    # bucket-self-join DISTINCT (~N²/128 rows — infeasible past ~10k
+    # vectors), verify (1) a DISTINCT-free GLOBAL candidate-mass aggregate
+    # computed from per-cell COUNTS (bands·2^r cells, never a pair join)
+    # and (2) the exact pipeline — candidate join + cosine verify — inside
+    # K fixed sampled cells, where per-cell pairs are DISTINCT-free by
+    # construction (one probe row per id per cell). Integer aggregates
+    # only, so the compare is order- and float-summation-independent.
+    f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bandrows AS (
+  SELECT id, unnest([{", ".join(str(b) for b in range(_EB_BANDS))}]) AS band,
+         unnest([{", ".join(_EB_BUCKETS)}]) AS bucket
+  FROM e
+),
+proberows AS (
+  SELECT id, band,
+         unnest([bucket, {", ".join(f"xor(bucket, {1 << j})" for j in range(_EB_R))}]) AS bucket
+  FROM bandrows
+),
+pcnt AS (SELECT band, bucket, count(*) AS p FROM proberows GROUP BY 1, 2),
+ncnt AS (SELECT band, bucket, count(*) AS n FROM bandrows GROUP BY 1, 2),
+mass AS (
+  SELECT -1 AS band, -1 AS bucket, CAST(sum(p * n) AS BIGINT) AS n_candidates,
+         CAST(0 AS BIGINT) AS n_verified, CAST(0 AS BIGINT) AS cos_micro_sum
+  FROM pcnt JOIN ncnt USING (band, bucket)
+),
+cells(band, bucket) AS (VALUES {", ".join(f"({b}, {c})" for b, c in _EB_CELLS)}),
+cand AS (
+  SELECT a.band, a.bucket, a.id AS id_a, b.id AS id_b
+  FROM proberows a
+  JOIN cells c ON a.band = c.band AND a.bucket = c.bucket
+  JOIN bandrows b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT cand.band, cand.bucket,
+         list_inner_product(ea.v, eb.v) /
+         (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cosine
+  FROM cand JOIN e ea ON ea.id = cand.id_a JOIN e eb ON eb.id = cand.id_b
+),
+cellstats AS (
+  SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN cosine >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+         CAST(sum(CASE WHEN cosine >= 0.45
+                       THEN CAST(round(cosine * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cos_micro_sum
+  FROM ver GROUP BY 1, 2
+)
+SELECT * FROM cellstats UNION ALL SELECT * FROM mass
+""",
+    "SF-robust audit of the sign-LSH embedding near-dup contract: global "
+    "DISTINCT-free candidate-mass aggregate (per-cell count products) + "
+    "exact candidate-join-and-cosine-verify inside 3 deterministic sampled "
+    "cells — quadratic work only within the sampled cells, so the oracle "
+    "runs at any SF (the exhaustive twin tops out near 10k vectors)",
+)
+def dedup_embedding_lsh_sampled(spark, sf_dir):
+    from vector_store_spark.operators.dedup import embedding_neardup_lsh_cell_audit
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh_cell_audit(
+        emb, "vec_id", "embedding", threshold=0.45,
+        num_bits=_EB_BITS, bands=_EB_BANDS, dims=64, probes=1,
+        sample_cells=_EB_CELLS,
+    )
 
 
 # transitive closure over verified MinHash near-dup pairs — the shared
