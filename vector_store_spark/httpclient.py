@@ -66,12 +66,20 @@ class ResilientClient:
         """One logical request; returns (status, parsed-json body).
         4xx/5xx come back as (status, body) without retrying."""
         data = None if body is None else json.dumps(body).encode("utf-8")
+        return self.request_raw(method, path, data)
+
+    def request_raw(self, method: str, path: str, data: bytes | None,
+                    content_type: str = "application/json"
+                    ) -> tuple[int, dict]:
+        """Like :meth:`request` but with a pre-encoded body (e.g. NDJSON
+        bulk payloads) — the variant executor-side ingest uses. Retried
+        bodies must be idempotent on the receiving side."""
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):
             for uri in self.uris:
                 req = urllib.request.Request(
                     uri + path, data=data, method=method,
-                    headers={"Content-Type": "application/json"})
+                    headers={"Content-Type": content_type})
                 try:
                     with urllib.request.urlopen(
                             req, timeout=self.connection_timeout) as r:

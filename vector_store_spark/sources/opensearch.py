@@ -465,6 +465,8 @@ def bulk_ingest_http(
     index_key: str,
     endpoint: str,
     batch_size: int = 500,
+    max_retries: int = 3,
+    connection_timeout: float = 300.0,
 ) -> None:
     """EXECUTOR-SIDE bulk ingest: the documented 100 TB path, executed.
 
@@ -472,27 +474,32 @@ def bulk_ingest_http(
     Arrow-batched) and POSTs each body from ``foreachPartition`` — the POST
     happens inside the executor python worker, so no body ever crosses to
     the driver; network fan-out scales with the cluster exactly as the
-    module docstring promises (opensearch.py:18-26). A failed item in any
-    bulk response raises in the task, failing the Spark job loudly (ingest
-    divergence must never be silent — same posture as ivf_update's
-    AdmissionError). Caller asserts ``_count`` parity afterwards."""
+    module docstring promises (opensearch.py:18-26). Each worker POSTs
+    through :class:`~vector_store_spark.httpclient.ResilientClient`, so a
+    transient backend hiccup (connection reset, brief restart) rides the
+    reconnect/backoff path instead of failing the task — the same client
+    semantics the reference's validator asserts (reconnect.rs) — while a
+    failed ITEM in a bulk response still raises in the task, failing the
+    Spark job loudly (ingest divergence must never be silent — same posture
+    as ivf_update's AdmissionError). Caller asserts ``_count`` parity
+    afterwards. Bulk PUTs are idempotent per (_index, _id), so a retried
+    body is safe to re-apply."""
     bodies = bulk_bodies(df, id_col, vec_col, index_key, batch_size=batch_size)
-    url = endpoint.rstrip("/") + "/_bulk"
+    base = endpoint.rstrip("/")
 
     def _post_partition(rows):
-        import json as _json
-        import urllib.request
+        from vector_store_spark.httpclient import ResilientClient
 
+        client = ResilientClient(
+            [base], connection_timeout=connection_timeout,
+            max_retries=max_retries)
         for row in rows:
-            req = urllib.request.Request(
-                url, data=row.body.encode("utf-8"), method="POST",
-                headers={"Content-Type": "application/x-ndjson"},
-            )
-            with urllib.request.urlopen(req, timeout=300) as r:
-                resp = _json.loads(r.read())
-            if resp.get("errors"):
+            status, resp = client.request_raw(
+                "POST", "/_bulk", row.body.encode("utf-8"),
+                content_type="application/x-ndjson")
+            if status >= 300 or resp.get("errors"):
                 bad = [it for it in resp.get("items", [])
                        if it.get("index", {}).get("status", 200) >= 300]
-                raise ValueError(f"bulk ingest failed: {bad[:3]}")
+                raise ValueError(f"bulk ingest failed ({status}): {bad[:3]}")
 
     bodies.foreachPartition(_post_partition)
