@@ -805,10 +805,12 @@ def embedding_neardup_lsh_cell_audit(
         cell_pred_build = pp if cell_pred_build is None else (cell_pred_build | pp)
     probe_cell = probe_rows.where(cell_pred_probe)
     build_cell = band_rows.where(cell_pred_build)
+    # every join side here is corpus-proportional (cell membership ~ N/2^r,
+    # vectors ~ N) — shuffle-hash throughout, never a fact-side broadcast
     cands = (
         probe_cell.alias("a")
         .join(
-            build_cell.alias("b"),
+            build_cell.alias("b").hint("SHUFFLE_HASH"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
@@ -820,8 +822,10 @@ def embedding_neardup_lsh_cell_audit(
     )
     vecs = bucketed.select("id", "v")
     pairs = (
-        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+                   .hint("SHUFFLE_HASH"), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+              .hint("SHUFFLE_HASH"), "id_b")
     )
     import numpy as np
     import pandas as pd
