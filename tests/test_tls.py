@@ -144,3 +144,53 @@ def test_tls_reload_rotates_cert_without_rebinding(certs):
         assert status == 200
     finally:
         srv.stop()
+
+
+def test_tls_check_interval_env_parse():
+    """config_manager.rs:25-39: humantime durations; a present-but-invalid
+    value WARNS and falls back to the 30 s default (the one lenient parse
+    in the config surface), unlike every other VECTOR_STORE_* env."""
+    from vector_store_spark.plans.config import (
+        DEFAULT_TLS_FILE_CHECK_INTERVAL,
+        tls_file_check_interval,
+    )
+
+    env = lambda d: (lambda name: d.get(name))  # noqa: E731
+    assert tls_file_check_interval(env({})) == 30.0
+    assert tls_file_check_interval(
+        env({"VECTOR_STORE_TLS_FILE_CHECK_INTERVAL": "5s"})) == 5.0
+    assert tls_file_check_interval(
+        env({"VECTOR_STORE_TLS_FILE_CHECK_INTERVAL": "500ms"})) == 0.5
+    assert tls_file_check_interval(
+        env({"VECTOR_STORE_TLS_FILE_CHECK_INTERVAL": "2m"})) == 120.0
+    assert tls_file_check_interval(
+        env({"VECTOR_STORE_TLS_FILE_CHECK_INTERVAL": "1h"})) == 3600.0
+    # invalid: warn + default, NOT an error
+    assert tls_file_check_interval(
+        env({"VECTOR_STORE_TLS_FILE_CHECK_INTERVAL": "not-a-duration"})
+    ) == DEFAULT_TLS_FILE_CHECK_INTERVAL
+
+
+def test_tls_polling_thread_applies_rotation(certs):
+    """The periodic watch loop: a daemon poller picks up an in-place cert
+    rotation without any explicit check_and_reload call."""
+    import time
+
+    d = certs["dir"]
+    c1, k1 = _selfsigned(d, "poll1", serial=3001)
+    live_cert, live_key = str(d / "poll_live.pem"), str(d / "poll_live.key")
+    shutil.copy(c1, live_cert)
+    shutil.copy(k1, live_key)
+    ctx = make_server_ssl_context(live_cert, live_key)
+    reloader = TlsReloader(ctx, live_cert, live_key)
+    assert reloader.start_polling(interval=0.05) == 0.05
+    try:
+        c2, k2 = _selfsigned(d, "poll2", serial=3002)
+        shutil.copy(c2, live_cert)
+        shutil.copy(k2, live_key)
+        deadline = time.monotonic() + 10
+        while reloader.reload_count == 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert reloader.reload_count >= 1
+    finally:
+        reloader.stop_polling()

@@ -88,6 +88,8 @@ class TlsReloader:
         self.keyfile = keyfile
         self._monitor = FileMonitor(certfile)
         self.reload_count = 0
+        self._stop_event = None
+        self._poll_thread = None
 
     def check_and_reload(self) -> bool:
         """Poll once; returns True if a rotation was detected and applied."""
@@ -97,6 +99,32 @@ class TlsReloader:
         self._monitor.update(self.certfile)
         self.reload_count += 1
         return True
+
+    def start_polling(self, interval: float | None = None) -> float:
+        """The reference's periodic TLS file check (config_manager.rs:25-39
+        drives a watch loop at VECTOR_STORE_TLS_FILE_CHECK_INTERVAL, default
+        30 s): a daemon thread polling :meth:`check_and_reload`. Returns the
+        effective interval."""
+        from vector_store_spark.plans.config import tls_file_check_interval
+
+        if interval is None:
+            interval = tls_file_check_interval()
+        self._stop_event = threading.Event()
+
+        def _loop():
+            while not self._stop_event.wait(interval):
+                self.check_and_reload()
+
+        self._poll_thread = threading.Thread(target=_loop, daemon=True)
+        self._poll_thread.start()
+        return interval
+
+    def stop_polling(self) -> None:
+        if self._stop_event is not None:
+            self._stop_event.set()
+            self._poll_thread.join(timeout=10)
+            self._stop_event = None
+            self._poll_thread = None
 
 
 def _escape_label(value: str) -> str:

@@ -106,6 +106,35 @@ def select_engine_strategy(config: Config) -> str:
     return "hnsw"
 
 
+#: config_manager.rs:22
+DEFAULT_TLS_FILE_CHECK_INTERVAL = 30.0
+
+_DURATION_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def tls_file_check_interval(env: Callable[[str], Optional[str]] = os.environ.get) -> float:
+    """config_manager.rs:25-39: the TLS cert re-check cadence in seconds.
+
+    Parses humantime-style durations (``500ms`` / ``30s`` / ``5m`` / ``1h``).
+    UNLIKE every other VECTOR_STORE_* env, a present-but-invalid value here
+    does NOT error — the reference logs a warning and falls back to the 30 s
+    default (the one lenient parse in its config surface); mirrored
+    exactly."""
+    raw = env("VECTOR_STORE_TLS_FILE_CHECK_INTERVAL")
+    if not raw:
+        return DEFAULT_TLS_FILE_CHECK_INTERVAL
+    import re
+
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h)", raw.strip())
+    if m is None:
+        log.warning(
+            "Failed to parse VECTOR_STORE_TLS_FILE_CHECK_INTERVAL=%r. "
+            "Using default %ss", raw, DEFAULT_TLS_FILE_CHECK_INTERVAL,
+        )
+        return DEFAULT_TLS_FILE_CHECK_INTERVAL
+    return float(m.group(1)) * _DURATION_UNITS[m.group(2)]
+
+
 class FileMonitor:
     """file_monitor.rs:17-48: change detection by CONTENT hash (mtime alone
     misses in-place rewrites that restore the timestamp, the failure mode the
