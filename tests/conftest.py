@@ -15,6 +15,10 @@ _SLOW_MODULES = {
     "test_hnsw",
     "test_model_based",
     "test_stateful",
+    "test_dedup",
+    "test_fts",
+    "test_engine_strategies",
+    "test_admission",
 }
 
 
