@@ -967,10 +967,15 @@ def _extras(spark, sf_dir: str) -> dict:
                 except Exception as ex:  # noqa: BLE001
                     errs.append(f"http client{idx}: {ex}")
 
-            # warm one request (plan compile) outside the window, then
-            # reset the metrics so percentiles cover measured traffic only
+            # warm-up: one client worth of requests (4 — plan compile +
+            # codegen) outside the window, then reset the metrics so
+            # percentiles cover measured traffic only. A failing warm-up
+            # aborts here, like the measured rounds, instead of surfacing
+            # as noise in the first window.
             errs: list = []
             _http_client(99, errs)
+            if errs:
+                raise RuntimeError("; ".join(errs[:3]))
             from vector_store_spark.httpserver import _Metrics
 
             srv.metrics = _Metrics()

@@ -86,19 +86,34 @@ class TlsReloader:
         self.ctx = ctx
         self.certfile = certfile
         self.keyfile = keyfile
-        self._monitor = FileMonitor(certfile)
+        # tls_reload.rs watches the TLS file SET: a key-only rotation (or a
+        # key landing after the cert within one poll tick) must trigger too,
+        # so the monitor hashes cert AND key content together.
+        self._monitor = FileMonitor(certfile, keyfile)
         self.reload_count = 0
+        self.reload_error_count = 0
         self._stop_event = None
         self._poll_thread = None
 
     def check_and_reload(self) -> bool:
-        """Poll once; returns True if a rotation was detected and applied."""
-        if not self._monitor.has_changes():
-            return False
-        self.ctx.load_cert_chain(self.certfile, self.keyfile)
-        self._monitor.update(self.certfile)
-        self.reload_count += 1
-        return True
+        """Poll once; returns True if a rotation was detected and applied.
+
+        Non-atomic rotations (cert written, key not yet) can make
+        ``load_cert_chain`` raise on a mismatched pair — that propagates to
+        the caller here; the polling loop catches it and keeps polling, so
+        the NEXT tick (rotation complete) applies cleanly. After a
+        successful reload the monitor re-checks once more: a file written
+        between the hash read and the chain load is picked up immediately
+        instead of waiting a full interval."""
+        applied = False
+        for _ in range(3):  # bounded: re-check after each successful apply
+            if not self._monitor.has_changes():
+                break
+            self.ctx.load_cert_chain(self.certfile, self.keyfile)
+            self._monitor.update()
+            self.reload_count += 1
+            applied = True
+        return applied
 
     def start_polling(self, interval: float | None = None) -> float:
         """The reference's periodic TLS file check (config_manager.rs:25-39
@@ -113,7 +128,20 @@ class TlsReloader:
 
         def _loop():
             while not self._stop_event.wait(interval):
-                self.check_and_reload()
+                try:
+                    self.check_and_reload()
+                except Exception as exc:  # noqa: BLE001 — keep polling
+                    # Mid-rotation states (mismatched cert/key pair, file
+                    # momentarily missing) raise from load_cert_chain; the
+                    # reference watcher logs and keeps running, so the
+                    # poller must survive to apply the completed rotation
+                    # on a later tick rather than silently dying with the
+                    # daemon thread.
+                    self.reload_error_count += 1
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "TLS reload attempt failed (will retry): %s", exc)
 
         self._poll_thread = threading.Thread(target=_loop, daemon=True)
         self._poll_thread.start()
@@ -125,6 +153,15 @@ class TlsReloader:
             self._poll_thread.join(timeout=10)
             self._stop_event = None
             self._poll_thread = None
+
+    def attach(self, manager) -> None:
+        """Subscribe to a ConfigManager's unified watch loop
+        (config_manager.rs:25-39 drives the TLS file check from the SAME
+        loop that handles config reload/SIGHUP): the manager's tick — timer
+        or SIGHUP — runs this reloader's check, so deployments get one poll
+        cadence instead of per-component threads. The manager's tick guard
+        absorbs mid-rotation load failures."""
+        manager.add_file_watcher(self.check_and_reload)
 
 
 def _escape_label(value: str) -> str:
@@ -256,6 +293,7 @@ ROUTES = (
     ("get", "/api/v1/info"),
     ("get", "/api/v1/status"),
     ("get", "/metrics"),
+    ("get", "/openapi.json"),
 )
 
 _ROUTE_DOCS = {
@@ -272,6 +310,7 @@ _ROUTE_DOCS = {
     ("get", "/api/v1/info"): ("getInfo", "Service identification"),
     ("get", "/api/v1/status"): ("getStatus", "Node state machine"),
     ("get", "/metrics"): ("getMetrics", "Prometheus text exposition"),
+    ("get", "/openapi.json"): ("getOpenapi", "This OpenAPI 3 document"),
 }
 
 

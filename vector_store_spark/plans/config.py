@@ -109,57 +109,105 @@ def select_engine_strategy(config: Config) -> str:
 #: config_manager.rs:22
 DEFAULT_TLS_FILE_CHECK_INTERVAL = 30.0
 
-_DURATION_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+#: humantime's unit grammar (humantime::parse_duration, the parser the
+#: reference feeds VECTOR_STORE_TLS_FILE_CHECK_INTERVAL through): every
+#: alias the crate accepts, longest-first so ``ms`` wins over ``m``+junk.
+_DURATION_UNITS = {
+    "nsec": 1e-9, "ns": 1e-9,
+    "usec": 1e-6, "us": 1e-6,
+    "msec": 0.001, "ms": 0.001,
+    "seconds": 1.0, "second": 1.0, "secs": 1.0, "sec": 1.0, "s": 1.0,
+    "minutes": 60.0, "minute": 60.0, "mins": 60.0, "min": 60.0, "m": 60.0,
+    "hours": 3600.0, "hour": 3600.0, "hr": 3600.0, "h": 3600.0,
+    "days": 86400.0, "day": 86400.0, "d": 86400.0,
+    "weeks": 604800.0, "week": 604800.0, "w": 604800.0,
+    "months": 2630016.0, "month": 2630016.0, "M": 2630016.0,  # 30.44 d
+    "years": 31557600.0, "year": 31557600.0, "y": 31557600.0,  # 365.25 d
+}
+
+
+def parse_humantime(raw: str) -> Optional[float]:
+    """humantime-compatible duration parse -> seconds, or None on failure.
+
+    Accepts single (``30s``, ``5min``, ``2days``) and compound
+    (``1m 30s``, ``1h30m``) durations; units are required (a bare number is
+    an error, as in the crate). Case-sensitive like humantime (``M`` =
+    months, ``m`` = minutes)."""
+    import re
+
+    s = raw.strip()
+    if not s:
+        return None
+    alts = "|".join(sorted(_DURATION_UNITS, key=len, reverse=True))
+    tokens = re.findall(rf"(\d+(?:\.\d+)?)\s*({alts})\s*", s)
+    # re-join what the token scan consumed; any residue = parse failure
+    consumed = re.fullmatch(rf"(?:\s*\d+(?:\.\d+)?\s*(?:{alts})\s*)+", s)
+    if not tokens or consumed is None:
+        return None
+    return sum(float(n) * _DURATION_UNITS[u] for n, u in tokens)
 
 
 def tls_file_check_interval(env: Callable[[str], Optional[str]] = os.environ.get) -> float:
     """config_manager.rs:25-39: the TLS cert re-check cadence in seconds.
 
-    Parses humantime-style durations (``500ms`` / ``30s`` / ``5m`` / ``1h``).
-    UNLIKE every other VECTOR_STORE_* env, a present-but-invalid value here
-    does NOT error — the reference logs a warning and falls back to the 30 s
-    default (the one lenient parse in its config surface); mirrored
-    exactly."""
+    Parses full humantime durations (``500ms`` / ``30s`` / ``5min`` /
+    ``2days`` / compound ``1m 30s``) — the reference hands the raw string
+    to humantime::parse_duration, so every unit alias it accepts must keep
+    its intended cadence here. UNLIKE every other VECTOR_STORE_* env, a
+    present-but-invalid value does NOT error — the reference logs a warning
+    and falls back to the 30 s default (the one lenient parse in its config
+    surface); mirrored exactly."""
     raw = env("VECTOR_STORE_TLS_FILE_CHECK_INTERVAL")
     if not raw:
         return DEFAULT_TLS_FILE_CHECK_INTERVAL
-    import re
-
-    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h)", raw.strip())
-    if m is None:
+    parsed = parse_humantime(raw)
+    if parsed is None:
         log.warning(
             "Failed to parse VECTOR_STORE_TLS_FILE_CHECK_INTERVAL=%r. "
             "Using default %ss", raw, DEFAULT_TLS_FILE_CHECK_INTERVAL,
         )
         return DEFAULT_TLS_FILE_CHECK_INTERVAL
-    return float(m.group(1)) * _DURATION_UNITS[m.group(2)]
+    return parsed
 
 
 class FileMonitor:
     """file_monitor.rs:17-48: change detection by CONTENT hash (mtime alone
     misses in-place rewrites that restore the timestamp, the failure mode the
-    reference built this for — TLS certs rotated by config management)."""
+    reference built this for — TLS certs rotated by config management).
 
-    def __init__(self, path: Optional[str] = None):
-        self.path = path
-        self.last_content_hash = self._read_content_hash(path)
+    Accepts one path or a SET of paths (tls_reload.rs watches the whole TLS
+    file set — cert AND key — so a key-only rotation still triggers): the
+    hash covers every file's content in order, with per-file framing so a
+    byte moving between files can't collide."""
+
+    def __init__(self, *paths: Optional[str]):
+        self.paths = tuple(p for p in paths if p is not None)
+        self.last_content_hash = self._read_content_hash(self.paths)
 
     @staticmethod
-    def _read_content_hash(path: Optional[str]) -> Optional[str]:
-        if path is None:
+    def _read_content_hash(paths) -> Optional[str]:
+        if isinstance(paths, str):
+            paths = (paths,)
+        if not paths:
             return None
-        try:
-            with open(path, "rb") as f:
-                return hashlib.sha256(f.read()).hexdigest()
-        except OSError:
-            return None
+        h = hashlib.sha256()
+        for path in paths:
+            try:
+                with open(path, "rb") as f:
+                    content = f.read()
+            except OSError:
+                content = b""
+            h.update(len(content).to_bytes(8, "big"))
+            h.update(content)
+        return h.hexdigest()
 
-    def update(self, path: Optional[str]) -> None:
-        self.path = path
-        self.last_content_hash = self._read_content_hash(path)
+    def update(self, *paths: Optional[str]) -> None:
+        if paths:
+            self.paths = tuple(p for p in paths if p is not None)
+        self.last_content_hash = self._read_content_hash(self.paths)
 
     def has_changes(self) -> bool:
-        return self._read_content_hash(self.path) != self.last_content_hash
+        return self._read_content_hash(self.paths) != self.last_content_hash
 
 
 #: changes that take effect only after a restart (config_manager.rs:207-245)
@@ -179,10 +227,60 @@ class ConfigManager:
     config: Config = field(default_factory=load_config)
     _subscribers: list = field(default_factory=list)
     _lock: threading.Lock = field(default_factory=threading.Lock)
+    _file_watchers: list = field(default_factory=list)
+    _watch_stop: Optional[threading.Event] = None
+    _watch_thread: Optional[threading.Thread] = None
 
     def subscribe(self, callback: Callable[[Config], None]) -> None:
         with self._lock:
             self._subscribers.append(callback)
+
+    # -- unified watch loop (config_manager.rs:25-39): ONE poll cadence
+    # drives every file watcher (the TLS cert/key check subscribes here like
+    # any other), and a SIGHUP fires the same tick alongside the reload —
+    # the reference's single watch loop rather than per-component pollers.
+
+    def add_file_watcher(self, fn: Callable[[], object]) -> None:
+        """Register a per-tick callable (e.g. TlsReloader.check_and_reload).
+        Exceptions are logged and the loop keeps running — a mid-rotation
+        TLS state must not kill the watch thread."""
+        with self._lock:
+            self._file_watchers.append(fn)
+
+    def tick(self) -> None:
+        """Run every registered file watcher once, exception-guarded."""
+        with self._lock:
+            watchers = list(self._file_watchers)
+        for fn in watchers:
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 — keep the loop alive
+                log.warning("config watch tick failed (will retry): %s", exc)
+
+    def start_watch(self, interval: Optional[float] = None,
+                    env: Callable[[str], Optional[str]] = os.environ.get
+                    ) -> float:
+        """Start the single watch loop at the TLS-file-check cadence
+        (VECTOR_STORE_TLS_FILE_CHECK_INTERVAL, default 30 s). Returns the
+        effective interval."""
+        if interval is None:
+            interval = tls_file_check_interval(env)
+        self._watch_stop = threading.Event()
+
+        def _loop():
+            while not self._watch_stop.wait(interval):
+                self.tick()
+
+        self._watch_thread = threading.Thread(target=_loop, daemon=True)
+        self._watch_thread.start()
+        return interval
+
+    def stop_watch(self) -> None:
+        if self._watch_stop is not None:
+            self._watch_stop.set()
+            self._watch_thread.join(timeout=10)
+            self._watch_stop = None
+            self._watch_thread = None
 
     def current(self) -> Config:
         with self._lock:
@@ -210,12 +308,19 @@ class ConfigManager:
         return new_config
 
     def install_sighup(self, env: Callable[[str], Optional[str]] = os.environ.get) -> bool:
-        """SIGHUP -> reload (config_manager.rs:247-260). Returns False where
+        """SIGHUP -> reload + watch tick (config_manager.rs:247-260): one
+        signal drives BOTH halves of the watch fan-out — the env-config
+        reload and every registered file watcher (TLS rotation included),
+        the reference's single-lifecycle semantics. Returns False where
         signals are unavailable (non-main thread / non-unix)."""
         import signal
 
+        def _on_hup(*_):
+            self.reload(env)
+            self.tick()
+
         try:
-            signal.signal(signal.SIGHUP, lambda *_: self.reload(env))
+            signal.signal(signal.SIGHUP, _on_hup)
             return True
         except (ValueError, AttributeError, OSError):
             return False
