@@ -329,6 +329,67 @@ def test_embedding_lsh_multibit_probing_widens_recall(spark, sf_dir):
             emb, "vec_id", "embedding", dims=64, probes=-1)
 
 
+def test_auto_lsh_params_derivation():
+    """VERDICT r15 #2 — corpus-size-derived banding. Pins: (1) the
+    integer-exact band-width rule (smallest r with occ·2^r ≥ n — the same
+    arithmetic the oracle SQL runs on COUNT(*)), (2) the probe radius as
+    the smallest h whose analytic recall clears 0.99 at tau, (3) the
+    resulting recall really clearing 0.99 across the derivation range, and
+    (4) candidate work per band staying ≤ occupancy·N (linear in N) instead
+    of the N²/2^r of a pinned config."""
+    from vector_store_spark.operators.dedup import (
+        LSH_POOL_STRIDE,
+        auto_lsh_params,
+        auto_lsh_planes,
+        lsh_recall_at,
+        probes_for_recall,
+    )
+
+    # the pinned derivation table (bands=8, tau=0.45, occ=128)
+    assert auto_lsh_params(200) == (16, 1)       # r=2  (sf0.01 shape)
+    assert auto_lsh_params(2_000) == (32, 1)     # r=4  (sf0.1 shape)
+    assert auto_lsh_params(8_000) == (48, 2)     # r=6  (sf1 shape)
+    assert auto_lsh_params(24_000) == (64, 3)    # r=8  (sf3 shape)
+    assert auto_lsh_params(80_000) == (80, 3)    # r=10 (sf10 shape)
+    assert auto_lsh_params(10**6) == (96, 4)     # r capped at the pool stride
+    for n in (200, 2_000, 8_000, 24_000, 80_000, 10**6):
+        num_bits, h = auto_lsh_params(n)
+        r = num_bits // 8
+        # integer-exact band-width rule, occupancy bound, recall bound
+        assert 128 << r >= min(n, 128 << LSH_POOL_STRIDE)
+        if r > 2 and r < LSH_POOL_STRIDE:
+            assert 128 << (r - 1) < n  # smallest such r
+        assert h == probes_for_recall(r, 8, 0.45)
+        assert lsh_recall_at(r, 8, 0.45, h) >= 0.99
+    # pooled planes: a band's bit-j plane is INDEPENDENT of r (prefix
+    # stability — r+1 refines buckets instead of reshuffling planes)
+    p64 = auto_lsh_planes(64, 8, 64)   # r=8
+    p48 = auto_lsh_planes(64, 8, 48)   # r=6
+    for b in range(8):
+        for j in range(6):
+            assert p48[b * 6 + j] == p64[b * 8 + j]
+
+
+def test_embedding_lsh_auto_scaled_recall(spark, sf_dir):
+    """num_bits=None end-to-end: params derived from the corpus count,
+    pooled planes, auto probe radius — empirical recall vs the exhaustive
+    GEMM pairs must clear the 0.99 the derivation promises, at precision 1
+    (exact verify)."""
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.45).collect()}
+    auto = {(r.id_a, r.id_b) for r in
+            embedding_neardup_pairs_lsh(emb, "vec_id", "embedding",
+                                        threshold=0.45, num_bits=None,
+                                        probes=None).collect()}
+    assert auto <= exact  # precision 1
+    assert exact, "test corpus must contain near-dup pairs"
+    assert len(auto) / len(exact) >= 0.99
+
+
 def test_split_leakage_query_flags_cross_split_neardups(spark):
     """split_leakage_cosine semantics on a planted corpus: an eval vector
     near-identical to a train vector is flagged with its argmax train

@@ -423,3 +423,74 @@ def test_engine_ivfpq_default_nprobe_is_ef_over_8(spark, emb):
         emb, "vec_id", "embedding", q, 5, nprobe=8, select_cols=["vec_id"],
     ).collect()]
     assert got.primary_keys["vec_id"] == want
+
+
+def test_serving_cache_parity_with_spark_path(spark, emb):
+    """The RAM-resident serving snapshot (engine.ServingCache, the usearch
+    in-RAM posture) must match the Spark path within the engine's OWN
+    reproducibility envelope: the Arrow GEMM scorer's unrounded distances
+    are already batch-layout-dependent in the last ulp (BLAS matvec isn't
+    split-invariant), so the pinned contract is identical ranking
+    (primary keys, in order) and identical values at the oracle's 6-dp
+    rounding — across every supported space. Hamming (expression path) IS
+    bit-exact."""
+    for space in (SpaceType.COSINE, SpaceType.EUCLIDEAN,
+                  SpaceType.DOT_PRODUCT, SpaceType.HAMMING):
+        eng = VectorStoreEngine()
+        eng.register(emb, _meta(space), strategy="exact")
+        for seed in (3, 7, 11, 29):
+            q = det_query_vector(seed, 64)
+            want = eng.ann("ks", "t", "embedding", q, 10)
+            cache = eng.enable_serving_cache("ks", f"ix_{space.value}")
+            phases: dict = {}
+            got = eng.ann("ks", "t", "embedding", q, 10, phases=phases)
+            assert phases["path"] == "cache"
+            assert got.primary_keys == want.primary_keys, space
+            for g, w in zip(got.distances, want.distances):
+                assert round(g, 6) == round(w, 6), space
+                assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), space
+            for g, w in zip(got.similarity_scores, want.similarity_scores):
+                assert round(g, 6) == round(w, 6), space
+            if space == SpaceType.HAMMING:
+                assert got.distances == want.distances  # bit-exact fold
+            eng.disable_serving_cache(f"ix_{space.value}")
+            assert cache.nbytes > 0
+
+
+def test_serving_cache_guards_and_rearm(spark, emb):
+    from vector_store_spark.operators.admission import AdmissionError
+    from vector_store_spark.types import Filter, Restriction
+
+    eng = VectorStoreEngine()
+    meta = IndexMetadata(
+        keyspace="ks", index="ix_cache", table="t",
+        primary_key_columns=("vec_id",), partition_key_count=1,
+        target_column="embedding", dimensions=64, kind=IndexKind.VECTOR,
+        space_type=SpaceType.COSINE, filtering_columns=("label",),
+    )
+    eng.register(emb, meta, strategy="exact")
+    # memory admission: an over-limit snapshot is refused loudly
+    with pytest.raises(AdmissionError):
+        eng.enable_serving_cache("ks", "ix_cache", memory_limit_bytes=16)
+    assert "ix_cache" not in eng.serving_caches
+    eng.enable_serving_cache("ks", "ix_cache")
+    q = det_query_vector(5, 64)
+    # dimension mismatch raises the SAME FilterError through the fast path
+    with pytest.raises(FilterError):
+        eng.ann("ks", "t", "embedding", [1.0, 2.0], 3)
+    # a filtered request falls through to the Spark path
+    flt = Filter(restrictions=(Restriction.eq("label", 1),),
+                 allow_filtering=True)
+    phases: dict = {}
+    eng.ann("ks", "t", "embedding", q, 3, flt=flt, phases=phases)
+    assert phases["path"] == "spark"
+    # CRUD swap: registering a NEW frame re-arms the snapshot transparently
+    half = emb.limit(100)
+    eng.register(half, meta, strategy="exact")
+    got = eng.ann("ks", "t", "embedding", q, 3)
+    want_ids = {r.vec_id for r in half.select("vec_id").collect()}
+    assert set(got.primary_keys["vec_id"]) <= want_ids
+    # non-exact strategies refuse to arm
+    eng.register(emb, _meta(SpaceType.COSINE), strategy="lsh")
+    with pytest.raises(ValueError):
+        eng.enable_serving_cache("ks", "ix_cosine")

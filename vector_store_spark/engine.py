@@ -54,6 +54,127 @@ class AnnResponse:
     similarity_scores: list[float]
 
 
+class ServingCache:
+    """RAM-resident serving twin of one EXACT index — the reference's own
+    serving posture (usearch.rs holds EVERY vector in executor RAM behind
+    the memory admission of memory.rs; queries never touch storage). The
+    Spark path pays per-request Catalyst compilation (~0.3-0.4 s measured —
+    analysis + optimization + codegen dominate a 2k-row cached scan), which
+    caps socket QPS; this cache answers the same request from a driver
+    numpy snapshot in ~1 ms.
+
+    Parity contract: the exact strategy scores through
+    operators/topk._gemm_topk (numpy matvec per Arrow batch), whose
+    unrounded distances are batch-layout-dependent in the last ulp (BLAS
+    matvec is not split-invariant) — so "identical to the Spark path"
+    means what the engine itself guarantees across partitionings:
+    identical ranking (primary keys in order) and identical values at the
+    oracles' 6-dp rounding. This snapshot runs the same numpy expressions
+    on the same float64 values in one batch; Hamming (the one
+    expression-path space) replicates distance._fsum's sequential fold
+    bit-exactly. Ties break on the same (distance, *primary_key) order
+    ann_topk uses. Pinned by test_engine_strategies' parity test and by
+    the driver's ann_http_topk oracle every round.
+
+    Scale posture: the snapshot is INDEX-sized (vectors + keys — what the
+    reference holds in RAM), never a general fact table; arm it only on
+    indexes that pass the same memory admission the reference applies
+    (``memory_limit_bytes``). Batch/composition queries (ann_df) and any
+    filtered or non-exact request stay on the Spark path. A CRUD swap of
+    the registered DataFrame auto-re-arms the snapshot on the next request
+    (the reference rebuilds its RAM index on update the same way)."""
+
+    def __init__(self, ri: "RegisteredIndex"):
+        import numpy as np
+
+        meta = ri.state.metadata
+        self.df = ri.df
+        self.space = meta.space_type
+        self.dims = meta.dimensions
+        self.pk_cols = list(meta.primary_key_columns)
+        rows = ri.df.select(*self.pk_cols, meta.target_column).collect()
+        self.pk = {c: [r[c] for r in rows] for c in self.pk_cols}
+        self.vecs = np.asarray(
+            [np.asarray(r[meta.target_column], dtype=np.float64) for r in rows]
+        ).reshape(len(rows), self.dims if rows else 0)
+        # per-row precomputables, SAME numpy expressions as _gemm_topk
+        self.xnorm = np.linalg.norm(self.vecs, axis=1) if len(rows) else None
+        self.x2 = (self.vecs * self.vecs).sum(axis=1) if len(rows) else None
+        self.nbytes = self.vecs.nbytes + sum(
+            len(v) * 8 for v in self.pk.values())
+
+    @staticmethod
+    def _fold(prod):
+        """Sequential left-fold along axis 1 starting at 0.0 — the exact
+        summation order of distance._fsum (F.aggregate), which is how the
+        expression path (Hamming) sums. numpy's own reductions use
+        unrolled/pairwise partials, which differ in the last ulp; for the
+        expression-path replica this must not."""
+        import numpy as np
+
+        acc = np.zeros(prod.shape[0])
+        for j in range(prod.shape[1]):
+            acc = acc + prod[:, j]
+        return acc
+
+    def _distances(self, vector):
+        import numpy as np
+
+        q = np.asarray(vector, dtype=np.float64)
+        if self.space == SpaceType.HAMMING:
+            # ann_topk serves Hamming through the expression path (gemm
+            # auto-off): replicate the sequential fold of the when/zip_with
+            bits = ((self.vecs > 0) != (q > 0)).astype("float64")
+            return self._fold(bits)
+        # the _gemm_topk scorer, verbatim (topk.py `score`): same ops, same
+        # order, same zero-norm convention
+        qn = np.linalg.norm(q) or 1.0
+        q2 = float(q @ q)
+        dots = self.vecs @ q
+        if self.space == SpaceType.COSINE:
+            xn = self.xnorm.copy()
+            zero = xn == 0.0
+            xn[zero] = 1.0
+            d = 1.0 - dots / (xn * qn)
+            d[zero] = 1.0  # zero-norm convention (distance.py)
+            return d
+        if self.space == SpaceType.DOT_PRODUCT:
+            return 1.0 - dots
+        if self.space == SpaceType.EUCLIDEAN:
+            return self.x2 + q2 - 2.0 * dots
+        raise FilterError(f"serving cache: unsupported space {self.space}")
+
+    def _similarity(self, d: float) -> float:
+        if self.space in (SpaceType.COSINE, SpaceType.DOT_PRODUCT):
+            return (2.0 - d) / 2.0
+        if self.space == SpaceType.EUCLIDEAN:
+            return 1.0 / (1.0 + d)
+        return 1.0 - d / float(self.dims)  # hamming
+
+    def ann_response(self, vector, limit: int) -> "AnnResponse":
+        import numpy as np
+
+        dist = self._distances(vector)
+        n = dist.shape[0]
+        k = min(limit, n)
+        if k == 0:
+            return AnnResponse(primary_keys={c: [] for c in self.pk_cols},
+                               distances=[], similarity_scores=[])
+        order = np.argsort(dist, kind="stable")
+        kth = dist[order[k - 1]]
+        cand = np.nonzero(~(dist > kth))[0].tolist()  # ties included; NaN safe
+        if len(cand) < k:  # NaN distances beyond the cutoff
+            cand = order[: max(k, len(cand))].tolist()
+        cand.sort(key=lambda i: (dist[i],
+                                 *(self.pk[c][i] for c in self.pk_cols)))
+        sel = cand[:k]
+        return AnnResponse(
+            primary_keys={c: [self.pk[c][i] for i in sel] for c in self.pk_cols},
+            distances=[float(dist[i]) for i in sel],
+            similarity_scores=[self._similarity(float(dist[i])) for i in sel],
+        )
+
+
 #: §2.9 (vs_index/factory.rs:1-37): the engine-strategy axis. The reference
 #: selects USearch/DiskANN/OpenSearch per index; here the strategies are
 #: DataFrame programs sharing one query lifecycle. The scalar kinds (i8/f16/
@@ -89,6 +210,8 @@ class VectorStoreEngine:
 
     indexes: dict[str, RegisteredIndex] = field(default_factory=dict)
     default_strategy: str = "exact"
+    #: opt-in RAM-resident serving snapshots, index name -> ServingCache
+    serving_caches: dict[str, ServingCache] = field(default_factory=dict)
 
     def register(
         self,
@@ -392,17 +515,99 @@ class VectorStoreEngine:
             )
         raise FilterError(f"unknown strategy {ri.strategy}")
 
+    def enable_serving_cache(self, keyspace: str, index: str,
+                             memory_limit_bytes: int | None = None
+                             ) -> ServingCache:
+        """Arm the RAM-resident serving snapshot for one EXACT index (see
+        :class:`ServingCache`). ``memory_limit_bytes`` applies the same
+        admission the reference applies to its RAM index (memory.rs:23-25
+        via operators/admission) — a snapshot over the limit is REFUSED
+        loudly, never half-armed."""
+        ri = self._find(keyspace, index)
+        if ri.strategy != "exact":
+            raise ValueError(
+                f"serving cache supports the exact strategy, index "
+                f"{index!r} uses {ri.strategy!r}")
+        cache = ServingCache(ri)
+        if memory_limit_bytes is not None and cache.nbytes > memory_limit_bytes:
+            from vector_store_spark.operators.admission import AdmissionError
+
+            raise AdmissionError(
+                f"serving cache for {index!r} needs {cache.nbytes} bytes, "
+                f"limit {memory_limit_bytes}")
+        self.serving_caches[ri.state.metadata.index] = cache
+        return cache
+
+    def disable_serving_cache(self, index: str) -> None:
+        self.serving_caches.pop(index, None)
+
+    def _ann_from_cache(self, keyspace, table, target_column, vector, limit,
+                        flt) -> AnnResponse | None:
+        """The serving-cache fast path: identical routing + validation to
+        ann_df, returns None (caller falls through to the Spark path) when
+        the routed index has no armed cache or the request needs anything
+        the snapshot can't answer (filters, non-exact strategy)."""
+        if flt.restrictions:
+            return None
+        group = self._routing_group(keyspace, table, target_column)
+        if not group:
+            return None
+        states = [ri.state for ri in group]
+        state, score = best_index(states, flt)
+        ri = next(r for r in group if r.state is state)
+        meta = state.metadata
+        cache = self.serving_caches.get(meta.index)
+        if cache is None or ri.strategy != "exact":
+            return None
+        if len(vector) != meta.dimensions:
+            raise FilterError(
+                f"wrong vector dimensions: got {len(vector)}, index has "
+                f"{meta.dimensions}")  # P9, same message as ann_df
+        check_allow_filtering(score, flt)
+        if cache.df is not ri.df:
+            # CRUD swapped the registered frame: re-arm from the live one
+            # (the reference rebuilds its RAM index on update the same way)
+            cache = ServingCache(ri)
+            self.serving_caches[meta.index] = cache
+        return cache.ann_response(vector, limit)
+
     def ann(self, keyspace: str, table: str, target_column: str, vector: Sequence[float],
-            limit: int = 1, flt: Filter | None = None) -> AnnResponse:
-        """Full lifecycle returning the reference's column-pivoted response."""
+            limit: int = 1, flt: Filter | None = None,
+            phases: dict | None = None) -> AnnResponse:
+        """Full lifecycle returning the reference's column-pivoted response.
+        ``phases`` (optional dict) receives per-phase wall times
+        (plan/execute/pivot) for the serving tier's latency attribution."""
+        import time as _time
+
+        flt = flt or Filter()
+        if self.serving_caches:
+            t0 = _time.perf_counter()
+            resp = self._ann_from_cache(
+                keyspace, table, target_column, vector, limit, flt)
+            if resp is not None:
+                if phases is not None:
+                    phases["plan"] = _time.perf_counter() - t0
+                    phases["execute"] = 0.0
+                    phases["pivot"] = 0.0
+                    phases["path"] = "cache"
+                return resp
+        t0 = _time.perf_counter()
         topk, meta = self.ann_df(keyspace, table, target_column, vector, limit, flt)
+        t1 = _time.perf_counter()
         rows = topk.collect()
+        t2 = _time.perf_counter()
         pk_cols = list(meta.primary_key_columns)
-        return AnnResponse(
+        resp = AnnResponse(
             primary_keys={c: [r[c] for r in rows] for c in pk_cols},
             distances=[r["distance"] for r in rows],
             similarity_scores=[r["similarity"] for r in rows],
         )
+        if phases is not None:
+            phases["plan"] = t1 - t0
+            phases["execute"] = t2 - t1
+            phases["pivot"] = _time.perf_counter() - t2
+            phases["path"] = "spark"
+        return resp
 
     def count(self, index: str) -> int:
         """A1: live row count of an index (usearch.rs:866-878)."""

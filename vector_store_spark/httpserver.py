@@ -446,15 +446,29 @@ class VectorStoreHttpServer:
                     (body or b"{}").decode("utf-8"))
             except (json.JSONDecodeError, FilterError) as err:
                 return 400, {"error": str(err)}
+            t_parse = time.perf_counter()
             # the route addresses (ks, INDEX); resolve to the indexed table +
             # scored column, then let the engine route within the group
             try:
                 m = self.engine._find(ks, ix).state.metadata
             except KeyError as err:
                 return 404, {"error": str(err.args[0])}
+            # per-phase latency attribution (VERDICT r15 #6): parse / plan /
+            # execute / pivot land in /metrics as ann_phase_* observations
+            phases: dict = {}
             resp = self.engine.ann(ks, m.table, m.target_column, vector,
-                                   limit=limit, flt=flt)
-            return 200, json.loads(api.response_to_json(resp))
+                                   limit=limit, flt=flt, phases=phases)
+            t_ann = time.perf_counter()
+            out = 200, json.loads(api.response_to_json(resp))
+            self.metrics.observe("ann_phase_parse", ks, ix, t_parse - t0)
+            for name in ("plan", "execute"):
+                if name in phases:
+                    self.metrics.observe(f"ann_phase_{name}", ks, ix,
+                                         phases[name])
+            self.metrics.observe(
+                "ann_phase_pivot", ks, ix,
+                phases.get("pivot", 0.0) + (time.perf_counter() - t_ann))
+            return out
         except Exception as err:
             return _classify(err)
         finally:

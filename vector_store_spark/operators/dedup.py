@@ -607,15 +607,103 @@ def embedding_neardup_pairs(
     )
 
 
+#: pooled-plane layout for AUTO-scaled banding (and the r cap): band ``b``
+#: draws its bits from hyperplane indices [b·STRIDE, b·STRIDE + r), so a
+#: corpus-size change (different r) REFINES each band's bucketing instead of
+#: reshuffling the plane→band assignment — the bucket of a vector at r+1
+#: bits is a sub-bucket of its bucket at r bits.
+LSH_POOL_STRIDE = 12
+
+
+def lsh_recall_at(r: int, bands: int, threshold: float, probes: int) -> float:
+    """Analytic pair-recall of banded sign-LSH with Hamming≤probes
+    multiprobe at cosine=threshold — the probed band S-curve.
+
+    Per-bit agreement for a pair at angle θ=acos(threshold) is p = 1-θ/π
+    (random-hyperplane collision probability, Charikar 2002); a band of r
+    bits collides within Hamming h with probability Σ_{i≤h} C(r,i)
+    p^(r-i)(1-p)^i, and any of the ``bands`` independent bands colliding
+    yields the pair."""
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    band_p = sum(
+        math.comb(r, i) * p ** (r - i) * (1.0 - p) ** i
+        for i in range(min(probes, r) + 1)
+    )
+    return 1.0 - (1.0 - band_p) ** bands
+
+
+def auto_lsh_params(
+    n: int,
+    bands: int = 8,
+    threshold: float = 0.45,
+    target_occupancy: int = 128,
+    min_recall: float = 0.99,
+    r_max: int = LSH_POOL_STRIDE,
+) -> tuple[int, int]:
+    """Corpus-size-derived (num_bits, probes) for the embedding-LSH dedup —
+    the 100 TB default when the caller pins nothing (VERDICT r15 #2: fixed
+    num_bits=32/bands=8 gives Σ|bucket|² ≈ N²/128 candidate work, quadratic
+    past ~10k vectors).
+
+    - ``r`` (band width) = smallest integer in [2, r_max] with
+      target_occupancy · 2^r ≥ n, i.e. expected bucket occupancy ≤ the
+      target — candidate work per band stays ≈ N·occupancy, LINEAR in N.
+      Integer-exact (no log2 float round-off) so the oracle SQL derives the
+      SAME r from COUNT(*).
+    - ``probes`` = smallest Hamming radius h with analytic pair-recall
+      ≥ min_recall at the threshold (:func:`lsh_recall_at`), capped at
+      min(r, 6) — finer buckets lose per-band collision probability;
+      multiprobe buys it back at probe-row cost Σ_{i≤h} C(r,i) instead of
+      the candidate blowup of coarser banding.
+    """
+    r = r_max
+    for j in range(2, r_max + 1):
+        if target_occupancy << j >= n:
+            r = j
+            break
+    return r * bands, probes_for_recall(r, bands, threshold, min_recall)
+
+
+def probes_for_recall(r: int, bands: int, threshold: float,
+                      min_recall: float = 0.99, h_max: int = 6) -> int:
+    """Smallest multiprobe Hamming radius holding the analytic pair-recall
+    (:func:`lsh_recall_at`) ≥ min_recall at the threshold; capped at
+    min(r, h_max). Shared by the operator's auto defaults AND the oracle
+    SQL generator (the inlined r→probes lookup), so they cannot drift."""
+    h_cap = min(r, h_max)
+    for h in range(h_cap + 1):
+        if lsh_recall_at(r, bands, threshold, h) >= min_recall:
+            return h
+    return h_cap
+
+
+def auto_lsh_planes(dims: int, bands: int, num_bits: int) -> list[list[float]]:
+    """The pooled-plane selection for auto-scaled banding: band b, bit j ←
+    pool plane b·LSH_POOL_STRIDE + j. The pool formula is closed-form
+    (operators/lsh.lsh_hyperplanes_mixed — the DECORRELATED generator; the
+    legacy mod-97 lattice loses ~5 recall points at r=8 against the
+    analytic S-curve the probe derivation relies on), so oracle SQL
+    re-derives the identical planes from (band, bit) indices alone."""
+    from vector_store_spark.operators.lsh import lsh_hyperplanes_mixed
+
+    r = num_bits // bands
+    if r > LSH_POOL_STRIDE:
+        raise ValueError(f"band width {r} exceeds pool stride {LSH_POOL_STRIDE}")
+    pool = lsh_hyperplanes_mixed(dims, bands * LSH_POOL_STRIDE)
+    return [pool[b * LSH_POOL_STRIDE + j] for b in range(bands) for j in range(r)]
+
+
 def embedding_neardup_pairs_lsh(
     items: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    num_bits: int = 16,
+    num_bits: int | None = 16,
     bands: int = 4,
     dims: int | None = None,
-    probes: int = 0,
+    probes: int | None = 0,
 ) -> DataFrame:
     """Sign-LSH candidate generation for embedding near-dup at extreme scale:
     bucket on random-hyperplane bands (operators/lsh), self-join per (band,
@@ -637,14 +725,33 @@ def embedding_neardup_pairs_lsh(
     (all-bit flips = full band enumeration).
 
     Pass ``dims`` (index metadata always knows it) to keep the plan fully
-    lazy; None falls back to peeking at one row."""
+    lazy; None falls back to peeking at one row.
+
+    ``num_bits=None`` AUTO-SCALES the banding with the corpus size (one
+    count job): band width from :func:`auto_lsh_params` (constant expected
+    bucket occupancy — candidate work linear in N instead of N²/2^r) with
+    pooled-plane selection (:func:`auto_lsh_planes`, r changes refine
+    buckets instead of reshuffling planes), and ``probes=None`` then takes
+    the derived Hamming radius holding pair-recall ≥ 0.99 at the
+    threshold."""
     from vector_store_spark.operators.lsh import lsh_hyperplanes, with_lsh_buckets
 
+    if num_bits is None:
+        num_bits, auto_h = auto_lsh_params(
+            items.count(), bands=bands, threshold=threshold)
+        if probes is None:
+            probes = auto_h
+        if dims is None:
+            dims = len(items.select(vec_col).first()[0])
+        planes = auto_lsh_planes(dims, bands, num_bits)
+    else:
+        if probes is None:
+            probes = 0
+        if dims is None:
+            dims = len(items.select(vec_col).first()[0])
+        planes = lsh_hyperplanes(dims, num_bits)
     if probes < 0:
         raise ValueError(f"probes must be >= 0, got {probes}")
-    if dims is None:
-        dims = len(items.select(vec_col).first()[0])
-    planes = lsh_hyperplanes(dims, num_bits)
     e = items.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -724,10 +831,10 @@ def embedding_neardup_lsh_cell_audit(
     id_col: str,
     vec_col: str,
     threshold: float = 0.45,
-    num_bits: int = 32,
+    num_bits: int | None = 32,
     bands: int = 8,
     dims: int | None = None,
-    probes: int = 1,
+    probes: int | None = 1,
     sample_cells: tuple = ((0, 3), (3, 7), (6, 12)),
 ) -> DataFrame:
     """SF-robust audit of the sign-LSH near-dup contract — the oracle-sized
@@ -751,12 +858,27 @@ def embedding_neardup_lsh_cell_audit(
 
     Work is Σ over sampled cells of |probe∩cell|·|build∩cell| ≈
     K·(p·N/2^r)·(N/2^r) — quadratic ONLY inside the K sampled cells, which
-    is what makes the audit run at any SF."""
+    is what makes the audit run at any SF.
+
+    ``num_bits=None`` audits the AUTO-SCALED contract: banding and probe
+    radius derived from the corpus size exactly as
+    :func:`embedding_neardup_pairs_lsh` derives them (auto_lsh_params +
+    pooled planes), so the audit pins the parameters a 100 TB run would
+    actually use at this corpus's scale."""
     from vector_store_spark.operators.lsh import lsh_hyperplanes, with_lsh_buckets
 
     if dims is None:
         dims = len(items.select(vec_col).first()[0])
-    planes = lsh_hyperplanes(dims, num_bits)
+    if num_bits is None:
+        num_bits, auto_h = auto_lsh_params(
+            items.count(), bands=bands, threshold=threshold)
+        if probes is None:
+            probes = auto_h
+        planes = auto_lsh_planes(dims, bands, num_bits)
+    else:
+        if probes is None:
+            probes = 1
+        planes = lsh_hyperplanes(dims, num_bits)
     e = items.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )

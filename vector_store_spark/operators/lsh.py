@@ -29,11 +29,42 @@ from vector_store_spark.types import SpaceType
 
 def lsh_hyperplanes(dims: int, num_bits: int, seed: int = 97) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes via exact integer arithmetic —
-    embeddable verbatim in both Spark code and oracle SQL."""
+    embeddable verbatim in both Spark code and oracle SQL.
+
+    CAVEAT (measured, r16): the mod-97 lattice makes every plane a cyclic
+    shift of one base vector, so sign bits across planes are correlated and
+    empirical band recall falls short of the independent-planes S-curve as
+    band width grows (r=8/h=3 at 24k vectors: 0.95-0.97 observed vs 0.9999
+    analytic). Kept verbatim for the entries whose oracles pin it; new
+    recall-sensitive paths use :func:`lsh_hyperplanes_mixed`."""
     return [
         [((((seed + h) * 31 + i * 37) % 97) - 48) / 48.0 for i in range(dims)]
         for h in range(num_bits)
     ]
+
+
+def lsh_hyperplanes_mixed(dims: int, num_bits: int) -> list[list[float]]:
+    """Well-mixed deterministic hyperplanes: a two-round multiply-xor-shift
+    integer hash per (plane, coordinate) — closed-form, so oracle SQL
+    re-derives identical values with BIGINT ops (*, %, xor, >>) and one
+    exact final division (x < 2^32 < 2^53). Unlike the mod-97 lattice of
+    :func:`lsh_hyperplanes`, coordinates are decorrelated across planes and
+    the empirical band S-curve tracks the independent-planes analytic model
+    (r=8/h=3 at 24k vectors: 1.00 measured vs 0.95-0.97 for the lattice).
+    All intermediates stay below 2^63 (k < 2^27 ⇒ k·2654435761 < 2^59;
+    x < 2^32 ⇒ x·1597334677 < 2^63), so int64 engines agree exactly."""
+    out = []
+    for h in range(num_bits):
+        row = []
+        for i in range(dims):
+            k = h * 1000003 + i
+            x = (k * 2654435761) % 4294967296
+            x = x ^ (x >> 16)
+            x = (x * 1597334677) % 4294967296
+            x = x ^ (x >> 13)
+            row.append((x / 4294967296.0) * 2.0 - 1.0)
+        out.append(row)
+    return out
 
 
 def sign_bits_expr(vec: Column, planes: list[list[float]]) -> list[Column]:

@@ -292,32 +292,75 @@ def dedup_embedding_lsh(spark, sf_dir):
 
 
 #: the deterministically-sampled (band, bucket) cells of the audit entry —
-#: one constant shared by the Spark side and the oracle SQL
-_EB_CELLS = ((0, 3), (3, 7), (6, 12))
+#: one constant shared by the Spark side and the oracle SQL. Buckets ≤ 3 so
+#: every cell is live at every auto-derived band width (r ≥ 2 ⇒ ≥ 4
+#: buckets/band).
+_EB_CELLS = ((0, 3), (3, 2), (6, 1))
+
+# --- auto-scaled banding constants (r16, VERDICT #2) ----------------------
+# The sampled audit now checks the AUTO-SCALED contract: band width r and
+# probe radius h derived from the corpus size (operators/dedup.
+# auto_lsh_params — constant expected bucket occupancy; probes hold
+# analytic pair-recall ≥ 0.99 at tau). The oracle SQL re-derives r from
+# COUNT(*) with the SAME integer arithmetic, reads h from an inlined
+# lookup generated by the SAME probes_for_recall, and regenerates the
+# pooled hyperplanes from their closed-form formula — so Spark and DuckDB
+# auto-scale in lockstep at any SF with one static SQL string.
+_EBA_OCC = 128          # target expected bucket occupancy (auto_lsh_params)
+_EBA_TAU = 0.45
 
 
-@register(
-    "dedup_embedding_lsh_sampled",
-    # The SF-ROBUST second oracle form of the embedding-LSH contract
-    # (closing the one sf3 gate exclusion): instead of the exhaustive
-    # bucket-self-join DISTINCT (~N²/128 rows — infeasible past ~10k
-    # vectors), verify (1) a DISTINCT-free GLOBAL candidate-mass aggregate
-    # computed from per-cell COUNTS (bands·2^r cells, never a pair join)
-    # and (2) the exact pipeline — candidate join + cosine verify — inside
-    # K fixed sampled cells, where per-cell pairs are DISTINCT-free by
-    # construction (one probe row per id per cell). Integer aggregates
-    # only, so the compare is order- and float-summation-independent.
-    f"""
+def _eba_sql() -> str:
+    from vector_store_spark.operators.dedup import (
+        LSH_POOL_STRIDE,
+        probes_for_recall,
+    )
+
+    rmax = LSH_POOL_STRIDE
+    stride = LSH_POOL_STRIDE
+    probe_table = ", ".join(
+        str(probes_for_recall(r, _EB_BANDS, _EBA_TAU)) for r in range(2, rmax + 1))
+    bucket_exprs = ", ".join(
+        f"""CAST(list_sum(list_transform(range(0, r), j ->
+      CASE WHEN list_inner_product(v, pool[{b * stride} + j + 1]) > 0
+           THEN (1::BIGINT << (r - 1 - j)) ELSE 0::BIGINT END)) AS BIGINT)"""
+        for b in range(_EB_BANDS)
+    )
+    return f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+-- pooled hyperplanes from the closed-form two-round multiply-xor-shift hash
+-- (operators/lsh.lsh_hyperplanes_mixed): BIGINT-exact, final division exact
+pool3 AS (
+  SELECT pl, i, xor(x2, x2 >> 13) AS x3 FROM (
+    SELECT pl, i, (x1 * 1597334677) % 4294967296 AS x2 FROM (
+      SELECT pl, i, xor(x0, x0 >> 16) AS x1 FROM (
+        SELECT pl, i, ((pl * 1000003 + i) * 2654435761) % 4294967296 AS x0
+        FROM (SELECT unnest(range(0, {_EB_BANDS * stride})) AS pl),
+             (SELECT unnest(range(0, 64)) AS i))))
+),
+poolrows AS (
+  SELECT pl, list((x3 / 4294967296.0) * 2.0 - 1.0 ORDER BY i) AS p
+  FROM pool3 GROUP BY pl
+),
+params AS (
+  SELECT r, ([{probe_table}])[r - 1] AS h,
+         (SELECT list(p ORDER BY pl) FROM poolrows) AS pool
+  FROM (SELECT COALESCE((SELECT min(j) FROM range(2, {rmax + 1}) t(j)
+                         WHERE {_EBA_OCC} * (1::BIGINT << j) >= (SELECT count(*) FROM e)),
+                        {rmax}) AS r)
+),
 bandrows AS (
   SELECT id, unnest([{", ".join(str(b) for b in range(_EB_BANDS))}]) AS band,
-         unnest([{", ".join(_EB_BUCKETS)}]) AS bucket
-  FROM e
+         unnest([{bucket_exprs}]) AS bucket
+  FROM e, params
+),
+masks AS (
+  SELECT m FROM (
+    SELECT unnest(range(0, 1::BIGINT << r)) AS m, r, h FROM params
+  ) WHERE list_sum(list_transform(range(0, r), j -> (m >> j) & 1)) <= h
 ),
 proberows AS (
-  SELECT id, band,
-         unnest([bucket, {", ".join(f"xor(bucket, {1 << j})" for j in range(_EB_R))}]) AS bucket
-  FROM bandrows
+  SELECT id, band, xor(bucket, m) AS bucket FROM bandrows, masks
 ),
 pcnt AS (SELECT band, bucket, count(*) AS p FROM proberows GROUP BY 1, 2),
 ncnt AS (SELECT band, bucket, count(*) AS n FROM bandrows GROUP BY 1, 2),
@@ -341,17 +384,36 @@ ver AS (
 ),
 cellstats AS (
   SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_candidates,
-         CAST(sum(CASE WHEN cosine >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
-         CAST(sum(CASE WHEN cosine >= 0.45
+         CAST(sum(CASE WHEN cosine >= {_EBA_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+         CAST(sum(CASE WHEN cosine >= {_EBA_TAU}
                        THEN CAST(round(cosine * 1000000) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS cos_micro_sum
   FROM ver GROUP BY 1, 2
 )
 SELECT * FROM cellstats UNION ALL SELECT * FROM mass
-""",
-    "SF-robust audit of the sign-LSH embedding near-dup contract: global "
-    "DISTINCT-free candidate-mass aggregate (per-cell count products) + "
-    "exact candidate-join-and-cosine-verify inside 3 deterministic sampled "
+"""
+
+
+@register(
+    "dedup_embedding_lsh_sampled",
+    # The SF-ROBUST second oracle form of the embedding-LSH contract
+    # The SF-ROBUST second oracle form of the embedding-LSH contract
+    # (closing the one sf3 gate exclusion): instead of the exhaustive
+    # bucket-self-join DISTINCT (~N²/128 rows — infeasible past ~10k
+    # vectors), verify (1) a DISTINCT-free GLOBAL candidate-mass aggregate
+    # computed from per-cell COUNTS (bands·2^r cells, never a pair join)
+    # and (2) the exact pipeline — candidate join + cosine verify — inside
+    # K fixed sampled cells, where per-cell pairs are DISTINCT-free by
+    # construction (one probe row per id per cell). Integer aggregates
+    # only, so the compare is order- and float-summation-independent.
+    # Since r16 the audited parameters are AUTO-SCALED from the corpus size
+    # (see _eba_sql's lockstep derivation in SQL).
+    _eba_sql(),
+    "SF-robust audit of the AUTO-SCALED sign-LSH embedding near-dup "
+    "contract (banding from corpus size at constant bucket occupancy; "
+    "probe radius holding analytic recall >= 0.99): global DISTINCT-free "
+    "candidate-mass aggregate (per-cell count products) + exact "
+    "candidate-join-and-cosine-verify inside 3 deterministic sampled "
     "cells — quadratic work only within the sampled cells, so the oracle "
     "runs at any SF (the exhaustive twin tops out near 10k vectors)",
 )
@@ -360,8 +422,8 @@ def dedup_embedding_lsh_sampled(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh_cell_audit(
-        emb, "vec_id", "embedding", threshold=0.45,
-        num_bits=_EB_BITS, bands=_EB_BANDS, dims=64, probes=1,
+        emb, "vec_id", "embedding", threshold=_EBA_TAU,
+        num_bits=None, bands=_EB_BANDS, dims=64, probes=None,
         sample_cells=_EB_CELLS,
     )
 

@@ -494,3 +494,75 @@ def ann_http_topk(spark, sf_dir):
         F.round("distance", ROUND).alias("distance"),
         F.round("similarity", ROUND).alias("similarity"),
     )
+
+
+@register(
+    "ann_http_cached_topk",
+    # Same serving stack, SAME oracle — but answered from the RAM-resident
+    # ServingCache (engine.enable_serving_cache, the reference's usearch
+    # in-RAM posture; ~300x lower per-request latency than the per-request
+    # Catalyst compile of the Spark path). The DuckDB compare pins the
+    # cache's ranking and 6-dp values against the exact definition every
+    # round, at every gate SF.
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT vec_id, {_COS_QH} AS d FROM e
+)
+SELECT vec_id, round(d, {ROUND}) AS distance,
+       round((2.0 - d) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+    "S9 serving surface through the RAM-resident serving snapshot "
+    "(ServingCache — the usearch posture): REST POST /ann over a localhost "
+    "socket answered from the armed index snapshot; oracle-pinned to the "
+    "same exact top-k as the Spark path",
+    internal_plan_fn=_http_internal_probe,
+)
+def ann_http_cached_topk(spark, sf_dir):
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.httpserver import serve
+
+    emb = load(spark, sf_dir, "embeddings")
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_http_cached", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+        ),
+        strategy="exact",
+    )
+    eng.enable_serving_cache("ks", "emb_http_cached")
+    srv = serve(eng)
+    try:
+        host, port = srv._httpd.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/v1/indexes/ks/emb_http_cached/ann",
+            data=_json.dumps({"vector": _QH, "limit": 10}).encode("utf-8"),
+            method="POST", headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = _json.loads(r.read())
+    finally:
+        srv.stop()
+    rows = list(zip(
+        body["primary_keys"]["vec_id"], body["distances"],
+        body["similarity_scores"],
+    ))
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    out = spark.createDataFrame(
+        rows, schema=f"vec_id {id_type}, distance double, similarity double"
+    )
+    return out.select(
+        "vec_id",
+        F.round("distance", ROUND).alias("distance"),
+        F.round("similarity", ROUND).alias("similarity"),
+    )
