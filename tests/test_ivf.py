@@ -169,3 +169,30 @@ def test_multiprobe_flip_sets_bounded_and_ordered():
     assert time.perf_counter() - t0 < 1.0
     assert [p[0] for p in mp0] == lsh_query_buckets(q, planes, 2)
     assert all(len(p) == 1 for p in mp0) and all(len(p) == 4 for p in mp3)
+
+
+def test_adaptive_floor_scales_with_selectivity():
+    """VERDICT r15 #7: the absolute candidate floor stops escalating exactly
+    where the filtered set is largest (recall@10 measured 0.90 at n=1000
+    with base probes). The k-sqrt(n) floor keeps escalation alive through
+    the mid range and decays for large corpora."""
+    from vector_store_spark.operators.ivf import adaptive_floor, adaptive_nprobe
+    from vector_store_spark.operators.lsh import adaptive_multiprobe
+
+    # floor values (k=10): mid-size sets get a scaled floor, big sets decay
+    # to the absolute one relative to n
+    assert adaptive_floor(320, 1000, 10) == 633
+    assert adaptive_floor(320, 400, 10) == 400
+    assert adaptive_floor(320, 1000, None) == 320  # legacy absolute floor
+    # the measured 0.90 cell (n=1000, trained-16, nprobe 8, min 320):
+    # the old floor left nprobe at 8; the scaled floor escalates to 11,
+    # which measures >= 0.95
+    assert adaptive_nprobe(1000, 16, 8, 320) == 8           # old behavior
+    assert adaptive_nprobe(1000, 16, 8, 320, k=10) == 11    # scaled
+    # LSH analogue at the same shape: the absolute floor widened to 1
+    # probe; the scaled floor widens to 2 (measured 0.975 vs 0.90 at mp=0)
+    assert adaptive_multiprobe(1000, 16, 4, 0, 320) == 1
+    assert adaptive_multiprobe(1000, 16, 4, 0, 320, k=10) == 2
+    # exact tier widens only marginally (n <= 4k^2), big sets untouched
+    assert adaptive_nprobe(400, 16, 8, 320, k=10) is None
+    assert adaptive_nprobe(4000, 16, 8, 320, k=10) == 8

@@ -610,7 +610,7 @@ def ivf_search_local(
         part_eq = F.col(meta["part_col"]) == part_value
         filtered = spark.read.parquet(path).where(part_eq & predicate)
         np_eff = adaptive_nprobe(
-            filtered.count(), len(cents), nprobe, min_candidates
+            filtered.count(), len(cents), nprobe, min_candidates, k=k
         )
         if np_eff is None:
             return ann_topk(
@@ -675,7 +675,7 @@ def ivf_search(
         if meta["n_assign"] > 1:
             filtered = filtered.dropDuplicates([id_col])
         np_eff = adaptive_nprobe(
-            filtered.count(), len(cents), nprobe, min_candidates
+            filtered.count(), len(cents), nprobe, min_candidates, k=k
         )
         if np_eff is None:
             return ann_topk(
@@ -697,11 +697,32 @@ def ivf_search(
     )
 
 
+def adaptive_floor(min_candidates: int, n_rows: int, k: int | None) -> int:
+    """The candidate floor, scaled with the (filtered) set size — VERDICT
+    r15 #7: the ABSOLUTE floor alone stops escalating exactly where the
+    filtered set is largest, leaving a mid-selectivity recall dip (measured
+    at sf0.1: recall@10 = 0.90 at n=1000 with the base probes, ≥0.95 in
+    every other bucket — the top-k is still cluster-dispersed at k/n =
+    1%). A k·sqrt(n) term keeps escalation alive through the mid range yet
+    DECAYS relative to n, so large corpora keep their tuned base probes
+    (at n=1000/k=10 it lifts nprobe 8→11 of 16; by n=4000 the base wins):
+
+        floor = max(min_candidates, ceil(2 · k · sqrt(n)))
+
+    ``k=None`` preserves the pure absolute floor."""
+    if k is None:
+        return min_candidates
+    import math
+
+    return max(min_candidates, math.ceil(2.0 * k * math.sqrt(n_rows)))
+
+
 def adaptive_nprobe(
-    n_rows: int, k_centroids: int, nprobe: int, min_candidates: int
+    n_rows: int, k_centroids: int, nprobe: int, min_candidates: int,
+    k: int | None = None,
 ) -> int | None:
-    """Escalate ``nprobe`` so the expected candidate pool stays above
-    ``min_candidates`` when the (filtered) row set is small — the guarantee
+    """Escalate ``nprobe`` so the expected candidate pool stays above the
+    candidate floor when the (filtered) row set is small — the guarantee
     the reference's graph search gives for free (top-k OF the filtered set,
     usearch.rs:224-248): a selective predicate must not silently starve the
     probe. Returns None when the set is so small the caller should skip IVF
@@ -710,14 +731,16 @@ def adaptive_nprobe(
 
     Driver-side arithmetic only: expected pool ≈ n_rows · nprobe/k_centroids
     under the uniform-cluster approximation, so the escalated value is
-    ceil(min_candidates · k_centroids / n_rows), clamped to
-    [nprobe, k_centroids]."""
-    if n_rows <= min_candidates:
+    ceil(floor · k_centroids / n_rows), clamped to [nprobe, k_centroids].
+    ``k`` (the query limit) arms the selectivity-scaled floor — see
+    :func:`adaptive_floor`."""
+    floor = adaptive_floor(min_candidates, n_rows, k)
+    if n_rows <= floor:
         return None
     import math
 
     return min(
-        k_centroids, max(nprobe, math.ceil(min_candidates * k_centroids / n_rows))
+        k_centroids, max(nprobe, math.ceil(floor * k_centroids / n_rows))
     )
 
 
@@ -751,7 +774,7 @@ def ivf_topk(
     if min_candidates is not None:
         n_rows = items.count()
         kc = len(centroids) if centroids is not None else k_centroids
-        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates)
+        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates, k=k)
         if np_eff is None:
             return ann_topk(
                 items, vec_col, query, k,

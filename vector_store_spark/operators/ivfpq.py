@@ -67,7 +67,7 @@ def ivfpq_topk(
 
         n_rows = items.count()
         kc = len(centroids) if centroids is not None else k_centroids
-        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates)
+        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates, k=k)
         if np_eff is None:
             return ann_topk(
                 items, vec_col, query, k,
@@ -258,7 +258,7 @@ def ivfpq_search(
             filtered = filtered.dropDuplicates([id_col])
         n_filtered = filtered.count()
         np_eff = adaptive_nprobe(
-            n_filtered, meta["k_centroids"], nprobe, min_candidates
+            n_filtered, meta["k_centroids"], nprobe, min_candidates, k=k
         )
         if np_eff is None:
             from vector_store_spark.functions.distance import (
@@ -453,7 +453,7 @@ def ivfpq_residual_topk(
 
         n_rows = items.count()
         kc = len(centroids) if centroids is not None else k_centroids
-        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates)
+        np_eff = adaptive_nprobe(n_rows, kc, nprobe, min_candidates, k=k)
         if np_eff is None:
             return ann_topk(
                 items, vec_col, query, k,

@@ -396,7 +396,8 @@ def lsh_search(
             .count()
         )
         mp_eff = adaptive_multiprobe(
-            n_filtered, meta["num_bits"], meta["bands"], multiprobe, min_candidates
+            n_filtered, meta["num_bits"], meta["bands"], multiprobe,
+            min_candidates, k=k,
         )
         if mp_eff is None:
             filtered = spark.read.parquet(path).where(
@@ -517,7 +518,8 @@ def lsh_search_local(
             .count()
         )
         mp_eff = adaptive_multiprobe(
-            n_filtered, meta["num_bits"], meta["bands"], multiprobe, min_candidates
+            n_filtered, meta["num_bits"], meta["bands"], multiprobe,
+            min_candidates, k=k,
         )
         if mp_eff is None:
             filtered = spark.read.parquet(path).where(
@@ -548,23 +550,29 @@ def lsh_search_local(
 
 
 def adaptive_multiprobe(
-    n_rows: int, num_bits: int, bands: int, multiprobe: int, min_candidates: int
+    n_rows: int, num_bits: int, bands: int, multiprobe: int, min_candidates: int,
+    k: int | None = None,
 ) -> int | None:
     """Pick the multiprobe width that keeps the expected candidate pool
-    above ``min_candidates`` on a filtered set of ``n_rows`` — the LSH
+    above the candidate floor on a filtered set of ``n_rows`` — the LSH
     analogue of :func:`~vector_store_spark.operators.ivf.adaptive_nprobe`.
     Returns None when the set is at/under the floor (rank exactly instead).
 
     Driver arithmetic under the uniform-bucket approximation: a query probes
     (1+t) buckets in each of ``bands`` bands of width r = num_bits/bands, so
     expected pool ≈ n·bands·(1+t)/2^r; solve for t and clamp to
-    [multiprobe, 2^r − 1] (the full band enumeration)."""
-    if n_rows <= min_candidates:
+    [multiprobe, 2^r − 1] (the full band enumeration). ``k`` (the query
+    limit) arms the selectivity-scaled floor — see
+    :func:`~vector_store_spark.operators.ivf.adaptive_floor`."""
+    from vector_store_spark.operators.ivf import adaptive_floor
+
+    floor = adaptive_floor(min_candidates, n_rows, k)
+    if n_rows <= floor:
         return None
     import math
 
     r = num_bits // bands
-    t = math.ceil(min_candidates * (1 << r) / (n_rows * bands)) - 1
+    t = math.ceil(floor * (1 << r) / (n_rows * bands)) - 1
     return min((1 << r) - 1, max(multiprobe, t))
 
 
@@ -596,7 +604,7 @@ def lsh_topk(
     large sets."""
     if min_candidates is not None:
         mp_eff = adaptive_multiprobe(
-            items.count(), num_bits, bands, multiprobe, min_candidates
+            items.count(), num_bits, bands, multiprobe, min_candidates, k=k
         )
         if mp_eff is None:
             return ann_topk(
