@@ -224,6 +224,12 @@ def _calibration_gate(spark) -> tuple[dict, dict]:
         "status": status,
         "attempts": attempts,
         "ratios_vs_committed_band": ratios,
+        # informational, NOT gated (self-normalizing, no committed band
+        # needed): ≈1 on a healthy 32-core host, a multiple under parallel
+        # capacity loss — the r16 failure mode the single-core probe missed
+        "parallel32_over_single": round(
+            probe["calib_cpu_parallel32_sec"] / probe["calib_cpu_sha256_sec"], 3
+        ),
         "waited_sec": round(time.time() - t_begin - 0.0, 1),
         "accept_threshold": _CALIB_ACCEPT,
     }
@@ -541,10 +547,19 @@ def _host_calibration(spark) -> dict:
       persisted-layout and streaming-checkpoint row leans on.
     - calib_spark_noop_sec: one 32-partition count of a range frame — the
       scheduler + task-launch round trip every tiny query pays.
+    - calib_cpu_parallel32_sec: the SAME 100 MB sha256 workload on 32
+      concurrent threads (hashlib releases the GIL), wall-clock. On a
+      healthy 32-core host this ≈ the single-thread probe (each thread gets
+      its own core); under host PARALLEL-capacity loss it reads a multiple.
+      Self-normalizing — the gate report carries parallel/single directly —
+      because r16 hit the single-core probe's blind spot: calib_cpu 1.10×
+      while every multi-core query ran 1.4-2×, indistinguishable (from the
+      record alone) from a code regression until an old-tree A/B re-run.
     """
     import hashlib
     import shutil
     import tempfile
+    import threading
 
     out: dict = {}
     t0 = time.perf_counter()
@@ -552,6 +567,19 @@ def _host_calibration(spark) -> dict:
     for _ in range(100):
         h.update(b"\x5a" * 1_000_000)
     out["calib_cpu_sha256_sec"] = round(time.perf_counter() - t0, 4)
+
+    def _hash_100mb():
+        hh = hashlib.sha256()
+        for _ in range(100):
+            hh.update(b"\x5a" * 1_000_000)
+
+    threads = [threading.Thread(target=_hash_100mb) for _ in range(32)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    out["calib_cpu_parallel32_sec"] = round(time.perf_counter() - t0, 4)
 
     root = tempfile.mkdtemp(prefix="calib_io_")
     t0 = time.perf_counter()
