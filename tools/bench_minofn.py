@@ -69,6 +69,15 @@ extras["min_of_n"] = {
     "n_runs": N,
     "per_run_totals": [rec["value"] for rec in runs],
     "calib_cpu_ratios_at_start": calib_ratios,
+    # host PARALLEL capacity per run (≈1-2 healthy; >3 = degraded — see
+    # BENCH_NOTES_r16.md): the single-core gate can read ~1.0 while these
+    # read 5-10x, which inflates every multi-core query 1.4-2x
+    "parallel32_over_single_at_start": [
+        round(rec["extras"]["calib_cpu_parallel32_sec_at_start"]
+              / rec["extras"]["calib_cpu_sha256_sec_at_start"], 2)
+        for rec in runs
+        if "calib_cpu_parallel32_sec_at_start" in rec["extras"]
+    ],
 }
 
 regressions = []
