@@ -184,6 +184,13 @@ def test_every_topk_query_uses_k_heaps(plans):
     # which the TakeOrderedAndProject assertion below covers via
     # internal_plans)
     topk_queries.remove("ann_http_topk")
+    # same wire-response shape for the serving-cache variant: the top-k ran
+    # in the RAM snapshot (numpy argsort over the armed index — no Spark
+    # plan by design; the reference's usearch serve path likewise never
+    # touches the query engine); ranking + values are pinned by the DuckDB
+    # oracle at every gate SF and the Spark-side engine plan by the same
+    # internal probe as ann_http_topk
+    topk_queries.remove("ann_http_cached_topk")
     missing = [n for n in topk_queries if "TakeOrderedAndProject" not in plans[n]]
     assert not missing, f"top-k queries without TakeOrderedAndProject: {missing}"
 
