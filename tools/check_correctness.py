@@ -154,6 +154,13 @@ def main(names=None, json_out=None):
         if memlimit:
             c.execute(f"SET memory_limit='{memlimit}'")
             c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # N gate shards each defaulting to all-cores DuckDB oversubscribe a
+        # shared (or capacity-degraded — see BENCH_NOTES_r16.md) host into
+        # watchdog trips; a bounded per-shard thread budget keeps heavy
+        # oracles predictable. Unset keeps the default for solo runs.
+        threads = os.environ.get("SPARK_GRAFT_ORACLE_THREADS", "")
+        if threads:
+            c.execute(f"SET threads={int(threads)}")
         for t in TABLES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
         return c
