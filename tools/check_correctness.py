@@ -153,7 +153,13 @@ def main(names=None, json_out=None):
         memlimit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "")
         if memlimit:
             c.execute(f"SET memory_limit='{memlimit}'")
-            c.execute("SET temp_directory='/tmp/duckdb_spill'")
+            # per-PROCESS spill dir: concurrent gate shards sharing one
+            # temp_directory clobber/delete each other's spill blocks
+            # ("Cannot open file .../duckdb_temp_block-...": observed r16,
+            # two spill-heavy knn oracles in parallel runs) — DuckDB assumes
+            # it owns the directory
+            c.execute(
+                f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
         # N gate shards each defaulting to all-cores DuckDB oversubscribe a
         # shared (or capacity-degraded — see BENCH_NOTES_r16.md) host into
         # watchdog trips; a bounded per-shard thread budget keeps heavy
