@@ -192,6 +192,13 @@ def main() -> int:
 # recorded, not gated.
 _CALIB_REF = {"calib_cpu_sha256_sec": 0.070, "calib_spark_noop_sec": 0.21}
 _CALIB_ACCEPT = 1.25
+# Parallel-capacity band for the FIXED (shared-blob) probe: healthy
+# dedicated N-core host ≈1.0-1.5 (thread start/join + scheduler skew);
+# 2.5 tolerates tenant jitter while still refusing the r15/r16 failure
+# mode (clean-probe readings 3.3-11 while single-core sat at 1.0x). The
+# old "healthy ≈1-2 / degraded >3" band was calibrated to the GIL-inflated
+# probe and is superseded. Env-overridable for gate experiments.
+_CALIB_PAR_MAX = float(os.environ.get("SPARK_GRAFT_CALIB_PAR_MAX", "2.5"))
 
 
 def _calibration_gate(spark) -> tuple[dict, dict]:
@@ -200,7 +207,15 @@ def _calibration_gate(spark) -> tuple[dict, dict]:
     (recorded as the *_at_start extras) plus a gate report for the record:
     {status, attempts, ratios, waited_sec}. Never fails the run — a
     persistently hot host proceeds with status='hot_host_proceeded' so the
-    judge reads the record's own evidence instead of getting no record."""
+    judge reads the record's own evidence instead of getting no record.
+
+    Gates on BOTH the single-core band (vs the committed reference) and
+    the self-normalizing parallel-capacity ratio parallel/single ≤
+    _CALIB_PAR_MAX — r15/r16 proved the single-core probe alone is blind
+    to the dominant degradation mode (host loses ~3/4 of parallel capacity
+    while single-core reads 1.0x, inflating every multi-core query 1.4-2x).
+    status='ok' now certifies the run started capacity-clean; downstream
+    tooling (tools/bench_minofn.py) only counts 'ok' runs toward records."""
     max_wait = float(os.environ.get("SPARK_GRAFT_CALIB_WAIT", "300"))
     deadline = time.time() + max_wait
     t_begin = time.time()
@@ -211,25 +226,30 @@ def _calibration_gate(spark) -> tuple[dict, dict]:
         ratios = {
             k: round(probe[k] / ref, 3) for k, ref in _CALIB_REF.items()
         }
-        if all(r <= _CALIB_ACCEPT for r in ratios.values()):
+        par_ratio = round(
+            probe["calib_cpu_parallel32_sec"] / probe["calib_cpu_sha256_sec"], 3
+        )
+        single_ok = all(r <= _CALIB_ACCEPT for r in ratios.values())
+        parallel_ok = par_ratio <= _CALIB_PAR_MAX
+        if single_ok and parallel_ok:
             status = "ok"
             break
         if time.time() >= deadline:
             status = "hot_host_proceeded"
             break
-        print(f"bench: host hot (ratios {ratios}), waiting 30s "
-              f"({int(deadline - time.time())}s left in gate)", file=sys.stderr)
+        print(f"bench: host hot (single ratios {ratios}, "
+              f"parallel/single {par_ratio} vs max {_CALIB_PAR_MAX}), "
+              f"waiting 30s ({int(deadline - time.time())}s left in gate)",
+              file=sys.stderr)
         time.sleep(30)
     gate = {
         "status": status,
         "attempts": attempts,
         "ratios_vs_committed_band": ratios,
-        # informational, NOT gated (self-normalizing, no committed band
-        # needed): ≈1 on a healthy 32-core host, a multiple under parallel
-        # capacity loss — the r16 failure mode the single-core probe missed
-        "parallel32_over_single": round(
-            probe["calib_cpu_parallel32_sec"] / probe["calib_cpu_sha256_sec"], 3
-        ),
+        "parallel32_over_single": par_ratio,
+        "parallel_accept_max": _CALIB_PAR_MAX,
+        "parallel_threads": probe.get("calib_parallel_threads"),
+        "capacity_clean": status == "ok",
         "waited_sec": round(time.time() - t_begin - 0.0, 1),
         "accept_threshold": _CALIB_ACCEPT,
     }
@@ -562,24 +582,35 @@ def _host_calibration(spark) -> dict:
     import threading
 
     out: dict = {}
+    # ONE shared read-only blob for both probes. Allocating the 1 MB bytes
+    # inside the hash loop holds the GIL, so N threads serialize on the
+    # memsets and the parallel probe partly measures itself (judge r16:
+    # same-instant 5.57 in-loop vs 3.15 shared-blob, ~1.8x self-inflation).
+    # sha256.update on a shared buffer releases the GIL for the whole
+    # digest, so the fixed probe measures host parallel capacity only.
+    blob = b"\x5a" * 1_000_000
     t0 = time.perf_counter()
     h = hashlib.sha256()
     for _ in range(100):
-        h.update(b"\x5a" * 1_000_000)
+        h.update(blob)
     out["calib_cpu_sha256_sec"] = round(time.perf_counter() - t0, 4)
 
     def _hash_100mb():
         hh = hashlib.sha256()
         for _ in range(100):
-            hh.update(b"\x5a" * 1_000_000)
+            hh.update(blob)
 
-    threads = [threading.Thread(target=_hash_100mb) for _ in range(32)]
+    # size to the host so the healthy baseline stays ~1 on any core count
+    # (32 hardcoded would read ~4 on a healthy 8-core box)
+    n_threads = min(32, os.cpu_count() or 32)
+    threads = [threading.Thread(target=_hash_100mb) for _ in range(n_threads)]
     t0 = time.perf_counter()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     out["calib_cpu_parallel32_sec"] = round(time.perf_counter() - t0, 4)
+    out["calib_parallel_threads"] = n_threads
 
     root = tempfile.mkdtemp(prefix="calib_io_")
     t0 = time.perf_counter()
@@ -1088,6 +1119,53 @@ def _extras(spark, sf_dir: str) -> dict:
                 out[f"http_ann_latency_sec_{name}"] = round(pct[name], 4)
             out["http_ann_latency_sec_min"] = round(pct["min"], 4)
             out["http_ann_latency_sec_max"] = round(pct["max"], 4)
+
+            # cached-HNSW serving window (engine.HnswServingCache — the
+            # usearch graph-in-RAM posture) beside the exact snapshot: same
+            # socket, same client mix, graph beam search per request. The
+            # graph is the shared registry build (var cache — usually warm
+            # from the headline queries).
+            from vector_store_spark.queries_hnsw import _hnsw_path
+
+            hpath = _hnsw_path(spark, sf_dir)
+            eng.register(
+                emb_http,
+                IndexMetadata(
+                    keyspace="bench_h", index="emb_http_hnsw",
+                    table="embeddings",
+                    primary_key_columns=("vec_id",), partition_key_count=1,
+                    target_column="embedding", dimensions=64,
+                ),
+                strategy="hnsw",
+                strategy_opts={"path": hpath, "ef_search": 64},
+            )
+            eng.enable_serving_cache("bench_h", "emb_http_hnsw")
+            url = (f"http://{host}:{port}/api/v1/indexes/bench_h/"
+                   "emb_http_hnsw/ann")
+            errs = []
+            _http_client(97, errs)
+            if errs:
+                raise RuntimeError("; ".join(errs[:3]))
+            srv.metrics = _Metrics()
+            for n_clients in (4, 16):
+                errs = []
+                threads = [
+                    threading.Thread(target=_http_client, args=(i, errs))
+                    for i in range(n_clients)
+                ]
+                t0 = time.perf_counter()
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                wall = time.perf_counter() - t0
+                if errs:
+                    raise RuntimeError("; ".join(errs[:3]))
+                out[f"http_ann_cached_hnsw_qps_n{n_clients}_k10"] = round(
+                    4 * n_clients / wall, 2)
+            hpct = srv.metrics.percentiles("ann")
+            out["http_ann_cached_hnsw_latency_sec_p50"] = round(
+                hpct["p50"], 4)
         finally:
             srv.stop()
             emb_http.unpersist()

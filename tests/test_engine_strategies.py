@@ -494,3 +494,87 @@ def test_serving_cache_guards_and_rearm(spark, emb):
     eng.register(emb, _meta(SpaceType.COSINE), strategy="lsh")
     with pytest.raises(ValueError):
         eng.enable_serving_cache("ks", "ix_cosine")
+
+
+def _hnsw_cache_meta():
+    return IndexMetadata(
+        keyspace="ks", index="ix_hnsw_cache", table="t",
+        primary_key_columns=("vec_id",), partition_key_count=1,
+        target_column="embedding", dimensions=64, kind=IndexKind.VECTOR,
+        space_type=SpaceType.COSINE,
+    )
+
+
+def test_hnsw_serving_cache_parity_and_crud_rearm(spark, emb, tmp_path):
+    """HnswServingCache (the usearch graph-in-RAM posture) must match the
+    Spark hnsw path the way test_serving_cache_parity pins exact: identical
+    ranking and identical values at 6-dp — guaranteed structurally, since
+    both paths run operators/hnsw._search_prepped on the same decoded
+    slices. Also pins the in-place-CRUD staleness contract: hnsw_upsert
+    rewrites slice files, which must flip the layout fingerprint and
+    re-arm the snapshot on the next request."""
+    from vector_store_spark.operators.hnsw import hnsw_build, hnsw_upsert
+
+    path = str(tmp_path / "g_cache")
+    hnsw_build(emb, "vec_id", "embedding", path, m=8, ef_construction=64,
+               num_slices=2, payload_cols=["label"])
+    eng = VectorStoreEngine()
+    eng.register(emb, _hnsw_cache_meta(), strategy="hnsw",
+                 strategy_opts={"path": path, "ef_search": 128, "round_to": 6})
+    q = det_query_vector(7, 64)
+    want = eng.ann("ks", "t", "embedding", q, 10)
+    cache = eng.enable_serving_cache("ks", "ix_hnsw_cache")
+    assert cache.nbytes > 0
+    phases: dict = {}
+    got = eng.ann("ks", "t", "embedding", q, 10, phases=phases)
+    assert phases["path"] == "cache"
+    assert got.primary_keys == want.primary_keys
+    for g, w in zip(got.distances, want.distances):
+        assert round(g, 6) == round(w, 6)
+    for g, w in zip(got.similarity_scores, want.similarity_scores):
+        assert round(g, 6) == round(w, 6)
+    # dimension mismatch raises the SAME FilterError through the fast path
+    with pytest.raises(FilterError):
+        eng.ann("ks", "t", "embedding", [1.0, 2.0], 3)
+
+    # in-place CRUD: remove the current best id, upsert one new vector —
+    # no df swap, only the persisted layout changes
+    best = got.primary_keys["vec_id"][0]
+    new = spark.createDataFrame(
+        [(999001, det_query_vector(7, 64), 5)],
+        "vec_id long, embedding array<float>, label int")
+    hnsw_upsert(spark, path, items=new, ids_removed=[best])
+    got2 = eng.ann("ks", "t", "embedding", q, 10, phases=(p2 := {}))
+    assert p2["path"] == "cache"  # re-armed, still served from RAM
+    assert best not in got2.primary_keys["vec_id"]
+    assert 999001 in got2.primary_keys["vec_id"]  # dup of q's neighborhood
+    eng.disable_serving_cache("ix_hnsw_cache")
+    want2 = eng.ann("ks", "t", "embedding", q, 10)
+    assert got2.primary_keys == want2.primary_keys
+    for g, w in zip(got2.distances, want2.distances):
+        assert round(g, 6) == round(w, 6)
+
+
+def test_hnsw_serving_cache_refuses_rescore_and_local(emb, tmp_path, spark):
+    """Configs the snapshot cannot replicate are refused at arm time, never
+    half-armed: rescore re-reads original vectors from the base table, and
+    local layouts serve per-partition Eq requests the cache path declines."""
+    from vector_store_spark.operators.hnsw import hnsw_build
+
+    path = str(tmp_path / "g_resc")
+    hnsw_build(emb, "vec_id", "embedding", path, m=6, ef_construction=48,
+               num_slices=2, payload_cols=["label"])
+    eng = VectorStoreEngine()
+    eng.register(emb, _hnsw_cache_meta(), strategy="hnsw",
+                 strategy_opts={"path": path, "rescore": 4,
+                                "rescore_with": (emb, "embedding")})
+    with pytest.raises(ValueError, match="rescore"):
+        eng.enable_serving_cache("ks", "ix_hnsw_cache")
+    lpath = str(tmp_path / "g_local")
+    hnsw_build(emb, "vec_id", "embedding", lpath, m=6, ef_construction=48,
+               part_col="label", payload_cols=["label"])
+    eng2 = VectorStoreEngine()
+    eng2.register(emb, _hnsw_cache_meta(), strategy="hnsw",
+                  strategy_opts={"path": lpath})
+    with pytest.raises(ValueError, match="local"):
+        eng2.enable_serving_cache("ks", "ix_hnsw_cache")

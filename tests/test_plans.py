@@ -191,8 +191,26 @@ def test_every_topk_query_uses_k_heaps(plans):
     # oracle at every gate SF and the Spark-side engine plan by the same
     # internal probe as ann_http_topk
     topk_queries.remove("ann_http_cached_topk")
+    # the graph-snapshot variant: the top-k ran in the cached beam search
+    # (HnswServingCache — no Spark plan by design, the usearch RAM
+    # posture); its internal probe pins the Spark hnsw path's k-heap below
+    topk_queries.remove("ann_http_cached_hnsw_topk")
     missing = [n for n in topk_queries if "TakeOrderedAndProject" not in plans[n]]
     assert not missing, f"top-k queries without TakeOrderedAndProject: {missing}"
+
+
+def test_http_entries_internal_probe_uses_k_heap(internal_plans):
+    """The HTTP entries' returned frames are parsed wire responses
+    (LocalTableScan), so the k-heap exemptions above lean on the shared
+    internal probe (_http_internal_probe) pinning the engine plan under the
+    route. Assert it here so the exemption comments' claim is actually
+    enforced (ADVICE r16): the distributed leg under /ann must be a global
+    k-heap, not a full sort."""
+    for key in ("ann_http_topk#internal0", "ann_http_cached_topk#internal0",
+                "ann_http_cached_hnsw_topk#internal0"):
+        assert "TakeOrderedAndProject" in internal_plans[key], (
+            f"engine plan under the /ann route ({key}) lost its k-heap"
+        )
 
 
 def test_dedup_drop_list_never_broadcasts_the_keepset(plans):

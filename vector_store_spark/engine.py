@@ -84,6 +84,11 @@ class ServingCache:
     the registered DataFrame auto-re-arms the snapshot on the next request
     (the reference rebuilds its RAM index on update the same way)."""
 
+    #: which registered strategy this snapshot class serves (dispatch key
+    #: for _ann_from_cache — a cache never answers for a strategy it does
+    #: not replicate)
+    strategy = "exact"
+
     def __init__(self, ri: "RegisteredIndex"):
         import numpy as np
 
@@ -102,6 +107,10 @@ class ServingCache:
         self.x2 = (self.vecs * self.vecs).sum(axis=1) if len(rows) else None
         self.nbytes = self.vecs.nbytes + sum(
             len(v) * 8 for v in self.pk.values())
+
+    def is_stale(self, ri: "RegisteredIndex") -> bool:
+        """CRUD swapped the registered frame since this snapshot was taken."""
+        return self.df is not ri.df
 
     @staticmethod
     def _fold(prod):
@@ -172,6 +181,115 @@ class ServingCache:
             primary_keys={c: [self.pk[c][i] for i in sel] for c in self.pk_cols},
             distances=[float(dist[i]) for i in sel],
             similarity_scores=[self._similarity(float(dist[i])) for i in sel],
+        )
+
+
+class HnswServingCache:
+    """RAM-resident serving twin of one persisted HNSW graph — the actual
+    posture of the reference's DEFAULT engine (usearch.rs: every vector AND
+    the graph live in process RAM behind memory.rs admission; storage is
+    only the build/recovery source). The Spark path pays a per-request
+    blob scan + Pandas cogroup (~0.5-0.8 s); this cache decodes each slice
+    blob ONCE at arm time and answers unfiltered ANN by running the SAME
+    beam search (operators/hnsw._search_prepped — one code path, not a
+    replica) over the decoded slices at ~ms latency.
+
+    Parity contract: per-slice results are produced by the identical
+    function the distributed tasks call, on matrices prepped by the same
+    _prep/_prep_query; the global merge sorts by (rounded distance, id)
+    with the same half-away-from-zero rounding Spark's F.round applies
+    (hnsw._round_half_away), so ranking and 6-dp values match the Spark
+    path exactly. Pinned by test_engine_strategies' cached-hnsw parity
+    test and the driver's ann_http_cached_hnsw_topk oracle.
+
+    Scale posture: the snapshot is the INDEX (quantized vectors +
+    adjacency — what usearch mmaps), never a fact table; the same
+    ``memory_limit_bytes`` admission applies. Staleness covers in-place
+    graph CRUD too: hnsw_upsert/delete/compact rewrite slice files and the
+    meta, which flips the layout fingerprint checked per request (stat
+    walk over num_slices files, microseconds). Filtered requests, local
+    (per-partition) layouts, and rescore-armed quantized configs stay on
+    the Spark path."""
+
+    def __init__(self, ri: "RegisteredIndex"):
+        import os
+
+        from vector_store_spark.operators import hnsw as H
+
+        opts = ri.strategy_opts
+        if "path" not in opts:
+            raise ValueError(
+                "hnsw serving cache needs strategy_opts={'path': ...}; "
+                "local (per-partition) layouts serve per-partition Eq "
+                "requests, which the cache path declines by design")
+        if opts.get("rescore"):
+            raise ValueError(
+                "hnsw serving cache does not replicate rescore (it re-reads "
+                "original vectors from the base table); serve rescore "
+                "configs from the Spark path")
+        self.strategy = ri.strategy  # "hnsw" or "diskann" (same serve path)
+        self.df = ri.df
+        self.path = opts["path"]
+        meta = H._read_meta(self.path)
+        if "partitions" in meta:
+            raise ValueError("local HNSW layout; the cache serves the "
+                             "global sliced layout only")
+        self.dims = meta["dims"]
+        self.space = SpaceType(meta["space"])
+        self.id_col = meta["id_col"]
+        self.quant = meta.get("quantization", "f32")
+        self.round_to = opts.get("round_to")
+        self.ef_search = int(opts.get("ef_search",
+                                      ri.state.metadata.expansion_search))
+        rows = ri.df.sparkSession.read.parquet(
+            os.path.join(self.path, "graph")).collect()
+        self.slices = []
+        self.nbytes = 0
+        for row in rows:
+            ids, fvecs, _levels, adj, entry, max_lvl, deleted = H._decode(
+                row, self.dims, self.quant)
+            mat = H._prep(fvecs, self.space)
+            self.slices.append((ids, mat, adj, entry, max_lvl, deleted))
+            self.nbytes += (ids.nbytes + mat.nbytes + deleted.nbytes
+                            + sum(a.nbytes for ls in adj for a in ls))
+        self.fingerprint = H.graph_fingerprint(self.path)
+
+    def is_stale(self, ri: "RegisteredIndex") -> bool:
+        from vector_store_spark.operators import hnsw as H
+
+        return (self.df is not ri.df
+                or H.graph_fingerprint(self.path) != self.fingerprint)
+
+    def _similarity(self, d: float) -> float:
+        if self.space in (SpaceType.COSINE, SpaceType.DOT_PRODUCT):
+            return (2.0 - d) / 2.0
+        if self.space == SpaceType.EUCLIDEAN:
+            return 1.0 / (1.0 + d)
+        return 1.0 - d / float(self.dims)  # hamming
+
+    def ann_response(self, vector, limit: int) -> "AnnResponse":
+        from vector_store_spark.operators import hnsw as H
+
+        q = H._prep_query(vector, self.space, self.dims)
+        cands: list[tuple[float, int]] = []
+        for ids, mat, adj, entry, max_lvl, deleted in self.slices:
+            sids, dists = H._search_prepped(
+                ids, mat, adj, entry, max_lvl, deleted, q, limit,
+                self.ef_search, self.space, None, self.round_to, False)
+            cands.extend(zip(dists, sids))
+        # global merge = hnsw_search's ORDER BY round(distance), id LIMIT k
+        if self.round_to is not None:
+            cands = [(H._round_half_away(d, self.round_to), i)
+                     for d, i in cands]
+        cands.sort(key=lambda t: (t[0], t[1]))
+        sel = cands[:limit]
+        sims = [self._similarity(d) for d, _ in sel]
+        if self.round_to is not None:
+            sims = [H._round_half_away(s, self.round_to) for s in sims]
+        return AnnResponse(
+            primary_keys={self.id_col: [i for _, i in sel]},
+            distances=[d for d, _ in sel],
+            similarity_scores=sims,
         )
 
 
@@ -518,17 +636,21 @@ class VectorStoreEngine:
     def enable_serving_cache(self, keyspace: str, index: str,
                              memory_limit_bytes: int | None = None
                              ) -> ServingCache:
-        """Arm the RAM-resident serving snapshot for one EXACT index (see
-        :class:`ServingCache`). ``memory_limit_bytes`` applies the same
+        """Arm the RAM-resident serving snapshot for one index — exact
+        (:class:`ServingCache`) or hnsw/diskann (:class:`HnswServingCache`,
+        the usearch graph-in-RAM posture). ``memory_limit_bytes`` applies the same
         admission the reference applies to its RAM index (memory.rs:23-25
         via operators/admission) — a snapshot over the limit is REFUSED
         loudly, never half-armed."""
         ri = self._find(keyspace, index)
-        if ri.strategy != "exact":
+        if ri.strategy == "exact":
+            cache: ServingCache | HnswServingCache = ServingCache(ri)
+        elif ri.strategy in ("hnsw", "diskann"):
+            cache = HnswServingCache(ri)
+        else:
             raise ValueError(
-                f"serving cache supports the exact strategy, index "
-                f"{index!r} uses {ri.strategy!r}")
-        cache = ServingCache(ri)
+                f"serving cache supports the exact and hnsw/diskann "
+                f"strategies, index {index!r} uses {ri.strategy!r}")
         if memory_limit_bytes is not None and cache.nbytes > memory_limit_bytes:
             from vector_store_spark.operators.admission import AdmissionError
 
@@ -557,17 +679,18 @@ class VectorStoreEngine:
         ri = next(r for r in group if r.state is state)
         meta = state.metadata
         cache = self.serving_caches.get(meta.index)
-        if cache is None or ri.strategy != "exact":
+        if cache is None or ri.strategy != cache.strategy:
             return None
         if len(vector) != meta.dimensions:
             raise FilterError(
                 f"wrong vector dimensions: got {len(vector)}, index has "
                 f"{meta.dimensions}")  # P9, same message as ann_df
         check_allow_filtering(score, flt)
-        if cache.df is not ri.df:
-            # CRUD swapped the registered frame: re-arm from the live one
-            # (the reference rebuilds its RAM index on update the same way)
-            cache = ServingCache(ri)
+        if cache.is_stale(ri):
+            # CRUD swapped the registered frame (or rewrote the persisted
+            # graph in place): re-arm from the live state — the reference
+            # rebuilds its RAM index on update the same way
+            cache = type(cache)(ri)
             self.serving_caches[meta.index] = cache
         return cache.ann_response(vector, limit)
 

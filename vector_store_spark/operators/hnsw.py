@@ -610,6 +610,27 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
+def graph_fingerprint(path: str) -> tuple:
+    """Cheap change detector for a persisted graph layout: (relpath, size,
+    mtime_ns) of the meta file and every file under ``path``/graph. CRUD
+    (upsert/delete/compact) rewrites touched slice parquet files and the
+    meta, so any in-place mutation changes the tuple. Consumed by the
+    serving cache's staleness check (engine.HnswServingCache) — a stat
+    walk over num_slices files per request, microseconds."""
+    out = []
+    meta_p = os.path.join(path, "_hnsw_meta.json")
+    if os.path.exists(meta_p):
+        st = os.stat(meta_p)
+        out.append(("_hnsw_meta.json", st.st_size, st.st_mtime_ns))
+    gdir = os.path.join(path, "graph")
+    for root, _dirs, files in os.walk(gdir):
+        rel = os.path.relpath(root, gdir)
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            out.append((os.path.join(rel, f), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
+
+
 def _dead_stats_from_blobs(blobs: DataFrame) -> dict:
     """{slice: [n, dead]} for every slice in a blob frame — the popcount
     runs executor-side over the (usually cached) blobs, only one tiny row
@@ -665,14 +686,37 @@ def _rm_emptied_partitions(spark, base: str, touched, written: DataFrame) -> Non
             fs.delete(p, True)
 
 
+def _round_half_away(d: float, round_to: int) -> float:
+    """Round half away from zero — the semantics of Spark's F.round
+    (HALF_UP), applied to the k-boundary tie key and the cached-path merge
+    so both sort on the same value."""
+    scale = 10.0 ** round_to
+    return float(np.floor(abs(d) * scale + 0.5) / scale * (1 if d >= 0 else -1))
+
+
 def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32",
                   round_to=None, exhaustive=False):
-    ids, fvecs, levels, adj, entry, max_lvl, deleted = _decode(row, dims, quant)
-    n = len(ids)
-    if n == 0 or entry < 0:
+    decoded = _decode(row, dims, quant)
+    ids, fvecs = decoded[0], decoded[1]
+    if len(ids) == 0 or decoded[4] < 0:
         return [], []
     mat = _prep(fvecs, space)
     q = _prep_query(query, space, dims)
+    return _search_prepped(
+        ids, mat, decoded[3], decoded[4], decoded[5], decoded[6],
+        q, k, ef, space, allowed_nodes, round_to, exhaustive)
+
+
+def _search_prepped(ids, mat, adj, entry, max_lvl, deleted, q, k, ef, space,
+                    allowed_nodes=None, round_to=None, exhaustive=False):
+    """Search one DECODED, PREPPED slice (mat = _prep(fvecs), q =
+    _prep_query(query)). Shared verbatim by the distributed per-slice tasks
+    (via _slice_search) and the RAM-resident HnswServingCache
+    (engine.py) — the parity contract between the two paths is this single
+    code path, not two implementations kept in sync."""
+    n = len(ids)
+    if n == 0 or entry < 0:
+        return [], []
     allowed = deleted == 0
     if allowed_nodes is not None:
         mask = np.zeros(n, dtype=bool)
@@ -704,8 +748,7 @@ def _slice_search(row, dims, query, k, ef, space, allowed_nodes, quant="f32",
     def _key_d(d):
         if round_to is None:
             return d
-        scale = 10.0 ** round_to
-        return np.floor(abs(d) * scale + 0.5) / scale * (1 if d >= 0 else -1)
+        return _round_half_away(d, round_to)
 
     order = sorted(range(len(nodes)),
                    key=lambda t: (_key_d(dists[t]), int(ids[nodes[t]])))[:k]

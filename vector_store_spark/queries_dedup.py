@@ -207,88 +207,7 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 # --- sign-LSH candidate generation (the 100 TB default) ------------------
-# same deterministic hyperplanes as the ann_lsh_* family, re-derived in SQL
-_EB_BITS, _EB_BANDS = 32, 8
-_EB_R = _EB_BITS // _EB_BANDS
-
-
-def _eb_sql_parts():
-    from vector_store_spark.operators.lsh import lsh_hyperplanes
-    from vector_store_spark.registry import sql_vec
-
-    planes = lsh_hyperplanes(64, _EB_BITS)
-    bits = [
-        f"(CASE WHEN list_inner_product(v, {sql_vec(p)}) > 0 THEN 1 ELSE 0 END)"
-        for p in planes
-    ]
-    return [
-        " + ".join(f"{bits[b * _EB_R + j]} * {1 << (_EB_R - 1 - j)}"
-                   for j in range(_EB_R))
-        for b in range(_EB_BANDS)
-    ]
-
-
-_EB_BUCKETS = _eb_sql_parts()
-
-
-@register(
-    "dedup_embedding_lsh",
-    # full pipeline in SQL: sign bits → band buckets → 1-bit multiprobe
-    # expansion on one join side → per-(band,bucket) candidate self-join →
-    # exact-cosine verify. Precision is 1 (exact verify), recall follows the
-    # probed band S-curve — the oracle reproduces the SAME buckets and the
-    # SAME probe expansion so the result sets match exactly.
-    f"""
-WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-bandrows AS (
-  SELECT id, unnest([{", ".join(str(b) for b in range(_EB_BANDS))}]) AS band,
-         unnest([{", ".join(_EB_BUCKETS)}]) AS bucket
-  FROM e
-),
-proberows AS (
-  SELECT id, band,
-         unnest([bucket, {", ".join(f"xor(bucket, {1 << j})" for j in range(_EB_R))}]) AS bucket
-  FROM bandrows
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM proberows a JOIN bandrows b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-),
-ver AS (
-  SELECT c.id_a, c.id_b,
-         list_inner_product(ea.v, eb.v) /
-         (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cosine
-  FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
-)
-SELECT id_a, id_b, round(cosine, {ROUND}) AS cosine
-FROM ver WHERE cosine >= 0.45
-""",
-    "Embedding near-dup at the 100 TB shape: sign-LSH band buckets replace "
-    "the O(N²/B) blocked all-pairs GEMM with a bucketed candidate self-join "
-    "(shuffle ∝ bands·N, work ∝ Σ bucket²) + exact-cosine verify — the same "
-    "banded pattern as dedup_minhash_lsh, precision 1 by construction",
-)
-def dedup_embedding_lsh(spark, sf_dir):
-    """SCALE NOTE (sf3 gate, r14): the SHIPPED contract fixes num_bits=32 /
-    bands=8 — 16 buckets per band — which keeps the probed-band S-curve's
-    recall ≥0.99 at tau=0.45 for the ≤sf1 corpora the oracle is sized for,
-    but makes candidate work Σ|bucket|² ≈ N²/128: at 24k vectors (sf3) the
-    oracle's bucket self-join DISTINCT is ~10⁹ rows and exceeds single-box
-    memory+disk (observed 103 GB RSS, then spill-to-disk exhaustion). Larger
-    corpora must raise ``num_bits`` (finer buckets) and recover recall with
-    ``probes`` — both operator parameters. Stretch-SF gates check the SAME
-    contract through ``dedup_embedding_lsh_sampled`` (the SF-robust audit:
-    global DISTINCT-free candidate mass + exact verify inside sampled
-    cells), so the gate no longer needs an exclusion here."""
-    from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
-
-    emb = load(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.45,
-        num_bits=_EB_BITS, bands=_EB_BANDS, dims=64, probes=1,
-    )
-    return pairs.withColumn("cosine", F.round("cosine", ROUND))
+_EB_BANDS = 8
 
 
 #: the deterministically-sampled (band, bucket) cells of the audit entry —
@@ -310,7 +229,11 @@ _EBA_OCC = 128          # target expected bucket occupancy (auto_lsh_params)
 _EBA_TAU = 0.45
 
 
-def _eba_sql() -> str:
+def _eba_prefix() -> str:
+    """The lockstep auto-derivation CTE chain (e → pool → params → bandrows
+    → proberows), shared by the sampled audit's oracle (_eba_sql) and the
+    pair-emitting dedup_embedding_lsh oracle so the two entries cannot
+    drift in how they re-derive r / probes / planes from COUNT(*)."""
     from vector_store_spark.operators.dedup import (
         LSH_POOL_STRIDE,
         probes_for_recall,
@@ -361,7 +284,11 @@ masks AS (
 ),
 proberows AS (
   SELECT id, band, xor(bucket, m) AS bucket FROM bandrows, masks
-),
+)"""
+
+
+def _eba_sql() -> str:
+    return f"""{_eba_prefix()},
 pcnt AS (SELECT band, bucket, count(*) AS p FROM proberows GROUP BY 1, 2),
 ncnt AS (SELECT band, bucket, count(*) AS n FROM bandrows GROUP BY 1, 2),
 mass AS (
@@ -426,6 +353,62 @@ def dedup_embedding_lsh_sampled(spark, sf_dir):
         num_bits=None, bands=_EB_BANDS, dims=64, probes=None,
         sample_cells=_EB_CELLS,
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    # Full pair-emitting pipeline on the AUTO-SCALED parameters (r17,
+    # VERDICT r16 #3: the former fixed num_bits=32/bands=8 + mod-97 lattice
+    # planes was exactly the documented-quadratic configuration
+    # auto_lsh_params replaced — no green entry should demonstrate the
+    # anti-pattern). The oracle re-derives band width, probe radius, and
+    # the pooled hyperplanes from COUNT(*) via the SAME lockstep CTE chain
+    # as the sampled audit (_eba_prefix), then emits the verified pairs:
+    # sign bits → auto-width band buckets → Hamming-≤h multiprobe on one
+    # join side → per-(band,bucket) candidate self-join → exact-cosine
+    # verify. Precision 1 (exact verify); recall follows the probed band
+    # S-curve held ≥ 0.99 by the probe derivation.
+    f"""{_eba_prefix()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM proberows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         list_inner_product(ea.v, eb.v) /
+         (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cosine
+  FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, {ROUND}) AS cosine
+FROM ver WHERE cosine >= {_EBA_TAU}
+""",
+    "Embedding near-dup at the 100 TB shape, AUTO-SCALED: band width from "
+    "the constant-occupancy rule (candidate work LINEAR in N), probe "
+    "radius from the analytic S-curve at recall >= 0.99, decorrelated "
+    "pooled hyperplanes — bucketed candidate self-join + exact-cosine "
+    "verify, precision 1 by construction; the oracle auto-scales in "
+    "lockstep from COUNT(*)",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """The shipped default IS the auto path (num_bits=None, probes=None →
+    operators/dedup.auto_lsh_params + lsh_hyperplanes_mixed): constant
+    expected bucket occupancy at any corpus size, so the Σ|bucket|²
+    candidate work stays ≈ N·occupancy — the parameterization that went
+    quadratic with N (fixed 32-bit banding, r14 sf3 gate: ~10⁹-row oracle
+    DISTINCT at 24k vectors) is no longer reachable from a green entry.
+    The ≥sf3 check of the same contract is ``dedup_embedding_lsh_sampled``
+    (this oracle's pair join is exhaustive over all cells, so it tops out
+    around the sf1 gate; the audit's quadratic work is bounded to K
+    sampled cells)."""
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=_EBA_TAU,
+        num_bits=None, bands=_EB_BANDS, dims=64, probes=None,
+    )
+    return pairs.withColumn("cosine", F.round("cosine", ROUND))
 
 
 # transitive closure over verified MinHash near-dup pairs — the shared

@@ -566,3 +566,95 @@ def ann_http_cached_topk(spark, sf_dir):
         F.round("distance", ROUND).alias("distance"),
         F.round("similarity", ROUND).alias("similarity"),
     )
+
+
+def _http_cached_hnsw_internal_probe(spark, sf_dir):
+    """The distributed plan the /ann route would run for this index WITHOUT
+    the armed snapshot: the Spark hnsw search path (per-slice beams merged
+    by one TakeOrderedAndProject) — the cache replicates exactly this via
+    the shared operators/hnsw._search_prepped code path."""
+    from vector_store_spark.operators.hnsw import hnsw_search
+    from vector_store_spark.queries_hnsw import _hnsw_path
+
+    path = _hnsw_path(spark, sf_dir)
+    return [hnsw_search(spark, path, _QH, 10, ef_search=64, round_to=ROUND)]
+
+
+@register(
+    "ann_http_cached_hnsw_topk",
+    # Same serving stack through the GRAPH-index RAM snapshot
+    # (engine.HnswServingCache — the reference's actual usearch posture:
+    # all vectors AND the graph in process RAM, storage only for
+    # build/recovery). The oracle is the exact cosine top-k: at gate SFs
+    # the ef=64 beam over repaired slices provably returns the brute-force
+    # answer (same contract ann_hnsw_topk pins), so the DuckDB compare
+    # checks the cached beam end-to-end — decode, per-slice search, global
+    # rounded merge, wire pivot. Unlike the exact-path HTTP oracles,
+    # similarity derives from the ROUNDED distance — the hnsw strategy
+    # applies round_to to distances before the similarity mapping (the
+    # queries_hnsw oracle convention), and the cache replicates that.
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT vec_id, {_COS_QH} AS d FROM e
+)
+SELECT vec_id, round(d, {ROUND}) AS distance,
+       round((2.0 - round(d, {ROUND})) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+    "S9 serving surface through the RAM-resident GRAPH snapshot "
+    "(HnswServingCache — usearch holds vectors + graph in RAM): REST POST "
+    "/ann answered by the cached beam search over decoded slices, "
+    "oracle-pinned to the same exact top-k as the Spark hnsw path",
+    internal_plan_fn=_http_cached_hnsw_internal_probe,
+)
+def ann_http_cached_hnsw_topk(spark, sf_dir):
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.httpserver import serve
+    from vector_store_spark.queries_hnsw import _hnsw_path
+
+    path = _hnsw_path(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_http_cached_hnsw", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+        ),
+        strategy="hnsw",
+        strategy_opts={"path": path, "ef_search": 64, "round_to": ROUND},
+    )
+    eng.enable_serving_cache("ks", "emb_http_cached_hnsw")
+    srv = serve(eng)
+    try:
+        host, port = srv._httpd.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/v1/indexes/ks/emb_http_cached_hnsw/ann",
+            data=_json.dumps({"vector": _QH, "limit": 10}).encode("utf-8"),
+            method="POST", headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = _json.loads(r.read())
+    finally:
+        srv.stop()
+    rows = list(zip(
+        body["primary_keys"]["vec_id"], body["distances"],
+        body["similarity_scores"],
+    ))
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    out = spark.createDataFrame(
+        rows, schema=f"vec_id {id_type}, distance double, similarity double"
+    )
+    return out.select(
+        "vec_id",
+        F.round("distance", ROUND).alias("distance"),
+        F.round("similarity", ROUND).alias("similarity"),
+    )
