@@ -478,12 +478,24 @@ def test_serving_cache_guards_and_rearm(spark, emb):
     # dimension mismatch raises the SAME FilterError through the fast path
     with pytest.raises(FilterError):
         eng.ann("ks", "t", "embedding", [1.0, 2.0], 3)
-    # a filtered request falls through to the Spark path
+    # a restricted request is served from RAM too (r17 — the reference's
+    # restricted search is RAM-resident, usearch.rs:1108-1154), with
+    # identical results to the Spark path at the engine's 6-dp envelope
     flt = Filter(restrictions=(Restriction.eq("label", 1),),
                  allow_filtering=True)
     phases: dict = {}
-    eng.ann("ks", "t", "embedding", q, 3, flt=flt, phases=phases)
-    assert phases["path"] == "spark"
+    got_f = eng.ann("ks", "t", "embedding", q, 3, flt=flt, phases=phases)
+    assert phases["path"] == "cache"
+    eng.disable_serving_cache("ix_cache")
+    want_f = eng.ann("ks", "t", "embedding", q, 3, flt=flt)
+    assert got_f.primary_keys == want_f.primary_keys
+    for g, w in zip(got_f.distances, want_f.distances):
+        assert round(g, 6) == round(w, 6)
+    eng.enable_serving_cache("ks", "ix_cache")
+    # ALLOW FILTERING still gated on the cache path (same 400 mapping)
+    with pytest.raises(FilterError):
+        eng.ann("ks", "t", "embedding", q, 3,
+                flt=Filter(restrictions=(Restriction.eq("label", 1),)))
     # CRUD swap: registering a NEW frame re-arms the snapshot transparently
     half = emb.limit(100)
     eng.register(half, meta, strategy="exact")
@@ -578,3 +590,45 @@ def test_hnsw_serving_cache_refuses_rescore_and_local(emb, tmp_path, spark):
                   strategy_opts={"path": lpath})
     with pytest.raises(ValueError, match="local"):
         eng2.enable_serving_cache("ks", "ix_hnsw_cache")
+
+
+def test_hnsw_serving_cache_filtered_parity(spark, emb, tmp_path):
+    """Restricted requests through the GRAPH snapshot: the payload rides in
+    RAM, the predicate is evaluated by the Catalyst-parity Python
+    evaluator, and the count-then-tier adaptive guard replicates
+    hnsw_search's arithmetic — exhaustive tier at/under the floor, widened
+    beam above it. Results must match the Spark hnsw path at 6-dp."""
+    from vector_store_spark.operators.hnsw import hnsw_build
+    from vector_store_spark.types import Filter, Restriction
+
+    path = str(tmp_path / "g_filt")
+    hnsw_build(emb, "vec_id", "embedding", path, m=8, ef_construction=64,
+               num_slices=2, payload_cols=["label"])
+    eng = VectorStoreEngine()
+    meta = IndexMetadata(
+        keyspace="ks", index="ix_hnsw_cache", table="t",
+        primary_key_columns=("vec_id",), partition_key_count=1,
+        target_column="embedding", dimensions=64, kind=IndexKind.VECTOR,
+        space_type=SpaceType.COSINE, filtering_columns=("label",),
+    )
+    eng.register(emb, meta, strategy="hnsw",
+                 strategy_opts={"path": path, "ef_search": 256,
+                                "round_to": 6})
+    q = det_query_vector(7, 64)
+    for flt in (
+        # selective filter -> exhaustive tier (n_filtered <= 32k floor)
+        Filter(restrictions=(Restriction.eq("label", 3),),
+               allow_filtering=True),
+        # broad filter -> widened-beam tier
+        Filter(restrictions=(Restriction.gte("label", 1),),
+               allow_filtering=True),
+    ):
+        want = eng.ann("ks", "t", "embedding", q, 10, flt=flt)
+        eng.enable_serving_cache("ks", "ix_hnsw_cache")
+        phases: dict = {}
+        got = eng.ann("ks", "t", "embedding", q, 10, flt=flt, phases=phases)
+        assert phases["path"] == "cache"
+        assert got.primary_keys == want.primary_keys, flt
+        for g, w in zip(got.distances, want.distances):
+            assert round(g, 6) == round(w, 6)
+        eng.disable_serving_cache("ix_hnsw_cache")

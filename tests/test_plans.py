@@ -195,6 +195,9 @@ def test_every_topk_query_uses_k_heaps(plans):
     # (HnswServingCache — no Spark plan by design, the usearch RAM
     # posture); its internal probe pins the Spark hnsw path's k-heap below
     topk_queries.remove("ann_http_cached_hnsw_topk")
+    # filtered variant through the same RAM snapshot — same wire-response
+    # shape, same internal probe
+    topk_queries.remove("ann_http_cached_filtered_topk")
     missing = [n for n in topk_queries if "TakeOrderedAndProject" not in plans[n]]
     assert not missing, f"top-k queries without TakeOrderedAndProject: {missing}"
 
@@ -207,7 +210,8 @@ def test_http_entries_internal_probe_uses_k_heap(internal_plans):
     enforced (ADVICE r16): the distributed leg under /ann must be a global
     k-heap, not a full sort."""
     for key in ("ann_http_topk#internal0", "ann_http_cached_topk#internal0",
-                "ann_http_cached_hnsw_topk#internal0"):
+                "ann_http_cached_hnsw_topk#internal0",
+                "ann_http_cached_filtered_topk#internal0"):
         assert "TakeOrderedAndProject" in internal_plans[key], (
             f"engine plan under the /ann route ({key}) lost its k-heap"
         )

@@ -92,3 +92,59 @@ def test_validate_tuple_arity(spark, f1):
     bad = Restriction.tuple_op(RestrictionOp.EQ_TUPLE, ("pk", "ck"), (1,))
     with pytest.raises(FilterError, match="arity"):
         validate_filter(f1.schema, Filter(restrictions=(bad,)), {"pk", "ck"})
+
+
+def test_python_evaluator_matches_catalyst(spark):
+    """Parity contract for the RAM serving caches (engine.ServingCache /
+    HnswServingCache answer restricted requests without Spark): the Python
+    row evaluator (restrictions_match) must select EXACTLY the rows the
+    Column path selects, across every op family and the tricky operands —
+    None, NaN, tuple-lexicographic nulls, float/int coercion, decimals."""
+    import math
+    from decimal import Decimal
+
+    from vector_store_spark.plans.restrictions import restrictions_match
+
+    rows = [
+        {"a": 1, "b": 1.5, "s": "x", "d": Decimal("1.10")},
+        {"a": 2, "b": float("nan"), "s": "y", "d": Decimal("2.20")},
+        {"a": None, "b": 0.5, "s": None, "d": None},
+        {"a": 3, "b": None, "s": "z", "d": Decimal("3.00")},
+        {"a": 4, "b": 4.0, "s": "x", "d": Decimal("0.50")},
+        {"a": 5, "b": -1.0, "s": "w", "d": Decimal("1.10")},
+    ]
+    df = spark.createDataFrame(
+        [(r["a"], r["b"], r["s"], r["d"]) for r in rows],
+        "a int, b double, s string, d decimal(10,2)",
+    )
+    cases = [
+        Restriction.eq("a", 2),
+        Restriction(RestrictionOp.IN, ("a",), (1, 3)),
+        Restriction(RestrictionOp.LT, ("b",), 2.0),
+        Restriction(RestrictionOp.GTE, ("b",), 0.5),
+        Restriction(RestrictionOp.GT, ("a",), 1),
+        Restriction(RestrictionOp.LTE, ("s",), "x"),
+        Restriction(RestrictionOp.EQ, ("d",), Decimal("1.1")),
+        Restriction(RestrictionOp.GT, ("d",), 1),  # int vs decimal coercion
+        Restriction(RestrictionOp.EQ, ("b",), 4),  # int vs double coercion
+        Restriction(RestrictionOp.LT_TUPLE, ("a", "b",), (3, 1.0)),
+        Restriction(RestrictionOp.LTE_TUPLE, ("a", "b",), (1, 1.5)),
+        Restriction(RestrictionOp.GT_TUPLE, ("a", "b",), (2, 0.0)),
+        Restriction(RestrictionOp.GTE_TUPLE, ("a", "b",), (4, 4.0)),
+        Restriction(RestrictionOp.EQ_TUPLE, ("a", "b",), (1, 1.5)),
+        Restriction(RestrictionOp.IN_TUPLE, ("a", "b",), ((1, 1.5), (5, -1.0))),
+        Restriction(RestrictionOp.IN, ("a",), ()),
+    ]
+    def norm(t):
+        # NaN != NaN breaks tuple-set compares; normalize to a sentinel
+        return tuple("NaN" if isinstance(v, float) and math.isnan(v) else v
+                     for v in t)
+
+    for r in cases:
+        pred = restriction_to_column(r, df.schema)
+        want = {norm(tuple(row)) for row in df.where(pred).collect()}
+        got = {
+            norm((row["a"], row["b"], row["s"], row["d"]))
+            for row in rows if restrictions_match([r], row)
+        }
+        assert got == want, f"evaluator/Catalyst divergence for {r}"

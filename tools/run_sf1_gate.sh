@@ -55,6 +55,7 @@ t_start = int(os.environ["T_START"])
 out = os.environ["OUT"]
 entries, totals = {}, {"pass": 0, "weak_rows_only": 0, "fail": 0, "excluded": 0}
 memo_setup = {}
+capacity = {}
 missing = []
 for i in os.environ["EXPECT"].split():
     f = os.path.join(os.environ["SHARD_DIR"], f"shard{i}.json")
@@ -67,11 +68,20 @@ for i in os.environ["EXPECT"].split():
         totals[k] += rec.get(k, 0)
     for t, s in rec.get("memo_setup_sec", {}).items():
         memo_setup[f"shard{i}:{t}"] = s
+    # host parallel capacity bracketing each shard (VERDICT r16 #8):
+    # a watchdog trip on a shard whose probe reads >2.5 is host
+    # contention, self-evident from the merged record alone
+    capacity[f"shard{i}"] = {
+        "start": rec.get("parallel32_over_single_at_start"),
+        "end": rec.get("parallel32_over_single_at_end"),
+    }
 if missing:
     print(f"MERGE FAILED: shard record(s) missing or stale: {missing}")
     sys.exit(2)
 merged = {"sf_dir": os.environ["SF_DIR"], "total": len(entries),
-          "memo_setup_sec": memo_setup, "entries": entries, **totals}
+          "memo_setup_sec": memo_setup,
+          "parallel32_over_single_by_shard": capacity,
+          "entries": entries, **totals}
 json.dump(merged, open(out, "w"), indent=1, sort_keys=True)
 print(f"merged {len(entries)} entries -> {out}: "
       f"{totals['pass']} pass, {totals['weak_rows_only']} weak, "

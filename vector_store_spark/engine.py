@@ -97,8 +97,16 @@ class ServingCache:
         self.space = meta.space_type
         self.dims = meta.dimensions
         self.pk_cols = list(meta.primary_key_columns)
-        rows = ri.df.select(*self.pk_cols, meta.target_column).collect()
+        # filterable columns ride along so RESTRICTED requests are served
+        # from the same snapshot (usearch evaluates is_valid_for inside its
+        # RAM traversal — filtering never needs storage either)
+        self.filter_cols = list(dict.fromkeys(
+            self.pk_cols + [c for c in meta.filtering_columns
+                            if c in ri.df.columns]))
+        rows = ri.df.select(*self.filter_cols, meta.target_column).collect()
         self.pk = {c: [r[c] for r in rows] for c in self.pk_cols}
+        self.filter_rows = [
+            {c: r[c] for c in self.filter_cols} for r in rows]
         self.vecs = np.asarray(
             [np.asarray(r[meta.target_column], dtype=np.float64) for r in rows]
         ).reshape(len(rows), self.dims if rows else 0)
@@ -111,6 +119,11 @@ class ServingCache:
     def is_stale(self, ri: "RegisteredIndex") -> bool:
         """CRUD swapped the registered frame since this snapshot was taken."""
         return self.df is not ri.df
+
+    def supports_restrictions(self, restrictions) -> bool:
+        """Every restricted column must ride in the snapshot."""
+        return all(c in self.filter_cols
+                   for r in restrictions for c in r.columns)
 
     @staticmethod
     def _fold(prod):
@@ -160,20 +173,37 @@ class ServingCache:
             return 1.0 / (1.0 + d)
         return 1.0 - d / float(self.dims)  # hamming
 
-    def ann_response(self, vector, limit: int) -> "AnnResponse":
+    def ann_response(self, vector, limit: int,
+                     restrictions=()) -> "AnnResponse":
         import numpy as np
 
         dist = self._distances(vector)
-        n = dist.shape[0]
-        k = min(limit, n)
+        if restrictions:
+            # T2: top-k OF the filtered set — the same row predicate the
+            # Spark path pushes in front of ann_topk, evaluated by the
+            # Catalyst-parity Python evaluator (restrictions_match); the
+            # exact strategy scores every surviving row, no guard needed
+            from vector_store_spark.plans.restrictions import (
+                restrictions_match,
+            )
+
+            pool = np.asarray(
+                [i for i, row in enumerate(self.filter_rows)
+                 if restrictions_match(restrictions, row)],
+                dtype=np.int64)
+        else:
+            pool = np.arange(dist.shape[0])
+        k = min(limit, len(pool))
         if k == 0:
             return AnnResponse(primary_keys={c: [] for c in self.pk_cols},
                                distances=[], similarity_scores=[])
-        order = np.argsort(dist, kind="stable")
-        kth = dist[order[k - 1]]
-        cand = np.nonzero(~(dist > kth))[0].tolist()  # ties included; NaN safe
-        if len(cand) < k:  # NaN distances beyond the cutoff
-            cand = order[: max(k, len(cand))].tolist()
+        d = dist[pool]
+        order = np.argsort(d, kind="stable")
+        kth = d[order[k - 1]]
+        local = np.nonzero(~(d > kth))[0]  # ties included; NaN safe
+        if len(local) < k:  # NaN distances beyond the cutoff
+            local = order[: max(k, len(local))]
+        cand = pool[local].tolist()
         cand.sort(key=lambda i: (dist[i],
                                  *(self.pk[c][i] for c in self.pk_cols)))
         sel = cand[:k]
@@ -241,17 +271,36 @@ class HnswServingCache:
         self.round_to = opts.get("round_to")
         self.ef_search = int(opts.get("ef_search",
                                       ri.state.metadata.expansion_search))
+        #: explicit adaptive-floor override; None = the engine default
+        #: (32·k, the same setdefault _strategy_topk applies on the Spark
+        #: path) resolved per request when a predicate is present
+        self.min_candidates_opt = opts.get("min_candidates")
         rows = ri.df.sparkSession.read.parquet(
             os.path.join(self.path, "graph")).collect()
-        self.slices = []
+        self.slices = {}
         self.nbytes = 0
         for row in rows:
             ids, fvecs, _levels, adj, entry, max_lvl, deleted = H._decode(
                 row, self.dims, self.quant)
             mat = H._prep(fvecs, self.space)
-            self.slices.append((ids, mat, adj, entry, max_lvl, deleted))
+            self.slices[int(row["slice"])] = (ids, mat, adj, entry, max_lvl,
+                                              deleted)
             self.nbytes += (ids.nbytes + mat.nbytes + deleted.nbytes
                             + sum(a.nbytes for ls in adj for a in ls))
+        # the payload table (slice, node, filterable columns) rides along —
+        # the reference's restricted search is RAM-resident too
+        # (usearch.rs:1108-1154 evaluates the filter inside traversal)
+        pay = ri.df.sparkSession.read.parquet(
+            os.path.join(self.path, "payload")).collect()
+        self.payload_cols = [c for c in (pay[0].asDict() if pay else {})
+                             if c not in ("slice", "node")]
+        self.payload: dict[int, list] = {}
+        for r in pay:
+            d = r.asDict()
+            self.payload.setdefault(int(d["slice"]), []).append(
+                (int(d["node"]), {c: d[c] for c in self.payload_cols}))
+        self.n_live = len(pay)
+        self.nbytes += sum(64 + 16 * len(self.payload_cols) for _ in pay)
         self.fingerprint = H.graph_fingerprint(self.path)
 
     def is_stale(self, ri: "RegisteredIndex") -> bool:
@@ -260,6 +309,13 @@ class HnswServingCache:
         return (self.df is not ri.df
                 or H.graph_fingerprint(self.path) != self.fingerprint)
 
+    def supports_restrictions(self, restrictions) -> bool:
+        """Restricted columns must ride in the graph's payload table (the
+        same constraint the Spark path has — hnsw_search evaluates the
+        predicate over the payload columns)."""
+        return all(c in self.payload_cols
+                   for r in restrictions for c in r.columns)
+
     def _similarity(self, d: float) -> float:
         if self.space in (SpaceType.COSINE, SpaceType.DOT_PRODUCT):
             return (2.0 - d) / 2.0
@@ -267,15 +323,50 @@ class HnswServingCache:
             return 1.0 / (1.0 + d)
         return 1.0 - d / float(self.dims)  # hamming
 
-    def ann_response(self, vector, limit: int) -> "AnnResponse":
+    def ann_response(self, vector, limit: int,
+                     restrictions=()) -> "AnnResponse":
         from vector_store_spark.operators import hnsw as H
 
         q = H._prep_query(vector, self.space, self.dims)
+        ef = self.ef_search
+        exhaustive = False
+        allowed: dict[int, list] | None = None
+        if restrictions:
+            # the hnsw_search filtered contract, replicated arithmetic-for-
+            # arithmetic: evaluate the predicate over the payload (Catalyst-
+            # parity Python evaluator), then the count-then-tier adaptive
+            # guard — exhaustive scoring of the allowed set at/under the
+            # floor, else beam widened by live/filtered so a selective
+            # predicate can't starve the result heap (T2: top-k OF the
+            # filtered set)
+            import math
+
+            from vector_store_spark.plans.restrictions import (
+                restrictions_match,
+            )
+
+            allowed = {
+                s: [node for node, row in rows
+                    if restrictions_match(restrictions, row)]
+                for s, rows in self.payload.items()
+            }
+            n_filtered = sum(len(v) for v in allowed.values())
+            min_cand = (self.min_candidates_opt
+                        if self.min_candidates_opt is not None
+                        else 32 * limit)
+            if n_filtered <= min_cand:
+                exhaustive = True
+            elif self.n_live > 0:
+                ef = min(self.n_live, max(
+                    ef, math.ceil(min_cand * self.n_live / n_filtered)))
         cands: list[tuple[float, int]] = []
-        for ids, mat, adj, entry, max_lvl, deleted in self.slices:
+        for s, (ids, mat, adj, entry, max_lvl, deleted) in self.slices.items():
+            a = allowed.get(s, []) if allowed is not None else None
+            if a is not None and not a:
+                continue  # no allowed node in this slice
             sids, dists = H._search_prepped(
                 ids, mat, adj, entry, max_lvl, deleted, q, limit,
-                self.ef_search, self.space, None, self.round_to, False)
+                ef, self.space, a, self.round_to, exhaustive)
             cands.extend(zip(dists, sids))
         # global merge = hnsw_search's ORDER BY round(distance), id LIMIT k
         if self.round_to is not None:
@@ -668,9 +759,12 @@ class VectorStoreEngine:
         """The serving-cache fast path: identical routing + validation to
         ann_df, returns None (caller falls through to the Spark path) when
         the routed index has no armed cache or the request needs anything
-        the snapshot can't answer (filters, non-exact strategy)."""
-        if flt.restrictions:
-            return None
+        the snapshot can't answer (a restricted column outside the
+        snapshot, a non-cached strategy). RESTRICTED requests are served
+        from RAM too — the reference's restricted search is RAM-resident
+        (usearch.rs:1108-1154) — through the same validate → gate → consume
+        stages as ann_df, with consumed partition Eqs applied as row
+        predicates (pruning and filtering coincide on a full snapshot)."""
         group = self._routing_group(keyspace, table, target_column)
         if not group:
             return None
@@ -686,13 +780,21 @@ class VectorStoreEngine:
                 f"wrong vector dimensions: got {len(vector)}, index has "
                 f"{meta.dimensions}")  # P9, same message as ann_df
         check_allow_filtering(score, flt)
+        restr: tuple = ()
+        if flt.restrictions:
+            allowed = set(meta.primary_key_columns) | set(meta.filtering_columns)
+            validate_filter(ri.df.schema, flt, allowed)
+            consumed, residual = consume_partition_restrictions(meta, flt)
+            restr = tuple(consumed) + tuple(residual)
+            if not cache.supports_restrictions(restr):
+                return None  # column outside the snapshot: Spark path
         if cache.is_stale(ri):
             # CRUD swapped the registered frame (or rewrote the persisted
             # graph in place): re-arm from the live state — the reference
             # rebuilds its RAM index on update the same way
             cache = type(cache)(ri)
             self.serving_caches[meta.index] = cache
-        return cache.ann_response(vector, limit)
+        return cache.ann_response(vector, limit, restrictions=restr)
 
     def ann(self, keyspace: str, table: str, target_column: str, vector: Sequence[float],
             limit: int = 1, flt: Filter | None = None,

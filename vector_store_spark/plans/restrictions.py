@@ -68,15 +68,25 @@ def _tuple_lit(values: Sequence[Any], columns: Sequence[str], schema: T.StructTy
 
 
 def _tuple_lex(r: Restriction, schema: T.StructType | None) -> Column:
-    """Lexicographic tuple range comparison with cql_cmp_tuple null semantics:
-    cmp(i) = strict_i OR (eq_i AND cmp(i+1)); base = False for strict ops,
-    True for inclusive ops. A null component yields NULL at its level, which
-    only escapes (excluding the row) if no earlier pair decided."""
+    """Lexicographic tuple range comparison with cql_cmp_tuple null/NaN
+    semantics: cmp(i) = strict_i OR (eq_i AND cmp(i+1)); base = False for
+    strict ops, True for inclusive ops. A null OR NaN component yields NULL
+    at ITS level (cql_cmp returns None for both, table/mod.rs:1336-1340),
+    which only escapes (excluding the row) if no earlier pair decided — a
+    NaN in a later component must not veto a row the first pair already
+    ordered. NaN floats are nullified per component (Spark would otherwise
+    order NaN above every float, silently deciding the level)."""
     strict = r.op in (RestrictionOp.LT_TUPLE, RestrictionOp.GT_TUPLE)
     less = r.op in (RestrictionOp.LT_TUPLE, RestrictionOp.LTE_TUPLE)
     pred: Column = F.lit(not strict)
     for name, v in zip(reversed(r.columns), reversed(list(r.values))):
         c = F.col(name)
+        if schema is not None:
+            try:
+                if isinstance(schema[name].dataType, _FLOATY):
+                    c = F.when(~F.isnan(F.col(name)), F.col(name))
+            except KeyError:
+                pass
         lit = F.lit(v)
         if schema is not None and name in schema.names:
             lit = lit.cast(schema[name].dataType)
@@ -128,7 +138,10 @@ def restriction_to_column(r: Restriction, schema: T.StructType | None = None) ->
         # explicit lexicographic expression below reproduces that exactly
         # through SQL three-valued logic: null propagates to the top (row
         # excluded) unless an earlier strict comparison already decided.
-        pred = _tuple_lex(r, schema)
+        # NaN handling lives INSIDE _tuple_lex (per-component nullify) — a
+        # blanket guard here would over-exclude rows whose first pair
+        # already decided before the NaN component.
+        return _tuple_lex(r, schema)
     else:  # pragma: no cover
         raise FilterError(f"unknown op {op}")
     guards = [g for g in (_nan_guard(schema, c) for c in r.columns) if g is not None]
@@ -217,3 +230,128 @@ def validate_filter(schema: T.StructType, flt: Filter, allowed_columns: set[str]
             vals = list(r.values) if r.op == RestrictionOp.IN else [r.values]
             for v in vals:
                 _check_value(schema, r.columns[0], v)
+
+
+# ---------------------------------------------------------------------------
+# Python row-level evaluation (P2 semantics for the RAM serving caches)
+#
+# The serving caches (engine.ServingCache / HnswServingCache) answer
+# requests without touching Spark, so restricted requests need the SAME
+# predicate semantics evaluated over plain Python values — the direct
+# re-expression of the reference's per-candidate is_valid_for
+# (table/mod.rs:1183-1276, evaluated inside usearch traversal). Parity with
+# the Column path is pinned by tests/test_restrictions.py's evaluator-vs-
+# Catalyst property test. Semantics (identical to the Column path above):
+# conjunction; None/NaN operand ⇒ row excluded; tuple comparisons
+# lexicographic with cql_cmp_tuple's undecided-null rule; cross-type values
+# are rejected earlier by validate_filter (never reach evaluation).
+
+def _cmp3(a: Any, b: Any) -> int | None:
+    """cql_cmp (table/mod.rs:1318-1361): three-valued comparison — None when
+    either operand is missing/NaN or the pair is incomparable."""
+    if a is None or b is None:
+        return None
+    if isinstance(a, float) and a != a:  # NaN
+        return None
+    if isinstance(b, float) and b != b:
+        return None
+    if isinstance(a, (datetime.date, datetime.datetime)) and isinstance(b, str):
+        # the Column path casts str literals to date/timestamp implicitly
+        b = _parse_temporal(b, type(a))
+        if b is None:
+            return None
+    try:
+        if a == b:
+            return 0
+        if a < b:
+            return -1
+        if a > b:
+            return 1
+    except TypeError:
+        return None
+    return None  # incomparable (e.g. NaN-like orderings)
+
+
+def _parse_temporal(s: str, want: type):
+    try:
+        if want is datetime.datetime or issubclass(want, datetime.datetime):
+            return datetime.datetime.fromisoformat(s)
+        return datetime.date.fromisoformat(s)
+    except ValueError:
+        return None
+
+
+def _and3(a, b):
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return True
+
+
+def _or3(a, b):
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+def _tuple_lex_py(r: Restriction, row) -> bool | None:
+    strict = r.op in (RestrictionOp.LT_TUPLE, RestrictionOp.GT_TUPLE)
+    less = r.op in (RestrictionOp.LT_TUPLE, RestrictionOp.LTE_TUPLE)
+    pred: bool | None = not strict
+    for name, v in zip(reversed(r.columns), reversed(list(r.values))):
+        c = row.get(name)
+        cmp = _cmp3(c, v)
+        if cmp is None:
+            strict_cmp = eq = None
+        else:
+            strict_cmp = (cmp < 0) if less else (cmp > 0)
+            eq = cmp == 0
+        pred = _or3(strict_cmp, _and3(eq, pred))
+    return pred
+
+
+def restriction_matches(r: Restriction, row) -> bool:
+    """Evaluate ONE restriction against a row mapping (column -> value).
+    Returns True only when the row definitively satisfies it — None/NaN/
+    incomparable evaluate to excluded, like the Column path."""
+    op = r.op
+    if not op.is_tuple:
+        (name,) = r.columns
+        c = row.get(name)
+        if op == RestrictionOp.EQ:
+            return _cmp3(c, r.values) == 0
+        if op == RestrictionOp.IN:
+            return any(_cmp3(c, v) == 0 for v in r.values)
+        cmp = _cmp3(c, r.values)
+        if cmp is None:
+            return False
+        if op == RestrictionOp.LT:
+            return cmp < 0
+        if op == RestrictionOp.LTE:
+            return cmp <= 0
+        if op == RestrictionOp.GT:
+            return cmp > 0
+        if op == RestrictionOp.GTE:
+            return cmp >= 0
+        raise FilterError(f"unknown op {op}")  # pragma: no cover
+    if op == RestrictionOp.EQ_TUPLE:
+        return all(_cmp3(row.get(c), v) == 0
+                   for c, v in zip(r.columns, r.values))
+    if op == RestrictionOp.IN_TUPLE:
+        return any(
+            all(_cmp3(row.get(c), v) == 0 for c, v in zip(r.columns, t))
+            for t in r.values
+        )
+    if op in (RestrictionOp.LT_TUPLE, RestrictionOp.LTE_TUPLE,
+              RestrictionOp.GT_TUPLE, RestrictionOp.GTE_TUPLE):
+        return _tuple_lex_py(r, row) is True
+    raise FilterError(f"unknown op {op}")  # pragma: no cover
+
+
+def restrictions_match(restrictions: Iterable[Restriction], row) -> bool:
+    """AND-conjunction over a row mapping; empty list matches everything
+    (filter downgrade, same convention as restrictions_to_column)."""
+    return all(restriction_matches(r, row) for r in restrictions)

@@ -658,3 +658,83 @@ def ann_http_cached_hnsw_topk(spark, sf_dir):
         F.round("distance", ROUND).alias("distance"),
         F.round("similarity", ROUND).alias("similarity"),
     )
+
+
+@register(
+    "ann_http_cached_filtered_topk",
+    # RESTRICTED request through the RAM snapshot (r17): the reference's
+    # restricted search never leaves RAM either (usearch.rs:1108-1154
+    # evaluates is_valid_for inside traversal) — the wire filter parses to
+    # the same Restriction algebra, the snapshot's Catalyst-parity Python
+    # evaluator (plans/restrictions.restrictions_match) masks the rows, and
+    # the top-k is OF the filtered set (T2). Oracle: exact filtered cosine
+    # top-k, similarity from the UNROUNDED distance (exact-path F2
+    # convention, same as ann_http_topk).
+    f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE label = 2
+),
+scored AS (
+  SELECT vec_id, {_COS_QH} AS d FROM e
+)
+SELECT vec_id, round(d, {ROUND}) AS distance,
+       round((2.0 - d) / 2.0, {ROUND}) AS similarity
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+    "S9+T2 through the RAM snapshot: REST POST /ann WITH a wire filter "
+    "(restrictions + ALLOW FILTERING) answered from the armed ServingCache "
+    "— wire-filter parse, Python-evaluator masking, filtered top-k, pivot, "
+    "all oracle-pinned to the exact filtered answer",
+    internal_plan_fn=_http_internal_probe,
+)
+def ann_http_cached_filtered_topk(spark, sf_dir):
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from vector_store_spark.httpserver import serve
+
+    emb = load(spark, sf_dir, "embeddings")
+    eng = VectorStoreEngine()
+    eng.register(
+        emb,
+        IndexMetadata(
+            keyspace="ks", index="emb_http_cached_f", table="embeddings",
+            primary_key_columns=("vec_id",), partition_key_count=1,
+            target_column="embedding", dimensions=_DIMS,
+            filtering_columns=("label",),
+        ),
+        strategy="exact",
+    )
+    eng.enable_serving_cache("ks", "emb_http_cached_f")
+    srv = serve(eng)
+    try:
+        host, port = srv._httpd.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/api/v1/indexes/ks/emb_http_cached_f/ann",
+            data=_json.dumps({
+                "vector": _QH, "limit": 10,
+                "filter": {"restrictions": [{"==": ["label", 2]}],
+                           "allow_filtering": True},
+            }).encode("utf-8"),
+            method="POST", headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = _json.loads(r.read())
+    finally:
+        srv.stop()
+    rows = list(zip(
+        body["primary_keys"]["vec_id"], body["distances"],
+        body["similarity_scores"],
+    ))
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    out = spark.createDataFrame(
+        rows, schema=f"vec_id {id_type}, distance double, similarity double"
+    )
+    return out.select(
+        "vec_id",
+        F.round("distance", ROUND).alias("distance"),
+        F.round("similarity", ROUND).alias("similarity"),
+    )
