@@ -13,13 +13,18 @@ Invariants (each must hold exactly):
                             threshold on every emitted row (linear scan).
 2. subsample_oracle_equal — the full MinHash pipeline's DuckDB oracle
                             (queries_dedup.MINHASH_PAIRS_SQL, verbatim) run
-                            on the doc_id % MOD == 0 sub-corpus must emit
-                            EXACTLY the engine pairs with both ends in the
-                            sample. Valid because the pair predicate
-                            (shares a band bucket AND exact J >= t) is
-                            per-pair deterministic — corpus membership
-                            cannot add or remove a pair between two fixed
-                            docs — so pairs(X) ∩ S² = pairs(S).
+                            on the doc_id < S CONTIGUOUS-RANGE sub-corpus
+                            must emit EXACTLY the engine pairs with both
+                            ends in the sample. Valid because the pair
+                            predicate (shares a band bucket AND exact
+                            J >= t) is per-pair deterministic — corpus
+                            membership cannot add or remove a pair between
+                            two fixed docs — so pairs(X) ∩ S² = pairs(S).
+                            Range (not modulo) sampling because synthesized
+                            corpora concentrate near-dup pairs at id-local
+                            distances: a mod-M sample keeps a pair only
+                            with probability ~1/M and reads vacuously
+                            green (0 == 0) at stretch SFs.
 3. idempotence            — dedup(dedup(X)) = dedup(X): re-running the
                             pipeline on the kept corpus (component minima +
                             singletons) emits ZERO pairs. Exact, not
@@ -41,10 +46,10 @@ Invariants (each must hold exactly):
 
 Usage:
   SPARK_GRAFT_CHECK_SF_DIR=var/sf10 python tools/check_invariants.py \
-      [--json INVARIANTS_local_rN_sf10.json] [--sample-mod M]
+      [--json INVARIANTS_local_rN_sf10.json] [--sample-range S]
 
-The sample mod defaults to a value targeting ~2,500 sampled docs (DuckDB
-side stays minutes even though its closure is superlinear in the SAMPLE).
+The sample range defaults to 2,500 docs (DuckDB side stays minutes even
+though its closure is superlinear in the SAMPLE).
 """
 
 from __future__ import annotations
@@ -58,7 +63,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
-def main(json_out=None, sample_mod=None):
+def main(json_out=None, sample_range=None):
     import duckdb
     from pyspark.sql import functions as F
 
@@ -92,9 +97,9 @@ def main(json_out=None, sample_mod=None):
 
     docs = load(spark, SF_DIR, "documents")
     n_docs = docs.count()
-    if sample_mod is None:
-        sample_mod = max(1, n_docs // 2500)
-    print(f"invariants: {SF_DIR} n_docs={n_docs} sample_mod={sample_mod}",
+    if sample_range is None:
+        sample_range = min(n_docs, 2500)
+    print(f"invariants: {SF_DIR} n_docs={n_docs} sample_range={sample_range}",
           flush=True)
 
     pairs = minhash_lsh_pairs(
@@ -116,18 +121,18 @@ def main(json_out=None, sample_mod=None):
     eng_sample = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 6))
         for r in pairs.where(
-            (F.col("id_a") % sample_mod == 0)
-            & (F.col("id_b") % sample_mod == 0)).collect()
+            (F.col("id_a") < sample_range)
+            & (F.col("id_b") < sample_range)).collect()
     }
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet' "
-        f"WHERE doc_id % {sample_mod} = 0")
+        f"WHERE doc_id < {sample_range}")
     osample = {(r[0], r[1], round(float(r[2]), 6))
                for r in con.execute(MINHASH_PAIRS_SQL).fetchall()}
     sym = eng_sample ^ osample
     record("subsample_oracle_equal", len(sym),
-           f"sampled_docs~{n_docs // sample_mod} engine_pairs={len(eng_sample)} "
+           f"sampled_docs={sample_range} engine_pairs={len(eng_sample)} "
            f"oracle_pairs={len(osample)}"
            + (f" first_diffs={sorted(sym)[:3]}" if sym else ""))
 
@@ -213,7 +218,7 @@ def main(json_out=None, sample_mod=None):
             json.dump({
                 "sf_dir": SF_DIR,
                 "n_docs": n_docs,
-                "sample_mod": sample_mod,
+                "sample_range": sample_range,
                 "n_pairs": n_pairs,
                 "n_members": n_members,
                 "n_groups": n_groups,
@@ -246,11 +251,11 @@ if __name__ == "__main__":
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    if "--sample-mod" in argv:
-        i = argv.index("--sample-mod")
+    if "--sample-range" in argv:
+        i = argv.index("--sample-range")
         mod = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    _rc = main(json_out=json_out, sample_mod=mod)
+    _rc = main(json_out=json_out, sample_range=mod)
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(_rc)  # see bench.py: never let interpreter teardown outlive the record

@@ -153,44 +153,65 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--emb-factor", type=int, default=4)
     ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--tables", default="",
+                    help="comma-separated subset to synthesize (default all) "
+                         "— e.g. --tables documents for the invariant gate's "
+                         "docs-only sf30 rung, skipping the 180M-row lineitem")
     args = ap.parse_args()
     src, out, f = args.src, args.out, args.factor
-    print(f"scaling {src} -> {out} (x{f}, embeddings x{args.emb_factor}, seed {args.seed})")
+    only = {t.strip() for t in args.tables.split(",") if t.strip()}
+
+    def want(t):
+        return not only or t in only
+
+    print(f"scaling {src} -> {out} (x{f}, embeddings x{args.emb_factor}, "
+          f"seed {args.seed}" + (f", tables {sorted(only)}" if only else "")
+          + ")")
 
     for t in ("region", "nation"):
+        if not want(t):
+            continue
         _write(out, t, _read(src, t))
 
     cust = _read(src, "customer")
     n_cust = cust.num_rows
-    _write(out, "customer", _replicate_shifted(
-        cust, {"c_custkey": n_cust}, f, rename={"c_name": ("Customer", "c_custkey")}))
+    if want("customer"):
+        _write(out, "customer", _replicate_shifted(
+            cust, {"c_custkey": n_cust}, f, rename={"c_name": ("Customer", "c_custkey")}))
 
     supp = _read(src, "supplier")
     n_supp = supp.num_rows
-    _write(out, "supplier", _replicate_shifted(
-        supp, {"s_suppkey": n_supp}, f, rename={"s_name": ("Supplier", "s_suppkey")}))
+    if want("supplier"):
+        _write(out, "supplier", _replicate_shifted(
+            supp, {"s_suppkey": n_supp}, f, rename={"s_name": ("Supplier", "s_suppkey")}))
 
     part = _read(src, "part")
     n_part = part.num_rows
-    _write(out, "part", _replicate_shifted(part, {"p_partkey": n_part}, f))
+    if want("part"):
+        _write(out, "part", _replicate_shifted(part, {"p_partkey": n_part}, f))
 
     orders = _read(src, "orders")
     n_ord = orders.num_rows
-    _write(out, "orders", _replicate_shifted(
-        orders, {"o_orderkey": n_ord, "o_custkey": n_cust}, f))
+    if want("orders"):
+        _write(out, "orders", _replicate_shifted(
+            orders, {"o_orderkey": n_ord, "o_custkey": n_cust}, f))
 
-    li = _read(src, "lineitem")
-    _write(out, "lineitem", _replicate_shifted(
-        li, {"l_orderkey": n_ord, "l_partkey": n_part, "l_suppkey": n_supp}, f))
+    if want("lineitem"):
+        li = _read(src, "lineitem")
+        _write(out, "lineitem", _replicate_shifted(
+            li, {"l_orderkey": n_ord, "l_partkey": n_part, "l_suppkey": n_supp}, f))
 
-    ev = _read(src, "events")
-    n_users = int(pa.compute.max(ev.column("user_id")).as_py()) + 1
-    _write(out, "events", _replicate_shifted(
-        ev, {"event_id": ev.num_rows, "user_id": n_users}, f))
+    if want("events"):
+        ev = _read(src, "events")
+        n_users = int(pa.compute.max(ev.column("user_id")).as_py()) + 1
+        _write(out, "events", _replicate_shifted(
+            ev, {"event_id": ev.num_rows, "user_id": n_users}, f))
 
-    _write(out, "documents", scale_documents(_read(src, "documents"), f, args.seed))
-    _write(out, "embeddings", scale_embeddings(
-        _read(src, "embeddings"), args.emb_factor, args.seed))
+    if want("documents"):
+        _write(out, "documents", scale_documents(_read(src, "documents"), f, args.seed))
+    if want("embeddings"):
+        _write(out, "embeddings", scale_embeddings(
+            _read(src, "embeddings"), args.emb_factor, args.seed))
     print("done")
 
 
