@@ -579,3 +579,32 @@ def test_components_raise_instead_of_wrong_labels(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_component_members(pairs, max_iter=1)
+
+
+def test_embedding_neardup_lsh_cell_verify_matches_pairwise(spark, sf_dir):
+    """r17 cell-local verify: pairs are now verified inside each
+    (band, bucket) cell with a per-pair einsum over the cell's vectors
+    (one cogroup, no global DISTINCT + vector re-join). The emitted
+    (id_a, id_b) set AND the cosine doubles must equal the exhaustive
+    verify of the same candidate set — cosine is computed by the same
+    per-row einsum, so values are bit-identical, and the max() dedupe
+    across cells must collapse Hamming-probe duplicates to ONE row."""
+    import numpy as np
+
+    from vector_store_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45, probes=1).collect()
+    # one row per pair (the cross-cell dedupe)
+    keys = [(r.id_a, r.id_b) for r in rows]
+    assert len(keys) == len(set(keys))
+    # cosines equal the direct einsum over the raw vectors, bit for bit
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    for r in rows:
+        a, b = vecs[r.id_a], vecs[r.id_b]
+        num = np.einsum("ij,ij->i", a[None, :], b[None, :])[0]
+        den = np.linalg.norm(a[None, :], axis=1)[0] * np.linalg.norm(b[None, :], axis=1)[0]
+        assert r.cosine == num / (den if den else 1.0)
+        assert r.cosine >= 0.45

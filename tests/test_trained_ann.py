@@ -816,3 +816,26 @@ def test_local_filtered_adaptive(spark, emb, tmp_path):
         predicate=pred, min_candidates=320, select_cols=["vec_id"],
     ).collect()}
     assert got_lsh == truth
+
+
+def test_lsh_gemm_banding_matches_expression_path(spark, emb):
+    """r17: lsh_build/lsh_update/lsh_topk band on the Arrow GEMM path
+    (with_lsh_buckets) instead of per-row interpreted aggregates. The
+    (id, band, bucket) rows must be IDENTICAL to the expression path —
+    the persisted layout's directory structure and every probe's pruning
+    depend on it."""
+    from vector_store_spark.operators.lsh import (
+        _banded,
+        lsh_bucket_cols,
+        lsh_hyperplanes,
+    )
+
+    planes = lsh_hyperplanes(64, 16)
+    got = {(r.vec_id, r.band, r.bucket) for r in
+           _banded(emb, "embedding", planes, 4)
+           .select("vec_id", "band", "bucket").collect()}
+    buckets = lsh_bucket_cols(F.col("embedding").cast("array<double>"), planes, 4)
+    want = {(r.vec_id, r.band, r.bucket) for r in
+            emb.select("vec_id", F.posexplode(F.array(*buckets))
+                       .alias("band", "bucket")).collect()}
+    assert got == want

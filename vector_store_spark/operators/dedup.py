@@ -759,15 +759,17 @@ def embedding_neardup_pairs_lsh(
     # batch (with_lsh_buckets) instead of num_bits interpreted higher-order
     # aggregates per row
     bucketed = with_lsh_buckets(e, "v", planes, bands).cache()
+    # band/probe rows carry the vector: each vector ships once per cell it
+    # lands in (the cell-local verify below never re-joins the corpus)
     band_rows = bucketed.select(
-        "id",
+        "id", "v",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "v", "bb.band", "bb.bucket")
     probe_rows = band_rows
     if probes >= 1:
         # probe side only: exact bucket + every flip of up to `probes` bits
@@ -780,50 +782,75 @@ def embedding_neardup_pairs_lsh(
             for combo in itertools.combinations(range(r), nb):
                 masks.append(sum(1 << j for j in combo))
         probe_rows = band_rows.select(
-            "id", "band",
+            "id", "v", "band",
             F.explode(F.array(
                 *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
             )).alias("bucket"),
         )
-    cands = (
-        probe_rows.alias("a")
-        .join(
-            band_rows.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    vecs = bucketed.select("id", "v")
-    pairs = (
-        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    )
-    # Arrow-batched verify: the candidate set is the job's bulk (every
-    # bucket-colliding pair), and the Column-expression cosine is three
-    # interpreted higher-order aggregates per pair (CodegenFallback,
-    # ~µs/element) — one numpy einsum per batch is the hot-path twin, same
-    # doubles as the expression path / the oracle at ROUND precision
+    # ---- cell-local verify (guide §8: move the payload once) -------------
+    # The former shape — candidate join on (band, bucket), global DISTINCT
+    # over every colliding pair, then two joins re-attaching the 64-dim
+    # vectors and an Arrow cosine pass — shipped each candidate pair's BOTH
+    # vectors through the Python boundary (≈1.9 GB at 1.9M distinct pairs
+    # from a 2k corpus; grows with N·occupancy). Verifying INSIDE each
+    # (band, bucket) cell instead ships every vector once per cell it lands
+    # in (probe+build rows ≈ N·bands·(1+masks) rows ≈ 50 MB here), the
+    # Hamming-duplicate pairs collapse in a pair-level aggregate of three
+    # small columns, and the per-cell pair count is bounded by the
+    # constant-occupancy rule (≈ occupancy²·masks, independent of N).
+    # Cosines are computed by the SAME per-pair einsum on the same float64
+    # rows, so verified values are bit-identical to the former join path.
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import DoubleType
 
-    def _cos_batch(va, vb):
-        a = np.vstack(va.to_numpy()).astype(np.float64)
-        b = np.vstack(vb.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        den[den == 0.0] = 1.0
-        return pd.Series(num / den)
+    id_type = items.schema[id_col].dataType.simpleString()
+    pair_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
-    cos_udf = F.pandas_udf(_cos_batch, DoubleType())
-    return (
-        pairs.withColumn("cosine", cos_udf(F.col("va"), F.col("vb")))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    def _cell_pairs(key, probe_pdf, build_pdf):
+        if len(probe_pdf) == 0 or len(build_pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        pa_ids = probe_pdf["id"].to_numpy()
+        pb_ids = build_pdf["id"].to_numpy()
+        amat = np.vstack(probe_pdf["v"].to_numpy()).astype(np.float64)
+        bmat = np.vstack(build_pdf["v"].to_numpy()).astype(np.float64)
+        out_a, out_b, out_c = [], [], []
+        # chunk the probe side so the expanded pair block stays ~tens of MB
+        step = max(1, 2_000_000 // max(1, len(pb_ids)))
+        for lo in range(0, len(pa_ids), step):
+            hi = min(lo + step, len(pa_ids))
+            ia = np.repeat(np.arange(lo, hi), len(pb_ids))
+            ib = np.tile(np.arange(len(pb_ids)), hi - lo)
+            keep = pa_ids[ia] < pb_ids[ib]
+            ia, ib = ia[keep], ib[keep]
+            if len(ia) == 0:
+                continue
+            a = amat[ia]
+            b = bmat[ib]
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            den[den == 0.0] = 1.0
+            cos = num / den
+            sel = cos >= threshold
+            out_a.append(pa_ids[ia[sel]])
+            out_b.append(pb_ids[ib[sel]])
+            out_c.append(cos[sel])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    cells = (
+        probe_rows.groupBy("band", "bucket")
+        .cogroup(band_rows.groupBy("band", "bucket"))
+        .applyInPandas(_cell_pairs, pair_schema)
     )
+    # the same pair can collide in several (band, probed-bucket) cells; its
+    # cosine is bit-identical in each (same einsum over the same rows), so
+    # max() is exactly the former distinct-then-verify value
+    return cells.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def embedding_neardup_lsh_cell_audit(

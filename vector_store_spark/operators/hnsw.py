@@ -549,15 +549,20 @@ def hnsw_build(
                                      qscale=qscale, quant=quantization)])
 
     fresh_dir(path)
-    graph = sliced.groupBy("slice").applyInPandas(build, _GRAPH_SCHEMA)
+    # cache the blobs so the dead-stats census below reads the build output
+    # straight from memory instead of re-scanning the just-written parquet
+    # (one fewer job + footer read per build — the blobs are index-sized)
+    graph = sliced.groupBy("slice").applyInPandas(build, _GRAPH_SCHEMA).cache()
     graph.write.partitionBy("slice").parquet(os.path.join(path, "graph"))
 
     w = Window.partitionBy("slice").orderBy(id_col)
     payload = sliced.withColumn("node", F.row_number().over(w) - F.lit(1)).select(
         "slice", "node", id_col, *payload_cols
     )
-    payload.repartition("slice").write.partitionBy("slice").parquet(
-        os.path.join(path, "payload"))
+    # the window already hash-partitions by slice, so each task holds whole
+    # slices and partitionBy writes one file per slice — the extra
+    # repartition("slice") exchange bought nothing (guide §2.4)
+    payload.write.partitionBy("slice").parquet(os.path.join(path, "payload"))
 
     sample = sliced.select(vec_col).first()
     dims = len(sample[0]) if sample else 0
@@ -572,13 +577,13 @@ def hnsw_build(
     if part_map is not None:
         meta["part_col"] = part_col
         meta["partitions"] = [[v, i] for v, i in part_map.items()]
-    # seed the per-slice tombstone census (all live at build time): a tiny
-    # pruned read-back of (slice, n) — blob columns never load
+    # seed the per-slice tombstone census (all live at build time) from the
+    # CACHED build output — same rows the write just persisted
     meta["dead_stats"] = {
         str(r["slice"]): [int(r["n"]), 0]
-        for r in items.sparkSession.read.parquet(os.path.join(path, "graph"))
-        .select("slice", "n").collect()
+        for r in graph.select("slice", "n").collect()
     }
+    graph.unpersist()
     with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -1240,9 +1245,11 @@ def hnsw_upsert(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = grouped.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
         ins, _GRAPH_SCHEMA)
-    # materialize before overwriting the directory the plan reads from
+    # materialize before overwriting the directory the plan reads from: the
+    # dead-stats census is itself a full pass over `out`, so it doubles as
+    # the cache-materializing action (the separate count() was a redundant
+    # second evaluation of the cogroup)
     out = out.cache()
-    out.count()
     # census the touched slices' tombstones from the cached blobs BEFORE
     # the overwrite (writing the graph path uncaches every plan that reads
     # it — a post-write pass would recompute the upsert against the NEW

@@ -349,15 +349,6 @@ def _ivf_update_wave(
             else removed_df.unionByName(added_ids)
         )
 
-    touched = set()
-    if removed_df is not None:
-        # which clusters hold the outgoing ids: id-filtered scan, pushed down
-        gone_clusters = (
-            index.join(F.broadcast(removed_df.distinct()), id_col, "left_semi")
-            .select("cluster").distinct().collect()
-        )
-        touched.update(r.cluster for r in gone_clusters)
-
     assigned_new = None
     if items_added is not None:
         # consumed twice (touched-cluster collect + the merged write) and the
@@ -367,9 +358,19 @@ def _ivf_update_wave(
             items_added, id_col, vec_col, cents,
             space=space, n_assign=meta["n_assign"],
         ).cache()
-        touched.update(
-            r.cluster for r in assigned_new.select("cluster").distinct().collect()
-        )
+    # ONE job resolves the touched-cluster set: clusters holding outgoing ids
+    # (id-filtered scan, pushed down) unioned with the new rows' assignments
+    touched = set()
+    probe = None
+    if removed_df is not None:
+        probe = index.join(
+            F.broadcast(removed_df.distinct()), id_col, "left_semi"
+        ).select("cluster")
+    if assigned_new is not None:
+        new_cl = assigned_new.select("cluster")
+        probe = new_cl if probe is None else probe.unionByName(new_cl)
+    if probe is not None:
+        touched.update(r.cluster for r in probe.distinct().collect())
     if not touched:
         if assigned_new is not None:
             assigned_new.unpersist()
@@ -529,21 +530,23 @@ def ivf_update_local(
             added_ids if removed_df is None else removed_df.unionByName(added_ids)
         )
 
-    touched = set()
-    if removed_df is not None:
-        gone = (
-            part_rows.join(F.broadcast(removed_df.distinct()), id_col, "left_semi")
-            .select("cluster").distinct().collect()
-        )
-        touched.update(r.cluster for r in gone)
     assigned_new = None
     if items_added is not None:
         # same two-consumer shape as ivf_update — cache the assignment once
         assigned_new = ivf_assign(
             items_added, id_col, vec_col, cents, space=space).cache()
-        touched.update(
-            r.cluster for r in assigned_new.select("cluster").distinct().collect()
-        )
+    # ONE job resolves the touched-cluster set (same fusion as ivf_update)
+    touched = set()
+    probe = None
+    if removed_df is not None:
+        probe = part_rows.join(
+            F.broadcast(removed_df.distinct()), id_col, "left_semi"
+        ).select("cluster")
+    if assigned_new is not None:
+        new_cl = assigned_new.select("cluster")
+        probe = new_cl if probe is None else probe.unionByName(new_cl)
+    if probe is not None:
+        touched.update(r.cluster for r in probe.distinct().collect())
     if not touched:
         if assigned_new is not None:
             assigned_new.unpersist()
