@@ -69,6 +69,21 @@ def _copartition(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
+def _postings_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf, positions) from one Arrow-batched tokenize pass —
+    the raw postings construction shared by the full build and the
+    incremental add (which must not pay the build's eager stats jobs)."""
+    from vector_store_spark.functions.text import tokens_udf
+
+    toks = docs.select(id_col, tokens_udf()(F.col(text_col)).alias("toks"))
+    exploded = toks.select(id_col, F.posexplode("toks").alias("pos", "term"))
+    return (
+        exploded.groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumnRenamed(id_col, "doc_id")
+    )
+
+
 def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     """Tokenize ONCE (Arrow-batched), posexplode to (term, doc, position),
     aggregate postings; doclens then derive from the postings cache
@@ -79,15 +94,7 @@ def build_fts_index(docs: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     Both caches are hash-partitioned on doc_id so every downstream scoring
     join is exchange-free on both sides (term filters and projections
     preserve the partitioning)."""
-    from vector_store_spark.functions.text import tokens_udf
-
-    toks = docs.select(id_col, tokens_udf()(F.col(text_col)).alias("toks"))
-    exploded = toks.select(id_col, F.posexplode("toks").alias("pos", "term"))
-    postings = _copartition(
-        exploded.groupBy("term", id_col)
-        .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("positions"))
-        .withColumnRenamed(id_col, "doc_id")
-    ).cache()
+    postings = _copartition(_postings_frame(docs, id_col, text_col)).cache()
     # partitioning-preserving aggregation over the cache: no exchange, no
     # second Python pass
     doclens = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl")).cache()
@@ -134,9 +141,15 @@ def update_fts_index(
         postings = postings.join(gone_df, "doc_id", "left_anti")
         doclens = doclens.join(gone_df, "doc_id", "left_anti")
     if docs_added is not None:
-        add = build_fts_index(docs_added, id_col, text_col)
-        postings = postings.unionByName(add.postings)
-        doclens = doclens.unionByName(add.doclens)
+        # raw postings for the added docs only — build_fts_index here would
+        # eagerly run its two stats jobs and copartition+cache frames that
+        # are immediately re-partitioned by the union below. One tokenize
+        # pass, cached, feeds both the postings and doclens legs.
+        add_postings = _postings_frame(docs_added, id_col, text_col).cache()
+        add_doclens = add_postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("int").alias("dl"))
+        postings = postings.unionByName(add_postings)
+        doclens = doclens.unionByName(add_doclens)
     # union/anti-join drop the build-time doc_id partitioning; restore it so
     # the updated index serves exchange-free joins like a fresh build
     postings = _copartition(postings).cache()

@@ -1067,6 +1067,13 @@ def dedup_component_members(
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint()
+    # no edges ⇒ no members: skip the label bootstrap and the propagation
+    # loop outright (a threshold that verifies zero pairs otherwise still
+    # paid ~5 empty jobs here); the probe scans the checkpointed partitions
+    if not edges.head(1):
+        return edges.select(
+            F.col("src").alias("group_id"), F.col("dst").alias("member_id")
+        )
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -1082,6 +1089,7 @@ def dedup_component_members(
         )
         hop = labels.join(neigh, "id", "left").select(
             "id",
+            F.col("label").alias("_label0"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
@@ -1092,23 +1100,25 @@ def dedup_component_members(
         lol = hop.select(
             F.col("id").alias("label"), F.col("label").alias("label2")
         )
-        new_labels = (
+        # the convergence flag rides in the checkpointed frame (computed
+        # against the round's starting label carried through the hop), so
+        # detecting quiescence is a scan of the materialized partitions —
+        # not another labels-vs-labels shuffle join per round
+        stepped = (
             hop.join(lol, "label", "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
                 ).alias("label"),
+                F.col("_label0"),
             )
+            .withColumn("_moved", F.col("label") != F.col("_label0"))
+            .select("id", "label", "_moved")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("_moved")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     if changed != 0:
