@@ -608,3 +608,30 @@ def test_embedding_neardup_lsh_cell_verify_matches_pairwise(spark, sf_dir):
         den = np.linalg.norm(a[None, :], axis=1)[0] * np.linalg.norm(b[None, :], axis=1)[0]
         assert r.cosine == num / (den if den else 1.0)
         assert r.cosine >= 0.45
+
+
+def test_minhash_signature_arrow_twin_exact(docs, spark):
+    """r17: minhash_signature runs as an Arrow int64-matrix UDF. Integer
+    modular arithmetic ⇒ the signature arrays must equal the interpreted
+    expression path ELEMENT-FOR-ELEMENT (no ulp story here — any diff is
+    a bug), including the all-null signature of an empty shingle set."""
+    from vector_store_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_expr,
+        shingle_sets,
+    )
+
+    sets = shingle_sets(docs, "doc_id", "text", 3)
+    # include an empty-set row (filtered out by shingle_sets) via raw select
+    raw = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") == 1, F.array().cast("array<long>"))
+        .otherwise(F.array(F.col("doc_id") * 17 % 1000, F.col("doc_id") + 3))
+        .alias("hs"),
+    )
+    for frame in (sets, raw):
+        got = {r.id: r.sig for r in frame.select(
+            "id", minhash_signature(F.col("hs"), 12).alias("sig")).collect()}
+        want = {r.id: r.sig for r in frame.select(
+            "id", minhash_signature_expr(F.col("hs"), 12).alias("sig")).collect()}
+        assert got == want

@@ -166,9 +166,42 @@ def decontaminate_ngram(
     )
 
 
-def minhash_signature(hash_set: Column, num_hashes: int) -> Column:
+def minhash_signature_expr(hash_set: Column, num_hashes: int) -> Column:
+    """Column-expression signature (num_hashes interpreted array_min/transform
+    HOFs per row — CodegenFallback). The executable spec the Arrow twin below
+    is cross-validated against; oracle SQL mirrors this form."""
     coeffs = minhash_coeffs(num_hashes)
     return F.array(*[minhash_expr(hash_set, a, b) for a, b in coeffs])
+
+
+def minhash_signature(hash_set: Column, num_hashes: int) -> Column:
+    """Arrow twin of :func:`minhash_signature_expr`: one |hs|×num_hashes
+    int64 matrix per row instead of num_hashes interpreted HOF evaluations.
+    All arithmetic is int64 modular ((a·x + b) mod P31 with a, x < 2³¹ so
+    products stay < 2⁶²) — the integers are EXACTLY the expression path's,
+    not merely close (no float anywhere). Null/empty sets yield the same
+    all-null signature as array_min over an empty/null transform."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    coeffs = minhash_coeffs(num_hashes)
+    a = np.asarray([c[0] for c in coeffs], dtype=np.int64)[None, :]
+    b = np.asarray([c[1] for c in coeffs], dtype=np.int64)[None, :]
+    nulls = [None] * num_hashes
+
+    def batch(hs_series):
+        out = []
+        for hs in hs_series:
+            if hs is None or len(hs) == 0:
+                out.append(nulls)
+                continue
+            x = np.asarray(hs, dtype=np.int64)[:, None]
+            out.append(((a * x + b) % P31).min(axis=0))
+        return pd.Series(out)
+
+    udf = F.pandas_udf(batch, ArrayType(LongType())).asNondeterministic()
+    return udf(hash_set)
 
 
 def identical_set_members(sets: DataFrame) -> DataFrame:

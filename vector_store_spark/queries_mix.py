@@ -66,8 +66,13 @@ def mix_token_budget(spark, sf_dir):
         .withColumn("tok", F.col("n_tokens").cast("long"))
         .select("doc_id", "pred_lang", "quality_score", "tok")
     )
+    # cache_input: the upstream is the full curation pipeline (dedup +
+    # tokenize + langid Arrow passes) and the projection above is already
+    # narrow — exactly the documented case where caching the 4-column input
+    # beats re-running the pipeline for the operator's second pass
     took = token_budget_take(
         cur, "pred_lang", "quality_score", "doc_id", "tok", _BUDGET,
+        cache_input=True,
     )
     return took.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
