@@ -848,7 +848,8 @@ def embedding_neardup_pairs_lsh(
         bmat = np.vstack(build_pdf["v"].to_numpy()).astype(np.float64)
         out_a, out_b, out_c = [], [], []
         # chunk the probe side so the expanded pair block stays ~tens of MB
-        step = max(1, 2_000_000 // max(1, len(pb_ids)))
+        # (200k pairs × 64 dims × 8 B × 2 sides ≈ 200 MB peak per task)
+        step = max(1, 200_000 // max(1, len(pb_ids)))
         for lo in range(0, len(pa_ids), step):
             hi = min(lo + step, len(pa_ids))
             ia = np.repeat(np.arange(lo, hi), len(pb_ids))
