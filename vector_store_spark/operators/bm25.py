@@ -327,23 +327,35 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
     postings = index.postings.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
-    fresh_dir(os.path.join(path, "postings"))  # full persist, not incremental
-    write_local_index(postings, os.path.join(path, "postings"), ["term_bucket"])
     spark = index.doclens.sparkSession
     tbl = _doclens_table(path)
-    # DROP on an external table leaves its files; clear the location too or
-    # the CTAS below fails on a rewrite of the same path (idempotent persist)
+    # directory/catalog prep stays serialized (idempotent persist: DROP on an
+    # external table leaves its files, so clear the location too or the CTAS
+    # below fails on a rewrite of the same path)
+    fresh_dir(os.path.join(path, "postings"))  # full persist, not incremental
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     fresh_dir(os.path.join(path, "doclens_bucketed"))
-    (
-        index.doclens.repartition(num_buckets, F.col("doc_id"))
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, "doc_id")
-        .sortBy("doc_id")
-        .option("path", os.path.join(path, "doclens_bucketed"))
-        .saveAsTable(tbl)
-    )
+    # the three layout legs are independent reads of the index's cached
+    # frames (build_fts_index materializes postings/doclens before any
+    # caller can persist) — submit them as CONCURRENT Spark jobs instead of
+    # paying three sequential job latencies (local[n] schedules them onto
+    # idle cores; on a cluster the scheduler interleaves stages the same way)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_postings():
+        write_local_index(postings, os.path.join(path, "postings"), ["term_bucket"])
+
+    def _w_doclens():
+        (
+            index.doclens.repartition(num_buckets, F.col("doc_id"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, "doc_id")
+            .sortBy("doc_id")
+            .option("path", os.path.join(path, "doclens_bucketed"))
+            .saveAsTable(tbl)
+        )
+
     # persist the corpus stats WITH the layout: N/avgdl to a sidecar
     # (metadata-sized) and per-term df as parquet (vocab-sized, term-pruned
     # lookups). Serving startup then reads a sidecar instead of re-scanning
@@ -351,7 +363,13 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
     # in the committed index rather than recounting at open (tantivy.rs).
     import json
 
-    index.df_by_term.write.mode("overwrite").parquet(os.path.join(path, "df_by_term"))
+    def _w_df_by_term():
+        index.df_by_term.write.mode("overwrite").parquet(
+            os.path.join(path, "df_by_term"))
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        for f in [ex.submit(w) for w in (_w_postings, _w_doclens, _w_df_by_term)]:
+            f.result()  # propagate the first failure
     with open(os.path.join(path, "_fts_meta.json"), "w") as f:
         json.dump(
             {"n_docs": index.n_docs, "avgdl": index.avgdl,

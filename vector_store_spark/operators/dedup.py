@@ -1108,10 +1108,14 @@ def dedup_component_members(
         return edges.select(
             F.col("src").alias("group_id"), F.col("dst").alias("member_id")
         )
+    # LAZY checkpoint: round 1's convergence count scans every partition of
+    # the first stepped frame, which reads all of `labels` — that one job
+    # materializes (and persists) both checkpoints, so the separate eager
+    # bootstrap job disappears
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iter):
@@ -1149,7 +1153,11 @@ def dedup_component_members(
             )
             .withColumn("_moved", F.col("label") != F.col("_label0"))
             .select("id", "label", "_moved")
-            .localCheckpoint()
+            # LAZY: the convergence count below scans every partition, so it
+            # doubles as the checkpoint-materializing job (the eager variant
+            # paid a separate materialization job per round); lineage still
+            # truncates at job end, before the next round's plan builds on it
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where(F.col("_moved")).count()
         labels = stepped.select("id", "label")

@@ -549,23 +549,37 @@ def hnsw_build(
                                      qscale=qscale, quant=quantization)])
 
     fresh_dir(path)
+    # ONE full-scan job materializes the sliced cache AND answers the dims
+    # probe (vectors are uniform-width in any buildable input — vstack in
+    # the build UDF enforces it — so max(size) IS the row width; the old
+    # first()-probe read the same number). With the cache resident, the
+    # graph and payload legs below are independent cache-read jobs over
+    # DISJOINT output directories and run concurrently.
+    dims_row = sliced.agg(
+        F.max(F.size(F.col(vec_col).cast("array<double>")))).first()
+    dims = int(dims_row[0]) if dims_row[0] is not None else 0
+
     # cache the blobs so the dead-stats census below reads the build output
     # straight from memory instead of re-scanning the just-written parquet
     # (one fewer job + footer read per build — the blobs are index-sized)
     graph = sliced.groupBy("slice").applyInPandas(build, _GRAPH_SCHEMA).cache()
-    graph.write.partitionBy("slice").parquet(os.path.join(path, "graph"))
 
-    w = Window.partitionBy("slice").orderBy(id_col)
-    payload = sliced.withColumn("node", F.row_number().over(w) - F.lit(1)).select(
-        "slice", "node", id_col, *payload_cols
-    )
-    # the window already hash-partitions by slice, so each task holds whole
-    # slices and partitionBy writes one file per slice — the extra
-    # repartition("slice") exchange bought nothing (guide §2.4)
-    payload.write.partitionBy("slice").parquet(os.path.join(path, "payload"))
+    def _graph_leg():
+        graph.write.partitionBy("slice").parquet(os.path.join(path, "graph"))
 
-    sample = sliced.select(vec_col).first()
-    dims = len(sample[0]) if sample else 0
+    def _payload_leg():
+        w = Window.partitionBy("slice").orderBy(id_col)
+        payload = sliced.withColumn(
+            "node", F.row_number().over(w) - F.lit(1)
+        ).select("slice", "node", id_col, *payload_cols)
+        # the window already hash-partitions by slice, so each task holds
+        # whole slices and partitionBy writes one file per slice — the extra
+        # repartition("slice") exchange bought nothing (guide §2.4)
+        payload.write.partitionBy("slice").parquet(
+            os.path.join(path, "payload"))
+
+    # payload hides under the graph compute (guide §1.2)
+    _parallel_legs(_graph_leg, _payload_leg)
     sliced.unpersist()
     meta = {
         "space": space.value, "m": m, "ef_construction": ef_construction,
@@ -671,14 +685,35 @@ def _update_dead_stats(path: str, meta: dict, updates: dict) -> None:
         json.dump(meta, f)
 
 
-def _rm_emptied_partitions(spark, base: str, touched, written: DataFrame) -> None:
+def _parallel_legs(*legs) -> None:
+    """Run independent store-maintenance legs as CONCURRENT Spark jobs
+    (thread-per-leg; Spark schedules jobs from multiple threads onto idle
+    cores). Callers guarantee the legs touch disjoint directories and read
+    only materialized caches / pre-overwrite files. The first failure
+    propagates after all legs settle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(legs)) as ex:
+        for f in [ex.submit(leg) for leg in legs]:
+            f.result()
+
+
+def _present_slices(written: DataFrame) -> set:
+    """Distinct slice set of a cached payload frame. Doubles as the
+    cache-materializing action: the distinct scans every cached partition,
+    so running it BEFORE the directory overwrite replaces the separate
+    count() the payload legs used to pay (one job instead of two — the
+    same fusion the graph legs get from the dead-stats census)."""
+    return {r["slice"] for r in written.select("slice").distinct().collect()}
+
+
+def _rm_emptied_partitions(spark, base: str, touched, present: set) -> None:
     """Dynamic partition overwrite only rewrites partitions PRESENT in the
     output, so a touched slice whose merged payload came out empty would
     keep its stale files (every row deleted → old rows resurface).  Delete
     those partition directories explicitly via the Hadoop FileSystem API
-    (works on local paths and HDFS/S3A alike)."""
-    present = {r["slice"] for r in
-               written.select("slice").distinct().collect()}
+    (works on local paths and HDFS/S3A alike). ``present`` is the written
+    frame's slice set, snapshotted pre-write by :func:`_present_slices`."""
     empty = [s for s in touched if s not in present]
     if not empty:
         return
@@ -1254,45 +1289,60 @@ def hnsw_upsert(
     # the overwrite (writing the graph path uncaches every plan that reads
     # it — a post-write pass would recompute the upsert against the NEW
     # directory and double-count); one tiny job, then the compaction
-    # trigger stays free driver arithmetic
+    # trigger stays free driver arithmetic. The census also materializes
+    # `out` AND (through the cogroup lineage) `sliced`.
     new_stats = _dead_stats_from_blobs(out)
-    out.write.partitionBy("slice").mode("overwrite").parquet(
-        os.path.join(path, "graph"))
-    _update_dead_stats(path, meta, new_stats)
-    out.unpersist()
 
-    # payload rows for the new nodes: node index continues after each
-    # slice's BLOB length (insertion order = sorted by id within the batch).
-    # NOT the payload's max(node): tombstone deletes drop payload rows but
-    # keep blob nodes, so payload max would lag the blob and collide.
-    old = spark.read.parquet(os.path.join(path, "payload")).where(
-        F.col("slice").isin(touched))
-    if gone:
-        old = old.where(~F.col(id_col).isin(gone))
-    if rem is not None:
-        old = old.join(rem, id_col, "left_anti")
-    # a re-added live id tombstones its old node (see ins); its old payload
-    # row must go too or filtered search would map the id to a dead node
-    old = old.join(F.broadcast(sliced.select(id_col).distinct()),
-                   id_col, "left_anti")
-    base = spark.createDataFrame(
-        [(int(s), int(n) - 1) for s, n in pre_n.items()] or [(-1, -1)],
-        "slice int, _base int",
-    )
-    w = Window.partitionBy("slice").orderBy(id_col)
-    newpay = (
-        sliced.join(F.broadcast(base), "slice", "left")
-        .withColumn("node", F.coalesce(F.col("_base"), F.lit(-1))
-                    + F.row_number().over(w))
-        .select("slice", "node", id_col, *pay_cols)
-    )
-    merged = old.unionByName(newpay).cache()
-    merged.count()
-    merged.repartition("slice").write.partitionBy("slice").mode(
-        "overwrite").parquet(os.path.join(path, "payload"))
-    _rm_emptied_partitions(spark, os.path.join(path, "payload"),
-                           touched, merged)
-    merged.unpersist()
+    def _graph_leg():
+        out.write.partitionBy("slice").mode("overwrite").parquet(
+            os.path.join(path, "graph"))
+        _update_dead_stats(path, meta, new_stats)
+
+    def _payload_leg():
+        # payload rows for the new nodes: node index continues after each
+        # slice's BLOB length (insertion order = sorted by id within the
+        # batch). NOT the payload's max(node): tombstone deletes drop
+        # payload rows but keep blob nodes, so payload max would lag the
+        # blob and collide.
+        old = spark.read.parquet(os.path.join(path, "payload")).where(
+            F.col("slice").isin(touched))
+        if gone:
+            old = old.where(~F.col(id_col).isin(gone))
+        if rem is not None:
+            old = old.join(rem, id_col, "left_anti")
+        # a re-added live id tombstones its old node (see ins); its old
+        # payload row must go too or filtered search would map the id to a
+        # dead node
+        old = old.join(F.broadcast(sliced.select(id_col).distinct()),
+                       id_col, "left_anti")
+        base = spark.createDataFrame(
+            [(int(s), int(n) - 1) for s, n in pre_n.items()] or [(-1, -1)],
+            "slice int, _base int",
+        )
+        w = Window.partitionBy("slice").orderBy(id_col)
+        newpay = (
+            sliced.join(F.broadcast(base), "slice", "left")
+            .withColumn("node", F.coalesce(F.col("_base"), F.lit(-1))
+                        + F.row_number().over(w))
+            .select("slice", "node", id_col, *pay_cols)
+        )
+        merged = old.unionByName(newpay).cache()
+        # materialize via the emptied-slice census (the write below
+        # overwrites the directory `old` reads from, so the cache must fill
+        # first; the distinct doubles as that action — no separate count())
+        present = _present_slices(merged)
+        merged.repartition("slice").write.partitionBy("slice").mode(
+            "overwrite").parquet(os.path.join(path, "payload"))
+        _rm_emptied_partitions(spark, os.path.join(path, "payload"),
+                               touched, present)
+        merged.unpersist()
+
+    # the two legs touch DISJOINT directories (graph vs payload) and read
+    # only materialized caches (`out`, `sliced`) plus the pre-overwrite
+    # payload files — run them as concurrent Spark jobs; the payload merge
+    # hides under the graph write (guide §1.2: fewer sequential actions)
+    _parallel_legs(_graph_leg, _payload_leg)
+    out.unpersist()
     sliced.unpersist()
     if rem is not None:
         rem.unpersist()
@@ -1405,29 +1455,36 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = graph.groupBy("slice").applyInPandas(rebuild, _GRAPH_SCHEMA)
     out = out.cache()
-    out.count()
     # census BEFORE the overwrite (the write uncaches plans reading the
-    # graph path); rebuilt slices are all-live again
+    # graph path); rebuilt slices are all-live again. The census is a full
+    # pass over the blobs, so it doubles as the cache-materializing action
     new_stats = _dead_stats_from_blobs(out)
-    out.write.partitionBy("slice").mode("overwrite").parquet(
-        os.path.join(path, "graph"))
-    _update_dead_stats(path, meta, new_stats)
-    out.unpersist()
 
-    # renumber the touched slices' payload: live nodes sorted by id get
-    # fresh 0-based indices — the same order the rebuild assigned
-    pay = spark.read.parquet(os.path.join(path, "payload")).where(
-        F.col("slice").isin(todo))
-    w = Window.partitionBy("slice").orderBy(id_col)
-    newpay = (
-        pay.withColumn("node", F.row_number().over(w) - F.lit(1))
-        .cache()
-    )
-    newpay.count()
-    newpay.repartition("slice").write.partitionBy("slice").mode(
-        "overwrite").parquet(os.path.join(path, "payload"))
-    _rm_emptied_partitions(spark, os.path.join(path, "payload"), todo, newpay)
-    newpay.unpersist()
+    def _graph_leg():
+        out.write.partitionBy("slice").mode("overwrite").parquet(
+            os.path.join(path, "graph"))
+        _update_dead_stats(path, meta, new_stats)
+
+    def _payload_leg():
+        # renumber the touched slices' payload: live nodes sorted by id get
+        # fresh 0-based indices — the same order the rebuild assigned
+        pay = spark.read.parquet(os.path.join(path, "payload")).where(
+            F.col("slice").isin(todo))
+        w = Window.partitionBy("slice").orderBy(id_col)
+        newpay = (
+            pay.withColumn("node", F.row_number().over(w) - F.lit(1))
+            .cache()
+        )
+        present = _present_slices(newpay)  # materializes the cache pre-write
+        newpay.repartition("slice").write.partitionBy("slice").mode(
+            "overwrite").parquet(os.path.join(path, "payload"))
+        _rm_emptied_partitions(spark, os.path.join(path, "payload"), todo,
+                               present)
+        newpay.unpersist()
+
+    # disjoint directories, independent inputs — concurrent legs
+    _parallel_legs(_graph_leg, _payload_leg)
+    out.unpersist()
     return todo
 
 
@@ -1470,23 +1527,29 @@ def _tombstone_only_df(spark, path: str, meta: dict, rem: DataFrame) -> None:
     out = dels.groupBy("slice").cogroup(graph.groupBy("slice")).applyInPandas(
         mark, _GRAPH_SCHEMA)
     out = out.cache()
-    out.count()
     # census BEFORE the overwrite (the write uncaches plans reading the
-    # graph path)
+    # graph path); the full-pass census also materializes the cache
     new_stats = _dead_stats_from_blobs(out)
-    out.write.partitionBy("slice").mode("overwrite").parquet(
-        os.path.join(path, "graph"))
-    _update_dead_stats(path, meta, new_stats)
-    out.unpersist()
 
-    pay = spark.read.parquet(os.path.join(path, "payload")).where(
-        F.col("slice").isin(touched))
-    kept = pay.join(rem, id_col, "left_anti").cache()
-    kept.count()
-    kept.repartition("slice").write.partitionBy("slice").mode(
-        "overwrite").parquet(os.path.join(path, "payload"))
-    _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched, kept)
-    kept.unpersist()
+    def _graph_leg():
+        out.write.partitionBy("slice").mode("overwrite").parquet(
+            os.path.join(path, "graph"))
+        _update_dead_stats(path, meta, new_stats)
+
+    def _payload_leg():
+        pay = spark.read.parquet(os.path.join(path, "payload")).where(
+            F.col("slice").isin(touched))
+        kept = pay.join(rem, id_col, "left_anti").cache()
+        present = _present_slices(kept)  # materializes the cache pre-write
+        kept.repartition("slice").write.partitionBy("slice").mode(
+            "overwrite").parquet(os.path.join(path, "payload"))
+        _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched,
+                               present)
+        kept.unpersist()
+
+    # disjoint directories, independent inputs — concurrent legs
+    _parallel_legs(_graph_leg, _payload_leg)
+    out.unpersist()
 
 
 def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:
@@ -1522,20 +1585,26 @@ def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = graph.groupBy("slice").applyInPandas(mark, _GRAPH_SCHEMA)
     out = out.cache()
-    out.count()
     # census BEFORE the overwrite (the write uncaches plans reading the
-    # graph path)
+    # graph path); the full-pass census also materializes the cache
     new_stats = _dead_stats_from_blobs(out)
-    out.write.partitionBy("slice").mode("overwrite").parquet(
-        os.path.join(path, "graph"))
-    _update_dead_stats(path, meta, new_stats)
-    out.unpersist()
 
-    pay = spark.read.parquet(os.path.join(path, "payload")).where(
-        F.col("slice").isin(touched))
-    kept = pay.where(~F.col(id_col).isin(gone)).cache()
-    kept.count()
-    kept.repartition("slice").write.partitionBy("slice").mode(
-        "overwrite").parquet(os.path.join(path, "payload"))
-    _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched, kept)
-    kept.unpersist()
+    def _graph_leg():
+        out.write.partitionBy("slice").mode("overwrite").parquet(
+            os.path.join(path, "graph"))
+        _update_dead_stats(path, meta, new_stats)
+
+    def _payload_leg():
+        pay = spark.read.parquet(os.path.join(path, "payload")).where(
+            F.col("slice").isin(touched))
+        kept = pay.where(~F.col(id_col).isin(gone)).cache()
+        present = _present_slices(kept)  # materializes the cache pre-write
+        kept.repartition("slice").write.partitionBy("slice").mode(
+            "overwrite").parquet(os.path.join(path, "payload"))
+        _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched,
+                               present)
+        kept.unpersist()
+
+    # disjoint directories, independent inputs — concurrent legs
+    _parallel_legs(_graph_leg, _payload_leg)
+    out.unpersist()

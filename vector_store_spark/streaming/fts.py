@@ -186,13 +186,38 @@ class FtsStreamSink:
 
         # ---- rewrite ONLY the affected buckets ----------------------------
         import shutil
+        from concurrent.futures import ThreadPoolExecutor
 
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        for df, d in ((new_postings, self.postings_dir), (new_doclens, self.doclens_dir)):
-            df = df.withColumn(
+        # materialize the shared tokenize cache (and, through its lineage,
+        # the winner cache) ONCE before the leg frames build, so the two
+        # checkpoint-materializing jobs below don't tokenize twice
+        toks.count()
+
+        # SNAPSHOT each output frame via a lazy localCheckpoint, materialized
+        # by the pre-write present-collect. Two reasons this is a checkpoint
+        # and not a cache, and why present is collected BEFORE the write:
+        # both frames' lineage reads the stored doclens/postings DIRECTORIES
+        # (through winner/stored/kept), and a parquet overwrite commit
+        # invalidates every CacheManager entry whose plan reads the written
+        # path — with concurrent legs, leg A's commit would uncache leg B's
+        # frame mid-flight and force a recompute against a stale file
+        # listing of an already-overwritten directory (observed:
+        # FileNotFoundException on the old postings part files). A local
+        # checkpoint truncates the plan to the persisted RDD, so neither the
+        # commit invalidation nor the directory state can reach it, and the
+        # two writes are then free to run CONCURRENTLY (the commit critical
+        # path drops from tokenize+write_p+write_d to
+        # tokenize+max(write_p, write_d)).
+        legs = []
+        for src, d in ((new_postings, self.postings_dir),
+                       (new_doclens, self.doclens_dir)):
+            df = src.withColumn(
                 BUCKET_COL, _bucket_expr("doc_id", self.num_buckets)
-            ).cache()
-            cached.append(df)
+            ).localCheckpoint(eager=False)
+            present = {r[0] for r in df.select(BUCKET_COL).distinct().collect()}
+            legs.append((df, d, present))
+
+        def _rewrite(df: DataFrame, d: str, present: set) -> None:
             (
                 df.repartition(max(1, len(affected)), F.col(BUCKET_COL))
                 .write.mode("overwrite")
@@ -202,11 +227,15 @@ class FtsStreamSink:
             # dynamic overwrite only rewrites buckets PRESENT in the output —
             # an affected bucket whose last row disappeared (all docs removed
             # / tombstones GC'd) would keep stale files; drop those leaves
-            present = {r[0] for r in df.select(BUCKET_COL).distinct().collect()}
             for b in set(affected) - present:
                 shutil.rmtree(
                     os.path.join(d, f"{BUCKET_COL}={b}"), ignore_errors=True
                 )
+
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for f in [ex.submit(_rewrite, *leg) for leg in legs]:
+                f.result()  # propagate the first failure
 
     def start(self, stream: DataFrame, checkpoint_dir: str,
               trigger_available_now: bool = True, processing_time: str | None = None):

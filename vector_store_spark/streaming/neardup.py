@@ -156,22 +156,25 @@ class NearDupStreamSink:
 
         # pairs FIRST: its plan reads the standing sets/bands directories,
         # which the two commits below overwrite (a parquet write invalidates
-        # cached plans reading that path — order matters)
-        pairs.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
-            "_batch"
-        ).option("partitionOverwriteMode", "dynamic").mode(
-            "overwrite"
-        ).parquet(self.pairs_dir)
-        new_sets.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
-            "_batch"
-        ).option("partitionOverwriteMode", "dynamic").mode(
-            "overwrite"
-        ).parquet(self.sets_dir)
-        new_bands.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
-            "_batch"
-        ).option("partitionOverwriteMode", "dynamic").mode(
-            "overwrite"
-        ).parquet(self.bands_dir)
+        # cached plans reading that path — order matters). It also
+        # materializes the new_sets/new_bands caches (both feed the verify),
+        # so the two store commits after it are independent cache-read +
+        # write jobs — submit them concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _commit(df: DataFrame, d: str) -> None:
+            df.withColumn("_batch", F.lit(int(batch_id))).write.partitionBy(
+                "_batch"
+            ).option("partitionOverwriteMode", "dynamic").mode(
+                "overwrite"
+            ).parquet(d)
+
+        _commit(pairs, self.pairs_dir)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_commit, new_sets, self.sets_dir),
+                    ex.submit(_commit, new_bands, self.bands_dir)]
+            for f in futs:
+                f.result()  # propagate the first failure
         new_sets.unpersist()
         new_bands.unpersist()
 
