@@ -188,11 +188,6 @@ class FtsStreamSink:
         import shutil
         from concurrent.futures import ThreadPoolExecutor
 
-        # materialize the shared tokenize cache (and, through its lineage,
-        # the winner cache) ONCE before the leg frames build, so the two
-        # checkpoint-materializing jobs below don't tokenize twice
-        toks.count()
-
         # SNAPSHOT each output frame via a lazy localCheckpoint, materialized
         # by the pre-write present-collect. Two reasons this is a checkpoint
         # and not a cache, and why present is collected BEFORE the write:
@@ -208,6 +203,11 @@ class FtsStreamSink:
         # two writes are then free to run CONCURRENTLY (the commit critical
         # path drops from tokenize+write_p+write_d to
         # tokenize+max(write_p, write_d)).
+        #
+        # The present-collects run SEQUENTIALLY, postings leg first: its
+        # checkpoint materialization tokenizes the batch once INTO the shared
+        # toks/winner caches (a separate toks.count() materializer would be a
+        # redundant third job), and the doclens leg then reads those caches.
         legs = []
         for src, d in ((new_postings, self.postings_dir),
                        (new_doclens, self.doclens_dir)):
