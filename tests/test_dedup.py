@@ -568,6 +568,43 @@ def test_components_deep_path_converges_via_pointer_doubling(spark):
     assert {r.group_id for r in labels} == {0}  # ONE component, min id 0
 
 
+def test_components_fused_lookup_matches_union_find(spark):
+    """r17 loop rewrite: each round is ONE lookup join (neighbor labels and
+    label-of-label united into a single key frame) with sum-monotonicity
+    convergence. Pin the labels against a driver union-find on a seeded
+    random graph — every (node → component-min) assignment must match."""
+    import random
+
+    from vector_store_spark.operators.dedup import dedup_component_members
+
+    rng = random.Random(1729)
+    n = 400
+    edges = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(300)
+    })
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for x in (a, b):
+            expected[x] = find(x)
+
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r.member_id: r.group_id
+           for r in dedup_component_members(pairs).collect()}
+    assert got == expected
+
+
 def test_components_raise_instead_of_wrong_labels(spark):
     """Non-convergence at the bound must be an ERROR, never a result."""
     import pytest

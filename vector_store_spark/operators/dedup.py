@@ -1089,15 +1089,28 @@ def dedup_component_members(
     is ever materialized, so a degenerate mega-component costs rows, not one
     giant cell). Same min-label propagation as dedup_connected_components.
 
-    Convergence: each round does one neighbor-min hop PLUS one
-    pointer-doubling contraction (label := min(label, label[label]) — labels
-    are node ids, so chasing the label's own label halves chain length),
-    giving O(log diameter) rounds instead of O(diameter). The r14 sf3 gate
-    caught the plain-hop variant SILENTLY returning unconverged labels when
-    a component's diameter outgrew ``max_iter`` (rep 109 where the true min
-    was 9) — any fixed hop bound has a bigger-corpus counterexample, so
-    non-convergence at the bound now RAISES instead of returning wrong
-    groups."""
+    Convergence: each round folds the neighbor-min hop AND the
+    pointer-doubling contraction into ONE lookup join — new label(id) =
+    min over {label(dst) for dst in N(id)} ∪ {label(label(id))}. Both
+    legs are lookups of label[key] (key = a neighbor, or the node's own
+    current label), so they union into a single key frame joined once
+    against the label table, then a groupBy-min: 3 exchanges per round
+    instead of the former two joins + label-self-join (~7 exchanges, 3
+    separate query executions). label(label(id)) ≤ label(id) keeps the
+    old pointer-doubling reach (≈2× per round, O(log diameter) rounds);
+    the fixpoint — min reachable id — is unchanged. The r14 sf3 gate
+    caught the plain-hop variant SILENTLY returning unconverged labels
+    when a component's diameter outgrew ``max_iter`` (rep 109 where the
+    true min was 9) — any fixed hop bound has a bigger-corpus
+    counterexample, so non-convergence at the bound still RAISES instead
+    of returning wrong groups.
+
+    Quiescence is detected from label-sum monotonicity: every update is a
+    min with values ≤ the current label, so labels are elementwise
+    non-increasing and the exact decimal sum(label) strictly decreases iff
+    any label moved — the per-round convergence probe is the same
+    full-partition aggregate that materializes the round's lazy
+    checkpoint, with no _moved flag or labels-vs-labels comparison."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint()
@@ -1108,65 +1121,56 @@ def dedup_component_members(
         return edges.select(
             F.col("src").alias("group_id"), F.col("dst").alias("member_id")
         )
-    # LAZY checkpoint: round 1's convergence count scans every partition of
-    # the first stepped frame, which reads all of `labels` — that one job
-    # materializes (and persists) both checkpoints, so the separate eager
-    # bootstrap job disappears
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
-    )
-    changed = 0
+    _DEC = "decimal(38,0)"  # exact sums: no int64 overflow at any corpus size
+    labels = None
+    prev_sum = None
+    moved = True
     for _ in range(max_iter):
-        neigh = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("src", "id")
-        )
-        hop = labels.join(neigh, "id", "left").select(
-            "id",
-            F.col("label").alias("_label0"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-        )
-        # pointer doubling: label <- min(label, label-of-label). The label
-        # frame joins ITSELF (fact-fact, both sides pair-graph-sized), so
-        # the chain a min must travel halves every round.
-        lol = hop.select(
-            F.col("id").alias("label"), F.col("label").alias("label2")
-        )
-        # the convergence flag rides in the checkpointed frame (computed
-        # against the round's starting label carried through the hop), so
-        # detecting quiescence is a scan of the materialized partitions —
-        # not another labels-vs-labels shuffle join per round
-        stepped = (
-            hop.join(lol, "label", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
-                ).alias("label"),
-                F.col("_label0"),
+        if labels is None:
+            # round 1, labels are the identity: label[key] = key, so the
+            # lookup join vanishes — min(id, min neighbor id) is one
+            # groupBy over (edges ∪ self-rows), a single exchange
+            stepped = (
+                edges.select(F.col("src").alias("id"), F.col("dst").alias("key"))
+                .union(edges.select(F.col("src").alias("id"),
+                                    F.col("src").alias("key")))
+                .groupBy("id")
+                .agg(F.min("key").alias("label"))
             )
-            .withColumn("_moved", F.col("label") != F.col("_label0"))
-            .select("id", "label", "_moved")
-            # LAZY: the convergence count below scans every partition, so it
-            # doubles as the checkpoint-materializing job (the eager variant
-            # paid a separate materialization job per round); lineage still
-            # truncates at job end, before the next round's plan builds on it
-            .localCheckpoint(eager=False)
-        )
-        changed = stepped.where(F.col("_moved")).count()
-        labels = stepped.select("id", "label")
-        if changed == 0:
+        else:
+            keys = edges.select(
+                F.col("src").alias("id"), F.col("dst").alias("key")
+            ).union(labels.select("id", F.col("label").alias("key")))
+            # every key is a node id (labels are always member ids), so the
+            # lookup is an inner join; label table is node-sized and
+            # fact-classed — SHUFFLE_HASH build side, never broadcast
+            lk = labels.select(
+                F.col("id").alias("key"), F.col("label").alias("_klabel")
+            )
+            stepped = (
+                keys.join(lk.hint("SHUFFLE_HASH"), "key")
+                .groupBy("id")
+                .agg(F.min("_klabel").alias("label"))
+            )
+        # LAZY: the convergence aggregate below scans every partition, so it
+        # doubles as the checkpoint-materializing job; lineage still
+        # truncates at job end, before the next round's plan builds on it
+        stepped = stepped.localCheckpoint(eager=False)
+        agg = stepped.agg(
+            F.sum(F.col("label").cast(_DEC)).alias("s"),
+            F.sum(F.col("id").cast(_DEC)).alias("sid"),
+        ).collect()[0]
+        if prev_sum is None:
+            prev_sum = agg["sid"]  # identity-label sum (the node-id sum)
+        labels = stepped
+        moved = agg["s"] != prev_sum
+        prev_sum = agg["s"]
+        if not moved:
             break
-    if changed != 0:
+    if moved:
         raise RuntimeError(
             f"connected components did not converge within max_iter={max_iter} "
-            f"rounds ({changed} labels still moving) — with pointer doubling "
+            "rounds (label sum still decreasing) — with pointer doubling "
             "this needs ~log2(component diameter) rounds; raise max_iter"
         )
     return labels.select(
