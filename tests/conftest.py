@@ -19,6 +19,12 @@ _SLOW_MODULES = {
     "test_fts",
     "test_engine_strategies",
     "test_admission",
+    # r17 tier rebalance (VERDICT r16 #7): the plan-ban suite's session
+    # fixture explains ALL 187 registry queries (eager entries build real
+    # indexes) — 122 s of a 362 s default tier on a capacity-clean host.
+    # It is a heavy Spark-session family by the definition above; the full
+    # tier (`pytest -q -m ""`) still runs it before every round snapshot.
+    "test_plans",
 }
 
 
