@@ -109,6 +109,41 @@ def test_quality_features_udf_matches_expr_on_corpus(spark, sf_dir):
     assert [tuple(r) for r in hot] == [tuple(r) for r in spec]  # bit-identical
 
 
+def test_quality_features_byte_mask_char_counts_edge_cases(spark):
+    """r18: the char-class ratios moved from three JVM regexp_replace passes
+    to a vectorized UTF-8 byte-mask pass inside the Arrow UDF — pin the
+    byte-level counting against the expression twin on exactly the inputs
+    where byte and char arithmetic could diverge: multi-byte UTF-8 (length()
+    counts code points, the ASCII classes must not match continuation
+    bytes), the negated class [^a-zA-Z0-9 ] matching non-ASCII chars, null
+    text (length(NULL) is NULL), empty text, and class-boundary bytes."""
+    from vector_store_spark.operators.textstats import quality_features_expr
+
+    rows = [
+        (1, "héllo wörld"),            # 2-byte chars inside words
+        (2, "日本語テキスト 123 abc"),  # 3-byte chars + digits + ascii
+        (3, "emoji \U0001f600 mix!"),   # 4-byte char
+        (4, None),                      # null text
+        (5, ""),                        # empty text
+        (6, "   "),                     # spaces only (kept class, no tokens)
+        (7, "@[`{/:Z a z 0 9"),         # bytes adjacent to class boundaries
+        (8, "ASCII only text 42, fine."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hot = quality_features(df, "doc_id", "text").orderBy("doc_id").collect()
+    spec = quality_features_expr(df, "doc_id", "text").orderBy("doc_id").collect()
+    # bit-identical everywhere the two paths were ever equal. (On NULL text
+    # they diverge PRE-r18 in the token fields — the UDF maps null to "",
+    # size(NULL) in the spec is NULL — so pin the hot path's historical null
+    # row explicitly instead: null n_chars, zero ratios.)
+    assert [tuple(r) for r in hot if r.doc_id != 4] == \
+           [tuple(r) for r in spec if r.doc_id != 4]
+    null_row = [r for r in hot if r.doc_id == 4][0]
+    assert null_row.n_chars is None
+    assert (null_row.alpha_ratio, null_row.punct_ratio, null_row.digit_ratio,
+            null_row.n_tokens) == (0.0, 0.0, 0.0, 0.0)
+
+
 def test_repetition_features_known_values(spark):
     from vector_store_spark.operators.textstats import repetition_features
 

@@ -95,6 +95,11 @@ total = round(sum(merged_q.values()), 4)
 
 extras = dict(counted[-1]["extras"])
 extras["min_of_n"] = {
+    # ADVICE r17 (pre-register N): N is fixed at invocation, before any
+    # result is observed. If runs are later ADDED via merge_bench_runs.py,
+    # that merge must stamp n_extended_after_observation=true in its notes —
+    # more runs can only lower mins, so an extended-N ratio reads low.
+    "preregistered_n": N,
     "n_runs": N,
     "n_counted_runs": len(counted),
     "capacity_clean": capacity_clean,
@@ -105,11 +110,13 @@ extras["min_of_n"] = {
     # host PARALLEL capacity per run, fixed shared-blob probe (healthy
     # ~1-1.5, gate band <=2.5 — see bench.py _CALIB_PAR_MAX; the old
     # ">3 = degraded" band belonged to the GIL-inflated probe)
+    # index-aligned with per_run_totals: a run missing the probe emits None
+    # instead of silently shrinking the array (ADVICE r17)
     "parallel32_over_single_at_start": [
         round(rec["extras"]["calib_cpu_parallel32_sec_at_start"]
               / rec["extras"]["calib_cpu_sha256_sec_at_start"], 2)
+        if "calib_cpu_parallel32_sec_at_start" in rec["extras"] else None
         for rec in runs
-        if "calib_cpu_parallel32_sec_at_start" in rec["extras"]
     ],
 }
 

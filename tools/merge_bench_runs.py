@@ -8,6 +8,11 @@ if its start gate was capacity-clean (status == 'ok'); if none is, all runs
 merge and the record is stamped capacity_clean=false.
 
 Usage: python tools/merge_bench_runs.py OUT PREV run1.json run2.json ...
+
+Input validation (ADVICE r17): inputs must be SINGLE-run fulls of the SAME
+sf — a duplicate path, an already-merged min-of-N record (its per-query
+values are themselves mins, so re-merging double-mins), or a cross-sf run
+would silently produce a bogus record; all three hard-fail here.
 """
 import json
 import os
@@ -22,7 +27,21 @@ RUN_PATHS = sys.argv[3:]
 HEALTHY = os.path.join(HERE, "BENCH_local_r14.json")
 CALIB_CPU_BAND = 0.070  # bench.py _CALIB_REF
 
+seen_paths = set()
+for p in RUN_PATHS:
+    ap = os.path.realpath(p)
+    if ap in seen_paths:
+        sys.exit(f"duplicate input run: {p} (each run may feed the min once)")
+    seen_paths.add(ap)
 runs = [json.load(open(p)) for p in RUN_PATHS]
+for p, r in zip(RUN_PATHS, runs):
+    mo = r.get("extras", {}).get("min_of_n")
+    if mo and mo.get("n_runs", 1) > 1:
+        sys.exit(f"{p} is an already-merged min-of-{mo['n_runs']} record, "
+                 "not a single-run full — merging it would double-min")
+sfs = {r.get("sf") for r in runs}
+if len(sfs) > 1:
+    sys.exit(f"runs span multiple scale factors: {sorted(sfs)}")
 clean_runs = [r for r in runs
               if r["extras"]["calib_gate"].get("status") == "ok"]
 capacity_clean = bool(clean_runs)
@@ -38,6 +57,11 @@ total = round(sum(merged_q.values()), 4)
 
 extras = dict(counted[-1]["extras"])
 extras["min_of_n"] = {
+    # this tool assembles records across invocations, so N was not
+    # necessarily fixed before results were observed — stamp it so readers
+    # discount cross-record ratios accordingly (ADVICE r17: more runs can
+    # only lower mins)
+    "merged_across_invocations": True,
     "n_runs": len(runs),
     "n_counted_runs": len(counted),
     "capacity_clean": capacity_clean,
@@ -47,11 +71,13 @@ extras["min_of_n"] = {
     "calib_cpu_ratios_at_start": [
         round(r["extras"]["calib_cpu_sha256_sec_at_start"] / CALIB_CPU_BAND, 3)
         for r in runs],
+    # index-aligned with per_run_totals: a run missing the probe emits None
+    # instead of silently shrinking the array (ADVICE r17)
     "parallel32_over_single_at_start": [
         round(r["extras"]["calib_cpu_parallel32_sec_at_start"]
               / r["extras"]["calib_cpu_sha256_sec_at_start"], 2)
-        for r in runs
-        if "calib_cpu_parallel32_sec_at_start" in r["extras"]],
+        if "calib_cpu_parallel32_sec_at_start" in r["extras"] else None
+        for r in runs],
 }
 
 
