@@ -672,3 +672,34 @@ def test_minhash_signature_arrow_twin_exact(docs, spark):
         want = {r.id: r.sig for r in frame.select(
             "id", minhash_signature_expr(F.col("hs"), 12).alias("sig")).collect()}
         assert got == want
+
+
+def test_minhash_signature_size_dispatch(spark, sf_dir):
+    """r18: the banded paths pick between the exact twins by source input
+    bytes (tiny corpus -> expression form, big/unknown -> Arrow form). The
+    twins are element-for-element equal (test above), so the dispatch can
+    only change WHICH engine computes the integers, never the integers."""
+    from vector_store_spark.operators.dedup import (
+        _SIG_ARROW_MIN_INPUT_BYTES,
+        minhash_signature_sized,
+    )
+
+    small = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"))
+    col_small = minhash_signature_sized(small, F.col("hs"), 12)
+    # the expression twin is an array of array_min(transform(...)) calls
+    assert "array_min" in str(col_small)
+
+    mem = spark.createDataFrame([(1,)], ["id"])  # no file scan -> unknown size
+    col_unknown = minhash_signature_sized(mem, F.col("hs"), 12)
+    assert "array_min" not in str(col_unknown)  # Arrow form (scale posture)
+
+    import vector_store_spark.operators.dedup as dd
+    orig = dd._SIG_ARROW_MIN_INPUT_BYTES
+    try:
+        dd._SIG_ARROW_MIN_INPUT_BYTES = 0  # force "big corpus"
+        col_big = minhash_signature_sized(small, F.col("hs"), 12)
+        assert "array_min" not in str(col_big)
+    finally:
+        dd._SIG_ARROW_MIN_INPUT_BYTES = orig
+    assert orig == _SIG_ARROW_MIN_INPUT_BYTES

@@ -174,6 +174,45 @@ def minhash_signature_expr(hash_set: Column, num_hashes: int) -> Column:
     return F.array(*[minhash_expr(hash_set, a, b) for a, b in coeffs])
 
 
+#: below this much source input, the interpreted-HOF expression signature
+#: beats the Arrow matrix form: the pandas-UDF serialization fixed cost
+#: exceeds the per-row saving on tiny corpora (r18 A/B, noop-sink signature
+#: stage: 500 docs expr 0.08s vs arrow 0.20s; 5k docs 0.17 vs 0.25;
+#: 50k docs expr 1.25 vs arrow 0.86 — crossover between 5k and 50k docs).
+#: Both forms produce EXACTLY the same int64s (pinned by
+#: test_minhash_signature_arrow_twin_exact), so the dispatch can never
+#: change a result — only which engine computes it.
+_SIG_ARROW_MIN_INPUT_BYTES = 2 << 20
+
+
+def minhash_signature_sized(df: DataFrame, hash_set: Column, num_hashes: int) -> Column:
+    """Size-gated dispatch between the exact signature twins (guide §4.1:
+    prefer built-ins when the Python boundary's fixed cost would dominate).
+    ``df`` is the frame the signature column will be selected from; its
+    source input bytes (scan file sizes — metadata, no job) pick the form.
+    Unknown size (no file scan, e.g. a memory-backed test frame) defaults
+    to the Arrow form — the 100 TB posture."""
+    import os
+    from urllib.parse import urlparse
+
+    total: int | None = 0
+    try:
+        files = df.inputFiles()
+        if not files:  # no file scan (memory/stream relation): size unknown
+            total = None
+        for uri in files:
+            p = urlparse(uri).path or uri
+            if not os.path.exists(p):
+                total = None
+                break
+            total += os.path.getsize(p)
+    except Exception:
+        total = None
+    if total is not None and total < _SIG_ARROW_MIN_INPUT_BYTES:
+        return minhash_signature_expr(hash_set, num_hashes)
+    return minhash_signature(hash_set, num_hashes)
+
+
 def minhash_signature(hash_set: Column, num_hashes: int) -> Column:
     """Arrow twin of :func:`minhash_signature_expr`: one |hs|×num_hashes
     int64 matrix per row instead of num_hashes interpreted HOF evaluations.
@@ -364,7 +403,7 @@ def minhash_band_candidates(
     here, on the narrow fixed-width signature frame, so the fat shingle
     arrays never shuffle through the filter."""
     sig = sets.select(
-        "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
+        "id", minhash_signature_sized(sets, F.col("hs"), num_hashes).alias("sig")
     )
     if drop_ids is not None:
         sig = sig.join(drop_ids.hint("SHUFFLE_HASH"), "id", "left_anti")

@@ -46,7 +46,7 @@ from vector_store_spark.functions.hashing import shingle_hashes_udf
 from vector_store_spark.operators.dedup import (
     _verify_jaccard_pairs,
     minhash_band_rows,
-    minhash_signature,
+    minhash_signature_sized,
 )
 
 
@@ -107,8 +107,13 @@ class NearDupStreamSink:
             .where(F.size("hs") > 0)
             .cache()
         )
+        # size-gated twin dispatch: micro-batches are batch-sized, so this
+        # normally picks the expression form (same integers either way)
         sig = new_sets.select(
-            "id", minhash_signature(F.col("hs"), self.num_hashes).alias("sig")
+            "id",
+            minhash_signature_sized(
+                new_sets, F.col("hs"), self.num_hashes
+            ).alias("sig"),
         )
         new_bands = minhash_band_rows(sig, self.num_hashes, self.bands).cache()
 
