@@ -698,32 +698,46 @@ def _parallel_legs(*legs) -> None:
             f.result()
 
 
-def _present_slices(written: DataFrame) -> set:
-    """Distinct slice set of a cached payload frame. Doubles as the
-    cache-materializing action: the distinct scans every cached partition,
-    so running it BEFORE the directory overwrite replaces the separate
-    count() the payload legs used to pay (one job instead of two — the
-    same fusion the graph legs get from the dead-stats census)."""
-    return {r["slice"] for r in written.select("slice").distinct().collect()}
+def _staged_payload_commit(spark, path: str, frame: DataFrame, touched) -> None:
+    """Rewrite the ``touched`` slices of ``path/payload`` with ``frame`` via
+    a STAGING directory + per-partition rename (VERDICT r17 Next #3).
 
-
-def _rm_emptied_partitions(spark, base: str, touched, present: set) -> None:
-    """Dynamic partition overwrite only rewrites partitions PRESENT in the
-    output, so a touched slice whose merged payload came out empty would
-    keep its stale files (every row deleted → old rows resurface).  Delete
-    those partition directories explicitly via the Hadoop FileSystem API
-    (works on local paths and HDFS/S3A alike). ``present`` is the written
-    frame's slice set, snapshotted pre-write by :func:`_present_slices`."""
-    empty = [s for s in touched if s not in present]
-    if not empty:
-        return
+    The pre-r18 shape paid TWO jobs per maintenance wave: a present-slice
+    ``distinct().collect()`` to materialize the frame's cache (the dynamic
+    overwrite was about to invalidate the payload read the frame's lineage
+    depends on) plus the overwrite itself. Writing to a staging dir needs NO
+    cache (the lineage's payload read is untouched while the job runs) and
+    the present set falls out of the staging dir listing — one job, and the
+    emptied-touched-slice cleanup (dynamic overwrite only rewrites
+    partitions PRESENT in the output, so an emptied slice would keep its
+    stale files) uses the same listing. All fs ops go through the Hadoop
+    FileSystem API (local paths and HDFS/S3A alike); rename is per-partition
+    dir, the same commit granularity dynamic partition overwrite has."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for s in empty:
-        p = jvm.org.apache.hadoop.fs.Path(f"{base}/slice={int(s)}")
-        fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
+    Path = jvm.org.apache.hadoop.fs.Path
+    base = os.path.join(path, "payload")
+    staging = os.path.join(path, "_payload_staging")
+    frame.repartition("slice").write.partitionBy("slice").mode(
+        "overwrite").parquet(staging)
+    sp = Path(staging)
+    fs = sp.getFileSystem(hconf)
+    present = set()
+    for st in fs.listStatus(sp):
+        name = st.getPath().getName()
+        if not name.startswith("slice="):
+            continue  # _SUCCESS and friends
+        present.add(int(name.split("=", 1)[1]))
+        dst = Path(f"{base}/{name}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(st.getPath(), dst)
+    for s in touched:
+        if int(s) not in present:
+            p = Path(f"{base}/slice={int(s)}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    fs.delete(sp, True)
 
 
 def _round_half_away(d: float, round_to: int) -> float:
@@ -1326,16 +1340,11 @@ def hnsw_upsert(
                         + F.row_number().over(w))
             .select("slice", "node", id_col, *pay_cols)
         )
-        merged = old.unionByName(newpay).cache()
-        # materialize via the emptied-slice census (the write below
-        # overwrites the directory `old` reads from, so the cache must fill
-        # first; the distinct doubles as that action — no separate count())
-        present = _present_slices(merged)
-        merged.repartition("slice").write.partitionBy("slice").mode(
-            "overwrite").parquet(os.path.join(path, "payload"))
-        _rm_emptied_partitions(spark, os.path.join(path, "payload"),
-                               touched, present)
-        merged.unpersist()
+        merged = old.unionByName(newpay)
+        # staging write + rename commit: one job, no cache — `old`'s payload
+        # read stays valid for the whole job because the write lands in a
+        # sibling staging dir (VERDICT r17 Next #3)
+        _staged_payload_commit(spark, path, merged, touched)
 
     # the two legs touch DISJOINT directories (graph vs payload) and read
     # only materialized caches (`out`, `sliced`) plus the pre-overwrite
@@ -1471,16 +1480,9 @@ def hnsw_compact(spark, path: str, min_deleted_frac: float = 0.2) -> list:
         pay = spark.read.parquet(os.path.join(path, "payload")).where(
             F.col("slice").isin(todo))
         w = Window.partitionBy("slice").orderBy(id_col)
-        newpay = (
-            pay.withColumn("node", F.row_number().over(w) - F.lit(1))
-            .cache()
-        )
-        present = _present_slices(newpay)  # materializes the cache pre-write
-        newpay.repartition("slice").write.partitionBy("slice").mode(
-            "overwrite").parquet(os.path.join(path, "payload"))
-        _rm_emptied_partitions(spark, os.path.join(path, "payload"), todo,
-                               present)
-        newpay.unpersist()
+        newpay = pay.withColumn("node", F.row_number().over(w) - F.lit(1))
+        # staging write + rename commit: one job, no cache (see helper)
+        _staged_payload_commit(spark, path, newpay, todo)
 
     # disjoint directories, independent inputs — concurrent legs
     _parallel_legs(_graph_leg, _payload_leg)
@@ -1539,13 +1541,9 @@ def _tombstone_only_df(spark, path: str, meta: dict, rem: DataFrame) -> None:
     def _payload_leg():
         pay = spark.read.parquet(os.path.join(path, "payload")).where(
             F.col("slice").isin(touched))
-        kept = pay.join(rem, id_col, "left_anti").cache()
-        present = _present_slices(kept)  # materializes the cache pre-write
-        kept.repartition("slice").write.partitionBy("slice").mode(
-            "overwrite").parquet(os.path.join(path, "payload"))
-        _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched,
-                               present)
-        kept.unpersist()
+        kept = pay.join(rem, id_col, "left_anti")
+        # staging write + rename commit: one job, no cache (see helper)
+        _staged_payload_commit(spark, path, kept, touched)
 
     # disjoint directories, independent inputs — concurrent legs
     _parallel_legs(_graph_leg, _payload_leg)
@@ -1597,13 +1595,9 @@ def _tombstone_only(spark, path: str, meta: dict, gone: list) -> None:
     def _payload_leg():
         pay = spark.read.parquet(os.path.join(path, "payload")).where(
             F.col("slice").isin(touched))
-        kept = pay.where(~F.col(id_col).isin(gone)).cache()
-        present = _present_slices(kept)  # materializes the cache pre-write
-        kept.repartition("slice").write.partitionBy("slice").mode(
-            "overwrite").parquet(os.path.join(path, "payload"))
-        _rm_emptied_partitions(spark, os.path.join(path, "payload"), touched,
-                               present)
-        kept.unpersist()
+        kept = pay.where(~F.col(id_col).isin(gone))
+        # staging write + rename commit: one job, no cache (see helper)
+        _staged_payload_commit(spark, path, kept, touched)
 
     # disjoint directories, independent inputs — concurrent legs
     _parallel_legs(_graph_leg, _payload_leg)
