@@ -343,9 +343,11 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     def _w_postings():
+        spark.sparkContext.setJobDescription("fts_persist: postings")
         write_local_index(postings, os.path.join(path, "postings"), ["term_bucket"])
 
     def _w_doclens():
+        spark.sparkContext.setJobDescription("fts_persist: doclens CTAS")
         (
             index.doclens.repartition(num_buckets, F.col("doc_id"))
             .write.mode("overwrite")
@@ -364,6 +366,7 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 32) -> None:
     import json
 
     def _w_df_by_term():
+        spark.sparkContext.setJobDescription("fts_persist: df_by_term")
         index.df_by_term.write.mode("overwrite").parquet(
             os.path.join(path, "df_by_term"))
 

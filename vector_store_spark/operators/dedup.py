@@ -394,6 +394,7 @@ def minhash_band_candidates(
     bands: int,
     max_bucket_width: int | None,
     drop_ids: DataFrame | None = None,
+    size_probe_df: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash candidate generation over (id, hs) rows: signatures →
     explode bands → salted bucket self-join → distinct (id_a, id_b).
@@ -401,9 +402,19 @@ def minhash_band_candidates(
     ``drop_ids`` (single ``id`` column) removes rows AFTER the signature
     projection — the exact-dup pre-pass drops non-representative duplicates
     here, on the narrow fixed-width signature frame, so the fat shingle
-    arrays never shuffle through the filter."""
+    arrays never shuffle through the filter.
+
+    ``size_probe_df``: the PRE-CACHE source frame for the signature-form
+    dispatch — ``sets`` is cached (shingle_sets), and a cached frame's
+    ``inputFiles()`` is empty (InMemoryRelation leaf), which would always
+    pick the Arrow form; callers pass the raw docs frame so tiny corpora
+    get the expression twin."""
     sig = sets.select(
-        "id", minhash_signature_sized(sets, F.col("hs"), num_hashes).alias("sig")
+        "id",
+        minhash_signature_sized(
+            size_probe_df if size_probe_df is not None else sets,
+            F.col("hs"), num_hashes,
+        ).alias("sig"),
     )
     if drop_ids is not None:
         sig = sig.join(drop_ids.hint("SHUFFLE_HASH"), "id", "left_anti")
@@ -478,7 +489,8 @@ def minhash_lsh_pairs(
     has_dups = bool(members.head(1))
     if not has_dups:
         members.unpersist()
-        cands = minhash_band_candidates(sets, num_hashes, bands, max_bucket_width)
+        cands = minhash_band_candidates(sets, num_hashes, bands,
+                                        max_bucket_width, size_probe_df=docs)
         return _verify_jaccard_pairs(cands, sets, threshold)
     intra = _intra_group_pairs(members, F.lit(1.0), "jaccard")
     # non-representative duplicates leave the banding path on the NARROW
@@ -486,7 +498,8 @@ def minhash_lsh_pairs(
     # shingle arrays are never re-shuffled by the pre-pass
     drop_ids = members.where(F.col("id") != F.col("rep")).select("id")
     cands = minhash_band_candidates(
-        sets, num_hashes, bands, max_bucket_width, drop_ids=drop_ids
+        sets, num_hashes, bands, max_bucket_width, drop_ids=drop_ids,
+        size_probe_df=docs,
     )
     # exact verify on the (representative) candidate set; keying the full
     # sets frame is fine — candidate ids are representatives by construction

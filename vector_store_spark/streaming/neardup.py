@@ -108,11 +108,13 @@ class NearDupStreamSink:
             .cache()
         )
         # size-gated twin dispatch: micro-batches are batch-sized, so this
-        # normally picks the expression form (same integers either way)
+        # normally picks the expression form (same integers either way).
+        # Probe the PRE-CACHE docs frame — new_sets is cached, and a cached
+        # frame's inputFiles() is empty (would force the Arrow form).
         sig = new_sets.select(
             "id",
             minhash_signature_sized(
-                new_sets, F.col("hs"), self.num_hashes
+                docs, F.col("hs"), self.num_hashes
             ).alias("sig"),
         )
         new_bands = minhash_band_rows(sig, self.num_hashes, self.bands).cache()
